@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Dev-side mirror of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>.parquet produced by graft.Verify, runs the matching
+oracle SQL (oracle_sql.json) in DuckDB over the sf parquet tables, and
+compares: column set, row count, and a value hash over columns sorted
+by name (rows sorted by all columns). Prints PASS/FAIL per query.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for r in data:
+        h.update(("|".join(r) + "\n").encode())
+    return h.hexdigest()[:16]
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    npass = nfail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            scols = spark_rel.columns
+            srows = spark_rel.fetchall()
+            orel = con.sql(sql)
+            ocols = orel.columns
+            orows = orel.fetchall()
+            if sorted(scols) != sorted(ocols):
+                print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+                nfail += 1
+                continue
+            if len(srows) != len(orows):
+                print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+                nfail += 1
+                continue
+            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+            if sh != oh:
+                print(f"FAIL {name}: hash mismatch spark={sh} oracle={oh}")
+                # show first differing row for debugging
+                so = sorted(tuple(canon(v) for v in r) for r in
+                            [[r[i] for i in sorted(range(len(scols)), key=lambda i: scols[i])] for r in srows])
+                oo = sorted(tuple(canon(v) for v in r) for r in
+                            [[r[i] for i in sorted(range(len(ocols)), key=lambda i: ocols[i])] for r in orows])
+                for a, b in zip(so, oo):
+                    if a != b:
+                        print(f"  spark : {a}\n  oracle: {b}")
+                        break
+                nfail += 1
+            else:
+                print(f"PASS {name} ({len(srows)} rows)")
+                npass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            nfail += 1
+    print(f"== {npass} pass / {nfail} fail ==")
+    return 1 if nfail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
