@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory shared by Verify/Bench/tests — one place for the
+  * configs the engine depends on.
+  *
+  * - shuffle.partitions = core count: local[N] has no reason for 200
+  *   reducers; on a real cluster this is set per-deploy (or AQE
+  *   coalesces it).
+  * - nanosAsLong: the events table carries TIMESTAMP(NANOS) which
+  *   Spark's parquet reader otherwise rejects; nanos arrive as Long
+  *   and [[graft.functions.TimeFns.tsNanos]] converts on use.
+  * - AQE on (default in 4.x, pinned explicitly): runtime coalescing +
+  *   skew-join handling are part of the 100 TB design.
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

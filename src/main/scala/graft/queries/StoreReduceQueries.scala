@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.store.Merge
+import graft.reduce.{MissingData, Reduce}
+import graft.stats.WelfordAgg
+import org.apache.spark.sql.functions._
+import Queries.table
+
+/** Oracle-checked queries for the merge (M*), missing-data (F*),
+  * reduction (A*) and stats (S*) operator families. Float outputs are
+  * rounded on BOTH sides so engine-order-dependent low bits cannot
+  * break the driver's value hash.
+  */
+object StoreReduceQueries {
+
+  /** M1/M5: harvest merge of two result stores with disjoint variables
+    * — full-outer align on the axis columns, both variables kept.
+    * Store A: quantities from even orderkeys; store B: order counts
+    * from odd orderkeys (different key coverage → NULL fill).
+    */
+  val m1Merge = QueryDef(
+    "m1_merge_outer",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("qty_even"))
+      val b = li.filter(col("l_orderkey") % 2 === 1 && col("l_returnflag") =!= "A")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_odd"))
+      Merge.merge(a, b, Seq("l_returnflag", "l_linestatus"))
+    },
+    Some("""SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+             COALESCE(a.l_linestatus, b.l_linestatus) AS l_linestatus,
+             a.qty_even, b.n_odd
+      FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty_even
+            FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2) a
+      FULL JOIN (SELECT l_returnflag, l_linestatus, count(*) AS n_odd
+            FROM lineitem WHERE l_orderkey % 2 = 1 AND l_returnflag <> 'A'
+            GROUP BY 1, 2) b
+      USING (l_returnflag, l_linestatus)"""))
+
+  /** M2: overwrite merge — new store wins on conflicting cells
+    * (`new.combine_first(full)`, farming.py:649-651).
+    */
+  val m2Overwrite = QueryDef(
+    "m2_merge_overwrite",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val full = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      val rerun = li.filter(col("l_linestatus") === "O")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg((count(lit(1)) * 2).as("n"))
+      Merge.merge(full, rerun, Seq("l_returnflag", "l_linestatus"), Merge.NewWins)
+    },
+    Some("""SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+             COALESCE(a.l_linestatus, b.l_linestatus) AS l_linestatus,
+             COALESCE(b.n, a.n) AS n
+      FROM (SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY 1, 2) a
+      FULL JOIN (SELECT l_returnflag, l_linestatus, 2*count(*) AS n
+            FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1, 2) b
+      USING (l_returnflag, l_linestatus)"""))
+
+  /** F4 `check_runs`: holes in an integer dimension — the orderkeys of
+    * 'F'-status orders (the status filter creates a sparse run).
+    */
+  val f4Holes = QueryDef(
+    "f4_check_runs_holes",
+    (s, dir) => MissingData.holes(
+      table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), "o_orderkey"),
+    Some("""SELECT g.o_orderkey FROM
+      (SELECT unnest(generate_series(
+         (SELECT MIN(o_orderkey) FROM orders WHERE o_orderstatus = 'F'),
+         (SELECT MAX(o_orderkey) FROM orders WHERE o_orderstatus = 'F'))) AS o_orderkey) g
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_orderstatus = 'F' AND o.o_orderkey = g.o_orderkey)"""))
+
+  /** A1: exact median aggregate over collapsed dims. */
+  val a1Median = QueryDef(
+    "a1_median_agg",
+    (s, dir) => Reduce.aggregate(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+      .withColumn("l_extendedprice", round(col("l_extendedprice"), 4)),
+    Some("""SELECT l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS l_extendedprice
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** A2: quantile error band 0.5 ± r/2 (r = 0.5 → quartiles). */
+  val a2Band = QueryDef(
+    "a2_quantile_band",
+    (s, dir) => Reduce.quantileBand(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_discount", r = 0.5)
+      .select(col("l_returnflag"),
+        round(col("l_discount"), 4).as("l_discount"),
+        round(col("l_discount_lo"), 4).as("l_discount_lo"),
+        round(col("l_discount_hi"), 4).as("l_discount_hi")),
+    Some("""SELECT l_returnflag,
+      ROUND(quantile_cont(l_discount, 0.5), 4) AS l_discount,
+      ROUND(quantile_cont(l_discount, 0.25), 4) AS l_discount_lo,
+      ROUND(quantile_cont(l_discount, 0.75), 4) AS l_discount_hi
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** A3/A4: mean ± stderr band (stddev/sqrt(n), n = non-null count). */
+  val a4Stderr = QueryDef(
+    "a4_stderr_band",
+    (s, dir) => Reduce.stderrBand(
+      table(s, dir, "events"), Seq("event_type"), "value")
+      .select(col("event_type"), round(col("value"), 4).as("value"),
+        round(col("value_lo"), 4).as("value_lo"),
+        round(col("value_hi"), 4).as("value_hi")),
+    Some("""SELECT event_type, ROUND(avg(value), 4) AS value,
+      ROUND(avg(value) - stddev_samp(value)/sqrt(count(value)), 4) AS value_lo,
+      ROUND(avg(value) + stddev_samp(value)/sqrt(count(value)), 4) AS value_hi
+      FROM events GROUP BY event_type"""))
+
+  /** A5: fixed-range histogram with NumPy edge semantics (last bin
+    * closed). 20 bins over l_extendedprice ∈ [0, 110000].
+    */
+  val a5Hist = QueryDef(
+    "a5_histogram",
+    (s, dir) => Reduce.histogram(
+      table(s, dir, "lineitem"), "l_extendedprice",
+      nbins = 20, lo = 0.0, hi = 110000.0)
+      .select(col("bin"), col("n"), round(col("bin_lo"), 2).as("bin_lo"),
+        round(col("bin_hi"), 2).as("bin_hi")),
+    Some("""SELECT LEAST(CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT), 19) AS bin,
+      count(*) AS n,
+      ROUND(LEAST(CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT), 19) * CAST(5500.0 AS DOUBLE), 2) AS bin_lo,
+      ROUND((LEAST(CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT), 19) + 1) * CAST(5500.0 AS DOUBLE), 2) AS bin_hi
+      FROM lineitem WHERE l_extendedprice BETWEEN 0 AND 110000
+      GROUP BY 1"""))
+
+  /** A6/A8: one-row data range (plot limits / color normalization). */
+  val a6Range = QueryDef(
+    "a6_data_range",
+    (s, dir) => Reduce.range(
+      table(s, dir, "events"), Seq("value", "user_id")),
+    Some("""SELECT min(value) AS value_min, max(value) AS value_max,
+      min(user_id) AS user_id_min, max(user_id) AS user_id_max FROM events"""))
+
+  /** S1: Welford aggregator vs built-in moments — exposed as a query so
+    * the custom Aggregator itself is oracle-checked.
+    */
+  val s1Welford = QueryDef(
+    "s1_welford_stats",
+    (s, dir) => table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(WelfordAgg.column(col("value")).as("st"))
+      .select(col("event_type"), col("st.n").as("n"),
+        round(col("st.mean"), 4).as("mean"),
+        round(col("st.std"), 4).as("std")),
+    Some("""SELECT event_type, count(value) AS n,
+      ROUND(avg(value), 4) AS mean, ROUND(stddev_samp(value), 4) AS std
+      FROM events GROUP BY event_type"""))
+
+  /** S3: pairwise covariance matrix in a single aggregation pass. */
+  val s3Cov = QueryDef(
+    "s3_covariance_matrix",
+    (s, dir) => {
+      val m = graft.stats.Stats.covarianceMatrix(
+        table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      m.select(m.columns.map(c => round(col(c), 4).as(c)): _*)
+    },
+    Some("""SELECT
+      ROUND(covar_pop(l_quantity, l_quantity), 4)        AS cov_l_quantity_l_quantity,
+      ROUND(covar_pop(l_quantity, l_extendedprice), 4)   AS cov_l_quantity_l_extendedprice,
+      ROUND(covar_pop(l_quantity, l_discount), 4)        AS cov_l_quantity_l_discount,
+      ROUND(covar_pop(l_extendedprice, l_extendedprice), 4) AS cov_l_extendedprice_l_extendedprice,
+      ROUND(covar_pop(l_extendedprice, l_discount), 4)   AS cov_l_extendedprice_l_discount,
+      ROUND(covar_pop(l_discount, l_discount), 4)        AS cov_l_discount_l_discount
+      FROM lineitem"""))
+
+  val all: Seq[QueryDef] = Seq(
+    m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a4Stderr, a5Hist,
+    a6Range, s1Welford, s3Cov)
+}

@@ -1,0 +1,187 @@
+package graft.reduce
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reduction / aggregation operators (SURVEY §2.6, A1-A8) — the
+  * data-prep side of xyzpy's plot layer (infiniplot.py:573-684,
+  * plot/core.py:380-494).
+  *
+  * Scale notes: every op here is a single `groupBy` over the kept
+  * axes — one shuffle, partial aggregation map-side. `median`/
+  * `quantile` have two forms: `exact` (Spark's `percentile`, sort-based
+  * per group — fine when groups are small, as sweep groups are) and
+  * `approx` (`percentile_approx`, mergeable sketch — the 100 TB path).
+  */
+object Reduce {
+
+  /** A1: collapse `over` dims keeping `keep`, reducing `value` with a
+    * named method (median default — infiniplot.py:638-684).
+    */
+  def aggregate(df: DataFrame, keep: Seq[String], value: String,
+                method: String = "median", approx: Boolean = false): DataFrame = {
+    val v = col(value)
+    val c: Column = method match {
+      case "median" => if (approx) percentile_approx(v, lit(0.5), lit(10000))
+                       else expr(s"percentile($value, 0.5)")
+      case "mean"   => avg(v)
+      case "min"    => min(v)
+      case "max"    => max(v)
+      case "sum"    => sum(v)
+      case "count"  => count(v)
+      case m => throw new IllegalArgumentException(s"unknown aggregate_method $m")
+    }
+    df.groupBy(keep.map(col): _*).agg(c.as(value))
+  }
+
+  /** A2: median + quantile error band `0.5 ± r/2` (infiniplot.py:664-671). */
+  def quantileBand(df: DataFrame, keep: Seq[String], value: String,
+                   r: Double = 0.68, approx: Boolean = false): DataFrame = {
+    val (ql, qu) = (0.5 - r / 2, 0.5 + r / 2)
+    val (lo, mid, hi) =
+      if (approx) (percentile_approx(col(value), lit(ql), lit(10000)),
+                   percentile_approx(col(value), lit(0.5), lit(10000)),
+                   percentile_approx(col(value), lit(qu), lit(10000)))
+      else (expr(s"percentile($value, $ql)"), expr(s"percentile($value, 0.5)"),
+            expr(s"percentile($value, $qu)"))
+    df.groupBy(keep.map(col): _*)
+      .agg(mid.as(value), lo.as(s"${value}_lo"), hi.as(s"${value}_hi"))
+  }
+
+  /** A3: mean ± std band (infiniplot.py:647-652). */
+  def stdBand(df: DataFrame, keep: Seq[String], value: String): DataFrame =
+    df.groupBy(keep.map(col): _*).agg(
+      avg(col(value)).as(value),
+      (avg(col(value)) - stddev_samp(col(value))).as(s"${value}_lo"),
+      (avg(col(value)) + stddev_samp(col(value))).as(s"${value}_hi"))
+
+  /** A4: mean ± std/sqrt(n) stderr band; n counts non-nulls
+    * (infiniplot.py:654-662). */
+  def stderrBand(df: DataFrame, keep: Seq[String], value: String): DataFrame = {
+    val se = stddev_samp(col(value)) / sqrt(count(col(value)))
+    df.groupBy(keep.map(col): _*).agg(
+      avg(col(value)).as(value),
+      (avg(col(value)) - se).as(s"${value}_lo"),
+      (avg(col(value)) + se).as(s"${value}_hi"))
+  }
+
+  /** A5 auto-bin rule: `clamp(round(sqrt(n)), 3, 50)`
+    * (infiniplot.py:581-589). */
+  def autoBins(n: Long): Int =
+    math.max(3, math.min(50, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** A5: histogram of `value` into `nbins` equal bins on [lo, hi],
+    * optionally per extra key dims; returns (keys…, bin, lo, hi,
+    * count). Bins are half-open [lo+i*w, lo+(i+1)*w) with the last bin
+    * closed (NumPy convention, np.histogram). One pass: width_bucket +
+    * count, all codegen'd.
+    */
+  def histogram(df: DataFrame, value: String, nbins: Int,
+                lo: Double, hi: Double, keys: Seq[String] = Nil,
+                density: Boolean = false): DataFrame = {
+    val w = (hi - lo) / nbins
+    val bin = least(
+      floor((col(value) - lit(lo)) / lit(w)).cast("long"), lit(nbins - 1L))
+    val g = df.filter(col(value) >= lo && col(value) <= hi)
+      .withColumn("bin", bin)
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(w))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(w))
+    if (!density) g
+    else {
+      val tot = Window.partitionBy(keys.map(col): _*)
+      g.withColumn("density", col("n") / (sum("n").over(tot) * lit(w)))
+    }
+  }
+
+  /** A6/A8: one aggregate row with min/max per column (plot limits /
+    * color norm, plot/core.py:588-619,465-494). */
+  def range(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A7: heatmap pivot `z[y, x]` — dense 2-D view
+    * (plot/core.py:443-463). */
+  def heatmap(df: DataFrame, x: String, y: String, z: String,
+              xValues: Seq[Any] = Nil): DataFrame =
+    graft.collect.Collect.dense(df, Seq(y), x, z, xValues)
+
+  /** P6: jitter — additive gaussian noise (plot/core.py:389-408). */
+  def jitter(df: DataFrame, column: String, scale: Double, seed: Long): DataFrame =
+    df.withColumn(column, col(column) + randn(seed) * scale)
+}
+
+/** Missing-data discovery (SURVEY §2.5, F1-F6) — predicates over the
+  * long table; all single-pass groupBy/anti-join shapes.
+  */
+object MissingData {
+
+  /** F1: a point is missing iff *all* variables are null
+    * (case_runner.py:217-259; `nan` mode treats NaN as missing). */
+  def allMissing(vars: Seq[String], nanAsMissing: Boolean = false): Column =
+    vars.map { v =>
+      if (nanAsMissing) col(v).isNull || isnan(col(v)) else col(v).isNull
+    }.reduce(_ && _)
+
+  /** F2: enumerate grid points whose every row is all-missing — or
+    * absent entirely (case_runner.py:262-301). `ignoreDims` collapses
+    * internal dims by grouping on the kept axes. */
+  def findMissingCases(df: DataFrame, axes: Seq[String],
+                       vars: Seq[String]): DataFrame = {
+    val present = df
+      .groupBy(axes.map(col): _*)
+      .agg(max(when(!allMissing(vars), 1).otherwise(0)).as("__any"))
+      .filter(col("__any") === 1)
+      .select(axes.map(col): _*)
+    graft.expand.Grid.effectiveGrid(df, axes)
+      .join(present, axes, "left_anti")
+  }
+
+  /** F3 `trimna`: drop coordinate values (per axis) where everything
+    * is null (manage.py:211-227). */
+  def trimna(df: DataFrame, axes: Seq[String], vars: Seq[String]): DataFrame =
+    axes.foldLeft(df) { (d, axis) =>
+      val dead = d.groupBy(col(axis))
+        .agg(min(allMissing(vars).cast("int")).as("__all"))
+        .filter(col("__all") === 1)
+        .select(col(axis))
+      d.join(dead, Seq(axis), "left_anti")
+    }
+
+  /** F4 `check_runs`: holes in an integer dimension — missing values
+    * between observed min and max (manage.py:268-310). `sequence` +
+    * anti-join; the sequence is generated per-partition bound so the
+    * driver never materializes it. */
+  def holes(df: DataFrame, dim: String): DataFrame = {
+    val bounds = df.agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+    bounds.select(explode(sequence(col("lo"), col("hi"))).as(dim))
+      .join(df.select(dim).distinct(), Seq(dim), "left_anti")
+  }
+
+  /** F5: finite-mask — keep rows where all listed cols are finite
+    * (plot/core.py:380-387). */
+  def finite(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c =>
+      col(c).isNotNull && !isnan(col(c)) &&
+        col(c) =!= Double.PositiveInfinity && col(c) =!= Double.NegativeInfinity
+    ).reduce(_ && _))
+
+  /** F6 `check_excess_dims`: assert every non-selected axis has one
+    * distinct value (plot/core.py:127-148). Single aggregate pass. */
+  def assertNoExcessDims(df: DataFrame, selected: Seq[String],
+                         axes: Seq[String]): Unit = {
+    val excess = axes.filterNot(selected.contains)
+    if (excess.nonEmpty) {
+      val counts = df.agg(
+        countDistinct(col(excess.head)).as(excess.head),
+        excess.tail.map(a => countDistinct(col(a)).as(a)): _*).collect()(0)
+      val bad = excess.zipWithIndex.filter { case (_, i) => counts.getLong(i) > 1 }
+      require(bad.isEmpty,
+        s"unmapped dims with >1 value: ${bad.map(_._1).mkString(", ")}")
+    }
+  }
+}

@@ -1,0 +1,163 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge conflict found by the strict (no-overwrite) merge mode. */
+final class MergeConflictException(msg: String) extends RuntimeException(msg)
+
+/** Harvest-store merge family (SURVEY §2.4, M1-M12).
+  *
+  * Reference semantics: farming.py:602-670 (`Harvester.add_ds` three
+  * overwrite modes), manage.py:172-208 (`save_merge_ds`),
+  * farming.py:478-580 (disk sync + atomic save). xyzpy's merges are
+  * coordinate-aligned upserts of result stores; here they are
+  * full-outer equi-joins on the axis (key) columns with per-variable
+  * `coalesce`, which Catalyst plans as a shuffled or broadcast hash
+  * join — at 100 TB the store is partitioned by its leading axis
+  * columns so the join co-locates, and the *new* side of a harvest is
+  * usually tiny → broadcast.
+  */
+object Merge {
+
+  /** Which side wins where both stores have a non-null value. */
+  sealed trait Mode
+  /** M1 `overwrite=None`: raise on conflicting non-null values. */
+  case object NoConflicts extends Mode
+  /** M2 `overwrite=True`: new wins (`new.combine_first(full)`). */
+  case object NewWins extends Mode
+  /** M3 `overwrite=False`: old wins (`full.combine_first(new)`). */
+  case object OldWins extends Mode
+
+  /** Full-outer merge of two long-form stores on `keys`.
+    *
+    * Value columns present in both sides are coalesced per `mode`;
+    * one-sided columns pass through. With `NoConflicts` a one-pass
+    * pre-flight aggregation counts conflicting cells and raises a
+    * [[MergeConflictException]] naming the first offending keys
+    * (xyzpy `compat="no_conflicts"`, farming.py:655-661).
+    */
+  def merge(old: DataFrame, neu: DataFrame, keys: Seq[String],
+            mode: Mode = NoConflicts): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val oldVals = old.columns.filterNot(keys.contains)
+    val neuVals = neu.columns.filterNot(keys.contains)
+    val shared = oldVals.filter(neuVals.contains)
+
+    val o = oldVals.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val n = neuVals.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+    val joined = o.join(n, keys, "full_outer")
+
+    if (mode == NoConflicts && shared.nonEmpty) {
+      val conflict = shared.map { c =>
+        (col(s"__o_$c").isNotNull && col(s"__n_$c").isNotNull &&
+          col(s"__o_$c") =!= col(s"__n_$c")).cast("int")
+      }.reduce(_ + _) > 0
+      val bad = joined.filter(conflict).select(keys.map(col): _*).limit(5)
+        .collect()
+      if (bad.nonEmpty)
+        throw new MergeConflictException(
+          s"merge would overwrite differing values at keys: " +
+            bad.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
+    }
+
+    val valueCols =
+      shared.map { c =>
+        val (a, b) = mode match {
+          case OldWins => (s"__o_$c", s"__n_$c")
+          case _       => (s"__n_$c", s"__o_$c") // NewWins; NoConflicts asserted disjoint
+        }
+        coalesce(col(a), col(b)).as(c)
+      } ++
+        oldVals.filterNot(shared.contains).map(c => col(s"__o_$c").as(c)) ++
+        neuVals.filterNot(shared.contains).map(c => col(s"__n_$c").as(c))
+
+    joined.select(keys.map(col) ++ valueCols: _*)
+  }
+
+  /** M6: fold-merge N stores (conflict datasets glob,
+    * manage.py:349-402). */
+  def mergeAll(stores: Seq[DataFrame], keys: Seq[String],
+               mode: Mode = NoConflicts): DataFrame =
+    stores.reduce((a, b) => merge(a, b, keys, mode))
+
+  /** M12 align+fillna: outer-align, fill one side's NULLs from the
+    * other (test_case_runner.py:134-190) — exactly NewWins. */
+  def alignFill(base: DataFrame, fill: DataFrame, keys: Seq[String]): DataFrame =
+    merge(fill, base, keys, NewWins)
+}
+
+/** On-disk parquet store with harvest semantics (M4/M5/M7-M11 + IO1/IO5).
+  *
+  * The store path is a parquet directory; merges read-modify-write via
+  * a temp dir + atomic rename (xyzpy's backup-and-rename,
+  * farming.py:549-580 — Spark's output committer makes the write
+  * itself atomic; the rename swap makes the *replacement* atomic).
+  * At scale: `partitionBy` the leading axis columns so `missing_only`
+  * anti-joins and merges prune partitions.
+  */
+final class ParquetStore(val spark: SparkSession, val path: String,
+                         val keys: Seq[String],
+                         val partitionCols: Seq[String] = Nil) {
+
+  def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  def load(): DataFrame = spark.read.parquet(path)
+
+  private def writer(df: DataFrame) = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
+  /** Atomic replace: write to `<path>.__tmp`, swap, keep `<path>.__bak`
+    * until the swap succeeds (IO5, farming.py:549-580). */
+  def replaceWith(df: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".__bak")
+    val fs = p.getFileSystem(conf)
+    writer(df).parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
+    fs.rename(tmp, p)
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** M4/M5: merge `neu` into the store (creates it if absent). The
+    * merged plan is computed from the *loaded* store, so the read
+    * completes before the replace swaps directories. */
+  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
+    if (!exists) writer(neu).parquet(path)
+    else {
+      // materialize the merge before overwriting what it reads from
+      val merged = Merge.merge(load(), neu, keys, mode).localCheckpoint()
+      replaceWith(merged)
+    }
+
+  /** M11 `Sampler.add_df`: append rows (long table, no alignment). */
+  def append(rows: DataFrame): Unit =
+    if (!exists) writer(rows).parquet(path)
+    else rows.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** M7 `expand_dims`: add a constant coordinate to the whole store. */
+  def expandDims(name: String, value: Any): Unit =
+    replaceWith(load().withColumn(name, lit(value)).localCheckpoint())
+
+  /** M8 `drop_sel`: delete coordinate values from a dimension. */
+  def dropSel(dim: String, values: Seq[Any]): Unit =
+    replaceWith(load().filter(!col(dim).isin(values: _*)).localCheckpoint())
+
+  /** M10 Ellipsis axis: the store's own coordinates for `axis`. */
+  def coords(axis: String): DataFrame =
+    load().select(axis).distinct().orderBy(axis)
+
+  /** M9 `missing_only`: grid points not yet in the store. */
+  def missing(grid: DataFrame): DataFrame =
+    if (!exists) grid
+    else graft.expand.Grid.missing(grid, load(), keys)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.store.{Merge, MergeConflictException, ParquetStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def oldDF = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None))
+    .toDF("k", "v")
+  private def newDF = Seq((2L, Some(99.0)), (3L, Some(30.0)), (4L, Some(40.0)))
+    .toDF("k", "v")
+
+  test("M2 NewWins: new.combine_first(old) (farming.py:649-651)") {
+    val m = Merge.merge(oldDF, newDF, Seq("k"), Merge.NewWins)
+    val byK = m.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byK == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("M3 OldWins: old.combine_first(new) (farming.py:652-654)") {
+    val m = Merge.merge(oldDF, newDF, Seq("k"), Merge.OldWins)
+    val byK = m.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byK == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("M1 NoConflicts: raises on differing non-null overlap (farming.py:655-661)") {
+    assertThrows[MergeConflictException](
+      Merge.merge(oldDF, newDF, Seq("k"), Merge.NoConflicts).collect())
+  }
+
+  test("M1 NoConflicts: passes when overlap values agree or are null") {
+    val compat = Seq((2L, Some(20.0)), (3L, Some(30.0))).toDF("k", "v")
+    val m = Merge.merge(oldDF, compat, Seq("k"), Merge.NoConflicts)
+    val byK = m.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byK == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
+  test("disjoint value columns pass through untouched") {
+    val a = Seq((1L, 1.0)).toDF("k", "x")
+    val b = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "y")
+    val m = Merge.merge(a, b, Seq("k"))
+    assert(m.columns.toSet == Set("k", "x", "y"))
+    val r = m.orderBy("k").collect()
+    assert(r(0).toSeq == Seq(1L, 1.0, 2.0) && r(1).toSeq == Seq(2L, null, 3.0))
+  }
+
+  test("merge idempotence: merge(a, a) == a (SURVEY §5 property)") {
+    val m = Merge.merge(oldDF, oldDF, Seq("k"))
+    assert(collectSorted(m) == collectSorted(oldDF))
+  }
+}
+
+class ParquetStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpStore(): ParquetStore = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    new ParquetStore(spark, s"$dir/store", Seq("a", "b"))
+  }
+
+  test("M4 harvest cycle: create, merge-in, missing-only work skipping") {
+    val st = tmpStore()
+    assert(!st.exists)
+    st.mergeIn(Seq((1L, 1L, 10.0), (1L, 2L, 20.0)).toDF("a", "b", "v"))
+    assert(st.exists && st.load().count() == 2)
+
+    // M9: only the unvisited grid point remains
+    val grid = graft.expand.Grid.expandDFs(Seq(
+      Seq(1L).toDF("a"), Seq(1L, 2L, 3L).toDF("b")))
+    assert(collectSorted(st.missing(grid)) == Seq(Seq[Any](1L, 3L)))
+
+    // second harvest merges without touching existing cells
+    st.mergeIn(Seq((1L, 3L, 30.0)).toDF("a", "b", "v"))
+    assert(st.load().count() == 3)
+    assert(st.missing(grid).count() == 0)
+  }
+
+  test("M1: conflicting mergeIn raises and leaves the store intact") {
+    val st = tmpStore()
+    st.mergeIn(Seq((1L, 1L, 10.0)).toDF("a", "b", "v"))
+    assertThrows[MergeConflictException](
+      st.mergeIn(Seq((1L, 1L, 99.0)).toDF("a", "b", "v")))
+    assert(st.load().collect()(0).getDouble(2) == 10.0)
+  }
+
+  test("M7/M8: expandDims adds constant coord; dropSel deletes values") {
+    val st = tmpStore()
+    st.mergeIn(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("a", "b", "v"))
+    st.expandDims("run", "r0")
+    assert(st.load().columns.contains("run"))
+    assert(st.load().select("run").distinct().as[String].collect().toSeq == Seq("r0"))
+    st.dropSel("a", Seq(2L))
+    assert(st.load().select("a").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("M10: Ellipsis coords come back sorted") {
+    val st = tmpStore()
+    st.mergeIn(Seq((3L, 1L, 1.0), (1L, 1L, 1.0), (2L, 1L, 1.0)).toDF("a", "b", "v"))
+    assert(st.coords("a").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("M11: append grows the long table") {
+    val st = new ParquetStore(spark,
+      Files.createTempDirectory("graft-samp").toString + "/s", Seq("a"))
+    st.append(Seq((1L, 1.0)).toDF("a", "v"))
+    st.append(Seq((1L, 2.0)).toDF("a", "v"))
+    assert(st.load().count() == 2)
+  }
+}
