@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for large-scale corpus pipelines
+  * (driver north-star ops, beyond the reference). All built from
+  * `org.apache.spark.sql.functions` so they stay inside whole-stage
+  * codegen — no UDF in the hot path.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (split on runs of whitespace). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish subword-aware token count: words + digit runs +
+    * punctuation marks counted separately (a cheap proxy for BPE token
+    * counts used to budget LLM training data).
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= ""))
+
+  /** Plain word count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles, distinct (the unit for Jaccard/MinHash). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  }
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of tokens that are in `words` (e.g. stopwords), counting
+    * repeats — occurrences / total tokens. */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(words: _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Count of tokens contained in `words` (with repeats). */
+  def wordSetHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(words: _*)))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: favors mid-length documents
+    * with low punctuation and a natural stopword rate — the standard
+    * cheap pre-filter for LLM training corpora.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / lit(32.0), lit(1.0))
+    val stopScore = least(wordSetRatio(text, stopwords) * lit(4.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    round((lengthScore + stopScore + punctScore) / lit(3.0), 4)
+  }
+
+  /** Language-ID marker words (tiny deterministic sets — the n-gram
+    * heuristic's vocabulary; extend per deployment).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"),
+  )
+
+  /** Language-ID heuristic: argmax of marker-word hits; 'und' when no
+    * marker matches. Deterministic tie-break by language code order.
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
+    val t = tokens(text)
+    val langs = markers.keys.toSeq.sorted
+    val hits = langs.map(l => size(array_intersect(t, array(markers(l).map(lit): _*))))
+    val best = hits.reduce((a, b) => greatest(a, b))
+    langs.zip(hits).foldRight(lit("und"): Column) { case ((l, h), other) =>
+      when(h === best && best > 0, lit(l)).otherwise(other)
+    }
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercased,
+    * whitespace-collapsed). Exact-dup detection that survives
+    * formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))))
+
+  /** Winnowing-style rolling fingerprint: minimum 64-bit hash over
+    * each window of `w` consecutive k-shingles — robust doc signature
+    * for near-dup bucketing (rolling-hash family; one pass, codegen).
+    */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 8): Column = {
+    val sh = shingles(text, k)
+    val hashes = transform(sh, s => xxhash64(s))
+    val nWin = greatest(size(hashes) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hashes, i + 1, lit(w)))))
+  }
+}
+
+/** Event-time helpers — the events table ships TIMESTAMP(NANOS), read
+  * as Long nanos under `nanosAsLong` (see [[graft.Sessions]]).
+  */
+object TimeFns {
+  /** nanos-since-epoch Long → TimestampType (microsecond precision). */
+  def tsNanos(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+}

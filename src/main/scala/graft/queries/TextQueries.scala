@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.TextFns
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import Queries.table
+
+/** Training-data pipeline queries over the documents/embeddings
+  * tables: text analysis, dedup, similarity search. SQL-expressible
+  * ops carry DuckDB oracles; the probabilistic scale paths (MinHash
+  * LSH, SimHash, RHP-LSH) are spec-tested with planted duplicates and
+  * registered rows-only.
+  */
+object TextQueries {
+
+  /** T1: token counting — whitespace words + a BPE-ish token proxy. */
+  val t1Tokens = QueryDef(
+    "t1_token_count",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_words"),
+        length(col("text")).as("n_chars2")),
+    Some("""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words,
+      length(text) AS n_chars2 FROM documents"""))
+
+  /** T2: quality scoring — length/stopword/punctuation heuristic. */
+  val t2Quality = QueryDef(
+    "t2_quality_score",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.qualityScore(col("text"), TextFns.langMarkers("en")).as("quality")),
+    Some("""SELECT doc_id, ROUND((
+      LEAST(len(string_split_regex(trim(text), '\s+')) / 32.0, 1.0)
+      + LEAST(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+          t -> list_contains(['the','a','and','of','to','is','in','that'], t)))
+          / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+      + 1.0 - LEAST(4.0 * (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+          / GREATEST(length(text), 1), 1.0)
+      ) / 3.0, 4) AS quality FROM documents"""))
+
+  /** T3: language-ID heuristic (marker-word argmax; 'und' fallback). */
+  val t3LangId = QueryDef(
+    "t3_lang_id",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFns.langId(col("text")).as("lang_pred")),
+    Some("""WITH tok AS (SELECT doc_id, lang,
+        string_split_regex(trim(text), '\s+') AS t FROM documents),
+      hits AS (SELECT doc_id, lang,
+        len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS h_de,
+        len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in','that'], x))) AS h_en,
+        len(list_filter(t, x -> list_contains(['el','la','de','que','y','los','es','por'], x))) AS h_es,
+        len(list_filter(t, x -> list_contains(['le','la','et','les','des','est','une','que'], x))) AS h_fr
+        FROM tok)
+      SELECT doc_id, lang, CASE
+        WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+        WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+        WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+        ELSE 'fr' END AS lang_pred FROM hits"""))
+
+  /** T4: md5 content fingerprint over normalized text. */
+  val t4Fingerprint = QueryDef(
+    "t4_fingerprint",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+      FROM documents"""))
+
+  /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
+  val d1Exact = QueryDef(
+    "d1_exact_dedup",
+    (s, dir) => Dedup.exact(table(s, dir, "documents"), "doc_id", "text"),
+    Some("""SELECT md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp,
+      min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1"""))
+
+  /** D2: exact 3-gram Jaccard near-dup pairs (threshold 0.8), blocked
+    * by language — the correctness baseline the LSH path approximates.
+    */
+  val d2Jaccard = QueryDef(
+    "d2_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"),
+      "doc_id", "text", n = 3, threshold = 0.8, blockCols = Seq("lang")),
+    Some("""WITH sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
+
+  /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
+    * join, no O(n²)). Probabilistic recall → rows-only check; its
+    * agreement with d2 on planted dups is spec-tested.
+    */
+  val d3MinHash = QueryDef(
+    "d3_minhash_lsh",
+    (s, dir) => Dedup.minHashCandidates(table(s, dir, "documents"),
+      "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8),
+    None)
+
+  /** D4: SimHash near-dup candidates (Hamming ≤ 3 via chunk banding). */
+  val d4SimHash = QueryDef(
+    "d4_simhash",
+    (s, dir) => Dedup.simHashCandidates(table(s, dir, "documents"),
+      "doc_id", "text", maxDist = 3),
+    None)
+
+  /** N1: brute-force cosine top-5 for a 20-query set — exact ANN
+    * baseline. Both engines compute the dot in DOUBLE, same order.
+    */
+  val n1Knn = QueryDef(
+    "n1_knn_cosine",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceKnn(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+    },
+    Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                 c.vec_id) <= 5"""))
+
+  /** N2: embedding near-dup pairs via RHP-LSH buckets (scale path). */
+  val n2Lsh = QueryDef(
+    "n2_embedding_lsh_pairs",
+    (s, dir) => Similarity.lshCandidatePairs(
+      table(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.95),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
+    d3MinHash, d4SimHash, n1Knn, n2Lsh)
+}

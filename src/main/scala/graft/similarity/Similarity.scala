@@ -1,0 +1,171 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, plus two
+  * scale paths — random-hyperplane LSH bucketing and IVF (inverted
+  * file) with driver-side k-means centroids.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns — built-in
+    * `zip_with`/`aggregate`, stays in codegen. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** L2-normalize a double-array column (pre-normalized corpus makes
+    * cosine a plain dot product — normalize once, query many). */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
+    transform(v, x => x / n)
+  }
+
+  /** Brute-force top-k cosine neighbors of each query row against the
+    * corpus. Exact — O(|q|·|corpus|); the right tool when |q| is small
+    * (the corpus side stays distributed; queries broadcast).
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Random-hyperplane LSH signature: `nbits` sign bits of projections
+    * onto deterministic pseudo-random hyperplanes (seeded per bit from
+    * xxhash64 of (dim, bit) — reproducible, no stored model). */
+  def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val projections = (0 until nbits).map { b =>
+      // hyperplane component for (dim d, bit b): hash → uniform [-1, 1)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x * (pmod(xxhash64(d, lit(b), lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+        lit(0.0), (s, x) => s + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    projections.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate neighbor pairs: rows sharing a signature
+    * band are candidates, verified with exact cosine ≥ `threshold`.
+    * The scale path for all-pairs similarity (near-dup by embedding).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        nbits: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = nbits / bands
+    val withSig = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", rhpSignature(col("v"), dim, nbits))
+    val banded = withSig.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(
+        b => shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** IVF index: k-means centroids fitted driver-side on a bounded
+    * sample, assignment + probing distributed. The standard
+    * billion-vector layout: partition the corpus by centroid id, scan
+    * only `nprobe` inverted lists per query.
+    */
+  final class IvfIndex(val centroids: Array[Array[Double]]) extends Serializable {
+
+    def assignUdf = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val ctr = centroids(c)
+        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** Corpus with its inverted-list assignment (persist/partition by
+      * `centroid` for repeated querying). */
+    def assign(corpus: DataFrame, vecCol: String): DataFrame =
+      corpus.withColumn("centroid",
+        assignUdf(col(vecCol).cast("array<double>")))
+
+    def nearestCentroids(v: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    /** Approximate top-k for one query vector: scan only the `nprobe`
+      * nearest inverted lists (partition-pruned when the assigned
+      * corpus is partitioned by `centroid`). */
+    def query(assigned: DataFrame, idCol: String, vecCol: String,
+              qv: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+      val probes = nearestCentroids(qv, nprobe)
+      val qvCol = array(qv.map(lit): _*)
+      assigned.filter(col("centroid").isin(probes: _*))
+        .withColumn("sim", cosine(col(vecCol).cast("array<double>"), qvCol))
+        .orderBy(col("sim").desc, col(idCol))
+        .select(col(idCol).as("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .limit(k)
+    }
+  }
+
+  object IvfIndex {
+    /** Fit k-means on a driver-side sample (Lloyd's, kmeans++-ish
+      * seeding by spaced picks). Bounded: `sampleSize` rows collected.
+      */
+    def fit(df: DataFrame, vecCol: String, k: Int,
+            sampleSize: Int = 2000, iters: Int = 8, seed: Long = 42): IvfIndex = {
+      val sample = df.select(col(vecCol).cast("array<double>"))
+        .orderBy(xxhash64(col(vecCol), lit(seed)))
+        .limit(sampleSize)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "empty corpus")
+      val dim = sample(0).length
+      var centroids = sample.grouped(math.max(sample.length / k, 1))
+        .map(_.head).take(k).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](centroids.length)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- centroids.indices) {
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      new IvfIndex(centroids)
+    }
+  }
+}

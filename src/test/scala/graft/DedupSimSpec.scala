@@ -1,0 +1,159 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFns
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount + shingles") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(TextFns.tokenCount(col("text"))).head().getInt(0) == 4)
+    val sh = df.select(TextFns.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("langId discriminates planted multilingual texts") {
+    val df = Seq(
+      ("the cat is in the house and of course happy", "en"),
+      ("el perro y la casa de los amigos es grande", "es"),
+      ("der hund und die katze ist nicht ein problem", "de"),
+      ("le chien et les amis des villes est une merveille", "fr"),
+      ("xyzzy plugh quux", "und")).toDF("text", "want")
+    val got = df.select(TextFns.langId(col("text")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"langId predicted ${r.getString(0)}, want ${r.getString(1)}"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("A  b\tC", 1), ("a b c", 2)).toDF("text", "id")
+    val fps = df.select(TextFns.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("winnow fingerprint: identical docs share all grams, edited docs share most") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w30", "EDIT")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("id", "text")
+    val fp = df.select(col("id"), TextFns.winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    val overlap = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).size
+    assert(overlap > 0.5 && overlap < 1.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 base docs + 3 near-dup pairs (1-word edits) + 1 exact dup. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 50).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = Seq(100L -> base(3)._2.replaceFirst("alpha", "EDITED"),
+      101L -> base(7)._2.replaceFirst("beta", "EDITED"),
+      102L -> base(11)._2.replaceFirst("gamma", "EDITED"))
+    val exactDup = Seq(200L -> base(5)._2)
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val d = Dedup.exact(corpus, "doc_id", "text")
+    val dups = d.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1 && dups(0).getLong(1) == 5L && dups(0).getLong(2) == 2L)
+    assert(Dedup.exactSurvivors(corpus, "doc_id", "text").count() == corpus.count() - 1)
+  }
+
+  test("exact jaccard finds planted near-dups; minhash LSH agrees") {
+    corpus.createOrReplaceTempView("c")
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5, blockCols = Nil)
+    val exactPairs = exact.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.contains((3L, 100L)) && exactPairs.contains((7L, 101L)) &&
+      exactPairs.contains((11L, 102L)) && exactPairs.contains((5L, 200L)))
+
+    val lsh = Dedup.minHashCandidates(corpus, "doc_id", "text",
+      n = 3, bands = 16, rows = 4, threshold = 0.5)
+    val lshPairs = lsh.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH must recover every exact pair at this similarity (≥0.9 true sim)
+    assert(exactPairs.subsetOf(lshPairs),
+      s"LSH missed ${exactPairs -- lshPairs}")
+    // and jaccard values agree with the exact path on shared pairs
+    val exactJ = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactJ.get(k).foreach(j => assert(math.abs(j - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("simhash: exact dup at distance 0; near-dups within 3; others far") {
+    val cands = Dedup.simHashCandidates(corpus, "doc_id", "text", maxDist = 3)
+    val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m.get((5L, 200L)).contains(0))
+    assert(m.contains((3L, 100L)) || m.contains((7L, 101L)) || m.contains((11L, 102L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force knn: self excluded, k rows per query, sims sorted") {
+    val e = emb(sf())
+    val knn = Similarity.bruteForceKnn(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+    val rows = knn.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sims = g.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("IVF: recall@10 vs brute force ≥ 0.6 with nprobe=4 of 8 lists") {
+    val e = emb(sf())
+    val idx = Similarity.IvfIndex.fit(e, "embedding", k = 8, sampleSize = 500)
+    val assigned = idx.assign(e, "embedding").cache()
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val approx = idx.query(assigned.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", qv, k = 10, nprobe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceKnn(
+      e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@10 = $recall")
+    assigned.unpersist()
+  }
+
+  test("RHP-LSH pairs: planted duplicate vector found at sim ~1") {
+    val e = emb(sf()).limit(100)
+    val dup = e.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.lshCandidatePairs(e.unionByName(dup),
+      "vec_id", "embedding", dim = 64, threshold = 0.99)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((3L, 1003L)), s"got ${found.toSeq}")
+  }
+}
