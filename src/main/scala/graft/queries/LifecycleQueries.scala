@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.batch.Crop
+import graft.expand.Grid
+import graft.functions.TimeFns
+import graft.run.Farming
+import org.apache.spark.sql.functions._
+import Queries.table
+
+/** Queries exercising the stateful lifecycles (harvest store, crop
+  * sow/grow/reap) end-to-end, plus event-time window analytics on the
+  * events table. Lifecycle queries run against throwaway /tmp stores
+  * and are oracle-checked against the equivalent direct computation.
+  */
+object LifecycleQueries {
+
+  private def freshDir(name: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-q-$name"
+    val p = new java.io.File(d)
+    if (p.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(p)
+    }
+    d
+  }
+
+  /** H1: full harvest lifecycle — two incremental harvests (second is
+    * missing-only over a widened axis) whose merged store must equal
+    * the direct one-shot computation.
+    */
+  val h1Harvest = QueryDef(
+    "h1_harvest_lifecycle",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def sweep(flags: Seq[String]) = li
+        .filter(col("l_returnflag").isin(flags: _*))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("qty"))
+      val h = Farming.harvester(s, freshDir("h1"),
+        Seq("l_returnflag", "l_linestatus"))
+      // harvest in two passes: A+N first, then R merged in
+      h.store.mergeIn(sweep(Seq("A", "N")))
+      h.store.mergeIn(sweep(Seq("R")))
+      h.store.load()
+    },
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2"""))
+
+  /** B4: crop sow/grow/reap round-trip — batched evaluation over the
+    * (returnflag × linestatus × priority) grid must equal the direct
+    * cross join + expression.
+    */
+  val b4Crop = QueryDef(
+    "b4_crop_roundtrip",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val ords = table(s, dir, "orders")
+      val grid = Grid.expandDFs(Seq(
+        li.select(col("l_returnflag").as("flag")).distinct(),
+        li.select(col("l_linestatus").as("status")).distinct(),
+        ords.select(col("o_orderpriority").as("priority")).distinct()))
+      val crop = new Crop(s, freshDir("b4"), Seq("flag", "status", "priority"))
+      crop.sow(grid, numBatches = Some(4))
+      crop.growMissing(df => df.withColumn("label",
+        concat_ws("/", col("flag"), col("status"), col("priority"))))
+      crop.reap()
+    },
+    Some("""SELECT f.flag, st.status, p.priority,
+        f.flag || '/' || st.status || '/' || p.priority AS label
+      FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f
+      CROSS JOIN (SELECT DISTINCT l_linestatus AS status FROM lineitem) st
+      CROSS JOIN (SELECT DISTINCT o_orderpriority AS priority FROM orders) p"""))
+
+  /** EV1: event-time tumbling window — hourly per-type count/avg (the
+    * batch form of the streaming aggregation in graft.streaming).
+    */
+  val ev1Window = QueryDef(
+    "ev1_tumbling_window",
+    (s, dir) => table(s, dir, "events")
+      .withColumn("hour", date_trunc("hour", TimeFns.tsNanos(col("ts"))))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+      count(*) AS n, ROUND(avg(value), 4) AS mean_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** EV2: sessionization — 30-minute-gap sessions per user via a lag
+    * window, then per-user session stats.
+    */
+  val ev2Sessions = QueryDef(
+    "ev2_sessionization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val ev = table(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > 1800L * 1000000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+    Some("""WITH marked AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session FROM events),
+      sess AS (SELECT user_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM marked)
+      SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      FROM sess GROUP BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions)
+}

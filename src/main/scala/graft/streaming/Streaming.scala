@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.stats.WelfordState
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's stateful ops.
+  *
+  * The reference is batch-only; its "streaming" is one-pass convergent
+  * estimation (SURVEY §2.8). These operators lift that to real
+  * streams: the same mergeable Welford state becomes
+  * `mapGroupsWithState` state, and the reduction aggregates become
+  * watermarked windowed aggregations — so a sweep whose points arrive
+  * incrementally (a harvest fed by external workers) can be monitored
+  * with identical semantics.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window aggregate of a value per key —
+    * streaming form of LifecycleQueries.ev1 (count + mean + stddev).
+    * `ts` must be a TimestampType column.
+    */
+  def tumblingStats(events: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, window: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean"),
+        stddev_samp(col(valueCol)).as("std"))
+
+  /** Session windows (gap-based) per key — streaming form of ev2. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Incremental per-key Welford statistics with explicit state —
+    * `mapGroupsWithState` carrying the same `WelfordState` the batch
+    * Aggregator uses (S1 as true streaming state; emits the running
+    * (n, mean, std, stderr) after every micro-batch).
+    */
+  def runningStats(events: Dataset[(String, Double)]): Dataset[RunningRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[WelfordState, RunningRow](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[(String, Double)],
+         state: GroupState[WelfordState]) =>
+          val prior = state.getOption.getOrElse(WelfordState.zero)
+          val next = values.foldLeft(prior)((s, kv) => s.add(kv._2))
+          state.update(next)
+          RunningRow(key, next.n, next.mean, next.std, next.stderr)
+      }
+  }
+}
+
+final case class RunningRow(key: String, n: Long, mean: Double,
+                            std: Double, stderr: Double)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.{RunningRow, Streaming}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumblingStats: windowed count/mean per key over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.tumblingStats(
+      input.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 3.0), (ts(11), "a", 10.0),
+        (ts(3), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("window.start"), col("k"), col("n"), col("mean"))
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((0L, "a", 2L, 2.0), (10L, "a", 1L, 10.0),
+        (0L, "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("runningStats: Welford state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = Streaming.runningStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0), ("a", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("running").as[RunningRow].collect()
+        .filter(_.key == "a").maxBy(_.n)
+      assert(last.n == 4L && math.abs(last.mean - 2.5) < 1e-12)
+      // matches the batch Welford state over the union of both batches
+      val whole = graft.stats.WelfordState.of(Seq(1.0, 2.0, 3.0, 4.0))
+      assert(math.abs(last.std - whole.std) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("sessionCounts: gap-separated sessions per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "k"), "ts", "k", gap = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two bursts 60 min apart → two sessions for key a
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(61), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").select("k", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows.sorted == Seq(("a", 1L), ("a", 2L)))
+    } finally q.stop()
+  }
+}
