@@ -84,6 +84,21 @@ object Collect {
     xs.zip(ys).toDF(xName, yName)
   }
 
+  /** P1 facet grid (plot/core.py:752-768): split by row/col coordinate
+    * values into panel sub-frames. The distinct panel key set is tiny
+    * (it indexes subplots) — collected once; each panel is a pruned
+    * filter over the source, so downstream evaluation stays lazy and
+    * partition-pruned when the store is partitioned by a facet dim.
+    */
+  def facets(df: DataFrame, rowDim: String, colDim: String)
+      : Seq[((Any, Any), DataFrame)] =
+    df.select(rowDim, colDim).distinct()
+      .orderBy(rowDim, colDim).collect().toSeq
+      .map { r =>
+        ((r.get(0), r.get(1)),
+          df.filter(col(rowDim) === r.get(0) && col(colDim) === r.get(1)))
+      }
+
   /** P8 `sort_dims`: canonical column order (manage.py:230-247). */
   def sortDims(df: DataFrame, order: Seq[String]): DataFrame = {
     val rest = df.columns.filterNot(order.contains)

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.functions.ComplexFns._
+import graft.run.Runner
+import graft.spec.ComboSpec
+import org.apache.spark.sql.functions._
+
+/** Complex-valued sweep queries (the reference's complex-array
+  * capability, test_combo_runner.py:246-262, as struct algebra).
+  */
+object ComplexQueries {
+
+  /** CX1: sweep z = e^{i·k·x} · (c + i·k) over a (k, x) grid; emit
+    * re/im/|z|/arg — every complex op exercised, oracled with plain
+    * trigonometry.
+    */
+  val cx1 = QueryDef(
+    "cx1_complex_sweep",
+    (s, _) => {
+      val combos = ComboSpec.of(
+        "k" -> Seq(1L, 2L, 3L), "x" -> Seq(0L, 1L, 2L, 3L))
+      Runner.ofColumns(
+        "z" -> mul(expi(col("k") * col("x")), complex(lit(2.0), col("k")))
+      ).runCombos(s, combos)
+        .select(col("k"), col("x"),
+          round(re(col("z")), 6).as("z_re"),
+          round(im(col("z")), 6).as("z_im"),
+          round(modulus(col("z")), 6).as("z_abs"),
+          round(arg(col("z")), 6).as("z_arg"))
+    },
+    Some("""SELECT CAST(k.k AS BIGINT) AS k, CAST(x.x AS BIGINT) AS x,
+      ROUND(cos(k.k*x.x)*2 - sin(k.k*x.x)*k.k, 6) AS z_re,
+      ROUND(cos(k.k*x.x)*k.k + sin(k.k*x.x)*2, 6) AS z_im,
+      ROUND(sqrt((cos(k.k*x.x)*2 - sin(k.k*x.x)*k.k)^2 +
+                 (cos(k.k*x.x)*k.k + sin(k.k*x.x)*2)^2), 6) AS z_abs,
+      ROUND(atan2(cos(k.k*x.x)*k.k + sin(k.k*x.x)*2,
+                  cos(k.k*x.x)*2 - sin(k.k*x.x)*k.k), 6) AS z_arg
+      FROM (SELECT unnest([1,2,3]) AS k) k
+      CROSS JOIN (SELECT unnest([0,1,2,3]) AS x) x"""))
+
+  val all: Seq[QueryDef] = Seq(cx1)
+}

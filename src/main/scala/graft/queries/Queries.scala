@@ -180,7 +180,7 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, e3Cross, e5Coords, v1Sweep, v4Multi, m9Missing, c1Dense,
     c2Explode) ++ StoreReduceQueries.all ++ TextQueries.all ++
-    LifecycleQueries.all
+    LifecycleQueries.all ++ ComplexQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
