@@ -5,6 +5,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Shared plan helpers for the candidate-pair pipelines. */
+private[graft] object PlanBarrier {
+  /** Identity marked nondeterministic: keeps a Filter above the
+    * Project that computes its input, so an expensive projected
+    * expression (array_intersect, cosine) is evaluated ONCE instead of
+    * being duplicated into the pushed-down predicate. */
+  val barrier: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((d: Double) => d).asNondeterministic()
+}
+
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard — designed for the 100 TB
   * path (shingle → signature → band → bucket-join; never an O(n²)
@@ -32,30 +42,80 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard ≥ `threshold` within `blockCols`
     * blocks. O(block²) — the *correctness baseline*; use
     * [[minHashCandidates]] at scale. Returns (id_a, id_b, jaccard).
+    *
+    * Exact-preserving prefilter: J(a,b) ≥ t forces the shingle-set
+    * sizes within a factor t of each other, so the cheap integer size
+    * test runs before any intersection is materialized (and Catalyst
+    * keeps the conjuncts in this short-circuit order).
     */
+  /** (id, hashed-shingle-array) projection, materialized.
+    *
+    * Two deliberate plan choices: (a) shingles are REPLACED by their
+    * xxhash64 values — set intersection then runs on primitive longs
+    * (specialized fast path) instead of strings, with a collision
+    * probability ~|union|²/2⁶⁴ per pair (irrelevant); (b) the stage is
+    * localCheckpoint-ed, because it feeds both sides of a self-join
+    * and Catalyst's CollapseProject would otherwise inline the whole
+    * tokenize→shingle→hash expression into every downstream reference.
+    * At cluster scale this is `persist(MEMORY_AND_DISK)` on a stage
+    * that is ~1% the corpus size.
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, extraCols: Seq[String]): DataFrame =
+    df.select(
+      (extraCols.map(col) :+ col(idCol).as("id") :+
+        TextFns.shingles(col(textCol), n).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+      .withColumn("h", transform(col("sh"), s => xxhash64(s)))
+      .select((extraCols :+ "id" :+ "h").map(col): _*)
+      .localCheckpoint()
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    blockCols: Seq[String]): DataFrame = {
-    val sh = df.select(
-      (blockCols.map(col) :+ col(idCol).as("id") :+
-        TextFns.shingles(col(textCol), n).as("sh")): _*)
-    val a = sh.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = sh.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(inter / uni, 4))
+    val sh = hashedShingles(df, idCol, textCol, n, blockCols)
+    val a = sh.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("h").as("h_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("h").as("h_b"): _*)
+    val sizeOk =
+      size(col("h_a")).cast("double") >= lit(threshold) * size(col("h_b")) &&
+      size(col("h_b")).cast("double") >= lit(threshold) * size(col("h_a"))
+    val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+    val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b") && sizeOk)
+      .withColumn("jaccard", PlanBarrier.barrier(round(inter / uni, 4)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: `k` independent minima of per-shingle 64-bit
-    * hashes (`xxhash64(shingle, seed_i)`). Pure built-in expressions.
+  /** Affine permutation constants for MinHash: odd multipliers +
+    * offsets from a fixed-seed RNG, so signatures are deterministic
+    * across runs and cheap (one multiply-add per element instead of a
+    * fresh xxhash per (shingle, i)).
     */
-  def minHashSignature(shingleCol: Column, k: Int): Column = {
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+  private def permConstants(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7CL)
+    // 30-bit constants keep (32-bit hash)·a + b < 2^63: no overflow
+    // under ANSI arithmetic
+    (Array.fill(k)((rnd.nextInt(1 << 30) | 1).toLong),
+      Array.fill(k)(rnd.nextInt(1 << 30).toLong))
   }
+
+  /** MinHash signature from a column of PRE-HASHED shingles: `k`
+    * minima under affine permutations `a_i·(h & 2³²⁻¹) + b_i` — the
+    * 32-bit mask keeps ANSI arithmetic overflow-free; one multiply-add
+    * per element per permutation, no hash calls.
+    */
+  def minHashSignatureFromHashes(hashCol: Column, k: Int): Column = {
+    val (as, bs) = permConstants(k)
+    array((0 until k).map(i =>
+      array_min(transform(hashCol,
+        h => h.bitwiseAND(0xFFFFFFFFL) * as(i) + bs(i)))): _*)
+  }
+
+  /** MinHash signature from raw shingles (hashes them first). */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    minHashSignatureFromHashes(transform(shingleCol, s => xxhash64(s)), k)
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands
     * of `rows` hashes; docs sharing any band bucket become candidates.
@@ -71,41 +131,58 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 16, rows: Int = 4,
                         threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minHashSignature(col("sh"), bands * rows))
-    val banded = sig.select(col("id"), col("sh"),
+    // one materialized (id, hashed shingles) stage — shared by the
+    // signature pipeline AND the verification joins
+    val sh = hashedShingles(df, idCol, textCol, n, Nil)
+    val sig = sh.select(col("id"),
+      minHashSignatureFromHashes(col("h"), bands * rows).as("sig"))
+    // band buckets only — the shuffle carries (id, band, bucket) longs,
+    // never the shingle arrays (a naive banded join would amplify the
+    // arrays ×bands through the exchange)
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(
         b => xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .localCheckpoint() // tiny; feeds both sides of the self-join
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact-Jaccard verification only for the (few) candidates
+    val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+    val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
       .withColumn("jaccard", round(inter / uni, 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over token hashes: bit b of the signature is the
-    * sign of Σ_tokens (±1 by token-hash bit b). Computed in one pass
-    * per row with built-in higher-order functions (no UDF): for each
-    * bit, aggregate +1/-1 votes.
+    * sign of Σ_tokens (±1 by token-hash bit b). One pass over the
+    * tokens per row (a deterministic Scala UDF with 64 counters — the
+    * expression form would re-scan the token array 64 times).
     */
-  def simHash(textCol: Column): Column = {
-    val th = transform(TextFns.tokens(textCol), t => xxhash64(t))
-    // votes: for bit b, count tokens with bit set minus tokens without
-    (0 until 64).map { b =>
-      val votes = aggregate(th, lit(0L),
-        (v, h) => v + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private val simHashUdf = udf { (tokens: Seq[String]) =>
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      // FNV-1a 64-bit over UTF-8 — stable across runs/JVMs
+      var h = 0xcbf29ce484222325L
+      val bytes = t.getBytes("UTF-8")
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
+
+  def simHash(textCol: Column): Column = simHashUdf(TextFns.tokens(textCol))
 
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
     * by chunk-banding (pigeonhole: 4 chunks of 16 bits — any pair with

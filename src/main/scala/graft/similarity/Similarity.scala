@@ -46,16 +46,19 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `nbits` sign bits of projections
-    * onto deterministic pseudo-random hyperplanes (seeded per bit from
-    * xxhash64 of (dim, bit) — reproducible, no stored model). */
+    * onto seeded pseudo-random hyperplanes. The planes are CONSTANTS —
+    * generated once on the driver and embedded as array literals, so
+    * each row pays only the dot products (a per-row hash-derived plane
+    * would recompute the matrix for every record).
+    */
   def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nbits, dim)(rnd.nextGaussian())
     val projections = (0 until nbits).map { b =>
-      // hyperplane component for (dim d, bit b): hash → uniform [-1, 1)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x * (pmod(xxhash64(d, lit(b), lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+      val plane = array(planes(b).map(lit).toIndexedSeq: _*)
+      val proj = aggregate(zip_with(v, plane, (x, p) => x * p),
         lit(0.0), (s, x) => s + x)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     projections.reduce(_.bitwiseOR(_))
   }
@@ -68,17 +71,24 @@ object Similarity {
                         dim: Int, threshold: Double,
                         nbits: Int = 16, bands: Int = 4): DataFrame = {
     val rows = nbits / bands
-    val withSig = df.select(col(idCol).as("id"),
+    val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", rhpSignature(col("v"), dim, nbits))
-    val banded = withSig.select(col("id"), col("v"),
+    val withSig = vecs.withColumn("sig", rhpSignature(col("v"), dim, nbits))
+    // shuffle only (id, band, bucket) — vectors re-attach after the
+    // candidate pairs are deduplicated
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map(
         b => shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .localCheckpoint() // tiny; feeds both sides of the self-join
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
