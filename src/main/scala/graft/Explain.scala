@@ -1,0 +1,20 @@
+package graft
+
+/** Dev-only: dump formatted physical plans of representative queries
+  * for plan review (pushdown / pruning / broadcast / codegen spans).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "e3_cross_expand", "m9_missing_cases",
+        "m1_merge_outer", "n1_knn_cosine", "ev2_sessionization")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
