@@ -101,16 +101,23 @@ object Dedup {
       Array.fill(k)(rnd.nextInt(1 << 30).toLong))
   }
 
+  /** Mersenne prime 2³¹−1 for the Carter-Wegman permutations. */
+  private val MinHashP = 2147483647L
+
   /** MinHash signature from a column of PRE-HASHED shingles: `k`
-    * minima under affine permutations `a_i·(h & 2³²⁻¹) + b_i` — the
-    * 32-bit mask keeps ANSI arithmetic overflow-free; one multiply-add
-    * per element per permutation, no hash calls.
+    * minima under universal-hash permutations `(a_i·h + b_i) mod p`.
+    * The `mod p` is load-bearing: without it the affine map is
+    * monotonic and every "permutation" selects the same min-hash
+    * shingle, silently collapsing the signature's independence (found
+    * by the exact-Jaccard oracle: recall dropped to ~j instead of
+    * 1-(1-jʳ)ᵇ). 32-bit hash × 30-bit multiplier keeps the product
+    * overflow-free under ANSI arithmetic.
     */
   def minHashSignatureFromHashes(hashCol: Column, k: Int): Column = {
     val (as, bs) = permConstants(k)
     array((0 until k).map(i =>
       array_min(transform(hashCol,
-        h => h.bitwiseAND(0xFFFFFFFFL) * as(i) + bs(i)))): _*)
+        h => pmod(h.bitwiseAND(0xFFFFFFFFL) * as(i) + bs(i), lit(MinHashP))))): _*)
   }
 
   /** MinHash signature from raw shingles (hashes them first). */

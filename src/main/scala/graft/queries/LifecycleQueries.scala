@@ -116,5 +116,34 @@ object LifecycleQueries {
       SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
       FROM sess GROUP BY user_id"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions)
+  /** EV3: JSON property extraction from the events props column. */
+  val ev3Json = QueryDef(
+    "ev3_json_props",
+    (s, dir) => table(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 4).as("mean_k")),
+    Some("""SELECT event_type, count(*) AS n,
+      SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS mean_k
+      FROM events GROUP BY event_type"""))
+
+  /** SK1: skew-safe two-stage salted aggregation — must equal the
+    * direct groupBy (the oracle) while spreading hot keys over many
+    * reducers.
+    */
+  val sk1Salted = QueryDef(
+    "sk1_salted_agg",
+    (s, dir) => graft.expand.Skew.saltedStats(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
+      .select(col("l_returnflag"), round(col("sum"), 4).as("sum"), col("n"),
+        col("min"), col("max"), round(col("mean"), 4).as("mean")),
+    Some("""SELECT l_returnflag, ROUND(sum(l_quantity), 4) AS sum,
+      count(l_quantity) AS n, min(l_quantity) AS min, max(l_quantity) AS max,
+      ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions,
+    ev3Json, sk1Salted)
 }

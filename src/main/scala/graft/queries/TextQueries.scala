@@ -98,14 +98,29 @@ object TextQueries {
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
 
   /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
-    * join, no O(n²)). Probabilistic recall → rows-only check; its
-    * agreement with d2 on planted dups is spec-tested.
+    * join, no O(n²)). Oracled against the FULL exact pairwise Jaccard:
+    * sound because candidate precision is exact (candidates are
+    * verified with true Jaccard) and at the similarities present in
+    * the corpus (≥0.98) the 16×4 banding misses a pair with
+    * probability (1 - 0.98⁴)¹⁶ ≈ 1e-18. Its agreement with d2 on
+    * planted borderline dups is additionally spec-tested.
     */
   val d3MinHash = QueryDef(
     "d3_minhash_lsh",
     (s, dir) => Dedup.minHashCandidates(table(s, dir, "documents"),
       "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8),
-    None)
+    Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
 
   /** D4: SimHash near-dup candidates (Hamming ≤ 3 via chunk banding). */
   val d4SimHash = QueryDef(
