@@ -13,6 +13,22 @@ private[graft] object PlanBarrier {
     * being duplicated into the pushed-down predicate. */
   val barrier: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((d: Double) => d).asNondeterministic()
+
+  /** Salted blocked self-join for all-pairs baselines: with few block
+    * values (one dominant language/label) a plain equi-self-join gives
+    * one reducer per block. Salt the left side by id hash, replicate
+    * the right side ×salts, join on (block, salt) — every (a, b) pair
+    * appears exactly once, spread over `salts`× more tasks for the
+    * cost of replicating the (small) right side.
+    */
+  def saltedSelfJoin(left: DataFrame, right: DataFrame,
+                     blockCols: Seq[String], leftIdCol: String,
+                     salts: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(col(leftIdCol)), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    l.join(r, blockCols :+ "__salt").drop("__salt")
+  }
 }
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -81,7 +97,7 @@ object Dedup {
       size(col("h_b")).cast("double") >= lit(threshold) * size(col("h_a"))
     val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
     val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter
-    a.join(b, blockCols)
+    PlanBarrier.saltedSelfJoin(a, b, blockCols, "id_a", salts = 32)
       .filter(col("id_a") < col("id_b") && sizeOk)
       .withColumn("jaccard", PlanBarrier.barrier(round(inter / uni, 4)))
       .filter(col("jaccard") >= threshold)

@@ -146,6 +146,22 @@ object TextQueries {
         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                  c.vec_id) <= 5"""))
 
+  /** N3: exact embedding near-dup pairs, label-blocked (correctness
+    * baseline for N2; threshold 0.35 sits inside the corpus's
+    * within-label similarity range).
+    */
+  val n3CosPairs = QueryDef(
+    "n3_cosine_pairs",
+    (s, dir) => Similarity.cosinePairs(
+      table(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, blockCols = Seq("label")),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35"""))
+
   /** N2: embedding near-dup pairs via RHP-LSH buckets (scale path). */
   val n2Lsh = QueryDef(
     "n2_embedding_lsh_pairs",
@@ -156,5 +172,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, n1Knn, n2Lsh)
+    d3MinHash, d4SimHash, n1Knn, n2Lsh, n3CosPairs)
 }

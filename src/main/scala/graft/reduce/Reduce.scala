@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every op here is a single `groupBy` over the kept
   * axes — one shuffle, partial aggregation map-side. `median`/
-  * `quantile` have two forms: `exact` (Spark's `percentile`, sort-based
-  * per group — fine when groups are small, as sweep groups are) and
-  * `approx` (`percentile_approx`, mergeable sketch — the 100 TB path).
+  * `quantile` have two forms: `exact` (Spark's `percentile` — its
+  * value→count partials merge map-side, so giant groups still
+  * distribute; a window-rank median measures ~1.7× faster at sf0.1
+  * but funnels each group into ONE task, which dies at 100 TB) and
+  * `approx` (`percentile_approx`, mergeable sketch — the fast path).
   */
 object Reduce {
 

@@ -45,6 +45,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Exact all-pairs cosine ≥ threshold within `blockCols` blocks —
+    * the embedding near-dup correctness baseline (O(block²); LSH is
+    * the unblocked scale path). Vectors are L2-normalized once so the
+    * pair step is a plain dot product.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, blockCols: Seq[String]): DataFrame = {
+    val vecs = df.select(
+      blockCols.map(col) :+ col(idCol).as("id") :+
+        l2Normalize(col(vecCol).cast("array<double>")).as("v"): _*)
+      .localCheckpoint() // normalized once; feeds both join sides
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (p, q) => p * q),
+      lit(0.0), (s, x) => s + x)
+    graft.dedup.PlanBarrier.saltedSelfJoin(
+      vecs.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("v").as("v_a"): _*),
+      vecs.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("v").as("v_b"): _*),
+      blockCols, "id_a", salts = 32)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", graft.dedup.PlanBarrier.barrier(round(dot, 4)))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Random-hyperplane LSH signature: `nbits` sign bits of projections
     * onto seeded pseudo-random hyperplanes. The planes are CONSTANTS —
     * generated once on the driver and embedded as array literals, so
