@@ -207,6 +207,48 @@ object Dedup {
 
   def simHash(textCol: Column): Column = simHashUdf(TextFns.tokens(textCol))
 
+  /** Connected components over near-dup pairs → (id, cluster) with
+    * cluster = min id reachable. Min-label propagation: each round
+    * every vertex takes the minimum label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are shallow). Each round is one shuffle join +
+    * aggregation; lineage is cut per round so the loop composes at
+    * scale (the large-star/small-star variant drops in here if
+    * components ever get deep).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id"))
+      .distinct().withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min("cluster").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: ids to DROP (everything in a dup
+    * cluster except the minimum id — the keeper). */
+  def nearDupDrops(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("drop_id"), col("cluster").as("kept_id"))
+
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
     * by chunk-banding (pigeonhole: 4 chunks of 16 bits — any pair with
     * distance ≤ 3 shares a chunk). Verification via bit_count(xor).

@@ -146,6 +146,33 @@ object TextQueries {
         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                  c.vec_id) <= 5"""))
 
+  /** D5: duplicate clusters — connected components over the MinHash
+    * near-dup pairs, (doc_id, cluster=min reachable id). Oracle:
+    * recursive-CTE reachability over the exact pairwise ≥0.8 graph.
+    */
+  val d5Clusters = QueryDef(
+    "d5_dup_clusters",
+    (s, dir) => Dedup.connectedComponents(
+      Dedup.minHashCandidates(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8))
+      .withColumnRenamed("id", "doc_id"),
+    Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+      SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u"""))
+
   /** N3: exact embedding near-dup pairs, label-blocked (correctness
     * baseline for N2; threshold 0.35 sits inside the corpus's
     * within-label similarity range).
@@ -172,5 +199,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, n1Knn, n2Lsh, n3CosPairs)
+    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs)
 }

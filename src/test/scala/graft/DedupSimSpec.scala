@@ -95,6 +95,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains merge transitively, keepers are min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val drops = Dedup.nearDupDrops(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops == Set((2L, 1L), (3L, 1L), (11L, 10L), (21L, 20L), (22L, 20L)))
+  }
+
   test("simhash: exact dup at distance 0; near-dups within 3; others far") {
     val cands = Dedup.simHashCandidates(corpus, "doc_id", "text", maxDist = 3)
     val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
