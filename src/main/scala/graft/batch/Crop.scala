@@ -109,11 +109,30 @@ final class Crop(val spark: SparkSession, val dir: String,
       .parquet(resultsPath)
   }
 
-  /** Grow every still-missing batch (resume-aware loop — B5's
-    * subprocess isolation is Spark's own task/job isolation). */
+  /** Grow every still-missing batch, one job per batch (resume-aware
+    * loop — B5's subprocess isolation is Spark's own task/job
+    * isolation; a batch failure leaves the others' partitions intact). */
   def growMissing(fn: DataFrame => DataFrame): Seq[Long] = {
     val todo = missingBatches()
     todo.foreach(grow(_, fn))
+    todo
+  }
+
+  /** Grow all missing batches in ONE job: same resumability contract
+    * (per-batch result partitions, dynamic overwrite) but a single
+    * scan/write — the right call when one worker owns many batches
+    * and per-job overhead dominates (the per-batch loop pays a full
+    * job + commit per batch). */
+  def growMissingBulk(fn: DataFrame => DataFrame): Seq[Long] = {
+    val todo = missingBatches()
+    if (todo.nonEmpty) {
+      // fn appends columns (Runner contract) so batch_id passes through
+      fn(pending().filter(col("batch_id").isin(todo: _*)))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(resultsPath)
+    }
     todo
   }
 

@@ -113,4 +113,31 @@ object Grid {
     */
   def sampleEveryK(grid: DataFrame, key: String, k: Int, offset: Int): DataFrame =
     grid.filter(pmod(col(key), lit(k)) === lit(offset))
+
+  /** Weighted per-axis sampling (E7's custom-distribution samplers,
+    * farming.py:1010-1021): draw `n` parameter points, each axis
+    * independently by its weights — inverse-CDF over a per-row
+    * uniform, fully distributed (`spark.range(n)`, no driver-side
+    * point materialization).
+    */
+  def sampleWeighted(spark: SparkSession, n: Long,
+                     axes: Seq[(String, Seq[(Any, Double)])],
+                     seed: Long): DataFrame = {
+    require(axes.nonEmpty, "need at least one weighted axis")
+    axes.zipWithIndex.foldLeft(spark.range(n).toDF("__i")) {
+      case (df, ((name, weighted), ai)) =>
+        require(weighted.nonEmpty && weighted.forall(_._2 >= 0),
+          s"axis '$name' needs non-negative weights")
+        val total = weighted.map(_._2).sum
+        val u = rand(seed + ai) * total
+        // inverse CDF as a when-chain over cumulative weights
+        val cum = weighted.scanLeft(0.0)(_ + _._2).tail
+        val pick = weighted.zip(cum).dropRight(1)
+          .foldRight(lit(Axis.normalize(weighted.last._1))) {
+            case (((v, _), c), other) =>
+              when(u < c, lit(Axis.normalize(v))).otherwise(other)
+          }
+        df.withColumn(name, pick)
+    }.drop("__i")
+  }
 }

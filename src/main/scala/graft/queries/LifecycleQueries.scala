@@ -64,7 +64,10 @@ object LifecycleQueries {
         ords.select(col("o_orderpriority").as("priority")).distinct()))
       val crop = new Crop(s, freshDir("b4"), Seq("flag", "status", "priority"))
       crop.sow(grid, numBatches = Some(4))
-      crop.growMissing(df => df.withColumn("label",
+      // bulk grow: one job for all missing batches (the per-batch loop
+      // is exercised in CropSpec; a single worker owning every batch
+      // should not pay 4 job commits)
+      crop.growMissingBulk(df => df.withColumn("label",
         concat_ws("/", col("flag"), col("status"), col("priority"))))
       crop.reap()
     },

@@ -115,6 +115,32 @@ class CropSpec extends SparkSpec {
     assert(crop.checkBad().isEmpty)
   }
 
+  test("growMissingBulk: one job, same results and resumability as per-batch") {
+    val crop = new Crop(spark, tmp(), Seq("a"))
+    crop.sow((1L to 8L).toDF("a"), numBatches = Some(4))
+    crop.grow(0L, evalFn2) // one batch already done
+    val grown = crop.growMissingBulk(evalFn2)
+    assert(grown == Seq(1L, 2L, 3L))
+    assert(crop.progress() == ((4, 4)))
+    assert(collectSorted(crop.reap().select("a", "y")) ==
+      collectSorted(evalFn2((1L to 8L).toDF("a")).select("a", "y")))
+  }
+
+  private val evalFn2: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.withColumn("y", col("a") * 7)
+
+  test("E7 weighted: sampleWeighted respects support and rough proportions") {
+    val df = Grid.sampleWeighted(spark, 2000,
+      Seq("a" -> Seq((1L, 0.8), (2L, 0.2)), "b" -> Seq(("x", 1.0))), seed = 5)
+    assert(df.count() == 2000)
+    assert(df.select("b").distinct().collect().map(_.getString(0)).toSeq == Seq("x"))
+    val counts = df.groupBy("a").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1L, 2L))
+    val p1 = counts(1L).toDouble / 2000
+    assert(p1 > 0.7 && p1 < 0.9, s"p(a=1) = $p1")
+  }
+
   test("B11: loadCrops discovers sown crops") {
     val parent = tmp()
     val c1 = new Crop(spark, s"$parent/c1", Seq("a"))
