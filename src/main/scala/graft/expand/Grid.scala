@@ -96,17 +96,16 @@ object Grid {
     grid.orderBy(rand(seed))
 
   /** Random parameter sampling (E7, farming.py:1010-1021): draw `n`
-    * points uniformly from the grid. Distributed: per-row uniform key,
-    * global top-n by key (no driver-side enumeration of the grid).
+    * points uniformly from the grid — `orderBy(rand).limit(n)` plans
+    * as TakeOrderedAndProject: per-partition top-n then a driver-side
+    * merge of n·partitions candidates. (A row_number window over the
+    * same order would funnel the whole grid through one task.)
     */
-  def sample(grid: DataFrame, n: Int, seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def sample(grid: DataFrame, n: Int, seed: Long): DataFrame =
     grid.withColumn("__r", rand(seed))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__r"))))
-      .filter(col("__rn") <= n)
-      .drop("__r", "__rn")
-  }
+      .orderBy(col("__r"))
+      .limit(n)
+      .drop("__r")
 
   /** Deterministic systematic sample: every k-th point by a key column
     * (hash-free so it is oracle-reproducible).

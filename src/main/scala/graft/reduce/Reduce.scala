@@ -155,13 +155,18 @@ object MissingData {
     }
 
   /** F4 `check_runs`: holes in an integer dimension — missing values
-    * between observed min and max (manage.py:268-310). `sequence` +
-    * anti-join; the sequence is generated per-partition bound so the
-    * driver never materializes it. */
+    * between observed min and max (manage.py:268-310). The candidate
+    * range comes from `spark.range(lo, hi+1)` (distributed, chunked)
+    * — an `explode(sequence(lo, hi))` would materialize the whole
+    * range as ONE array in one task. Bounds are two longs: collecting
+    * them is free. */
   def holes(df: DataFrame, dim: String): DataFrame = {
-    val bounds = df.agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
-    bounds.select(explode(sequence(col("lo"), col("hi"))).as(dim))
-      .join(df.select(dim).distinct(), Seq(dim), "left_anti")
+    val spark = df.sparkSession
+    val b = df.agg(min(col(dim)).cast("long"), max(col(dim)).cast("long")).head()
+    if (b.isNullAt(0)) return df.select(dim).limit(0)
+    spark.range(b.getLong(0), b.getLong(1) + 1).toDF(dim)
+      .join(df.select(col(dim).cast("long").as(dim)).distinct(),
+        Seq(dim), "left_anti")
   }
 
   /** F5: finite-mask — keep rows where all listed cols are finite
