@@ -117,6 +117,30 @@ object Queries {
       FROM (SELECT unnest([1,2,3]) AS a) a
       CROSS JOIN (SELECT unnest([4,5]) AS b) b"""))
 
+  /** V2: sweep THROUGHPUT — a 1M-point grid (1000×1000 broadcast
+    * cross join of range axes) evaluated and reduced in one pass.
+    * The reference's published sweep overhead is ~85k points/s
+    * single-process (BASELINE.md); this shape is where the
+    * distributed evaluation path has to win, not the 15-point grids.
+    */
+  val v2Throughput = QueryDef(
+    "v2_sweep_throughput",
+    (s, _) => {
+      val a = s.range(0, 1000).toDF("a")
+      val b = s.range(0, 1000).toDF("b")
+      graft.expand.Grid.expandDFs(Seq(a, b))
+        .withColumn("y", col("a") * col("b") + (col("a") - col("b")))
+        .withColumn("z", pmod(col("a") * 31L + col("b") * 17L, lit(97L)))
+        .groupBy(pmod(col("a"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"), sum("z").as("sum_z"))
+    },
+    Some("""SELECT a.a % 8 AS bucket, count(*) AS n,
+      SUM(a.a * b.b + (a.a - b.b)) AS sum_y,
+      SUM((a.a * 31 + b.b * 17) % 97) AS sum_z
+      FROM (SELECT unnest(range(0, 1000)) AS a) a
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS b) b
+      GROUP BY 1"""))
+
   /** M9/E6/F2: missing-point discovery — grid left-anti observed
     * combinations (xyzpy's missing_only work-skipping).
     */
@@ -178,7 +202,7 @@ object Queries {
   // ------------------------------------------------------------ registry
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, e3Cross, e5Coords, v1Sweep, v4Multi, m9Missing, c1Dense,
+    q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, m9Missing, c1Dense,
     c2Explode) ++ StoreReduceQueries.all ++ TextQueries.all ++
     LifecycleQueries.all ++ ComplexQueries.all
 
