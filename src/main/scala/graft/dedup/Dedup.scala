@@ -86,20 +86,36 @@ object Dedup {
       .select((extraCols :+ "id" :+ "h").map(col): _*)
       .localCheckpoint()
 
+  /** Inverted-index (token-join) form: explode (id, shingle-hash),
+    * self-join on the hash within blocks, count co-occurrences per
+    * pair = |intersection|. EXACT — pairs sharing zero shingles have
+    * Jaccard 0 and rightly never materialize — and the work is
+    * Σ_shingle df(shingle)² instead of |block|²·|shingles|. (The
+    * all-pairs array_intersect form measured ~10µs/pair on 757k
+    * size-compatible pairs; this form skips the ~99.99% of pairs with
+    * no overlap.) A shingle appearing in a huge fraction of a block is
+    * the skew risk — that corpus shape belongs on the MinHash path.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    blockCols: Seq[String]): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n, blockCols)
-    val a = sh.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("h").as("h_a"): _*)
-    val b = sh.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("h").as("h_b"): _*)
-    val sizeOk =
-      size(col("h_a")).cast("double") >= lit(threshold) * size(col("h_b")) &&
-      size(col("h_b")).cast("double") >= lit(threshold) * size(col("h_a"))
-    val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
-    val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter
-    PlanBarrier.saltedSelfJoin(a, b, blockCols, "id_a", salts = 32)
-      .filter(col("id_a") < col("id_b") && sizeOk)
-      .withColumn("jaccard", PlanBarrier.barrier(round(inter / uni, 4)))
+    val sizes = sh.select(col("id"), size(col("h")).as("sz"))
+    val toks = sh.select(blockCols.map(col) :+ col("id") :+
+      explode(col("h")).as("t"): _*)
+    val joinKeys = blockCols :+ "t"
+    val inter = toks.select((joinKeys :+ "id").map(col): _*)
+      .withColumnRenamed("id", "id_a")
+      .join(toks.select((joinKeys :+ "id").map(col): _*)
+        .withColumnRenamed("id", "id_b"), joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
