@@ -84,6 +84,28 @@ object Collect {
     xs.zip(ys).toDF(xName, yName)
   }
 
+  /** Free-form sweep `attrs` (combo_runner.py:514-515) attached as
+    * column metadata on a marker column's schema — survives parquet
+    * round-trips, never becomes data. */
+  def withAttrs(df: DataFrame, attrs: Map[String, String]): DataFrame = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    attrs.foreach { case (k, v) => mb.putString(k, v) }
+    val first = df.columns.head
+    df.withColumn(first, col(first).as(first, mb.build()))
+  }
+
+  /** Read back attrs attached by [[withAttrs]]. */
+  def attrsOf(df: DataFrame): Map[String, String] = {
+    val md = df.schema.head.metadata
+    val json = org.json4s.jackson.JsonMethods.parse(md.json)
+    json match {
+      case org.json4s.JObject(fields) => fields.collect {
+        case (k, org.json4s.JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** P1 facet grid (plot/core.py:752-768): split by row/col coordinate
     * values into panel sub-frames. The distinct panel key set is tiny
     * (it indexes subplots) — collected once; each panel is a pruned

@@ -105,6 +105,16 @@ class IOFacetSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](IO.save(df, s"$dir/x", "hdf"))
   }
 
+  test("C2 attrs: schema metadata survives a parquet round-trip") {
+    val dir = Files.createTempDirectory("graft-attrs").toString
+    val df = Collect.withAttrs(Seq((1L, 2.0)).toDF("a", "v"),
+      Map("c" -> "100", "fruit" -> "apples"))
+    assert(Collect.attrsOf(df) == Map("c" -> "100", "fruit" -> "apples"))
+    df.write.parquet(s"$dir/t")
+    assert(Collect.attrsOf(spark.read.parquet(s"$dir/t"))
+      == Map("c" -> "100", "fruit" -> "apples"))
+  }
+
   test("P1: facets split by row/col dims, panels partition the rows") {
     val df = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
       .toDF("r", "c", "v")
