@@ -242,13 +242,17 @@ object Dedup {
   def simHash(textCol: Column): Column = simHashUdf(TextFns.tokens(textCol))
 
   /** Connected components over near-dup pairs → (id, cluster) with
-    * cluster = min id reachable. Min-label propagation: each round
-    * every vertex takes the minimum label among itself and its
-    * neighbors; converges in O(component diameter) rounds (near-dup
-    * clusters are shallow). Each round is one shuffle join +
-    * aggregation; lineage is cut per round so the loop composes at
-    * scale (the large-star/small-star variant drops in here if
-    * components ever get deep).
+    * cluster = min id reachable. Min-label propagation with pointer
+    * jumping: each round every vertex takes the minimum label among
+    * itself and its neighbors, then compresses one pointer-chase step
+    * (cluster := label of its label), so convergence is O(log
+    * diameter) rounds rather than O(diameter) — a 10-round budget
+    * covers components ~2^10 deep (templated-doc chains included).
+    * Each round is two shuffle joins + an aggregation; lineage is cut
+    * per round so the loop composes at scale. Throws if `maxIters`
+    * rounds pass without convergence rather than returning
+    * partially-propagated labels (which would silently split
+    * clusters downstream in [[nearDupDrops]]).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -264,18 +268,30 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min("cluster").as("nmin"))
-      // carry the changed flag in the same checkpointed frame so
-      // convergence is a cheap scan, not a second join
-      val next = labels.withColumnRenamed("cluster", "old")
+      val upd = labels.withColumnRenamed("cluster", "old")
         .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"))
+        .localCheckpoint() // feeds both sides of the compression self-join
+      // pointer jumping: labels only ever decrease and cluster is always
+      // a vertex id, so labels[cluster].cluster <= cluster — one chase
+      // per round halves the remaining chain depth
+      val next = upd
+        .join(upd.select(col("id").as("cluster"), col("cluster").as("cc")),
+          Seq("cluster"), "left_outer")
         .select(col("id"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"),
-          (coalesce(col("nmin"), col("old")) < col("old")).as("__changed"))
+          coalesce(col("cc"), col("cluster")).as("cluster"),
+          // carry the changed flag in the same checkpointed frame so
+          // convergence is a cheap scan, not a second join
+          (coalesce(col("cc"), col("cluster")) < col("old")).as("__changed"))
         .localCheckpoint()
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component deeper than 2^rounds?) — raise maxIters")
     labels
   }
 

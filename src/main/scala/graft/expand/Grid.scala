@@ -128,7 +128,13 @@ object Grid {
         require(weighted.nonEmpty && weighted.forall(_._2 >= 0),
           s"axis '$name' needs non-negative weights")
         val total = weighted.map(_._2).sum
-        val u = rand(seed + ai) * total
+        // ONE materialized draw per row: rand() is nondeterministic, so it
+        // is excluded from subexpression elimination — referencing the
+        // expression itself in every when-branch would redraw per branch
+        // and bias the inverse CDF. An aliased nondeterministic column is
+        // NOT inlined by CollapseProject, so col("__u") is a single value.
+        val withU = df.withColumn("__u", rand(seed + ai) * total)
+        val u = col("__u")
         // inverse CDF as a when-chain over cumulative weights
         val cum = weighted.scanLeft(0.0)(_ + _._2).tail
         val pick = weighted.zip(cum).dropRight(1)
@@ -136,7 +142,7 @@ object Grid {
             case (((v, _), c), other) =>
               when(u < c, lit(Axis.normalize(v))).otherwise(other)
           }
-        df.withColumn(name, pick)
+        withU.withColumn(name, pick).drop("__u")
     }.drop("__i")
   }
 }

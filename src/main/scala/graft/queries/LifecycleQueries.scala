@@ -116,7 +116,8 @@ object LifecycleQueries {
       sess AS (SELECT user_id,
         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
           ROWS UNBOUNDED PRECEDING) AS session_id FROM marked)
-      SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        count(*) AS n_events
       FROM sess GROUP BY user_id"""))
 
   /** EV3: JSON property extraction from the events props column. */
@@ -128,7 +129,7 @@ object LifecycleQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         round(avg("k"), 4).as("mean_k")),
     Some("""SELECT event_type, count(*) AS n,
-      SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS mean_k
       FROM events GROUP BY event_type"""))
 

@@ -42,13 +42,17 @@ object Queries {
       val li = table(s, dir, "lineitem")
       li.groupBy("l_returnflag", "l_linestatus").agg(
         sum(col("l_quantity")).as("sum_qty"),
+        // exact decimal sum, then to double: both engines perform the same
+        // IEEE round-to-nearest from the identical decimal value, and the
+        // driver's pandas path treats DOUBLE symmetrically on both sides
+        // (DECIMAL it does not — pyarrow keeps Decimal, DuckDB.df() floats).
         sum(dec4(col("l_extendedprice")) * dec4(lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 2)).as("revenue"),
+          .cast(DecimalType(18, 2)).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
       sum(l_quantity) AS sum_qty,
-      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue,
+      CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1-l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
@@ -135,8 +139,8 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"), sum("z").as("sum_z"))
     },
     Some("""SELECT a.a % 8 AS bucket, count(*) AS n,
-      SUM(a.a * b.b + (a.a - b.b)) AS sum_y,
-      SUM((a.a * 31 + b.b * 17) % 97) AS sum_z
+      CAST(SUM(a.a * b.b + (a.a - b.b)) AS BIGINT) AS sum_y,
+      CAST(SUM((a.a * 31 + b.b * 17) % 97) AS BIGINT) AS sum_z
       FROM (SELECT unnest(range(0, 1000)) AS a) a
       CROSS JOIN (SELECT unnest(range(0, 1000)) AS b) b
       GROUP BY 1"""))

@@ -151,7 +151,7 @@ object StoreReduceQueries {
       .agg(WelfordAgg.column(col("value")).as("st"))
       .select(col("event_type"), col("st.n").as("n"),
         round(col("st.mean"), 4).as("mean"),
-        round(col("st.std"), 4).as("std")),
+        round(col("st.stdSamp"), 4).as("std")),
     Some("""SELECT event_type, count(value) AS n,
       ROUND(avg(value), 4) AS mean, ROUND(stddev_samp(value), 4) AS std
       FROM events GROUP BY event_type"""))

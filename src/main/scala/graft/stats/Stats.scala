@@ -37,9 +37,17 @@ final case class WelfordState(n: Long, mean: Double, m2: Double) {
     }
   def varPop: Double = if (n > 0) m2 / n else Double.NaN
   def varSamp: Double = if (n > 1) m2 / (n - 1) else Double.NaN
-  def std: Double = math.sqrt(varSamp)
-  def stderr: Double = if (n > 0) math.sqrt(varSamp / n) else Double.NaN
-  /** S1 `converged(rtol, atol)` (utils.py:476-508). */
+  /** Population std — reference parity: utils.py `RunningStatistics.std`
+    * is `sqrt(M2/count)`, NOT the sample std. */
+  def std: Double = math.sqrt(varPop)
+  /** Sample std (n-1 denominator) for summary outputs that follow the
+    * `stddev_samp` convention. */
+  def stdSamp: Double = math.sqrt(varSamp)
+  /** Error on the mean — reference parity: utils.py `RunningStatistics
+    * .err` is population `std / sqrt(count)`. */
+  def stderr: Double = if (n > 0) math.sqrt(varPop / n) else Double.NaN
+  /** S1 `converged(rtol, atol)` (utils.py:476-508) — uses the population
+    * stderr, exactly as the reference's `err < rtol*|mean| + atol`. */
   def converged(rtol: Double, atol: Double = 0.0): Boolean =
     n > 1 && stderr < atol + rtol * math.abs(mean)
 }
@@ -49,9 +57,11 @@ object WelfordState {
   def of(xs: Iterable[Double]): WelfordState = xs.foldLeft(zero)(_.add(_))
 }
 
-/** Final result row of the stats aggregator. */
+/** Final result row of the stats aggregator. `std`/`stderr` follow the
+  * reference's population convention; `stdSamp` is the n-1 variant. */
 final case class StatsResult(n: Long, mean: Double, varPop: Double,
-                             varSamp: Double, std: Double, stderr: Double)
+                             varSamp: Double, std: Double, stdSamp: Double,
+                             stderr: Double)
 
 /** S1 as a typed, mergeable Spark Aggregator: usable via
   * `WelfordAgg.column` in any groupBy, or as streaming state. */
@@ -60,7 +70,7 @@ object WelfordAgg extends Aggregator[Double, WelfordState, StatsResult] {
   def reduce(b: WelfordState, x: Double): WelfordState = b.add(x)
   def merge(a: WelfordState, b: WelfordState): WelfordState = a.merge(b)
   def finish(s: WelfordState): StatsResult =
-    StatsResult(s.n, s.mean, s.varPop, s.varSamp, s.std, s.stderr)
+    StatsResult(s.n, s.mean, s.varPop, s.varSamp, s.std, s.stdSamp, s.stderr)
   def bufferEncoder: Encoder[WelfordState] = Encoders.product[WelfordState]
   def outputEncoder: Encoder[StatsResult] = Encoders.product[StatsResult]
   /** Untyped column form for DataFrame groupBy.agg. */
@@ -129,8 +139,12 @@ object Stats {
           coalesce(var_pop(valueCol), lit(0.0)).as("vp"))
         .collect()(0)
       val n = part.getLong(0)
-      val batchState = WelfordState(n, part.getDouble(1), part.getDouble(2) * n)
-      state = state.merge(batchState)
+      // an empty batch leaves avg/var_pop NULL — getDouble would NPE, and
+      // there is nothing to merge anyway
+      if (n > 0) {
+        val batchState = WelfordState(n, part.getDouble(1), part.getDouble(2) * n)
+        state = state.merge(batchState)
+      }
       i += 1
       done = i >= minBatches && state.converged(rtol)
     }

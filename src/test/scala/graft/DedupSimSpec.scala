@@ -107,6 +107,23 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set((2L, 1L), (3L, 1L), (11L, 10L), (21L, 20L), (22L, 20L)))
   }
 
+  test("connected components: 300-deep chain converges in <=10 rounds (pointer jumping)") {
+    // plain min-label propagation needs O(diameter)=300 rounds here; the
+    // pointer-jumping variant must finish within the default 10
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 301)
+    assert(cc.forall(_._2 == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connected components: throws rather than returning unconverged labels") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+  }
+
   test("simhash: exact dup at distance 0; near-dups within 3; others far") {
     val cands = Dedup.simHashCandidates(corpus, "doc_id", "text", maxDist = 3)
     val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

@@ -141,6 +141,24 @@ class CropSpec extends SparkSpec {
     assert(p1 > 0.7 && p1 < 0.9, s"p(a=1) = $p1")
   }
 
+  test("E7 weighted: >=3-value axis proportions are unbiased") {
+    // regression for the rand-reuse bias: each when-branch re-drawing its
+    // own uniform skews 0.6/0.2/0.2 towards ~0.6/0.32/0.08 — a 2-value
+    // axis can't see it because there is only one branch
+    val n = 20000L
+    val df = Grid.sampleWeighted(spark, n,
+      Seq("a" -> Seq((1L, 0.6), (2L, 0.2), (3L, 0.2))), seed = 11)
+    val counts = df.groupBy("a").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1L, 2L, 3L))
+    val (p1, p2, p3) = (counts(1L).toDouble / n, counts(2L).toDouble / n,
+      counts(3L).toDouble / n)
+    // 3-sigma at n=20k is ~±0.010; use ±0.03 for slack
+    assert(math.abs(p1 - 0.6) < 0.03, s"p1=$p1")
+    assert(math.abs(p2 - 0.2) < 0.03, s"p2=$p2")
+    assert(math.abs(p3 - 0.2) < 0.03, s"p3=$p3")
+  }
+
   test("B11: loadCrops discovers sown crops") {
     val parent = tmp()
     val c1 = new Crop(spark, s"$parent/c1", Seq("a"))

@@ -102,11 +102,34 @@ class StatsSpec extends SparkSpec {
   test("S1: WelfordAgg as a groupBy aggregator matches built-ins") {
     val df = xs.map(("g", _)).toDF("k", "v")
     val r = df.groupBy("k").agg(WelfordAgg.column(col("v")).as("s"))
-      .select("s.n", "s.mean", "s.std").collect()(0)
+      .select("s.n", "s.mean", "s.stdSamp").collect()(0)
     val b = df.agg(count("v"), avg("v"), stddev_samp("v")).collect()(0)
     assert(r.getLong(0) == b.getLong(0))
     assert(math.abs(r.getDouble(1) - b.getDouble(1)) < 1e-12)
     assert(math.abs(r.getDouble(2) - b.getDouble(2)) < 1e-12)
+  }
+
+  test("S1: std/err match the reference's population convention (utils.py docstring golden)") {
+    // utils.py:433-447: [1.1, 1.4, 1.2, 1.5, 1.3, 1.6] -> mean 1.35,
+    // std 0.17078252585383266 (population), err 0.06972167422092768
+    // 1e-6 tolerance: the docstring numbers carry float32 noise, but the
+    // population-vs-sample distinction is 0.1708 vs 0.1871 — far larger
+    val s = WelfordState.of(Seq(1.1, 1.4, 1.2, 1.5, 1.3, 1.6))
+    assert(math.abs(s.mean - 1.35) < 1e-6)
+    assert(math.abs(s.std - 0.17078252585383266) < 1e-6)
+    assert(math.abs(s.stderr - 0.06972167422092768) < 1e-6)
+  }
+
+  test("S4: estimateFromRepeats survives an empty batch (no NPE on NULL moments)") {
+    var calls = 0
+    val (state, batches) = Stats.estimateFromRepeats(
+      spark,
+      n => { calls += 1
+        // first batch yields zero rows — avg/var_pop are NULL
+        if (calls == 1) spark.range(0).select(lit(1.0).as("v"))
+        else spark.range(n).select((lit(3.0) + (rand(7 + calls) - 0.5) * 0.01).as("v")) },
+      "v", rtol = 1e-3, batch = 256, minBatches = 2, maxBatches = 10)
+    assert(batches >= 2 && math.abs(state.mean - 3.0) < 0.01)
   }
 
   test("S2: CovState matches covar_samp") {
