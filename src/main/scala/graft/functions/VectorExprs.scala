@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The built-in route (`zip_with` + `aggregate`) is a higher-order
+  * function — CodegenFallback in Spark, so every pair evaluation is
+  * interpreted AND allocates an intermediate array. These expressions
+  * generate a tight primitive loop over the two `ArrayData`s inside
+  * whole-stage codegen: no allocation, no boxing, one pass. On the
+  * all-pairs verification stage (millions of 64-dim pairs) this is the
+  * difference between the similarity queries being compute-bound and
+  * allocation-bound.
+  */
+object VectorExprs {
+
+  /** Dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column = GraftSqlShims.column(VecDot(expr(a), expr(b)))
+
+  /** Cosine similarity in a single fused pass (dot + both norms). */
+  def cosine(a: Column, b: Column): Column = GraftSqlShims.column(VecCosine(expr(a), expr(b)))
+
+  /** L2-normalized copy of a double-array column. */
+  def l2Normalize(v: Column): Column = GraftSqlShims.column(VecL2Norm(expr(v)))
+
+  /** Random-hyperplane signature: sign bit of the projection onto each
+    * of `nbits` seeded Gaussian planes, packed into a Long. All bits in
+    * one pass over the vector (the HOF route re-scans per bit).
+    */
+  def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    require(nbits >= 1 && nbits <= 64, s"nbits must be in [1,64], got $nbits")
+    val rnd = new scala.util.Random(seed)
+    // row-major [bit][dim] — one flat array keeps the codegen indexable
+    val planes = Array.fill(nbits * dim)(rnd.nextGaussian())
+    GraftSqlShims.column(RhpSig(expr(v), planes, nbits, dim))
+  }
+
+  private def expr(c: Column): Expression = GraftSqlShims.expression(c)
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}0 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}0 += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      d += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecL2Norm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_l2_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val xv = x.getDouble(i); s += xv * xv; i += 1 }
+    val norm = math.sqrt(s)
+    val res = new Array[Double](n)
+    val inv = if (norm == 0.0) 0.0 else 1.0 / norm
+    i = 0
+    while (i < n) { res(i) = x.getDouble(i) * inv; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val inv = ctx.freshName("inv")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = $v.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = $v.getDouble($i); $s += xv * xv;
+         |}
+         |double $inv = $s == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($s);
+         |double[] $res = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $res[$i] = $v.getDouble($i) * $inv;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecL2Norm =
+    copy(child = newChild)
+}
+
+/** `planes` is row-major `[bit][dim]`, length nbits*dim. */
+case class RhpSig(child: Expression, planes: Array[Double], nbits: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_signature"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var sig = 0L; var b = 0
+    while (b < nbits) {
+      var s = 0.0; var i = 0; val off = b * dim
+      while (i < n) { s += x.getDouble(i) * planes(off + i); i += 1 }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig"); val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nbits; $b++) {
+         |  double $s = 0.0; int $off = $b * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $v.getDouble($i) * $pl[$off + $i];
+         |  }
+         |  if ($s >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSig =
+    copy(child = newChild)
+}

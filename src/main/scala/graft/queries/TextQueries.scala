@@ -192,13 +192,14 @@ object TextQueries {
   /** N2: embedding near-dup pairs via RHP-LSH buckets (scale path). */
   val n2Lsh = QueryDef(
     "n2_embedding_lsh_pairs",
-    // threshold 0.30 with 8×4-bit bands: the synthetic embeddings top out
-    // at cosine ~0.51, so a production-style 0.95 cut returns nothing here.
-    // 0.30 has ~1k true pairs at sf0.01; 8 narrow bands give ~2/3 recall at
-    // the boundary (rising with sim), so the rows-only check is robustly >0.
+    // threshold 0.30: the synthetic embeddings top out at cosine ~0.51, so
+    // a production-style 0.95 cut returns nothing here; 0.30 has ~1k true
+    // pairs at sf0.01 so the rows-only check is robustly >0. 8 bands of
+    // 8 bits (64-bit signature): the 256-bucket bands keep the random-
+    // collision floor ~0.4% per band (4-bit bands flood quadratically).
     (s, dir) => Similarity.lshCandidatePairs(
       table(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.30, bands = 8),
+      dim = 64, threshold = 0.30, nbits = 64, bands = 8),
     None)
 
   val all: Seq[QueryDef] = Seq(

@@ -11,20 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns — built-in
-    * `zip_with`/`aggregate`, stays in codegen. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two double-array columns — native fused
+    * expression ([[graft.functions.VectorExprs.cosine]]): one codegen'd
+    * pass, no intermediate array (the `zip_with`+`aggregate` route is
+    * CodegenFallback and allocates per pair). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosine(a, b)
 
   /** L2-normalize a double-array column (pre-normalized corpus makes
     * cosine a plain dot product — normalize once, query many). */
-  def l2Normalize(v: Column): Column = {
-    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x))
-    transform(v, x => x / n)
-  }
+  def l2Normalize(v: Column): Column = graft.functions.VectorExprs.l2Normalize(v)
 
   /** Brute-force top-k cosine neighbors of each query row against the
     * corpus. Exact — O(|q|·|corpus|); the right tool when |q| is small
@@ -56,8 +51,7 @@ object Similarity {
       blockCols.map(col) :+ col(idCol).as("id") :+
         l2Normalize(col(vecCol).cast("array<double>")).as("v"): _*)
       .localCheckpoint() // normalized once; feeds both join sides
-    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (p, q) => p * q),
-      lit(0.0), (s, x) => s + x)
+    val dot = graft.functions.VectorExprs.dot(col("v_a"), col("v_b"))
     graft.dedup.PlanBarrier.saltedSelfJoin(
       vecs.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("v").as("v_a"): _*),
       vecs.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("v").as("v_b"): _*),
@@ -74,17 +68,8 @@ object Similarity {
     * each row pays only the dot products (a per-row hash-derived plane
     * would recompute the matrix for every record).
     */
-  def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nbits, dim)(rnd.nextGaussian())
-    val projections = (0 until nbits).map { b =>
-      val plane = array(planes(b).map(lit).toIndexedSeq: _*)
-      val proj = aggregate(zip_with(v, plane, (x, p) => x * p),
-        lit(0.0), (s, x) => s + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    projections.reduce(_.bitwiseOR(_))
-  }
+  def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
+    graft.functions.VectorExprs.rhpSignature(v, dim, nbits, seed)
 
   /** LSH-bucketed approximate neighbor pairs: rows sharing a signature
     * band are candidates, verified with exact cosine ≥ `threshold`.
