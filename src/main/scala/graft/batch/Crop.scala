@@ -52,12 +52,16 @@ final class Crop(val spark: SparkSession, val dir: String,
           numBatches: Option[Int] = None): Int = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val n = grid.count()
+    // materialize once: sow replays the grid three times (count,
+    // zipWithIndex's internal count, write) — without a barrier an
+    // expensive upstream (distinct over a fact table) is scanned 3×
+    val g = grid.localCheckpoint()
+    val n = g.count()
     val nb = numBatchesFor(n, batchSize, numBatches)
     val per = math.max(math.ceil(n.toDouble / nb).toLong, 1L)
     val parts = math.min(math.max(nb, 1),
       spark.sparkContext.defaultParallelism * 4)
-    val sorted = grid
+    val sorted = g
       .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val withId = spark.createDataFrame(

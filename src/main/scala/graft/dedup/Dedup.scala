@@ -77,45 +77,64 @@ object Dedup {
     * that is ~1% the corpus size.
     */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-                             n: Int, extraCols: Seq[String]): DataFrame =
-    df.select(
+                             n: Int, extraCols: Seq[String],
+                             sorted: Boolean = false): DataFrame = {
+    // native one-pass window-hash kernel — no shingle string is ever
+    // built (the string route was n−1 interpreted zip_with concats);
+    // dedupe AFTER hashing: same set structure, longs instead of strings
+    val hashed = df.select(
       (extraCols.map(col) :+ col(idCol).as("id") :+
-        TextFns.shingles(col(textCol), n).as("sh")): _*)
-      .filter(size(col("sh")) > 0)
-      .withColumn("h", transform(col("sh"), s => xxhash64(s)))
-      .select((extraCols :+ "id" :+ "h").map(col): _*)
+        graft.functions.TextExprs.shingleHashes(
+          TextFns.tokens(col(textCol)), n).as("h0")): _*)
+      .filter(size(col("h0")) > 0)
+      .withColumn("h",
+        if (sorted) array_sort(array_distinct(col("h0")))
+        else array_distinct(col("h0")))
+    hashed.select((extraCols :+ "id" :+ "h").map(col): _*)
       .localCheckpoint()
+  }
 
-  /** Inverted-index (token-join) form: explode (id, shingle-hash),
-    * self-join on the hash within blocks, count co-occurrences per
-    * pair = |intersection|. EXACT — pairs sharing zero shingles have
-    * Jaccard 0 and rightly never materialize — and the work is
-    * Σ_shingle df(shingle)² instead of |block|²·|shingles|. (The
-    * all-pairs array_intersect form measured ~10µs/pair on 757k
-    * size-compatible pairs; this form skips the ~99.99% of pairs with
-    * no overlap.) A shingle appearing in a huge fraction of a block is
-    * the skew risk — that corpus shape belongs on the MinHash path.
+  /** Prefix-filtered inverted-index join (AllPairs/PPJoin family,
+    * Xiao et al.): sort each doc's hashed shingles into a global
+    * order and index only the first `|s| − ⌈t·|s|⌉ + 1` of them — if
+    * J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, and two sets whose
+    * overlap is ≥ α must collide within their (|s|−α+1)-prefixes, so
+    * the prefix join finds every qualifying pair. EXACT recall with
+    * the inverted index ~(1−t) the full size and candidate volume
+    * shrinking quadratically (t=0.8 → ~25× fewer Σ df² pairs than
+    * indexing every shingle). Candidates are verified on the full
+    * arrays (sorted-input `array_intersect`) after a cheap size-ratio
+    * prefilter. A shingle appearing in a huge fraction of a block is
+    * still the skew risk — that corpus shape belongs on the MinHash
+    * path.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    blockCols: Seq[String]): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n, blockCols)
-    val sizes = sh.select(col("id"), size(col("h")).as("sz"))
+    // sorted = the global canonical order for prefix filtering (any total
+    // order is correct; value order needs no df-statistics pass)
+    val sh = hashedShingles(df, idCol, textCol, n, blockCols, sorted = true)
+    val prefixLen = (size(col("h")) - ceil(size(col("h")) * threshold) + 1)
+      .cast("int")
     val toks = sh.select(blockCols.map(col) :+ col("id") :+
-      explode(col("h")).as("t"): _*)
+      explode(slice(col("h"), lit(1), prefixLen)).as("t"): _*)
     val joinKeys = blockCols :+ "t"
-    val inter = toks.select((joinKeys :+ "id").map(col): _*)
+    val pairs = toks.select((joinKeys :+ "id").map(col): _*)
       .withColumnRenamed("id", "id_a")
       .join(toks.select((joinKeys :+ "id").map(col): _*)
         .withColumnRenamed("id", "id_b"), joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).cast("double").as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+      // J ≥ t forces |a|,|b| within a factor t — integer test before any
+      // intersection is materialized
+      .filter(least(size(col("h_a")), size(col("h_b"))) >=
+        greatest(size(col("h_a")), size(col("h_b"))) * threshold)
+      .withColumn("jaccard", PlanBarrier.barrier(
+        round(inter / ((size(col("h_a")) + size(col("h_b"))).cast("double") - inter), 4)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -245,18 +264,32 @@ object Dedup {
     * cluster = min id reachable. Min-label propagation with pointer
     * jumping: each round every vertex takes the minimum label among
     * itself and its neighbors, then compresses one pointer-chase step
-    * (cluster := label of its label), so convergence is O(log
-    * diameter) rounds rather than O(diameter) — a 10-round budget
-    * covers components ~2^10 deep (templated-doc chains included).
-    * Each round is two shuffle joins + an aggregation; lineage is cut
-    * per round so the loop composes at scale. Throws if `maxIters`
-    * rounds pass without convergence rather than returning
-    * partially-propagated labels (which would silently split
-    * clusters downstream in [[nearDupDrops]]).
+    * (cluster := label of its label). On chains the gap to the min
+    * doubles per round (O(log diameter)); bushy random components
+    * propagate somewhat slower, so the default budget is 30 rounds —
+    * generous for real near-dup graphs, which converge in <10. Each
+    * round is two shuffle joins + an aggregation; lineage is cut per
+    * round so the loop composes at scale. Throws if `maxIters` rounds
+    * pass without convergence rather than returning partially-
+    * propagated labels (which would silently split clusters downstream
+    * in [[nearDupDrops]]). Below `driverMaxEdges` the whole graph is
+    * union-found on the driver instead — near-dup edge sets are a tiny
+    * fraction of the corpus, and one collect beats rounds of shuffles.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
+    val raw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint() // materialized once: sizing count + either path
+    // near-dup pair sets are usually a tiny fraction of the corpus —
+    // below the threshold a driver-side union-find replaces ~log(d)
+    // shuffle rounds with one collect (ms vs seconds of scheduling);
+    // above it (or for non-long ids) the distributed loop takes over
+    val longIds = raw.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && raw.count() <= driverMaxEdges)
+      return driverUnionFind(raw)
+    val edges = raw
+      .union(raw.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var labels = edges.select(col("u").as("id"))
       .distinct().withColumn("cluster", col("id"))
@@ -293,6 +326,32 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds " +
         "(component deeper than 2^rounds?) — raise maxIters")
     labels
+  }
+
+  /** Small-graph path: classic union-find (path halving + union by
+    * min) on the driver, labels parallelized back. Exact same output
+    * contract as the distributed loop: (id, cluster = min reachable). */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.collect().foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val ru = find(u); val rv = find(v)
+      // union by min keeps the root the smallest id seen so far, so the
+      // final find IS the min-reachable label
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
   /** End-to-end near-dup removal: ids to DROP (everything in a dup

@@ -129,11 +129,14 @@ case class VecL2Norm(child: Expression)
     val n = x.numElements()
     var s = 0.0; var i = 0
     while (i < n) { val xv = x.getDouble(i); s += xv * xv; i += 1 }
+    // true division, not multiply-by-reciprocal: x/n is correctly
+    // rounded while x*(1/n) can be off by an ulp (3/5 vs 3*0.2)
     val norm = math.sqrt(s)
     val res = new Array[Double](n)
-    val inv = if (norm == 0.0) 0.0 else 1.0 / norm
     i = 0
-    while (i < n) { res(i) = x.getDouble(i) * inv; i += 1 }
+    while (i < n) {
+      res(i) = if (norm == 0.0) 0.0 else x.getDouble(i) / norm; i += 1
+    }
     UnsafeArrayData.fromPrimitiveArray(res)
   }
 
@@ -148,10 +151,10 @@ case class VecL2Norm(child: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  double xv = $v.getDouble($i); $s += xv * xv;
          |}
-         |double $inv = $s == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($s);
+         |double $inv = java.lang.Math.sqrt($s);
          |double[] $res = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $res[$i] = $v.getDouble($i) * $inv;
+         |  $res[$i] = $inv == 0.0 ? 0.0 : $v.getDouble($i) / $inv;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
        """.stripMargin

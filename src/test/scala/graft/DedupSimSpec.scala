@@ -109,10 +109,11 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: 300-deep chain converges in <=10 rounds (pointer jumping)") {
     // plain min-label propagation needs O(diameter)=300 rounds here; the
-    // pointer-jumping variant must finish within the default 10
+    // pointer-jumping variant must finish within the default 10.
+    // driverMaxEdges=0 forces the distributed loop (the code under test)
     val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, maxIters = 10).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+    val cc = Dedup.connectedComponents(chain, maxIters = 10, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length == 301)
     assert(cc.forall(_._2 == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
   }
@@ -120,8 +121,22 @@ class DedupSpec extends SparkSpec {
   test("connected components: throws rather than returning unconverged labels") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 2)
+      Dedup.connectedComponents(chain, maxIters = 2, driverMaxEdges = 0L)
     }
+  }
+
+  test("connected components: driver union-find agrees with the distributed loop") {
+    val rnd = new scala.util.Random(3)
+    // random sparse graph: 120 nodes, 90 edges → mix of chains/merges
+    val pairs = (0 until 90).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }.toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
   }
 
   test("simhash: exact dup at distance 0; near-dups within 3; others far") {
