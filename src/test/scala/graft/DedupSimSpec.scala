@@ -139,6 +139,31 @@ class DedupSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("ShingleHash preserves the equality structure of string shingles") {
+    // jaccard over hashed windows must equal jaccard over the string
+    // n-grams (collisions aside) — the property the dedup family relies on
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    val both = docs.select(col("id"),
+      array_distinct(graft.functions.TextExprs.shingleHashes(
+        graft.functions.TextFns.tokens(col("text")), 3)).as("hw"),
+      array_distinct(transform(graft.functions.TextFns.shingles(col("text"), 3),
+        s => xxhash64(s))).as("hs")).collect()
+    val byIdW = both.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val byIdS = both.map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    def jac(m: Map[Long, Set[Long]], a: Long, b: Long): Double = {
+      val (x, y) = (m(a), m(b))
+      if (x.isEmpty && y.isEmpty) 1.0
+      else x.intersect(y).size.toDouble / x.union(y).size
+    }
+    for (a <- 0L until 40L; b <- (a + 1) until 40L)
+      assert(math.abs(jac(byIdW, a, b) - jac(byIdS, a, b)) < 1e-12,
+        s"jaccard mismatch for ($a,$b)")
+  }
+
   test("simhash: exact dup at distance 0; near-dups within 3; others far") {
     val cands = Dedup.simHashCandidates(corpus, "doc_id", "text", maxDist = 3)
     val m = cands.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
