@@ -202,7 +202,26 @@ object TextQueries {
       dim = 64, threshold = 0.30, nbits = 64, bands = 8),
     None)
 
+  /** N4: IVF approximate kNN — driver-side probe selection, one
+    * partition-pruned distributed scan for the whole query batch.
+    * Approximate (recall < 1 by design) → rows-only; the recall-vs-
+    * brute-force contract is spec-tested (SimilaritySpec).
+    */
+  val n4Ivf = QueryDef(
+    "n4_ivf_knn",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val idx = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
+      val assigned = idx.assign(emb, "embedding").localCheckpoint()
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      idx.queryBatch(assigned, "vec_id", "embedding", queries,
+        k = 5, nprobe = 4)
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs)
+    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs, n4Ivf)
 }

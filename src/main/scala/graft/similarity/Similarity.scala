@@ -151,6 +151,33 @@ object Similarity {
         .select(col(idCol).as("neighbor_id"), round(col("sim"), 4).as("sim"))
         .limit(k)
     }
+
+    /** Batched approximate top-k: probe lists are chosen driver-side
+      * per query (centroids are driver-resident by construction), then
+      * ONE distributed job joins the exploded (query, probe) table
+      * against the assigned corpus on `centroid` — each query scans
+      * only its `nprobe` inverted lists, and the per-query top-k is a
+      * bounded window over those lists. The broadcast side is
+      * queries × nprobe rows; the corpus side stays partitioned. */
+    def queryBatch(assigned: DataFrame,
+                   idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Double])],
+                   k: Int, nprobe: Int): DataFrame = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val probeRows = queries.flatMap { case (qid, qv) =>
+        nearestCentroids(qv, nprobe).map(c => (qid, qv, c))
+      }.toDF("query_id", "qv", "centroid")
+      assigned
+        .join(broadcast(probeRows), Seq("centroid"))
+        .filter(col(idCol) =!= col("query_id"))
+        .withColumn("sim", cosine(col(vecCol).cast("array<double>"), col("qv")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+        .filter(col("__rn") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+    }
   }
 
   object IvfIndex {

@@ -216,6 +216,26 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("IVF queryBatch: one job, per-query top-k, agrees with single-query path") {
+    val e = emb(sf())
+    val idx = Similarity.IvfIndex.fit(e, "embedding", k = 8, sampleSize = 500)
+    val assigned = idx.assign(e, "embedding").cache()
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val batch = idx.queryBatch(assigned, "vec_id", "embedding", queries,
+      k = 5, nprobe = 4).collect()
+    assert(batch.length == 15) // 3 queries × top-5
+    queries.foreach { case (qid, qv) =>
+      val single = idx.query(assigned.filter(col("vec_id") =!= qid),
+        "vec_id", "embedding", qv, k = 5, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+      val fromBatch = batch.filter(_.getLong(0) == qid).map(_.getLong(1)).toSet
+      assert(fromBatch == single, s"query $qid: batch=$fromBatch single=$single")
+    }
+    assigned.unpersist()
+  }
+
   test("RHP-LSH pairs: planted duplicate vector found at sim ~1") {
     val e = emb(sf()).limit(100)
     val dup = e.filter(col("vec_id") === 3)
