@@ -221,7 +221,24 @@ object TextQueries {
     },
     None)
 
+  /** MM1: multimodal decode/feature plumbing end-to-end — binary
+    * payloads (document text bytes standing in for image content)
+    * through the partition-batched stub codec. Deterministic but not
+    * SQL-expressible (wrapping 64-bit rolling hash) → rows-only.
+    */
+  val mm1Decode = QueryDef(
+    "mm1_decode_features",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        table(s, dir, "documents"), "doc_id", "text", "image", "application/octet-stream")
+      graft.multimodal.Multimodal.decodeFeatures(media, featDim = 16)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1), 4).as("f0"))
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs, n4Ivf)
+    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    mm1Decode)
 }
