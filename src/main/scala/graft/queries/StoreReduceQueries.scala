@@ -174,7 +174,52 @@ object StoreReduceQueries {
       ROUND(covar_pop(l_discount, l_discount), 4)        AS cov_l_discount_l_discount
       FROM lineitem"""))
 
-  val all: Seq[QueryDef] = Seq(
+  /** P2: melt (wide→long unpivot) — id columns + (variable, value). */
+  val p2Melt = QueryDef(
+    "p2_melt",
+    (s, dir) => graft.collect.Collect.melt(
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+      idCols = Seq("l_orderkey", "l_linenumber"),
+      valueCols = Seq("l_quantity", "l_discount")),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"""))
+
+  /** F3: trimna — drop axis values whose rows are all-NULL in every
+    * variable (the dense grid's dead rows/columns).
+    */
+  val f3Trimna = QueryDef(
+    "f3_trimna",
+    (s, dir) => {
+      val d = table(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"), col("o_orderkey").as("k"),
+        when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).as("v"))
+      MissingData.trimna(d, axes = Seq("pri"), vars = Seq("v"))
+    },
+    // only the 1-URGENT axis value has any non-null v, so trimna keeps
+    // exactly those rows
+    Some("""SELECT o_orderpriority AS pri, o_orderkey AS k, o_totalprice AS v
+      FROM orders WHERE o_orderpriority = '1-URGENT'"""))
+
+  /** M12: align + fillna — outer-align two stores on the keys, fill
+    * the base side's NULLs from the fill side (NewWins coalesce).
+    */
+  val m12Align = QueryDef(
+    "m12_align_fill",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("k"),
+        when(col("o_orderpriority") =!= "1-URGENT", col("o_totalprice")).as("v"))
+      val fill = o.select(col("o_orderkey").as("k"), lit(-1.0).as("v"))
+      Merge.alignFill(base, fill, Seq("k"))
+    },
+    Some("""SELECT o_orderkey AS k,
+      COALESCE(CASE WHEN o_orderpriority <> '1-URGENT' THEN o_totalprice END, -1.0) AS v
+      FROM orders"""))
+
+  val all: Seq[QueryDef] = Seq(p2Melt, f3Trimna, m12Align,
     m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a4Stderr, a5Hist,
     a6Range, s1Welford, s3Cov)
 }
