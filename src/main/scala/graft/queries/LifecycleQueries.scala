@@ -82,12 +82,24 @@ object LifecycleQueries {
     */
   val ev1Window = QueryDef(
     "ev1_tumbling_window",
-    (s, dir) => table(s, dir, "events")
-      .withColumn("hour", date_trunc("hour", TimeFns.tsNanos(col("ts"))))
-      .groupBy("hour", "event_type")
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("mean_value")),
+    // mean via integer-space quantization, not avg(double): a double avg
+    // is partial-sum-order dependent, and at sf0.1 three windows landed
+    // close enough to a ROUND(.,4) boundary to flip. round(value·1e6) to
+    // a long is engine-identical (same doubles in, round-half-up both
+    // sides), the long sum is exact in any order (values ≤100 → ≤1e8 per
+    // row), and the final division is one IEEE op on identical inputs.
+    // (Decimal casts do NOT work here: DuckDB truncates double→decimal.)
+    (s, dir) => {
+      val q = round(col("value") * lit(1e6)).cast("long")
+      table(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", TimeFns.tsNanos(col("ts"))))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(q) / (count(lit(1)) * lit(1e6)), 4).as("mean_value"))
+    },
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-      count(*) AS n, ROUND(avg(value), 4) AS mean_value
+      count(*) AS n,
+      ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0), 4) AS mean_value
       FROM events GROUP BY 1, 2"""))
 
   /** EV2: sessionization — 30-minute-gap sessions per user via a lag
