@@ -82,25 +82,32 @@ object LifecycleQueries {
     */
   val ev1Window = QueryDef(
     "ev1_tumbling_window",
-    // mean via integer-space quantization, not avg(double): a double avg
-    // is partial-sum-order dependent, and at sf0.1 three windows landed
-    // close enough to a ROUND(.,4) boundary to flip. round(value·1e6) to
-    // a long is engine-identical (same doubles in, round-half-up both
-    // sides), the long sum is exact in any order (values ≤100 → ≤1e8 per
-    // row), and the final division is one IEEE op on identical inputs.
-    // (Decimal casts do NOT work here: DuckDB truncates double→decimal.)
+    // mean fully in integer space, no engine ROUND anywhere: a double
+    // avg is partial-sum-order dependent (3 windows flipped at sf0.1),
+    // and even a quantized sum creates EXACT .00005 ties that Spark
+    // (BigDecimal shortest-repr HALF_UP) and DuckDB (double-space
+    // nearbyint) break differently. round(value·1e6) to a long is
+    // engine-identical, the long sum is exact in any order, and the
+    // 4-decimal half-up round is floor((s+50n)/(100n)) — pure integer
+    // arithmetic (values are ≥0 here), divided by 1e4 at the very end
+    // (one IEEE op on identical integers). (Decimal casts cannot fix
+    // this class: DuckDB truncates double→decimal where Spark rounds.)
     (s, dir) => {
       val q = round(col("value") * lit(1e6)).cast("long")
       table(s, dir, "events")
         .withColumn("hour", date_trunc("hour", TimeFns.tsNanos(col("ts"))))
         .groupBy("hour", "event_type")
-        .agg(count(lit(1)).as("n"),
-          round(sum(q) / (count(lit(1)) * lit(1e6)), 4).as("mean_value"))
+        .agg(count(lit(1)).as("n"), sum(q).as("__s"))
+        .withColumn("mean_value",
+          expr("(__s + 50 * n) div (100 * n)") / lit(1e4))
+        .drop("__s")
     },
-    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-      count(*) AS n,
-      ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0), 4) AS mean_value
-      FROM events GROUP BY 1, 2"""))
+    Some("""SELECT hour, event_type, n,
+        ((s + 50 * n) // (100 * n)) / 10000.0 AS mean_value
+      FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
+              count(*) AS n,
+              SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2)"""))
 
   /** EV2: sessionization — 30-minute-gap sessions per user via a lag
     * window, then per-user session stats.
