@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guard: the properties that make the headline
+  * queries scale (pruned scans, broadcast sides, anti-join
+  * work-skipping, single-exchange windows, partial top-k, native
+  * kernels in codegen) are asserted against the formatted physical
+  * plan, so a future refactor that silently degrades a plan fails
+  * here rather than in a benchmark.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.queries.Queries.queryMap(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: pruned scan + two-phase hash aggregate") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    // read schema restricted to the referenced columns — no full-row scan
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"),
+      s"scan not pruned: $read")
+  }
+
+  test("e3_cross_expand: grid expansion is broadcast, no shuffle exchange") {
+    val p = plan("e3_cross_expand")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("m9_missing_cases: work-skipping is a broadcast LEFT ANTI join") {
+    val p = plan("m9_missing_cases")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("n1_knn_cosine: query side broadcast, partial top-k, native cosine") {
+    val p = plan("n1_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "top-k should prune before the exchange")
+    assert(p.contains("vec_cosine"), "native kernel missing from plan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(vec_id,20)"), s"filter not pushed: $pushed")
+  }
+
+  test("ev2_sessionization: both windows share one exchange on user_id") {
+    val p = plan("ev2_sessionization")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, // one for the window partitioning, one for the final agg
+      s"expected <=2 exchanges, got $exchanges")
+  }
+
+  // note: the banded/shingled stages are localCheckpoint-ed, so their
+  // kernels (rhp_signature, shingle_hashes) execute at materialization
+  // and show as Scan ExistingRDD here — the final plan can only assert
+  // the verification stage.
+
+  test("n2_embedding_lsh_pairs: exact-cosine threshold evaluated with the native kernel") {
+    val p = plan("n2_embedding_lsh_pairs")
+    // the cut is pushed into/next to the join so failing candidates
+    // never materialize an output row
+    assert(p.contains("vec_cosine"), "native cosine kernel missing from verify stage")
+  }
+
+  test("d2_jaccard_pairs: verification joins with intersection on the hashed arrays") {
+    val p = plan("d2_jaccard_pairs")
+    assert(p.contains("array_intersect"), "array intersection missing from verify stage")
+    assert(p.contains("HashAggregate"), "pair-distinct aggregate missing")
+  }
+
+  test("native kernels present in an un-checkpointed similarity plan") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = emb.select(
+      graft.similarity.Similarity.rhpSignature(
+        col("embedding").cast("array<double>"), 64, 32).as("sig"))
+      .queryExecution.explainString(FormattedMode)
+    // all-literal inputs constant-fold away (itself a sign the kernels
+    // evaluate correctly at optimize time) — use column inputs
+    val p2 = docs.select(
+      graft.functions.TextExprs.shingleHashes(
+        graft.functions.TextFns.tokens(col("text")), 3).as("sh"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p1.contains("rhp_signature"), p1)
+    assert(p2.contains("shingle_hashes"), p2)
+  }
+}
