@@ -92,10 +92,10 @@ class MultimodalSpec extends SparkSpec {
 class IOFacetSpec extends SparkSpec {
   import spark.implicits._
 
-  test("IO: csv and json round-trip the long table") {
+  test("IO: orc, csv and json round-trip the long table") {
     val dir = Files.createTempDirectory("graft-io").toString
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("a", "k", "v")
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "orc", "csv", "json")) {
       IO.save(df, s"$dir/$fmt", fmt)
       val back = IO.load(spark, s"$dir/$fmt", fmt)
         .select("a", "k", "v")
