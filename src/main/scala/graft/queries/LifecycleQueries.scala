@@ -139,18 +139,24 @@ object LifecycleQueries {
         count(*) AS n_events
       FROM sess GROUP BY user_id"""))
 
-  /** EV3: JSON property extraction from the events props column. */
+  /** EV3: JSON property extraction from the events props column.
+    * mean_k rounds in integer space (k is a non-negative int, so the
+    * sum is exact and half-up = floor((2·10⁴·s + n)/(2n)) — the same
+    * tie-free treatment as ev1's mean).
+    */
   val ev3Json = QueryDef(
     "ev3_json_props",
     (s, dir) => table(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-        round(avg("k"), 4).as("mean_k")),
-    Some("""SELECT event_type, count(*) AS n,
-      CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS mean_k
-      FROM events GROUP BY event_type"""))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .withColumn("mean_k",
+        expr("(20000 * sum_k + n) div (2 * n)") / lit(1e4)),
+    Some("""SELECT event_type, n, sum_k,
+        ((20000 * sum_k + n) // (2 * n)) / 10000.0 AS mean_k
+      FROM (SELECT event_type, count(*) AS n,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type)"""))
 
   /** SK1: skew-safe two-stage salted aggregation — must equal the
     * direct groupBy (the oracle) while spreading hot keys over many
