@@ -261,20 +261,21 @@ object Dedup {
   def simHash(textCol: Column): Column = simHashUdf(TextFns.tokens(textCol))
 
   /** Connected components over near-dup pairs → (id, cluster) with
-    * cluster = min id reachable. Min-label propagation with pointer
-    * jumping: each round every vertex takes the minimum label among
-    * itself and its neighbors, then compresses one pointer-chase step
-    * (cluster := label of its label). On chains the gap to the min
-    * doubles per round (O(log diameter)); bushy random components
-    * propagate somewhat slower, so the default budget is 30 rounds —
-    * generous for real near-dup graphs, which converge in <10. Each
-    * round is two shuffle joins + an aggregation; lineage is cut per
-    * round so the loop composes at scale. Throws if `maxIters` rounds
-    * pass without convergence rather than returning partially-
-    * propagated labels (which would silently split clusters downstream
-    * in [[nearDupDrops]]). Below `driverMaxEdges` the whole graph is
-    * union-found on the driver instead — near-dup edge sets are a tiny
-    * fraction of the corpus, and one collect beats rounds of shuffles.
+    * cluster = min id reachable. Below `driverMaxEdges` the whole
+    * graph is union-found on the driver — near-dup edge sets are a
+    * tiny fraction of the corpus, and one collect beats rounds of
+    * shuffles. Above it: alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14). Each round re-points edges at neighborhood
+    * minima; the edge set is non-increasing and the fixpoint — a
+    * forest of stars rooted at component minima — is reached in
+    * O(log² n) rounds on ANY graph shape (chains AND bushy graphs;
+    * the earlier min-label + pointer-jumping loop matched that bound
+    * only on chains, and its labels table never shrank). Converged =
+    * one full round leaves the edge set unchanged, checked exactly
+    * (count, then set-difference). Throws after `maxIters` rounds
+    * rather than returning partial labels (which would silently split
+    * clusters downstream in [[nearDupDrops]]).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           driverMaxEdges: Long = 2000000L): DataFrame = {
@@ -288,44 +289,54 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && raw.count() <= driverMaxEdges)
       return driverUnionFind(raw)
-    val edges = raw
-      .union(raw.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id"))
-      .distinct().withColumn("cluster", col("id"))
-      .localCheckpoint()
+    // canonical orientation larger-endpoint → smaller, self-loops out,
+    // distinct: both star ops preserve this invariant, so every round
+    // starts from a set of (node, smaller-node) edges
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var nEdges = edges.count()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .groupBy(col("u").as("id"))
-        .agg(min("cluster").as("nmin"))
-      val upd = labels.withColumnRenamed("cluster", "old")
-        .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"))
-        .localCheckpoint() // feeds both sides of the compression self-join
-      // pointer jumping: labels only ever decrease and cluster is always
-      // a vertex id, so labels[cluster].cluster <= cluster — one chase
-      // per round halves the remaining chain depth
-      val next = upd
-        .join(upd.select(col("id").as("cluster"), col("cluster").as("cc")),
-          Seq("cluster"), "left_outer")
-        .select(col("id"),
-          coalesce(col("cc"), col("cluster")).as("cluster"),
-          // carry the changed flag in the same checkpointed frame so
-          // convergence is a cheap scan, not a second join
-          (coalesce(col("cc"), col("cluster")) < col("old")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      // large-star: attach each node's LARGER neighbors to the minimum
+      // of its neighborhood (incl itself) — long chains fold in half
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = adj
+        .join(adj.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m")), Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint() // feeds both small-star inputs
+      // small-star: attach each node's smaller neighbors (and itself)
+      // to the minimum of that down-neighborhood — stars flatten
+      val mins = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val n2 = ss.count()
+      // exact no-change test: same size AND no edge outside the old
+      // set (both are distinct sets, so that implies equality); the
+      // except job only ever runs on the final (smallest) edge set
+      converged = n2 == nEdges && ss.except(edges).isEmpty
+      edges = ss
+      nEdges = n2
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(component deeper than 2^rounds?) — raise maxIters")
-    labels
+      s"connectedComponents did not converge in $maxIters star rounds " +
+        "— raise maxIters")
+    // fixpoint = disjoint stars: edges are (member → component min);
+    // roots never appear on the left, so they (and isolated vertices)
+    // label themselves via the outer join
+    val verts = raw.select(col("u"))
+      .union(raw.select(col("v").as("u"))).distinct()
+    verts.join(edges, Seq("u"), "left_outer")
+      .select(col("u").as("id"), coalesce(col("v"), col("u")).as("cluster"))
   }
 
   /** Small-graph path: classic union-find (path halving + union by

@@ -107,9 +107,10 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set((2L, 1L), (3L, 1L), (11L, 10L), (21L, 20L), (22L, 20L)))
   }
 
-  test("connected components: 300-deep chain converges in <=10 rounds (pointer jumping)") {
-    // plain min-label propagation needs O(diameter)=300 rounds here; the
-    // pointer-jumping variant must finish within the default 10.
+  test("connected components: 300-deep chain converges in <=10 star rounds") {
+    // plain min-label propagation needs O(diameter)=300 rounds here;
+    // large-star/small-star contraction folds the chain roughly in half
+    // twice per round and must finish within 10.
     // driverMaxEdges=0 forces the distributed loop (the code under test)
     val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(chain, maxIters = 10, driverMaxEdges = 0L)
