@@ -15,6 +15,32 @@ class ReduceSpec extends SparkSpec {
     assert(m == Map("g" -> 2.0, "h" -> 4.0))
   }
 
+  test("A1: compacted exact quantiles are bit-identical to the builtin percentile") {
+    // ties, odd/even group sizes, single-value groups, a null-only
+    // group, and irrational-position quantiles — every interpolation
+    // branch of the builtin, compared bitwise (no tolerance)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 7}"
+      val v: java.lang.Double =
+        if (i % 7 == 6) null // g6 = null-only group
+        else if (rnd.nextInt(4) == 0) rnd.nextInt(10).toDouble // ties
+        else rnd.nextDouble() * 100
+      (g, v)
+    } :+ (("solo", java.lang.Double.valueOf(42.0)))
+    val df = rows.toDF("k", "v")
+    for (q <- Seq(0.0, 0.25, 0.5, 1.0 / 3.0, 0.9, 1.0)) {
+      val builtin = df.groupBy("k").agg(expr(s"percentile(v, $q)").as("p"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val compact = Reduce.exactQuantiles(df, Seq("k"), "v", Seq("p" -> q))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(compact == builtin, s"q=$q")
+      // bitwise: java.lang.Double.equals distinguishes ulps via Some(d)
+    }
+  }
+
   test("A3/A4: std and stderr bands match closed forms") {
     val df = Seq.tabulate(4)(i => ("g", (i + 1).toDouble)).toDF("k", "v")
     val r = Reduce.stdBand(df, Seq("k"), "v").collect()(0)
