@@ -103,6 +103,21 @@ object StoreReduceQueries {
       ROUND(quantile_cont(l_discount, 0.75), 4) AS l_discount_hi
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** A3: mean ± std band. Same rounding class as a4 (engine-native
+    * round of avg±std; sqrt terms don't land on .00005 ties). */
+  val a3Std = QueryDef(
+    "a3_std_band",
+    (s, dir) => Reduce.stdBand(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice"), 4).as("l_extendedprice"),
+        round(col("l_extendedprice_lo"), 4).as("l_extendedprice_lo"),
+        round(col("l_extendedprice_hi"), 4).as("l_extendedprice_hi")),
+    Some("""SELECT l_returnflag, ROUND(avg(l_extendedprice), 4) AS l_extendedprice,
+      ROUND(avg(l_extendedprice) - stddev_samp(l_extendedprice), 4) AS l_extendedprice_lo,
+      ROUND(avg(l_extendedprice) + stddev_samp(l_extendedprice), 4) AS l_extendedprice_hi
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** A3/A4: mean ± stderr band (stddev/sqrt(n), n = non-null count). */
   val a4Stderr = QueryDef(
     "a4_stderr_band",
@@ -155,6 +170,34 @@ object StoreReduceQueries {
     Some("""SELECT event_type, count(value) AS n,
       ROUND(avg(value), 4) AS mean, ROUND(stddev_samp(value), 4) AS std
       FROM events GROUP BY event_type"""))
+
+  /** S2: grouped sample covariance through the mergeable CovState
+    * Aggregator (the distributed-merge path itself, not the builtin).
+    * Rounded to 2dp: values are ~1e4, engine merge-order noise ~1e-7.
+    */
+  val s2Cov = QueryDef(
+    "s2_covariance",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(graft.stats.CovAgg.column(
+        col("l_quantity"), col("l_extendedprice")).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), round(col("c"), 2).as("cov_qty_price"),
+        col("n")),
+    Some("""SELECT l_returnflag,
+      ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      count(*) AS n FROM lineitem GROUP BY l_returnflag"""))
+
+  /** E7: deterministic systematic sample — every 7th orderkey at
+    * offset 3 (the hash-free sampler, oracle-reproducible by design).
+    */
+  val e7Sample = QueryDef(
+    "e7_systematic_sample",
+    (s, dir) => graft.expand.Grid.sampleEveryK(
+      table(s, dir, "lineitem"), "l_orderkey", 7, 3)
+      .select("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey % 7 = 3"""))
 
   /** S3: pairwise covariance matrix in a single aggregation pass. */
   val s3Cov = QueryDef(
@@ -220,6 +263,6 @@ object StoreReduceQueries {
       FROM orders"""))
 
   val all: Seq[QueryDef] = Seq(p2Melt, f3Trimna, m12Align,
-    m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a4Stderr, a5Hist,
-    a6Range, s1Welford, s3Cov)
+    m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a3Std, a4Stderr,
+    a5Hist, a6Range, e7Sample, s1Welford, s2Cov, s3Cov)
 }

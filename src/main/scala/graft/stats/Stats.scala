@@ -102,6 +102,20 @@ final case class CovState(n: Long, meanX: Double, meanY: Double, c: Double) {
 
 object CovState { val zero: CovState = CovState(0L, 0.0, 0.0, 0.0) }
 
+/** S2 as a typed, mergeable Spark Aggregator (the two-column analogue
+  * of [[WelfordAgg]]): sample covariance via distributed CovState
+  * merges — usable in any groupBy, or as streaming state. */
+object CovAgg extends Aggregator[(Double, Double), CovState, Double] {
+  def zero: CovState = CovState.zero
+  def reduce(b: CovState, x: (Double, Double)): CovState = b.add(x._1, x._2)
+  def merge(a: CovState, b: CovState): CovState = a.merge(b)
+  def finish(s: CovState): Double = s.covSamp
+  def bufferEncoder: Encoder[CovState] = Encoders.product[CovState]
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  /** Untyped column form for DataFrame groupBy.agg. */
+  def column(x: Column, y: Column): Column = udaf(this).apply(x, y)
+}
+
 object Stats {
 
   /** S3: full covariance matrix of `columns` in ONE aggregation pass —

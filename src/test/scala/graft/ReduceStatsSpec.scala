@@ -158,6 +158,18 @@ class StatsSpec extends SparkSpec {
     assert(batches >= 2 && math.abs(state.mean - 3.0) < 0.01)
   }
 
+  test("S2: CovAgg as a groupBy aggregator matches covar_samp") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 500).map { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 10, rnd.nextDouble() * 3 + i % 3)
+    }.toDF("k", "x", "y")
+    val got = df.groupBy("k").agg(CovAgg.column(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("k").agg(covar_samp(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
+  }
+
   test("S2: CovState matches covar_samp") {
     val ys = xs.map(x => 2 * x + 1).zip(xs).map { case (y, x) => (x, y + x * x) }
     val st = ys.foldLeft(CovState.zero) { case (s, (x, y)) => s.add(x, y) }
