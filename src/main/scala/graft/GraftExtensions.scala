@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{RhpSig, ShingleHash, VecCosine, VecDot, VecL2Norm}
+
+/** SQL surface for graft's native codegen kernels, two ways in:
+  *
+  *  - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`), the standard
+  *    `SparkSessionExtensions` route for clusters;
+  *  - on a live session: `GraftFunctions.register(spark)` — notebooks
+  *    and tests, where the builder has already run.
+  *
+  * Registered functions (same codegen'd expressions the Column API
+  * uses — `SELECT vec_cosine(a.emb, b.emb)` plans identically to
+  * `VectorExprs.cosine`):
+  *
+  *  - `vec_dot(a, b)`, `vec_cosine(a, b)` — fused array-double kernels
+  *  - `vec_l2_normalize(v)` — unit-norm copy
+  *  - `rhp_sig(v, dim, nbits[, seed])` — random-hyperplane LSH
+  *    signature (dim/nbits/seed must be literals: the planes are
+  *    baked into the expression at plan time)
+  *  - `shingle_hash(tokens, n)` — 64-bit hashes of every n-token
+  *    window (n literal)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def arity(name: String, args: Seq[Expression], n: Int*): Unit =
+    require(n.contains(args.length),
+      s"$name expects ${n.mkString(" or ")} arguments, got ${args.length}")
+
+  /** (name, info, builder) triples — single source for both routes. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      args => { arity("vec_dot", args, 2); VecDot(args(0), args(1)) }),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity, one fused pass"),
+      args => { arity("vec_cosine", args, 2); VecCosine(args(0), args(1)) }),
+    ("vec_l2_normalize",
+      info("vec_l2_normalize", "vec_l2_normalize(v) - unit-L2-norm copy"),
+      args => { arity("vec_l2_normalize", args, 1); VecL2Norm(args(0)) }),
+    ("rhp_sig",
+      info("rhp_sig",
+        "rhp_sig(v, dim, nbits[, seed]) - random-hyperplane LSH signature"),
+      args => {
+        arity("rhp_sig", args, 3, 4)
+        val dim = litInt(args(1), "rhp_sig", "dim")
+        val nbits = litInt(args(2), "rhp_sig", "nbits")
+        require(nbits >= 1 && nbits <= 64, s"nbits must be in [1,64], got $nbits")
+        val seed = if (args.length == 4) litLong(args(3), "rhp_sig", "seed") else 42L
+        val rnd = new scala.util.Random(seed)
+        val planes = Array.fill(nbits * dim)(rnd.nextGaussian())
+        RhpSig(args(0), planes, nbits, dim)
+      }),
+    ("shingle_hash",
+      info("shingle_hash",
+        "shingle_hash(tokens, n) - 64-bit hash of every n-token window"),
+      args => {
+        arity("shingle_hash", args, 2)
+        ShingleHash(args(0), litInt(args(1), "shingle_hash", "n"))
+      }))
+
+  /** Register every graft SQL function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, i, b) =>
+      GraftSqlShims.registerFunction(spark, name, i, b)
+    }
+}

@@ -107,4 +107,31 @@ class VectorExprsSpec extends SparkSpec {
       }
     }
   }
+
+  test("SQL surface: registered functions plan the same native kernels") {
+    GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("vecs_sql")
+    val viaSql = spark.sql(
+      """SELECT id, vec_dot(a, b) AS d, vec_cosine(a, b) AS c,
+                vec_l2_normalize(a) AS an,
+                rhp_sig(a, 3, 16) AS sig
+         FROM vecs_sql""").collect()
+    val viaCol = vecs.select(col("id"),
+      VectorExprs.dot(col("a"), col("b")).as("d"),
+      VectorExprs.cosine(col("a"), col("b")).as("c"),
+      VectorExprs.l2Normalize(col("a")).as("an"),
+      VectorExprs.rhpSignature(col("a"), dim = 3, nbits = 16).as("sig")).collect()
+    assert(viaSql.map(_.toString).sorted.toSeq == viaCol.map(_.toString).sorted.toSeq)
+    // shingle_hash: SQL vs TextExprs on a token array
+    Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+      .createOrReplaceTempView("toks_sql")
+    val sh1 = spark.sql("SELECT shingle_hash(toks, 2) AS h FROM toks_sql").collect()
+    val sh2 = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+      .select(graft.functions.TextExprs.shingleHashes(col("toks"), 2).as("h")).collect()
+    assert(sh1.map(_.toString).toSeq == sh2.map(_.toString).toSeq)
+    // literal-argument guard: a column where a literal is required fails
+    intercept[Exception] {
+      spark.sql("SELECT rhp_sig(a, 3, CAST(id AS INT)) FROM vecs_sql").collect()
+    }
+  }
 }
