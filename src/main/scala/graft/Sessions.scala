@@ -23,6 +23,10 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // catalog tables (BucketedStore) land under /tmp, not the repo;
+      // a cluster deployment points this at its metastore-backed path
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

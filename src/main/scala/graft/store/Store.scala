@@ -161,3 +161,53 @@ final class ParquetStore(val spark: SparkSession, val path: String,
     if (!exists) grid
     else graft.expand.Grid.missing(grid, load(), keys)
 }
+
+/** Bucketed catalog-table variant of the harvest store: the long-term
+  * accumulator for a harvest loop that merges thousands of times.
+  *
+  * `bucketBy(n, keys) + sortBy(keys)` persists the store pre-hashed
+  * and pre-sorted on its axis columns, so every `mergeIn`'s full-outer
+  * sort-merge join reads the store side with NO exchange and NO sort —
+  * only the (small) new harvest shuffles to match the bucketing. At
+  * 100 TB that converts the per-harvest cost from "re-shuffle the
+  * accumulated store" to "shuffle the delta": the asymmetric join
+  * shape the harvest loop actually has. The path-based [[ParquetStore]]
+  * can't express this — parquet files alone carry no bucketing
+  * metadata; it lives in the catalog (in-session here; a cluster
+  * deployment backs it with a persistent metastore, which is also what
+  * makes the table durable across sessions).
+  *
+  * Semantics mirror [[ParquetStore.mergeIn]]: same [[Merge]] modes,
+  * same read-before-overwrite materialization.
+  */
+final class BucketedStore(val spark: SparkSession, val table: String,
+                          val keys: Seq[String], val nBuckets: Int) {
+  require(keys.nonEmpty && nBuckets > 0)
+
+  def exists: Boolean = spark.catalog.tableExists(table)
+
+  def load(): DataFrame = spark.table(table)
+
+  private def write(df: DataFrame, mode: SaveMode): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def replaceWith(df: DataFrame): Unit = write(df, SaveMode.Overwrite)
+
+  /** M4/M5 over the bucketed table: store-side exchange-free merge. */
+  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
+    if (!exists) write(neu, SaveMode.ErrorIfExists)
+    else {
+      // materialize before the overwrite that invalidates what it reads
+      val merged = Merge.merge(load(), neu, keys, mode).localCheckpoint()
+      write(merged, SaveMode.Overwrite)
+    }
+
+  /** M9 `missing_only` against the bucketed store. */
+  def missing(grid: DataFrame): DataFrame =
+    if (!exists) grid
+    else graft.expand.Grid.missing(grid, load(), keys)
+}

@@ -108,3 +108,48 @@ class ParquetStoreSpec extends SparkSpec {
     assert(st.load().count() == 2)
   }
 }
+
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.store.BucketedStore
+
+  private def fresh(name: String): BucketedStore = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // stale dir from a prior JVM
+    new BucketedStore(spark, name, Seq("k"), 4)
+  }
+
+  test("bucketed harvest cycle: create, merge, same semantics as Merge") {
+    val bs = fresh("bs_cycle")
+    bs.mergeIn(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    bs.mergeIn(Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v"), Merge.NewWins)
+    val got = bs.load().as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    assert(bs.missing(Seq(3L, 4L).toDF("k")).as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("store-side merge join needs no exchange (bucket co-location)") {
+    val bs = fresh("bs_plan")
+    bs.mergeIn((1L to 100L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val neu = (90L to 110L).map(i => (i, -i.toDouble)).toDF("k", "v2")
+      val plan = Merge.merge(bs.load(), neu, Seq("k"), Merge.NewWins)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly ONE exchange: the new side shuffles to the bucketing;
+      // the store side streams straight from its buckets
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+      // and the non-bucketed equivalent pays two
+      val flat = bs.load().localCheckpoint()
+      val planFlat = Merge.merge(flat, neu, Seq("k"), Merge.NewWins)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(planFlat).length == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+}
