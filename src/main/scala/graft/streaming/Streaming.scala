@@ -40,6 +40,24 @@ object Streaming {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming ingest dedup: drop rows whose fingerprint was already
+    * seen within the watermark horizon — the streaming form of
+    * [[graft.dedup.Dedup.exact]] for a continuously-arriving corpus.
+    * `dropDuplicatesWithinWatermark` keys state on the fingerprint and
+    * ages it out past the watermark, so state is bounded by the
+    * arrival-rate × horizon product instead of growing with the
+    * corpus (the exact-dedup batch pass stays the authority across
+    * horizons).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      // same normalized fingerprint as the batch Dedup.exact pass
+      .withColumn("__fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

@@ -67,4 +67,23 @@ class StreamingSpec extends SparkSpec {
       assert(rows.sorted == Seq(("a", 1L), ("a", 2L)))
     } finally q.stop()
   }
+
+  test("dedupStream: watermark-horizon exact dedup drops re-arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streaming.dedupStream(
+      input.toDF().toDF("ts", "text"), "ts", "text", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same normalized text arrives three times within the horizon;
+      // "Hello  WORLD" normalizes to the same fingerprint as "hello world"
+      input.addData((ts(1), "hello world"), (ts(2), "Hello  WORLD"),
+        (ts(3), "other doc"), (ts(4), "hello world"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").collect()
+        .map(_.getString(0)).toSeq.sorted
+      assert(texts == Seq("hello world", "other doc"))
+    } finally q.stop()
+  }
 }
