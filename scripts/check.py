@@ -39,7 +39,7 @@ def table_hash(rows, cols):
     return h.hexdigest()[:16]
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -47,6 +47,8 @@ def main(outdir, sfdir):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -99,4 +101,5 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+             set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None))
