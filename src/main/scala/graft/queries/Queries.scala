@@ -143,6 +143,30 @@ object Queries {
       CROSS JOIN (SELECT unnest(range(0, 1000)) AS b) b
       GROUP BY 1"""))
 
+  /** V6: error-tolerant evaluation — a sweep whose function throws on
+    * one grid point; the failed cell carries the error string and a
+    * NULL value instead of killing the sweep (xyzpy allow_error).
+    * The error payload (`Throwable.toString`) is deterministic, so
+    * even the error column oracles exactly.
+    */
+  val v6Tolerant = QueryDef(
+    "v6_error_tolerant",
+    (s, _) => {
+      val grid = Grid.expand(s, ComboSpec.of(
+        "a" -> Seq(1L, 2L, 3L, 4L, 5L), "b" -> Seq(10L, 20L)))
+      Eval.tryEval2(grid, "a", "b", "r") { (a, b) =>
+        if (a == 3L) throw new ArithmeticException("bad point")
+        else b.toDouble / (a - 3L)
+      }.select(col("a"), col("b"),
+        col("r.value").as("value"), col("r.error").as("error"))
+    },
+    Some("""SELECT CAST(a.a AS BIGINT) AS a, CAST(b.b AS BIGINT) AS b,
+      CASE WHEN a.a <> 3 THEN b.b / (a.a - 3.0) END AS value,
+      CASE WHEN a.a = 3
+           THEN 'java.lang.ArithmeticException: bad point' END AS error
+      FROM (SELECT unnest([1,2,3,4,5]) AS a) a
+      CROSS JOIN (SELECT unnest([10,20]) AS b) b"""))
+
   /** M9/E6/F2: missing-point discovery — grid left-anti observed
     * combinations (xyzpy's missing_only work-skipping).
     */
@@ -204,7 +228,7 @@ object Queries {
   // ------------------------------------------------------------ registry
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, m9Missing, c1Dense,
+    q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, v6Tolerant, m9Missing, c1Dense,
     c2Explode) ++ StoreReduceQueries.all ++ TextQueries.all ++
     LifecycleQueries.all ++ ComplexQueries.all
 

@@ -26,6 +26,16 @@ class PlanGuardSpec extends SparkSpec {
       s"scan not pruned: $read")
   }
 
+  test("a1_median_agg: compact quantile = two exchanges, no Percentile merge") {
+    val p = plan("a1_median_agg")
+    // the builtin percentile's per-group map merge must NOT be in the
+    // plan; the compact path is two exchanges (compaction, keys) with
+    // the final groupBy reusing the window partitioning
+    assert(!p.contains("percentile"), "builtin percentile crept back in")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
   test("e3_cross_expand: grid expansion is broadcast, no shuffle exchange") {
     val p = plan("e3_cross_expand")
     assert(p.contains("BroadcastNestedLoopJoin"))
