@@ -164,29 +164,16 @@ object Dedup {
     * 1-(1-jʳ)ᵇ). 32-bit hash × 30-bit multiplier keeps the product
     * overflow-free under ANSI arithmetic.
     */
-  def minHashSignatureFromHashes(hashCol: Column, k: Int): Column =
-    minHashSigUdf(k)(hashCol)
-
-  /** One-pass signature kernel: the expression form
-    * (k × array_min(transform(...))) allocates k intermediate arrays
-    * per row under interpreted HOF evaluation — measured 2s over 5k
-    * docs; this primitive loop computes identical signatures (same
-    * constants, same Long arithmetic) in one pass, ~100×. */
-  private def minHashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  def minHashSignatureFromHashes(hashCol: Column, k: Int): Column = {
+    // native one-pass kernel ([[graft.functions.MinHashSig]]): the HOF
+    // form (k × array_min(transform(...))) allocates k intermediate
+    // arrays per row under interpreted evaluation — measured 2s over
+    // 5k docs; the codegen'd primitive loop computes identical
+    // signatures (same constants, same Long arithmetic) in one pass
     val (as, bs) = permConstants(k)
-    udf { (hashes: Seq[Long]) =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      hashes.foreach { h0 =>
-        val h = h0 & 0xFFFFFFFFL
-        var i = 0
-        while (i < k) {
-          val v = java.lang.Math.floorMod(h * as(i) + bs(i), MinHashP)
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
-    }
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftSqlShims.expression(hashCol), as, bs))
   }
 
   /** MinHash signature from raw shingles (hashes them first). */
@@ -236,29 +223,16 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over token hashes: bit b of the signature is the
-    * sign of Σ_tokens (±1 by token-hash bit b). One pass over the
-    * tokens per row (a deterministic Scala UDF with 64 counters — the
-    * expression form would re-scan the token array 64 times).
+  /** 64-bit SimHash over tokens: bit b of the signature is the sign
+    * of Σ_tokens (±1 by token-hash bit b). Native one-pass kernel
+    * ([[graft.functions.SimHash64]]: FNV-1a per token + 64 vote
+    * counters inside whole-stage codegen — the HOF form would re-scan
+    * the token array 64 times, a UDF pays Seq[String] boxing).
     */
-  private val simHashUdf = udf { (tokens: Seq[String]) =>
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      // FNV-1a 64-bit over UTF-8 — stable across runs/JVMs
-      var h = 0xcbf29ce484222325L
-      val bytes = t.getBytes("UTF-8")
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-      var b = 0
-      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
-
-  def simHash(textCol: Column): Column = simHashUdf(TextFns.tokens(textCol))
+  def simHash(textCol: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlShims.expression(TextFns.tokens(textCol))))
 
   /** Connected components over near-dup pairs → (id, cluster) with
     * cluster = min id reachable. Below `driverMaxEdges` the whole

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo => _, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native per-document dedup kernels (the former Scala-UDF hot spots):
+  * one primitive loop per doc inside whole-stage codegen, no
+  * Seq[Long]/Seq[String] boxing at the deserializer boundary.
+  */
+
+/** MinHash signature over PRE-HASHED shingles: `sig[i] = min over
+  * shingles of (a_i·(h & 0xFFFFFFFF) + b_i) mod p`, p = 2³¹−1.
+  * Constants are baked in (derived deterministically from k by the
+  * caller); arithmetic is identical to the former UDF bit-for-bit.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(as.length == bs.length && as.nonEmpty)
+  private def k: Int = as.length
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j) & 0xFFFFFFFFL
+      var i = 0
+      while (i < k) {
+        val p = java.lang.Math.floorMod(h * as(i) + bs(i), 2147483647L)
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val p = ctx.freshName("p"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $v.getLong($j) & 0xFFFFFFFFL;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $p = java.lang.Math.floorMod($h * $asRef[$i] + $bsRef[$i], 2147483647L);
+         |    if ($p < $sig[$i]) $sig[$i] = $p;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: bit b of the signature is the
+  * sign of Σ_tokens (±1 by bit b of the token's FNV-1a 64-bit hash).
+  * One pass over the tokens with 64 vote counters — identical
+  * arithmetic to the former UDF.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val bytes = arr.getUTF8String(t).getBytes
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val t = ctx.freshName("t"); val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val bytes = ctx.freshName("bytes"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $votes = new int[64];
+         |for (int $t = 0; $t < $n; $t++) {
+         |  byte[] $bytes = $v.getUTF8String($t).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $i = 0; $i < $bytes.length; $i++) {
+         |    $h ^= ($bytes[$i] & 0xffL); $h *= 0x100000001b3L;
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -140,6 +140,39 @@ class DedupSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("native minhash/simhash: interpreted eval agrees with codegen") {
+    val docs = Seq(
+      (1L, Seq(11L, 22L, 33L, 44L), Seq("alpha", "beta", "gamma")),
+      (2L, Seq(22L, 33L), Seq("beta", "delta")),
+      (3L, Seq.empty[Long], Seq.empty[String])
+    ).toDF("id", "hashes", "toks")
+    def run() = docs.select(
+      Dedup.minHashSignatureFromHashes(col("hashes"), 8).as("mh"),
+      Dedup.simHash(concat_ws(" ", col("toks"))).as("sh")).collect()
+      .map(r => (r.getSeq[Long](0), r.getLong(1))).toSeq
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      assert(interp == gen)
+      // FNV golden: "" tokenizes to one empty token whose FNV-1a hash
+      // is the offset basis, so the signature IS the basis
+      assert(interp(2)._2 == 0xcbf29ce484222325L)
+      // minhash golden: no shingles -> all-Long.MaxValue signature
+      assert(interp(2)._1.forall(_ == Long.MaxValue))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("ShingleHash preserves the equality structure of string shingles") {
     // jaccard over hashed windows must equal jaccard over the string
     // n-grams (collisions aside) — the property the dedup family relies on
