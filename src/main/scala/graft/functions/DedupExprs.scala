@@ -131,3 +131,56 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Nearest-centroid assignment for the IVF index: argmin over
+  * `nCentroids` of squared L2 distance. `centroids` is row-major
+  * [centroid][dim], length nCentroids*dim — one primitive loop per
+  * vector inside whole-stage codegen (was a Seq[Double]-boxing UDF).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Double],
+                           nCentroids: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.length == nCentroids * dim && nCentroids > 0)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nCentroids) {
+      var d = 0.0; var i = 0; val off = c * dim
+      while (i < n) { val t = x.getDouble(i) - centroids(off + i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctr = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $nCentroids; $c++) {
+         |  double $d = 0.0; int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $v.getDouble($i) - $ctr[$off + $i]; $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}

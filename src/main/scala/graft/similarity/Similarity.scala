@@ -112,24 +112,19 @@ object Similarity {
     */
   final class IvfIndex(val centroids: Array[Array[Double]]) extends Serializable {
 
-    def assignUdf = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var i = 0
-        val ctr = centroids(c)
-        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
     /** Corpus with its inverted-list assignment (persist/partition by
-      * `centroid` for repeated querying). */
-    def assign(corpus: DataFrame, vecCol: String): DataFrame =
+      * `centroid` for repeated querying). Assignment is the native
+      * [[graft.functions.NearestCentroid]] kernel — one codegen'd
+      * argmin loop per vector. */
+    def assign(corpus: DataFrame, vecCol: String): DataFrame = {
+      val dim = centroids(0).length
       corpus.withColumn("centroid",
-        assignUdf(col(vecCol).cast("array<double>")))
+        org.apache.spark.sql.GraftSqlShims.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.GraftSqlShims.expression(
+              col(vecCol).cast("array<double>")),
+            centroids.flatten, centroids.length, dim)))
+    }
 
     def nearestCentroids(v: Seq[Double], nprobe: Int): Seq[Int] =
       centroids.zipWithIndex.map { case (c, i) =>
