@@ -158,6 +158,32 @@ object LifecycleQueries {
               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type)"""))
 
+  /** EV4: as-of join — each click event attaches the most recent
+    * prior view's value for the same user (backward, tie-inclusive).
+    * Oracled against DuckDB's NATIVE ASOF JOIN, so the operator's
+    * semantics are pinned to an engine that has it built in. The
+    * nanosecond ts column stays internal (Long on the Spark side,
+    * TIMESTAMP in DuckDB — excluded from the compared output).
+    */
+  val ev4Asof = QueryDef(
+    "ev4_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("value").as("vv"))
+      graft.operators.AsofJoin.backward(clicks, views,
+        Seq("user_id"), "ts", "vts", Seq("vv" -> "last_view_value"))
+        .select("event_id", "user_id", "value", "last_view_value")
+    },
+    Some("""SELECT l.event_id, l.user_id, l.value,
+        r.value AS last_view_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts"""))
+
   /** SK1: skew-safe two-stage salted aggregation — must equal the
     * direct groupBy (the oracle) while spreading hot keys over many
     * reducers.
@@ -173,6 +199,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions,
+  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions, ev4Asof,
     ev3Json, sk1Salted)
 }
