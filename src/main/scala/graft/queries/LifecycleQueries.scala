@@ -184,6 +184,34 @@ object LifecycleQueries {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
         ON l.user_id = r.user_id AND l.ts >= r.ts"""))
 
+  /** RJ1: range join — lineitem prices against per-size price bands
+    * ([size·500, size·500+2000]); the binned equi-join plan replaces
+    * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
+    * Aggregated per band; the price sum rides in exact integer cents
+    * so no engine rounding is on the compare path.
+    */
+  val rj1Range = QueryDef(
+    "rj1_range_join",
+    (s, dir) => {
+      val pts = table(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("x"))
+      val bands = table(s, dir, "part").select(col("p_size")).distinct()
+        .withColumn("lo", col("p_size") * 500.0)
+        .withColumn("hi", col("p_size") * 500.0 + 2000.0)
+      graft.operators.RangeJoin.binned(pts, "x", bands, "lo", "hi",
+        binWidth = 2000.0)
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 100).cast("long")).as("sum_cents"))
+    },
+    Some("""SELECT p.p_size, count(*) AS n,
+        CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM lineitem l
+      JOIN (SELECT DISTINCT p_size FROM part) p
+        ON l.l_extendedprice >= p.p_size * 500.0
+       AND l.l_extendedprice <= p.p_size * 500.0 + 2000.0
+      GROUP BY 1"""))
+
   /** SK1: skew-safe two-stage salted aggregation — must equal the
     * direct groupBy (the oracle) while spreading hot keys over many
     * reducers.
@@ -199,6 +227,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions, ev4Asof,
+  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }
