@@ -184,6 +184,58 @@ object LifecycleQueries {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
         ON l.user_id = r.user_id AND l.ts >= r.ts"""))
 
+  /** H2: the BUCKETED harvest lifecycle — same two-pass harvest as h1
+    * but accumulated through a bucketBy+sortBy catalog table, whose
+    * merges stream the store side with no exchange. Same oracle as the
+    * direct computation, so the bucketed path is driver-gate-checked.
+    */
+  val h2Bucketed = QueryDef(
+    "h2_bucketed_harvest",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def sweep(flags: Seq[String]) = li
+        .filter(col("l_returnflag").isin(flags: _*))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("qty"))
+      s.sql("DROP TABLE IF EXISTS graft_h2_store")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/graft_h2_store")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val bs = new graft.store.BucketedStore(s, "graft_h2_store",
+        Seq("l_returnflag", "l_linestatus"), nBuckets = 4)
+      bs.mergeIn(sweep(Seq("A", "N")))
+      bs.mergeIn(sweep(Seq("R")))
+      bs.load()
+    },
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2"""))
+
+  /** M6: merge-all — three disjoint-variable stores folded into one
+    * aligned frame (merge(ds1, ds2, ds3) in the reference).
+    */
+  val m6MergeAll = QueryDef(
+    "m6_merge_all",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val a = li.groupBy("l_returnflag").agg(sum("l_quantity").as("qty"))
+      val b = li.filter(col("l_linestatus") === "O")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_open"))
+      val c = li.filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_large"))
+      graft.store.Merge.mergeAll(Seq(a, b, c), Seq("l_returnflag"))
+    },
+    Some("""SELECT COALESCE(a.l_returnflag, b.l_returnflag, c.l_returnflag)
+          AS l_returnflag, a.qty, b.n_open, c.n_large
+      FROM (SELECT l_returnflag, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY 1) a
+      FULL JOIN (SELECT l_returnflag, count(*) AS n_open
+            FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1) b
+        ON a.l_returnflag = b.l_returnflag
+      FULL JOIN (SELECT l_returnflag, count(*) AS n_large
+            FROM lineitem WHERE l_quantity > 25 GROUP BY 1) c
+        ON COALESCE(a.l_returnflag, b.l_returnflag) = c.l_returnflag"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -227,6 +279,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, m6MergeAll, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }
