@@ -236,6 +236,29 @@ object LifecycleQueries {
             FROM lineitem WHERE l_quantity > 25 GROUP BY 1) c
         ON COALESCE(a.l_returnflag, b.l_returnflag) = c.l_returnflag"""))
 
+  /** IO2: csv round-trip — write a projected subset as csv, read it
+    * back (schema inference), aggregate; must equal the aggregate over
+    * the original parquet. Counts and exact integer-cents sums keep
+    * the text round-trip on the compare path without float rounding.
+    */
+  val io2Csv = QueryDef(
+    "io2_csv_roundtrip",
+    (s, dir) => {
+      val sub = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val path = freshDir("io2")
+      graft.store.IO.save(sub, path, "csv")
+      graft.store.IO.load(s, path, "csv").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+        sum(col("l_orderkey")).as("sum_key"))
+    },
+    Some("""SELECT count(*) AS n,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+      FROM lineitem WHERE l_returnflag = 'R'"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -279,6 +302,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, m6MergeAll, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }
