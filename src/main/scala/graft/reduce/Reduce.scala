@@ -43,9 +43,12 @@ object Reduce {
     */
   def exactQuantiles(df: DataFrame, keep: Seq[String], value: String,
                      qs: Seq[(String, Double)]): DataFrame = {
-    require(keep.nonEmpty, "exactQuantiles needs grouping keys " +
-      "(global exact quantiles: use percentile/median directly)")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
+    if (keep.isEmpty)
+      // global = one constant group. (Edge difference vs the builtin:
+      // an EMPTY input yields an empty frame here, not one NULL row.)
+      return exactQuantiles(df.withColumn("__g", lit(1)), Seq("__g"),
+        value, qs).drop("__g")
     val keyCols = keep.map(col)
     // count(value) counts non-nulls, so a NULL-value row compacts to a
     // group row with __c = 0: it keeps its group alive through the

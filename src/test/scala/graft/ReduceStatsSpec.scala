@@ -29,6 +29,11 @@ class ReduceSpec extends SparkSpec {
       (g, v)
     } :+ (("solo", java.lang.Double.valueOf(42.0)))
     val df = rows.toDF("k", "v")
+    // global (no keys) form agrees with the builtin global percentile
+    val g = Reduce.exactQuantiles(df, Nil, "v", Seq("p" -> 0.5))
+      .collect()(0).getDouble(0)
+    val gb = df.agg(expr("percentile(v, 0.5)")).collect()(0).getDouble(0)
+    assert(java.lang.Double.compare(g, gb) == 0)
     for (q <- Seq(0.0, 0.25, 0.5, 1.0 / 3.0, 0.9, 1.0)) {
       val builtin = df.groupBy("k").agg(expr(s"percentile(v, $q)").as("p"))
         .collect().map(r => r.getString(0) ->
