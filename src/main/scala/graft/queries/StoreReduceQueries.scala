@@ -199,6 +199,24 @@ object StoreReduceQueries {
     Some("""SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem WHERE l_orderkey % 7 = 3"""))
 
+  /** A8b: top-3 orders by total price per priority class — the
+    * WindowGroupLimit path (partial per-partition top-k before the
+    * exchange). Orderkey tiebreak keeps it deterministic; prices pass
+    * through untouched so the compare is bit-exact from parquet.
+    */
+  val a8TopK = QueryDef(
+    "a8_topk_per_group",
+    (s, dir) => Reduce.topKPerGroup(
+      table(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3),
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3"""))
+
   /** S3: pairwise covariance matrix in a single aggregation pass. */
   val s3Cov = QueryDef(
     "s3_covariance_matrix",
@@ -264,5 +282,5 @@ object StoreReduceQueries {
 
   val all: Seq[QueryDef] = Seq(p2Melt, f3Trimna, m12Align,
     m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a3Std, a4Stderr,
-    a5Hist, a6Range, e7Sample, s1Welford, s2Cov, s3Cov)
+    a5Hist, a6Range, a8TopK, e7Sample, s1Welford, s2Cov, s3Cov)
 }

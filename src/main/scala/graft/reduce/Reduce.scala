@@ -189,6 +189,20 @@ object Reduce {
               xValues: Seq[Any] = Nil): DataFrame =
     graft.collect.Collect.dense(df, Seq(y), x, z, xValues)
 
+  /** Top-k rows per group by an explicit ordering (include a unique
+    * tiebreaker column for determinism). row_number + rank-filter is
+    * the shape Spark's WindowGroupLimit optimizer rewrites into a
+    * per-partition PARTIAL top-k BEFORE the exchange — only k rows per
+    * group per input partition shuffle, so a top-3-of-billions query
+    * moves ~3×partitions rows, not the table. */
+  def topKPerGroup(df: DataFrame, keep: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame = {
+    require(k > 0)
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keep.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** P6: jitter — additive gaussian noise (plot/core.py:389-408). */
   def jitter(df: DataFrame, column: String, scale: Double, seed: Long): DataFrame =
     df.withColumn(column, col(column) + randn(seed) * scale)

@@ -36,6 +36,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("a8_topk_per_group: partial top-k (WindowGroupLimit) before the exchange") {
+    val p = plan("a8_topk_per_group")
+    // two instances: per-partition partial + post-shuffle final — only
+    // k rows per group per input partition ever reach the exchange
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).length == 2, p)
+  }
+
   test("e3_cross_expand: grid expansion is broadcast, no shuffle exchange") {
     val p = plan("e3_cross_expand")
     assert(p.contains("BroadcastNestedLoopJoin"))
