@@ -9,7 +9,9 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "e3_cross_expand", "m9_missing_cases",
-        "m1_merge_outer", "n1_knn_cosine", "ev2_sessionization")
+        "m1_merge_outer", "n1_knn_cosine", "ev2_sessionization",
+        "a1_median_agg", "a8_topk_per_group", "ev4_asof_join",
+        "rj1_range_join")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
