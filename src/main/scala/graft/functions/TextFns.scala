@@ -116,6 +116,25 @@ object TextFns {
     array_distinct(transform(sequence(lit(0), nWin - 1),
       i => array_min(slice(hashes, i + 1, lit(w)))))
   }
+
+  /** Corpus term statistics: per document, its dominant term (highest
+    * term frequency, lexicographic tiebreak) with that term's document
+    * frequency — the integer core of TF-IDF, kept float-free so it is
+    * exactly reproducible. Shapes for scale: the term explode
+    * aggregates with map-side combine, the per-doc argmax rides the
+    * WindowGroupLimit partial top-k, and the df attach is a plain
+    * equi-join on the term.
+    */
+  def termStats(docs: org.apache.spark.sql.DataFrame,
+                idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    graft.reduce.Reduce.topKPerGroup(tf, Seq(idCol),
+        Seq(col("tf").desc, col("term").asc), k = 1)
+      .join(df, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("df"))
+  }
 }
 
 /** Event-time helpers — the events table ships TIMESTAMP(NANOS), read

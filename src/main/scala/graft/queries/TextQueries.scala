@@ -69,6 +69,24 @@ object TextQueries {
       md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
       FROM documents"""))
 
+  /** T5: per-doc dominant term + its corpus document frequency — the
+    * integer (float-free, exactly reproducible) core of TF-IDF.
+    */
+  val t5TermStats = QueryDef(
+    "t5_term_stats",
+    (s, dir) => TextFns.termStats(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH toks AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      top AS (SELECT doc_id, term, tf FROM (
+        SELECT doc_id, term, tf, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tf DESC, term) AS rn FROM tf)
+        WHERE rn = 1)
+      SELECT t.doc_id, t.term, t.tf, d.df
+      FROM top t JOIN dfreq d USING (term)"""))
+
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
     "d1_exact_dedup",
@@ -238,7 +256,7 @@ object TextQueries {
     None)
 
   val all: Seq[QueryDef] = Seq(
-    t1Tokens, t2Quality, t3LangId, t4Fingerprint, d1Exact, d2Jaccard,
+    t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode)
 }
