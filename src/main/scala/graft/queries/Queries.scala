@@ -143,6 +143,24 @@ object Queries {
       CROSS JOIN (SELECT unnest(range(0, 1000)) AS b) b
       GROUP BY 1"""))
 
+  /** C6: explicit CASES (non-Cartesian point list) × combos evaluated
+    * through the same Runner — xyzpy's cases+combos product where the
+    * cases are individually enumerated coordinates.
+    */
+  val c6Cases = QueryDef(
+    "c6_case_runs",
+    (s, _) => {
+      val cases = CaseSpec(Seq("x", "y"),
+        Seq(Seq(1L, 10L), Seq(2L, 10L), Seq(5L, 40L)))
+      val combos = ComboSpec.of("m" -> Seq(2L, 3L))
+      Runner.ofColumns("z" -> (col("x") * col("m") + col("y")))
+        .runCombos(s, combos, Some(cases))
+    },
+    Some("""SELECT CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+      CAST(m.m AS BIGINT) AS m, CAST(c.x * m.m + c.y AS BIGINT) AS z
+      FROM (VALUES (1, 10), (2, 10), (5, 40)) c(x, y)
+      CROSS JOIN (SELECT unnest([2,3]) AS m) m"""))
+
   /** V6: error-tolerant evaluation — a sweep whose function throws on
     * one grid point; the failed cell carries the error string and a
     * NULL value instead of killing the sweep (xyzpy allow_error).
@@ -228,7 +246,7 @@ object Queries {
   // ------------------------------------------------------------ registry
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, v6Tolerant, m9Missing, c1Dense,
+    q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, v6Tolerant, c6Cases, m9Missing, c1Dense,
     c2Explode) ++ StoreReduceQueries.all ++ TextQueries.all ++
     LifecycleQueries.all ++ ComplexQueries.all
 
