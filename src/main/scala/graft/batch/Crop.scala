@@ -28,7 +28,8 @@ final class Crop(val spark: SparkSession, val dir: String,
   private def fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def isSown: Boolean = fs.exists(new org.apache.hadoop.fs.Path(pendingPath))
+  def isSown: Boolean = // root _SUCCESS = sow's job actually committed
+    fs.exists(new org.apache.hadoop.fs.Path(pendingPath, "_SUCCESS"))
   def hasResults: Boolean = fs.exists(new org.apache.hadoop.fs.Path(resultsPath))
 
   /** B2 `choose_batch_settings` (cropping.py:236-288): exactly one of
@@ -87,22 +88,53 @@ final class Crop(val spark: SparkSession, val dir: String,
     * is the partition column, so batch discovery is a metadata
     * operation, not a table scan (a Spark job over the data paid ~4
     * scans per lifecycle; at scale, listing beats scanning by the size
-    * of the store). Partition dirs appear atomically at job commit, so
-    * a listed id is a committed batch. */
-  private def partitionIds(path: String): Seq[Long] = {
+    * of the store).
+    *
+    * Directory presence alone is NOT commit evidence: with
+    * FileOutputCommitter algorithm v2 (or direct-write committers)
+    * task-committed partition dirs become visible mid-job, so after a
+    * crashed grow a partially-written partition would look complete
+    * and be skipped forever. Result partitions therefore only count
+    * once their `_GRAFT_OK` marker exists — written by grow AFTER the
+    * write job returns (job-commit success), deleted by the dynamic
+    * partition overwrite on regrowth. The leading underscore keeps the
+    * marker invisible to parquet readers. */
+  private val marker = "_GRAFT_OK"
+
+  private def listIds(path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong).sorted
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong, s.getPath))
+      .sortBy(_._1)
   }
 
-  def batchIds(): Seq[Long] = partitionIds(pendingPath)
+  private def markCommitted(ids: Seq[Long]): Unit =
+    ids.foreach { id =>
+      val d = new org.apache.hadoop.fs.Path(s"$resultsPath/batch_id=$id")
+      // a zero-row batch writes no dir — leave it missing, don't mint one
+      if (fs.exists(d))
+        fs.create(new org.apache.hadoop.fs.Path(d, marker), true).close()
+    }
+
+  /** Pending ids: sow is a single overwrite job, so its root `_SUCCESS`
+    * (standard committer job-commit marker) gates the whole listing. */
+  def batchIds(): Seq[Long] =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pendingPath, "_SUCCESS")))
+      Seq.empty
+    else listIds(pendingPath).map(_._1)
+
+  /** Committed result ids — dirs carrying the job-commit marker. */
+  private def committedResultIds(): Seq[Long] =
+    listIds(resultsPath).collect {
+      case (id, p) if fs.exists(new org.apache.hadoop.fs.Path(p, marker)) => id
+    }
 
   /** Batch ids with no results yet — the resume set (B1
     * `missing_results`). */
   def missingBatches(): Seq[Long] = {
-    val done = partitionIds(resultsPath).toSet
+    val done = committedResultIds().toSet
     batchIds().filterNot(done)
   }
 
@@ -118,6 +150,7 @@ final class Crop(val spark: SparkSession, val dir: String,
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(resultsPath)
+    markCommitted(Seq(batchId))
   }
 
   /** Grow every still-missing batch, one job per batch (resume-aware
@@ -143,6 +176,7 @@ final class Crop(val spark: SparkSession, val dir: String,
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(resultsPath)
+      markCommitted(todo)
     }
     todo
   }

@@ -114,8 +114,15 @@ object Dedup {
     // sorted = the global canonical order for prefix filtering (any total
     // order is correct; value order needs no df-statistics pass)
     val sh = hashedShingles(df, idCol, textCol, n, blockCols, sorted = true)
-    val prefixLen = (size(col("h")) - ceil(size(col("h")) * threshold) + 1)
-      .cast("int")
+    // ε inside the ceil: when t·s is exactly integral but the IEEE
+    // product lands a hair above the integer, a bare ceil would yield
+    // ⌈t·s⌉+1 and shorten the prefix below the recall bound; 1e-9 ≫
+    // the product's rounding error (≤ ~1e-10 for s ≤ 1e6) and ≪ any
+    // genuine fractional part, so the prefix is never too short (at
+    // worst one element longer when t·s sits within ε of an integer)
+    val prefixLen =
+      (size(col("h")) - ceil(size(col("h")) * threshold - lit(1e-9)) + 1)
+        .cast("int")
     val toks = sh.select(blockCols.map(col) :+ col("id") :+
       explode(slice(col("h"), lit(1), prefixLen)).as("t"): _*)
     val joinKeys = blockCols :+ "t"

@@ -140,22 +140,32 @@ object LifecycleQueries {
       FROM sess GROUP BY user_id"""))
 
   /** EV3: JSON property extraction from the events props column.
-    * mean_k rounds in integer space (k is a non-negative int, so the
-    * sum is exact and half-up = floor((2·10⁴·s + n)/(2n)) — the same
-    * tie-free treatment as ev1's mean).
+    * mean_k rounds in integer space (k is an int, so the sum is exact
+    * and half-up = floor((2·10⁴·s + nk)/(2nk)) — the same tie-free
+    * treatment as ev1's mean). The denominator is count(k), the
+    * NON-NULL count, so rows whose props lack '$.k' don't dilute the
+    * mean (upstream mean semantics). Spark's `div` truncates toward
+    * zero where DuckDB's `//` floors, so the Spark side subtracts
+    * `pmod` first — exact floor division for negative sums too.
     */
   val ev3Json = QueryDef(
     "ev3_json_props",
     (s, dir) => table(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-      .withColumn("mean_k",
-        expr("(20000 * sum_k + n) div (2 * n)") / lit(1e4)),
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        count(col("k")).as("__nk"))
+      .withColumn("mean_k", when(col("__nk") > 0,
+        expr("""(20000 * sum_k + __nk
+                 - pmod(20000 * sum_k + __nk, 2 * __nk)) div (2 * __nk)""")
+          / lit(1e4)))
+      .drop("__nk"),
     Some("""SELECT event_type, n, sum_k,
-        ((20000 * sum_k + n) // (2 * n)) / 10000.0 AS mean_k
+        CASE WHEN nk > 0
+             THEN ((20000 * sum_k + nk) // (2 * nk)) / 10000.0 END AS mean_k
       FROM (SELECT event_type, count(*) AS n,
-              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              count(CAST(json_extract(props, '$.k') AS BIGINT)) AS nk
             FROM events GROUP BY event_type)"""))
 
   /** EV4: as-of join — each click event attaches the most recent
@@ -174,14 +184,19 @@ object LifecycleQueries {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("vts"),
           col("value").as("vv"))
+      // tiebreak pins which of two hypothetical equal-(user, ts) views
+      // wins (max value) — the oracle dedupes the same way, so the
+      // compare stays deterministic even if the data ever gains ties
       graft.operators.AsofJoin.backward(clicks, views,
-        Seq("user_id"), "ts", "vts", Seq("vv" -> "last_view_value"))
+        Seq("user_id"), "ts", "vts", Seq("vv" -> "last_view_value"),
+        tiebreak = Seq("last_view_value"))
         .select("event_id", "user_id", "value", "last_view_value")
     },
     Some("""SELECT l.event_id, l.user_id, l.value,
-        r.value AS last_view_value
+        r.vv AS last_view_value
       FROM (SELECT * FROM events WHERE event_type = 'click') l
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS vv
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
         ON l.user_id = r.user_id AND l.ts >= r.ts"""))
 
   /** H2: the BUCKETED harvest lifecycle — same two-pass harvest as h1

@@ -39,6 +39,37 @@ class AsofJoinSpec extends SparkSpec {
       ("u2", 14L, Some(9.0)), ("u3", 50L, None)))
   }
 
+  test("NULL payload on the matched row stays NULL; multi-payload " +
+    "columns resolve to the SAME right row") {
+    // newest matching quote has a NULL value — true ASOF picks that
+    // row and returns NULL, never falls back to the older 1.0
+    val q = Seq(("u1", 10L, Option(1.0), Option("a")),
+      ("u1", 20L, None: Option[Double], Option("b")),
+      ("u1", 30L, Option(3.0), None: Option[String]))
+      .toDF("k", "rts", "qv", "tag")
+    val t = Seq(("u1", 25L), ("u1", 35L)).toDF("k", "lts")
+    val got = AsofJoin.backward(t, q, Seq("k"), "lts", "rts",
+      Seq("qv" -> "v", "tag" -> "g", "rts" -> "mts"))
+      .collect().map(r => (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      (25L, None, Some("b"), Some(20L)),   // matched row's qv IS null
+      (35L, Some(3.0), None, Some(30L)))) // ...and its tag IS null
+  }
+
+  test("tiebreak pins the row among duplicate (key, ts) right rows") {
+    val q = Seq(("u1", 10L, 5.0), ("u1", 10L, 2.0), ("u1", 10L, 9.0))
+      .toDF("k", "rts", "qv")
+    val t = Seq(("u1", 15L)).toDF("k", "lts")
+    val got = AsofJoin.backward(t, q, Seq("k"), "lts", "rts",
+      Seq("qv" -> "v"), tiebreak = Seq("v")).collect()
+    assert(got.map(_.getDouble(2)).toSeq == Seq(9.0)) // max under asc order
+    val fwd = AsofJoin.forward(t.withColumn("lts", lit(5L)), q,
+      Seq("k"), "lts", "rts", Seq("qv" -> "v"), tiebreak = Seq("v"))
+      .collect()
+    assert(fwd.map(_.getDouble(2)).toSeq == Seq(9.0))
+  }
+
   test("randomized parity with a brute-force as-of; one exchange total") {
     val rnd = new scala.util.Random(23)
     val l = (0 until 400).map(_ =>
