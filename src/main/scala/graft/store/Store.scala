@@ -32,10 +32,16 @@ object Merge {
   /** Full-outer merge of two long-form stores on `keys`.
     *
     * Value columns present in both sides are coalesced per `mode`;
-    * one-sided columns pass through. With `NoConflicts` a one-pass
-    * pre-flight aggregation counts conflicting cells and raises a
-    * [[MergeConflictException]] naming the first offending keys
-    * (xyzpy `compat="no_conflicts"`, farming.py:655-661).
+    * one-sided columns pass through. With `NoConflicts` the conflict
+    * assert rides INSIDE the data pass: each shared cell is wrapped in
+    * `when(conflict, raise_error(keys)).otherwise(coalesce)`, so the
+    * full-outer join executes exactly ONCE (no pre-flight probe job —
+    * at 100 TB a separate probe would shuffle the entire store twice)
+    * and a conflicting cell fails the materializing action loudly,
+    * naming the column and the offending key values
+    * (xyzpy `compat="no_conflicts"`, farming.py:655-661). Store-level
+    * entry points ([[ParquetStore.mergeIn]]) rethrow that runtime
+    * error as a typed [[MergeConflictException]].
     */
   def merge(old: DataFrame, neu: DataFrame, keys: Seq[String],
             mode: Mode = NoConflicts): DataFrame = {
@@ -48,32 +54,52 @@ object Merge {
     val n = neuVals.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
     val joined = o.join(n, keys, "full_outer")
 
-    if (mode == NoConflicts && shared.nonEmpty) {
-      val conflict = shared.map { c =>
-        (col(s"__o_$c").isNotNull && col(s"__n_$c").isNotNull &&
-          col(s"__o_$c") =!= col(s"__n_$c")).cast("int")
-      }.reduce(_ + _) > 0
-      val bad = joined.filter(conflict).select(keys.map(col): _*).limit(5)
-        .collect()
-      if (bad.nonEmpty)
-        throw new MergeConflictException(
-          s"merge would overwrite differing values at keys: " +
-            bad.map(_.toSeq.mkString("(", ",", ")")).mkString(", "))
-    }
-
     val valueCols =
       shared.map { c =>
         val (a, b) = mode match {
           case OldWins => (s"__o_$c", s"__n_$c")
-          case _       => (s"__n_$c", s"__o_$c") // NewWins; NoConflicts asserted disjoint
+          case _       => (s"__n_$c", s"__o_$c") // NewWins; NoConflicts guarded below
         }
-        coalesce(col(a), col(b)).as(c)
+        val merged = coalesce(col(a), col(b))
+        if (mode == NoConflicts) {
+          // per-cell guard: evaluated in the same (single) join pass as
+          // the coalesce itself, so no second execution of the join.
+          // raise_error's NullType coerces to the cell type under when.
+          val conflict = col(a).isNotNull && col(b).isNotNull &&
+            col(a) =!= col(b)
+          when(conflict, raise_error(concat(
+            lit(s"$conflictTag '$c' at keys ("),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+            lit(")"))))
+            .otherwise(merged).as(c)
+        } else merged.as(c)
       } ++
         oldVals.filterNot(shared.contains).map(c => col(s"__o_$c").as(c)) ++
         neuVals.filterNot(shared.contains).map(c => col(s"__n_$c").as(c))
 
     joined.select(keys.map(col) ++ valueCols: _*)
   }
+
+  /** Marker prefix of the in-plan conflict `raise_error` message; the
+    * store entry points use it to recognize and retype the failure. */
+  val conflictTag = "graft merge conflict on"
+
+  /** Run `action`; if a NoConflicts `raise_error` guard fired anywhere
+    * in the cause chain, rethrow it as a typed
+    * [[MergeConflictException]] carrying the column + offending keys. */
+  def orConflict[T](action: => T): T =
+    try action catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && m.contains(conflictTag))
+            throw new MergeConflictException(
+              m.substring(m.indexOf(conflictTag)).takeWhile(_ != '\n'))
+          c = c.getCause
+        }
+        throw e
+    }
 
   /** M6: fold-merge N stores (conflict datasets glob,
     * manage.py:349-402). */
@@ -134,8 +160,10 @@ final class ParquetStore(val spark: SparkSession, val path: String,
   def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
     if (!exists) writer(neu).parquet(path)
     else {
-      // materialize the merge before overwriting what it reads from
-      val merged = Merge.merge(load(), neu, keys, mode).localCheckpoint()
+      // materialize the merge before overwriting what it reads from;
+      // this is also where a NoConflicts guard fires → typed rethrow
+      val merged = Merge.orConflict(
+        Merge.merge(load(), neu, keys, mode).localCheckpoint())
       replaceWith(merged)
     }
 
@@ -202,7 +230,8 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     if (!exists) write(neu, SaveMode.ErrorIfExists)
     else {
       // materialize before the overwrite that invalidates what it reads
-      val merged = Merge.merge(load(), neu, keys, mode).localCheckpoint()
+      val merged = Merge.orConflict(
+        Merge.merge(load(), neu, keys, mode).localCheckpoint())
       write(merged, SaveMode.Overwrite)
     }
 

@@ -25,8 +25,34 @@ class MergeSpec extends SparkSpec {
   }
 
   test("M1 NoConflicts: raises on differing non-null overlap (farming.py:655-661)") {
-    assertThrows[MergeConflictException](
-      Merge.merge(oldDF, newDF, Seq("k"), Merge.NoConflicts).collect())
+    val e = intercept[MergeConflictException](Merge.orConflict(
+      Merge.merge(oldDF, newDF, Seq("k"), Merge.NoConflicts).collect()))
+    // the in-plan raise_error names the column and the offending key
+    assert(e.getMessage.contains("'v'"), e.getMessage)
+    assert(e.getMessage.contains("(2)"), e.getMessage)
+  }
+
+  test("M1 NoConflicts: the conflict assert rides the single join pass (no probe job)") {
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Merge.merge(oldDF, newDF, Seq("k"), Merge.NoConflicts)
+      // flush the async listener bus with one marker job (plain RDD
+      // action = exactly one job, no AQE stage jobs): events are
+      // delivered in order, so once it lands any merge job would too
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      // building the merge plan must launch ZERO jobs (only the marker
+      // shows) — the old pre-flight probe collect()ed the join once and
+      // let the caller recompute it, doubling the shuffle at store scale
+      assert(jobs == 1, s"merge construction ran ${jobs - 1} job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("M1 NoConflicts: passes when overlap values agree or are null") {
