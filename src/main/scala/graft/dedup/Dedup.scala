@@ -354,20 +354,88 @@ object Dedup {
       .select(col("id").as("drop_id"), col("cluster").as("kept_id"))
 
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
-    * by chunk-banding (pigeonhole: 4 chunks of 16 bits — any pair with
-    * distance ≤ 3 shares a chunk). Verification via bit_count(xor).
+    * by chunk-banding (pigeonhole: 4 chunks — any pair with distance
+    * ≤ 3 shares a chunk). Verification via bit_count(xor).
     */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(
-        c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "ck")))
-    val l = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+                        maxDist: Int = 3,
+                        bucketCap: Int = 100000): DataFrame =
+    simHashPairsFromSigs(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig")),
+      maxDist, bucketCap)
+
+  /** Core banded Hamming self-join over `(id, sig)` rows, EXACT for
+    * `maxDist` ≤ 3 and scale-safe under skew via adaptive multi-index
+    * refinement (Manku et al., "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 §3 — more tables with longer keys for the
+    * crowded regions):
+    *
+    *  - level 1: band on 4 disjoint chunks of the signature
+    *    (pigeonhole: ≤ 3 differing bits leave ≥ 1 chunk intact). A
+    *    fixed chunk key space is 2^16 values, so at billions of rows
+    *    every bucket holds n/65k rows and a within-bucket join goes
+    *    quadratic.
+    *  - level 2: buckets larger than `bucketCap` are NOT self-joined
+    *    directly; their rows re-band on 4 sub-chunks of the REMAINING
+    *    bits. Conditional on chunk i matching, the ≤ 3 differing bits
+    *    all fall in the other bits, so pigeonhole applies again — a
+    *    qualifying pair shares (chunk, ck, sub, sv) in some refined
+    *    band. Key space per oversized bucket grows by 4·2^12, turning
+    *    n/65k-row buckets into ~n/256M-row ones; recall stays exact.
+    *
+    * The bucket-size census reuses the same (chunk, ck) exchange the
+    * small-bucket self-join needs — one extra map-side-combined agg,
+    * no extra shuffle of the data. Rows whose sigs are IDENTICAL in
+    * crowds (e.g. empty docs) still pair quadratically in the output;
+    * that is inherent to emitting all pairs, not a banding defect.
+    *
+    * @param bits signature width (64 for the FNV kernel; 60 for the
+    *             md5-oracle variant) — chunk boundaries derive from it
+    */
+  def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                           bucketCap: Int = 100000,
+                           bits: Int = 64): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole banding is exact only for maxDist <= 3")
+    require(bits >= 8 && bits <= 64)
+    val chunkW = (bits + 3) / 4
+    val chunkMask = (1L << chunkW) - 1
+    // per chunk i: (key, remaining-bits value) — the remainder packs
+    // the other three chunks contiguously so sub-banding can shift it
+    val entries = (0 until 4).map { i =>
+      val ck = shiftright(col("sig"), i * chunkW).bitwiseAND(chunkMask)
+      val others = (0 until 4).filter(_ != i).zipWithIndex.map {
+        case (j, pos) =>
+          shiftleft(shiftright(col("sig"), j * chunkW).bitwiseAND(chunkMask),
+            pos * chunkW)
+      }
+      struct(ck.as("ck"), others.reduce(_.bitwiseOR(_)).as("rem"))
+    }
+    val chunked = sigs
+      .select(col("id"), col("sig"), posexplode(array(entries: _*)).as(Seq("chunk", "e")))
+      .select(col("id"), col("sig"), col("chunk"),
+        col("e.ck").as("ck"), col("e.rem").as("rem"))
+    val counts = chunked.groupBy("chunk", "ck").agg(count(lit(1)).as("__bn"))
+    val tagged = chunked.join(counts, Seq("chunk", "ck"))
+
+    def pairsOn(d: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = d.select(keys.map(col) :+ col("id").as("id_a") :+ col("sig").as("sig_a"): _*)
+      val r = d.select(keys.map(col) :+ col("id").as("id_b") :+ col("sig").as("sig_b"): _*)
+      l.join(r, keys).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    }
+
+    val small = pairsOn(tagged.filter(col("__bn") <= bucketCap), Seq("chunk", "ck"))
+    val subW = (3 * chunkW + 3) / 4
+    val subMask = (1L << subW) - 1
+    val big = pairsOn(
+      tagged.filter(col("__bn") > bucketCap)
+        .select(col("id"), col("sig"), col("chunk"), col("ck"),
+          posexplode(array((0 until 4).map(k =>
+            shiftright(col("rem"), k * subW).bitwiseAND(subMask)): _*))
+            .as(Seq("sub", "sv"))),
+      Seq("chunk", "ck", "sub", "sv"))
+
+    small.union(big).distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

@@ -204,6 +204,57 @@ class DedupSpec extends SparkSpec {
     assert(m.get((5L, 200L)).contains(0))
     assert(m.contains((3L, 100L)) || m.contains((7L, 101L)) || m.contains((11L, 102L)))
   }
+
+  test("simhash refinement: forced-refined path emits the exact brute-force pair set") {
+    val rnd = new scala.util.Random(7)
+    // skewed corpus: chunk 0 (low 16 bits) constant over half the rows
+    // so its level-1 bucket is oversized; planted near-dups at ≤3 bits
+    val base = rnd.nextLong()
+    val sigs0 = (0 until 300).map { i =>
+      val s = if (i % 2 == 0) (rnd.nextLong() << 16) | (base & 0xFFFFL)
+              else rnd.nextLong()
+      (i.toLong, s)
+    }
+    val planted = Seq(
+      (1000L, sigs0(0)._2 ^ 1L),          // dist 1 inside the skewed chunk
+      (1001L, sigs0(2)._2 ^ (1L << 63)),  // dist 1 in the top chunk
+      (1002L, sigs0(4)._2 ^ (1L << 20) ^ (1L << 40) ^ (1L << 60))) // dist 3 spread
+    val all = sigs0 ++ planted
+    val sigs = all.toDF("id", "sig")
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    // cap 10 forces every skewed bucket through level-2 refinement
+    val got = Dedup.simHashPairsFromSigs(sigs, maxDist = 3, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(planted.forall(p => got.exists(t => t._2 == p._1)))
+  }
+
+  test("simhash refinement: oversized buckets re-band to bounded sub-buckets") {
+    val rnd = new scala.util.Random(11)
+    // 2000 rows all sharing chunk 0 — a degenerate hot bucket; other
+    // 48 bits random, so refined keys spread it ~2000/4096 per bucket
+    val sigs = (0 until 2000).map(i =>
+      (i.toLong, (rnd.nextLong() << 16) | 0xBEEFL)).toDF("id", "sig")
+    // reproduce the refined keying and assert max bucket size is tiny
+    val chunked = sigs.select(col("id"), col("sig"),
+      shiftright(col("sig"), 16).bitwiseAND((1L << 48) - 1).as("rem"))
+    val maxBucket = chunked
+      .select(posexplode(org.apache.spark.sql.functions.array((0 until 4).map(k =>
+        shiftright(col("rem"), k * 12).bitwiseAND(0xFFFL)): _*)).as(Seq("sub", "sv")))
+      .groupBy("sub", "sv").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 20, s"refined buckets not bounded: max=$maxBucket")
+    // and the full operator still finds the planted dup inside the crowd
+    val withDup = sigs.union(Seq((9999L, ((0x1234567890L << 16) | 0xBEEFL) ^ 2L))
+      .toDF("id", "sig"))
+    val base = Seq((8888L, (0x1234567890L << 16) | 0xBEEFL)).toDF("id", "sig")
+    val got = Dedup.simHashPairsFromSigs(withDup.union(base), bucketCap = 100)
+      .filter(col("id_a") === 8888L || col("id_b") === 8888L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((8888L, 9999L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
