@@ -241,6 +241,15 @@ object Dedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftSqlShims.expression(TextFns.tokens(textCol))))
 
+  /** 60-bit md5-hash SimHash variant — same vote semantics, but every
+    * ingredient is SQL-reproducible, so banded near-dup pairs over it
+    * are DuckDB-oracle-checkable (the FNV kernel above stays the
+    * throughput path). */
+  def simHashMd5(textCol: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.SimHashMd5(
+        org.apache.spark.sql.GraftSqlShims.expression(TextFns.tokens(textCol))))
+
   /** Connected components over near-dup pairs → (id, cluster) with
     * cluster = min id reachable. Below `driverMaxEdges` the whole
     * graph is union-found on the driver — near-dup edge sets are a

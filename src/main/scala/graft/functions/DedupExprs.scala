@@ -184,3 +184,80 @@ case class NearestCentroid(child: Expression, centroids: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
+
+/** MD5-derived 60-bit token hash shared with the DuckDB oracle: the
+  * first 15 hex chars of the digest (= the high 60 bits), which the
+  * oracle reproduces as `CAST('0x' || substr(md5(t),1,15) AS BIGINT)`.
+  * 60 bits (not 64) so the unsigned value always fits a signed BIGINT
+  * on both engines. Thread-local digest: no per-row allocation.
+  */
+object Md5Util {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def high60(bytes: Array[Byte]): Long = {
+    val md = tl.get(); md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+}
+
+/** 60-bit SimHash over tokens with the md5 token hash — semantics of
+  * [[SimHash64]] (±1 votes per bit, bit set when votes > 0) but every
+  * ingredient is reproducible in ANSI-ish SQL, so the result is
+  * DuckDB-oracle-checkable end to end (reference semantics:
+  * xyzpy-adjacent content dedup; hash choice is pluggable by design —
+  * FNV for raw speed, md5 for cross-engine verification).
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val h = Md5Util.high60(arr.getUTF8String(t).getBytes)
+      var b = 0
+      while (b < 60) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val t = ctx.freshName("t"); val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes"); val h = ctx.freshName("h")
+      val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $votes = new int[60];
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $h = graft.functions.Md5Util.high60($v.getUTF8String($t).getBytes());
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}

@@ -42,6 +42,14 @@ object VectorExprs {
     GraftSqlShims.column(RhpSig(expr(v), planes, nbits, dim))
   }
 
+  /** [[rhpSignature]] with caller-supplied planes (row-major
+    * [bit][dim], length nbits*dim). */
+  def rhpSignatureWith(v: Column, planes: Array[Double],
+                       nbits: Int, dim: Int): Column = {
+    require(nbits >= 1 && nbits <= 64 && planes.length == nbits * dim)
+    GraftSqlShims.column(RhpSig(expr(v), planes, nbits, dim))
+  }
+
   private def expr(c: Column): Expression = GraftSqlShims.expression(c)
 }
 

@@ -140,12 +140,42 @@ object TextQueries {
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
 
-  /** D4: SimHash near-dup candidates (Hamming ≤ 3 via chunk banding). */
+  /** D4: SimHash near-dup candidates (Hamming ≤ 3 via adaptive chunk
+    * banding). The registered query runs the md5-hash 60-bit sig so
+    * the oracle can recompute signatures in SQL and brute-force the
+    * Hamming-≤3 pair set — which also proves the banding's exact
+    * recall (pigeonhole) against an engine that doesn't band at all.
+    * The FNV kernel ([[Dedup.simHash]]) is the throughput path,
+    * spec-covered in DedupSpec.
+    */
   val d4SimHash = QueryDef(
     "d4_simhash",
-    (s, dir) => Dedup.simHashCandidates(table(s, dir, "documents"),
-      "doc_id", "text", maxDist = 3),
-    None)
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.simHashPairsFromSigs(
+        docs.select(col("doc_id").as("id"),
+          Dedup.simHashMd5(col("text")).as("sig")),
+        maxDist = 3, bits = 60)
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv
+        FROM toks
+      ), votes AS (
+        SELECT doc_id, b,
+          CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+               THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END AS bit
+        FROM h, (SELECT unnest(range(60)) AS b)
+        GROUP BY doc_id, b
+      ), sigs AS (
+        SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM votes GROUP BY doc_id
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3"""))
 
   /** N1: brute-force cosine top-5 for a 20-query set — exact ANN
     * baseline. Both engines compute the dot in DOUBLE, same order.
@@ -212,18 +242,60 @@ object TextQueries {
     "n2_embedding_lsh_pairs",
     // threshold 0.30: the synthetic embeddings top out at cosine ~0.51, so
     // a production-style 0.95 cut returns nothing here; 0.30 has ~1k true
-    // pairs at sf0.01 so the rows-only check is robustly >0. 8 bands of
-    // 8 bits (64-bit signature): the 256-bucket bands keep the random-
-    // collision floor ~0.4% per band (4-bit bands flood quadratically).
+    // pairs at sf0.01. md5-derived hyperplanes (60-bit sig, 6 bands of
+    // 10 bits = 1024 buckets/band, random-collision floor ~0.1%/band)
+    // make the signature SQL-reproducible: the oracle recomputes the
+    // planes, signatures, bands, candidates, and the exact-cosine
+    // verification — the full LSH pipeline checked end to end. Recall
+    // at τ=0.30 is intentionally low (sign-LSH is a high-threshold
+    // tool: at τ≥0.9 the same 10-bit bands give ~90% recall); the
+    // exact-pair baselines are d3/n3.
     (s, dir) => Similarity.lshCandidatePairs(
       table(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.30, nbits = 64, bands = 8),
-    None)
+      dim = 64, threshold = 0.30, nbits = 60, bands = 6,
+      planes = Some(Similarity.md5Planes(nbits = 60, dim = 64))),
+    Some("""WITH planes AS (
+        SELECT p, list_transform(range(64), j ->
+          (CAST('0x' || substr(md5('rhp:' || p || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+           / 1152921504606846976.0) * 2.0 - 1.0) AS pw
+        FROM (SELECT unnest(range(60)) AS p)
+      ), dots AS (
+        SELECT e.vec_id, pl.p,
+          CASE WHEN list_reduce(list_transform(range(64), j ->
+              e.embedding[(j+1)::INT]::DOUBLE * pl.pw[(j+1)::INT]), (x,y) -> x+y) >= 0
+            THEN (1::BIGINT << pl.p::INT) ELSE 0::BIGINT END AS bit
+        FROM embeddings e, planes pl
+      ), sigs AS (
+        SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM dots GROUP BY vec_id
+      ), banded AS (
+        SELECT vec_id, band, (sig >> (band*10)::INT) & 1023 AS bucket
+        FROM sigs, (SELECT unnest(range(6)) AS band)
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id
+      )
+      SELECT c.id_a, c.id_b,
+        ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.30"""))
 
   /** N4: IVF approximate kNN — driver-side probe selection, one
     * partition-pruned distributed scan for the whole query batch.
-    * Approximate (recall < 1 by design) → rows-only; the recall-vs-
-    * brute-force contract is spec-tested (SimilaritySpec).
+    * The oracle can't reproduce k-means, so the gate is a PLANTED
+    * evaluation (the standard ANN benchmark form): each query is an
+    * md5-noise perturbation of a corpus vector, making its true top-1
+    * the source vector at cosine ≈0.99 against a ≤0.51 background.
+    * The perturbation is SQL-reproducible, so the oracle computes the
+    * complete expected output — query id, matched neighbor, rounded
+    * cosine — and ANY probe-selection or list-scan defect (the two
+    * things IVF can get wrong) surfaces as a mismatched/missing row.
+    * (These uniform synthetic embeddings carry no cluster structure,
+    * so an un-planted recall@k gate would be noise-calibrated —
+    * planted top-1 has margin instead. Recall on structured data is
+    * spec-covered in SimilaritySpec.)
     */
   val n4Ivf = QueryDef(
     "n4_ivf_knn",
@@ -231,13 +303,28 @@ object TextQueries {
       val emb = table(s, dir, "embeddings")
       val idx = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
       val assigned = idx.assign(emb, "embedding").localCheckpoint()
-      val queries = emb.filter(col("vec_id") < 20)
+      val base = emb.filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = base.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"ivq:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
       idx.queryBatch(assigned, "vec_id", "embedding", queries,
-        k = 5, nprobe = 4)
+        k = 1, nprobe = 4)
     },
-    None)
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('ivq:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
   /** MM1: multimodal decode/feature plumbing end-to-end — binary
     * payloads (document text bytes standing in for image content)

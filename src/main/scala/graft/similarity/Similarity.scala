@@ -71,20 +71,49 @@ object Similarity {
   def rhpSignature(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
     graft.functions.VectorExprs.rhpSignature(v, dim, nbits, seed)
 
+  /** Hyperplanes derived from md5 instead of a seeded RNG: component
+    * (p, j) is the high 60 bits of `md5("tag:p:j")` mapped to [-1, 1).
+    * Every step (hash, long→double, /2⁶⁰, ×2, −1) is reproducible in
+    * plain SQL, so signatures — and therefore the banded candidate
+    * pairs — can be recomputed exactly by the DuckDB oracle. Uniform
+    * (not gaussian) components: for sign-projection LSH only the
+    * direction distribution matters, and coordinate-uniform directions
+    * preserve the collision-probability monotonicity the bands need.
+    */
+  def md5Planes(nbits: Int, dim: Int, tag: String = "rhp"): Array[Double] =
+    Array.tabulate(nbits * dim) { idx =>
+      val p = idx / dim; val j = idx % dim
+      val h = graft.functions.Md5Util.high60(
+        s"$tag:$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h.toDouble / 1.152921504606846976e18 * 2.0 - 1.0
+    }
+
+  /** [[rhpSignature]] with caller-supplied planes (row-major
+    * [bit][dim]) — the md5-plane oracle path and any externally
+    * trained projection both enter here. */
+  def rhpSignatureWith(v: Column, planes: Array[Double],
+                       nbits: Int, dim: Int): Column =
+    graft.functions.VectorExprs.rhpSignatureWith(v, planes, nbits, dim)
+
   /** LSH-bucketed approximate neighbor pairs: rows sharing a signature
     * band are candidates, verified with exact cosine ≥ `threshold`.
     * The scale path for all-pairs similarity (near-dup by embedding).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        nbits: Int = 32, bands: Int = 4): DataFrame = {
+                        nbits: Int = 32, bands: Int = 4,
+                        planes: Option[Array[Double]] = None): DataFrame = {
     // default 8-bit bands = 256 buckets/band: at high thresholds
     // (≥0.9) recall stays ~0.9 while candidate volume drops ~100×
     // versus 4-bit bands (16 buckets flood with collisions)
     val rows = nbits / bands
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val withSig = vecs.withColumn("sig", rhpSignature(col("v"), dim, nbits))
+    val sigCol = planes match {
+      case Some(pl) => rhpSignatureWith(col("v"), pl, nbits, dim)
+      case None     => rhpSignature(col("v"), dim, nbits)
+    }
+    val withSig = vecs.withColumn("sig", sigCol)
     // shuffle only (id, band, bucket) — vectors re-attach after the
     // candidate pairs are deduplicated
     val banded = withSig.select(col("id"),

@@ -173,6 +173,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash_md5: codegen == interpreted == cross-engine golden values") {
+    // goldens computed independently (python hashlib + the DuckDB
+    // oracle formula CAST('0x'||substr(md5(t),1,15) AS BIGINT)) — pin
+    // the exact cross-engine contract the d4 oracle relies on
+    val docs = Seq(
+      (1L, "hello world  foo"),
+      (2L, "hello world foo bar"),
+      (3L, "  x  "),
+      (4L, "hello world foo")).toDF("id", "text")
+    def run() = docs.select(Dedup.simHashMd5(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      assert(interp == gen)
+      assert(interp == Seq(565079723462632069L, 275582701153820676L,
+        710810379057940483L, 565079723462632069L), interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("ShingleHash preserves the equality structure of string shingles") {
     // jaccard over hashed windows must equal jaccard over the string
     // n-grams (collisions aside) — the property the dedup family relies on
