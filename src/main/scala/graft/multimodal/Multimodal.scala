@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `binary` payloads + typed metadata, processed by
   * partition-batched transforms.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch iteration shape — while the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries; a
-  * deployment drops in a real decoder with the same signature). The
-  * Scala analogue of `mapInPandas`: `mapPartitions` over an iterator
-  * of rows, so a decoder amortizes model/codec init per partition,
-  * not per row.
+  * The image path is REAL end to end: [[PngCodec]] produces and
+  * parses genuine PNG bytes (zlib, CRC-checked chunks) with only JVM
+  * built-ins, so [[decodeFeatures]] exercises an actual decode on the
+  * executors — no native libraries needed. The Scala analogue of
+  * `mapInPandas`: `mapPartitions` over an iterator of rows, so codec
+  * state is amortized per partition, not per row. Audio/video remain
+  * opaque-binary payloads processed by the same plumbing
+  * ([[sampleFrames]], [[resizeTo]]).
   */
 object Multimodal {
 
@@ -40,28 +41,42 @@ object Multimodal {
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
 
-  /** STUB decoder: a real deployment replaces this with an image
-    * codec. The fake is deterministic in the payload bytes: "decodes"
-    * dimensions and a fixed-length feature vector from a rolling hash
-    * — so pipelines exercising the plumbing have stable golden values.
+  /** Render a text/bytes column as real PNG media rows: the payload
+    * bytes become row-major grayscale pixels at the given `width`
+    * (zero-padded to fill the last row), PNG-encoded per row via
+    * [[PngCodec.encode]] in one `mapPartitions` pass. The ingest
+    * adapter for testing decode pipelines on data this container has
+    * (documents) — a production ingest would read `binaryFile`s
+    * instead; the downstream contract is identical.
     */
-  def fakeDecode(content: Array[Byte], featDim: Int): (Int, Int, Array[Float]) = {
-    var h = 1125899906842597L // FNV-ish rolling hash over the payload
-    var i = 0
-    while (i < content.length) { h = 31 * h + content(i); i += 1 }
-    val w = 16 + math.floorMod(h, 241).toInt
-    val ht = 16 + math.floorMod(h >> 8, 241).toInt
-    val feats = Array.tabulate(featDim) { d =>
-      val hd = h * (d * 2654435761L + 1)
-      (math.floorMod(hd, 2000003L) / 1000001.5f) - 1.0f
-    }
-    (w, ht, feats)
+  def encodeAsPng(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = math.max((bytes.length + width - 1) / width, 1)
+          val px = java.util.Arrays.copyOf(bytes, width * h)
+          (id, PngCodec.encode(px, width, h), width, h)
+        }
+      }
+      .toDF("media_id", "content", "width", "height")
+      .select(col("media_id"), lit("image").as("kind"), col("content"),
+        lit("image/png").as("mime"), col("width"), col("height"),
+        lit(null).cast("long").as("duration_ms"))
   }
 
   /** Decode + feature-extract over partition batches (the
     * `mapInPandas` shape): one iterator pass per partition, codec
-    * state initialized once per partition. Output keeps the id and
-    * adds (width, height, embedding).
+    * state initialized once per partition. A GENUINE decode — PNG
+    * signature/IHDR parse, zlib inflate, CRC checks — followed by a
+    * feature vector of `featDim` stripe means (mean pixel value of
+    * each contiguous 1/featDim slice of the image, exact integer sums
+    * divided in double, so the values are reproducible in SQL).
+    * Output keeps the id and adds (width, height, embedding).
     */
   def decodeFeatures(media: DataFrame, featDim: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -69,15 +84,22 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
     val idIdx = media.schema.fieldIndex("media_id")
     val cIdx = media.schema.fieldIndex("content")
     val rdd = media.queryExecution.toRdd.mapPartitions { it =>
-      // per-partition codec init happens HERE in a real decoder
+      // per-partition codec state would init HERE; PngCodec is static
       it.map { internal =>
         val id = internal.getLong(idIdx)
-        val content = internal.getBinary(cIdx)
-        val (w, h, feats) = fakeDecode(content, featDim)
+        val (w, h, px) = PngCodec.decode(internal.getBinary(cIdx))
+        val np = w * h
+        val feats = Array.tabulate(featDim) { d =>
+          val lo = (d.toLong * np / featDim).toInt
+          val hi = ((d + 1).toLong * np / featDim).toInt
+          var s = 0L; var i = lo
+          while (i < hi) { s += px(i) & 0xff; i += 1 }
+          if (hi > lo) s.toDouble / (hi - lo) else 0.0
+        }
         Row(id, w, h, feats.toSeq)
       }
     }

@@ -326,21 +326,41 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
-  /** MM1: multimodal decode/feature plumbing end-to-end — binary
-    * payloads (document text bytes standing in for image content)
-    * through the partition-batched stub codec. Deterministic but not
-    * SQL-expressible (wrapping 64-bit rolling hash) → rows-only.
+  /** MM1: multimodal decode end-to-end with a REAL image codec —
+    * document bytes are rendered into genuine PNGs (zlib IDAT,
+    * CRC-checked chunks) in one distributed pass, then a second
+    * distributed pass decodes them (signature/IHDR parse, inflate,
+    * unfilter) and extracts stripe-mean features. The oracle knows
+    * the pixel construction (text bytes zero-padded at width 64), so
+    * it recomputes dimensions and features straight from `documents`
+    * — matching proves the decode inverted the encode on real
+    * format bytes. Exact: integer pixel sums divided in double.
     */
   val mm1Decode = QueryDef(
     "mm1_decode_features",
     (s, dir) => {
-      val media = graft.multimodal.Multimodal.asMedia(
-        table(s, dir, "documents"), "doc_id", "text", "image", "application/octet-stream")
-      graft.multimodal.Multimodal.decodeFeatures(media, featDim = 16)
+      val media = graft.multimodal.Multimodal.encodeAsPng(
+        table(s, dir, "documents"), "doc_id", "text", width = 64)
+        .localCheckpoint() // materialize real PNG bytes; decode reads them back
+      graft.multimodal.Multimodal.decodeFeatures(
+        media.drop("width", "height"), featDim = 16)
         .select(col("media_id"), col("width"), col("height"),
-          round(element_at(col("embedding"), 1), 4).as("f0"))
+          element_at(col("embedding"), 1).as("f0"),
+          element_at(col("embedding"), 16).as("f15"))
     },
-    None)
+    Some("""WITH m AS (
+        SELECT doc_id, text, length(text) AS nb,
+          64 * GREATEST((length(text) + 63) // 64, 1) AS np
+        FROM documents)
+      SELECT doc_id AS media_id, 64 AS width,
+        CAST(GREATEST((nb + 63) // 64, 1) AS INT) AS height,
+        COALESCE(list_sum(list_transform(range(0, np // 16), i ->
+          CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) ELSE 0 END)), 0)::DOUBLE
+          / (np // 16) AS f0,
+        COALESCE(list_sum(list_transform(range(15 * np // 16, np), i ->
+          CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) ELSE 0 END)), 0)::DOUBLE
+          / (np - 15 * np // 16) AS f15
+      FROM m"""))
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,

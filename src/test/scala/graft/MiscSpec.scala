@@ -2,7 +2,7 @@ package graft
 
 import graft.collect.Collect
 import graft.functions.ComplexFns
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, PngCodec}
 import graft.store.IO
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -61,18 +61,56 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 50)
   }
 
-  test("decodeFeatures: deterministic stub decode, fixed feat dim") {
-    val f1 = Multimodal.decodeFeatures(media, featDim = 8)
+  test("PNG codec: encode/decode round-trip recovers exact pixels") {
+    val rnd = new scala.util.Random(3)
+    for ((w, h) <- Seq((1, 1), (64, 10), (7, 3))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val (dw, dh, dpx) = PngCodec.decode(PngCodec.encode(px, w, h))
+      assert((dw, dh) == (w, h) && dpx.toSeq == px.toSeq)
+    }
+  }
+
+  test("PNG codec: decodes externally-generated PNGs (python zlib goldens)") {
+    // 3x2 grayscale [10,20,30,40,50,60] written by python struct+zlib —
+    // proves the decoder reads real foreign format bytes, not just its
+    // own encoder's output; second golden carries an ancillary tEXt
+    // chunk that must be CRC-checked and skipped
+    def unhex(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val plain = unhex("89504e470d0a1a0a0000000d4948445200000003000000020800000000b81f39c60000001049444154789c63e0129163d030b20100027400d37e4c631a0000000049454e44ae426082")
+    val withText = unhex("89504e470d0a1a0a0000000d4948445200000003000000020800000000b81f39c60000000a74455874436f6d6d656e74006869a2a258660000001049444154789c63e0129163d030b20100027400d37e4c631a0000000049454e44ae426082")
+    for (png <- Seq(plain, withText)) {
+      val (w, h, px) = PngCodec.decode(png)
+      assert((w, h) == (3, 2) && px.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    }
+    // corrupt one IDAT payload byte -> CRC check must reject
+    val bad = plain.clone(); bad(50) = (bad(50) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](PngCodec.decode(bad))
+  }
+
+  test("decodeFeatures: real PNG decode, stripe means match direct computation") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+    val enc = Multimodal.encodeAsPng(docs, "doc_id", "text", width = 64)
+      .localCheckpoint()
+    val f1 = Multimodal.decodeFeatures(enc.drop("width", "height"), featDim = 8)
     assert(f1.columns.toSeq == Seq("media_id", "width", "height", "embedding"))
     val rows = f1.collect()
     assert(rows.length == 50)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { r =>
-      assert(r.getInt(1) >= 16 && r.getInt(1) < 257)
-      assert(r.getSeq[Float](3).length == 8)
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val h = math.max((bytes.length + 63) / 64, 1)
+      assert(r.getInt(1) == 64 && r.getInt(2) == h)
+      val np = 64 * h
+      val px = java.util.Arrays.copyOf(bytes, np)
+      val feats = r.getSeq[Double](3)
+      assert(feats.length == 8)
+      for (d <- 0 until 8) {
+        val lo = d * np / 8; val hi = (d + 1) * np / 8
+        val want = (lo until hi).map(i => px(i) & 0xff).sum.toDouble / (hi - lo)
+        assert(feats(d) == want, s"stripe $d of doc ${r.getLong(0)}")
+      }
     }
-    // determinism across runs
-    val again = Multimodal.decodeFeatures(media, featDim = 8).collect()
-    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
   test("sampleFrames: every stride-th fixed-size frame, exact bytes") {
