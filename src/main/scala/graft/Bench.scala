@@ -8,45 +8,120 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the projections (a map-only query would measure an
   * empty scan), while noop materializes every output column without
   * write-side cost.
+  *
+  * Methodology: one cold pass (whole-stage-codegen compilation + JIT,
+  * a fixed one-time cost reported as `cold_value`), then STEADY_N
+  * steady-state passes per query; `value`/`queries` report the
+  * per-query MEDIANS (sub-second queries swing ~3× run to run on a
+  * shared box — a single sample can mask or invent a regression), and
+  * `dispersion` reports (max−min)/median over the steady passes so a
+  * noisy measurement is visible as such.
+  *
+  * Scaling smoke: the same queries also run against
+  * SPARK_GRAFT_SCALING_DIR (default sf0.01) and `scaling` reports the
+  * main/small median ratio per query — a query whose time grows much
+  * faster than the data-size ratio has a driver-side or quadratic
+  * bottleneck a single-SF bench can't see. Queries whose DuckDB-side
+  * oracles are quadratic but whose engine cost is dominated by
+  * planted-pair verification joins at tiny SF (d2/d3/d5/n3) are
+  * excluded: their candidate sets are size-skewed between SFs by
+  * construction. `scaling_flags` lists queries exceeding 2× the
+  * on-disk data ratio with non-trivial runtime.
   */
 object Bench {
+
+  private val SteadyN = 5
+  private val ScalingN = 3
+  private val scalingExclude =
+    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters", "n3_cosine_pairs")
+
+  private def once(spark: SparkSession, name: String,
+                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                   dir: String): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  private def dirBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(c => dirBytes(c.getPath)).sum).getOrElse(0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
     // warm-up: JIT/codegen + parquet footer caches, so the first timed
     // query isn't charged session startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    // each query runs twice and reports the faster pass: the first run
-    // is dominated by whole-stage-codegen compilation + JIT (measured
-    // ~0.5-3s/query), which is a fixed one-time cost, not the
-    // throughput that scales with data — "value" is the steady-state
-    // total, "cold_value" records the first-pass total for reference
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+      val (cold, okCold) = once(spark, name, fn, sfDir)
+      if (!okCold) (name, -1.0, cold, -1.0, false)
+      else {
+        val runs = Seq.fill(SteadyN)(once(spark, name, fn, sfDir))
+        val ok = runs.forall(_._2)
+        val ts = runs.map(_._1)
+        val med = median(ts)
+        val disp = if (med > 0) (ts.max - ts.min) / med else 0.0
+        (name, med, cold, math.rint(disp * 1000) / 1000, ok)
       }
-      val (t1, ok1) = once()
-      val (t2, ok2) = if (ok1) once() else (t1, ok1)
-      (name, math.min(t1, t2), t1, ok1 && ok2)
     }
+
+    // scaling smoke vs the small SF (skipped when it IS the main SF)
+    val doScaling = scaleDir != sfDir && new java.io.File(scaleDir).exists()
+    val dataRatio =
+      if (doScaling) dirBytes(sfDir).toDouble / math.max(dirBytes(scaleDir), 1L)
+      else 1.0
+    val scaling: Seq[(String, Double)] =
+      if (!doScaling) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => scalingExclude(q._1))
+        .flatMap { case (name, fn) =>
+          val (_, okWarm) = once(spark, name, fn, scaleDir) // codegen for small plans
+          if (!okWarm) None
+          else {
+            val small = median(Seq.fill(ScalingN)(once(spark, name, fn, scaleDir)._1))
+            results.find(_._1 == name).collect { case (_, med, _, _, true) if small > 0 =>
+              name -> math.rint(med / small * 100) / 100
+            }
+          }
+        }
+    // overhead-dominated sub-0.3s queries ratio ~1 regardless of scale;
+    // flag only genuinely heavy queries growing >2x the byte ratio
+    val flags = scaling.collect { case (name, r)
+      if r > 2 * dataRatio &&
+        results.find(_._1 == name).exists(x => x._5 && x._2 > 0.3) => name }
+
     // a failed query must not masquerade as a fast success: its slot
     // carries -1 and the name is listed in "failed"
-    val qs = results.map { case (k, v, _, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, _, _, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val disp = results.collect { case (k, _, _, d, true) => "\"" + k + "\":" + d }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, true) => v }.sum
-    val cold = results.collect { case (_, _, t1, true) => t1 }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_value":$cold,"sf":"$sfDir"}""")
+    val scalingJson = scaling.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    val cold = results.collect { case (_, _, c, _, true) => c }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"dispersion":$disp,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"data_ratio":${math.rint(dataRatio * 100) / 100},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
