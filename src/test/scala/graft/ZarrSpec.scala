@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.ZarrSource
+import org.apache.spark.sql.functions._
+
+/** The fixture store under src/test/resources/zarr_store was written
+  * by an INDEPENDENT implementation (python stdlib: json + struct +
+  * zlib/gzip, no zarr library — see the generator recipe in
+  * FIXTURES.md), so these are cross-implementation format tests, not
+  * a round-trip of our own writer. Layout: dims x(5) i8-zlib coords,
+  * y(4) f8-raw coords; vars v(x,y) f8-zlib, n(x,y) i8-gzip, w(y)
+  * f4-raw; 3-element chunks exercise edge-chunk zero padding in every
+  * array.
+  */
+class ZarrSpec extends SparkSpec {
+
+  // the fixture is referenced at its source location: sbt's resource
+  // copy drops dot-files, and zarr metadata lives in .zarray/.zattrs
+  private val store = "src/test/resources/zarr_store"
+
+  test("readArray: f8 zlib chunks, C-order indices, edge padding dropped") {
+    val v = ZarrSource.readArray(spark, s"$store/v", "v")
+    assert(v.columns.toSeq == Seq("x", "y", "v"))
+    val rows = v.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 20) // 5x4 values, padding from 3x3 chunks dropped
+    for (xi <- 0L until 5L; yi <- 0L until 4L)
+      assert(rows((xi, yi)) == xi * 10 + yi + 0.25, s"($xi,$yi)")
+  }
+
+  test("readArray: i8 gzip and f4 raw dtypes decode exactly") {
+    val n = ZarrSource.readArray(spark, s"$store/n", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (xi <- 0L until 5L; yi <- 0L until 4L)
+      assert(n((xi, yi)) == xi * 100 + yi)
+    val w = ZarrSource.readArray(spark, s"$store/w", "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0))
+  }
+
+  test("readDataset: outer-aligned long form with coordinate values") {
+    val ds = ZarrSource.readDataset(spark, store)
+    assert(ds.columns.toSet == Set("x", "y", "v", "n", "w"))
+    val rows = ds.collect().map { r =>
+      (r.getAs[Long]("x"), r.getAs[Double]("y")) ->
+        ((r.getAs[Double]("v"), r.getAs[Long]("n"), r.getAs[Double]("w")))
+    }.toMap
+    assert(rows.size == 20)
+    // coords replaced indices: x in {10..50}, y in {0.5..3.5}
+    for (xi <- 0 until 5; yi <- 0 until 4) {
+      val key = ((xi + 1) * 10L, yi + 0.5)
+      val (v, n, w) = rows(key)
+      assert(v == xi * 10 + yi + 0.25 && n == xi * 100 + yi && w == yi + 1.0,
+        s"at $key")
+    }
+  }
+
+  test("readDataset feeds the harvest store: zarr -> ParquetStore round-trip") {
+    val ds = ZarrSource.readDataset(spark, store)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
+    val st = new graft.store.ParquetStore(spark, s"$dir/store", Seq("x", "y"))
+    st.mergeIn(ds)
+    assert(st.load().count() == 20)
+    // a second migration merge of the same store must be a no-op
+    st.mergeIn(ds) // NoConflicts: identical values coalesce silently
+    assert(st.load().count() == 20)
+    assert(st.load().agg(sum("n")).head().getLong(0) == (0 until 5).map(_ * 100L * 4).sum + (0 until 4).sum * 5)
+  }
+
+  test("unsupported dtype/compressor fail with actionable errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badzarr")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      """{"zarr_format":2,"order":"C","filters":null,"dtype":">f8",
+         "shape":[2],"chunks":[2],"compressor":null}""".getBytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e.getMessage.contains("dtype"))
+  }
+}
