@@ -221,6 +221,33 @@ object TextQueries {
       members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
       SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u"""))
 
+  /** D6: embedding-cosine near-dup dedup end to end — exact cosine
+    * pairs (label-blocked, the N3 baseline) fed through connected
+    * components to (vec_id, cluster = min reachable id); keepers are
+    * the rows where vec_id = cluster. Oracle: recursive-CTE
+    * reachability over the same exact-cosine graph (d5's shape, on
+    * the embedding modality). The unblocked scale path swaps the
+    * exact pair step for [[Similarity.lshCandidatePairs]] (n2) with
+    * identical downstream plumbing.
+    */
+  val d6EmbDedup = QueryDef(
+    "d6_embedding_dedup",
+    (s, dir) => Dedup.connectedComponents(
+      Similarity.cosinePairs(table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, blockCols = Seq("label")))
+      .withColumnRenamed("id", "vec_id"),
+    Some("""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+      SELECT u AS vec_id, MIN(v) AS cluster FROM members GROUP BY u"""))
+
   /** N3: exact embedding near-dup pairs, label-blocked (correctness
     * baseline for N2; threshold 0.35 sits inside the corpus's
     * within-label similarity range).
@@ -364,6 +391,6 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode)
 }

@@ -361,4 +361,22 @@ class SimilaritySpec extends SparkSpec {
     val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(found.contains((3L, 1003L)), s"got ${found.toSeq}")
   }
+
+  test("embedding dedup end to end: planted dup chain clusters to min id") {
+    val e = emb(sf()).limit(50)
+    // two noisy copies of vector 7 — 7~1007 and 1007~2007 both clear the
+    // threshold; 7~2007 may not, so clustering must close the chain
+    val dups = e.filter(col("vec_id") === 7)
+      .select(explode(array(lit(1007L), lit(2007L))).as("vec_id"),
+        col("embedding"), col("label"))
+    val all = e.unionByName(dups)
+    val clustered = Dedup.connectedComponents(
+      Similarity.cosinePairs(all, "vec_id", "embedding",
+        threshold = 0.9, blockCols = Seq("label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clustered(1007L) == 7L && clustered(2007L) == 7L,
+      s"got $clustered")
+    // keepers (cluster representatives) are exactly the min ids
+    assert(!clustered.contains(7L) || clustered(7L) == 7L)
+  }
 }
