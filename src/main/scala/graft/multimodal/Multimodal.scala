@@ -106,6 +106,77 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Render a text/bytes column as real WAV media rows: each payload
+    * byte b becomes the PCM-16 sample `b*256 - 32768` (exact, so the
+    * waveform is SQL-reproducible), encoded per row via
+    * [[WavCodec.encode]] in one `mapPartitions` pass. Ingest adapter
+    * for testing decode pipelines — the audio twin of
+    * [[encodeAsPng]]; a production ingest reads `binaryFile`s.
+    */
+  def encodeAsWav(df: DataFrame, idCol: String, textCol: String,
+                  sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.max(bytes.length, 1)
+          val samples = Array.tabulate(n)(i =>
+            if (i < bytes.length) (((bytes(i) & 0xff) << 8) - 32768).toShort
+            else (-32768).toShort)
+          val wav = WavCodec.encode(samples, sampleRate)
+          (id, wav, n.toLong * 1000L / sampleRate)
+        }
+      }
+      .toDF("media_id", "content", "duration_ms")
+      .select(col("media_id"), lit("audio").as("kind"), col("content"),
+        lit("audio/wav").as("mime"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), col("duration_ms"))
+  }
+
+  /** Decode + feature-extract audio payloads over partition batches:
+    * a GENUINE WAV parse (RIFF walk, PCM-16 validation) followed by
+    * `featDim` window means (mean sample value of each contiguous
+    * 1/featDim slice — exact long sums divided in double) plus the
+    * peak |sample|. Output: (media_id, sample_rate, n_samples,
+    * duration_ms, peak, embedding).
+    */
+  def decodeAudioFeatures(media: DataFrame, featDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val wav = WavCodec.decode(internal.getBinary(cIdx))
+        val s = wav.samples
+        var peak = 0
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i).toInt); if (a > peak) peak = a; i += 1
+        }
+        val feats = Array.tabulate(featDim) { d =>
+          val lo = (d.toLong * s.length / featDim).toInt
+          val hi = ((d + 1).toLong * s.length / featDim).toInt
+          var sum = 0L; var j = lo
+          while (j < hi) { sum += s(j); j += 1 }
+          if (hi > lo) sum.toDouble / (hi - lo) else 0.0
+        }
+        Row(id, wav.sampleRate, s.length, wav.durationMs, peak, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameSize`-byte frames, keep every `stride`-th — pure
     * expression form (substring over binary), stays distributed.

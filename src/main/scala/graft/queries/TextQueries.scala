@@ -389,8 +389,42 @@ object TextQueries {
           / (np - 15 * np // 16) AS f15
       FROM m"""))
 
+  /** MM2: multimodal audio end to end with a REAL container codec —
+    * document bytes become PCM-16 waveforms (sample = byte*256−32768)
+    * in genuine WAV files (RIFF/fmt/data chunks) in one distributed
+    * pass; a second pass parses the container back (chunk walk,
+    * PCM-16 validation) and extracts window-mean features + peak.
+    * The oracle recomputes everything from `documents` via the same
+    * exact integer arithmetic — matching proves the decode inverted
+    * the encode on real format bytes. mm1's audio twin.
+    */
+  val mm2Audio = QueryDef(
+    "mm2_audio_features",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.encodeAsWav(
+        table(s, dir, "documents"), "doc_id", "text", sampleRate = 8000)
+        .localCheckpoint() // materialize real WAV bytes; decode reads them back
+      graft.multimodal.Multimodal.decodeAudioFeatures(media, featDim = 16)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak"),
+          element_at(col("embedding"), 1).as("f0"),
+          element_at(col("embedding"), 16).as("f15"))
+    },
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents)
+      SELECT doc_id AS media_id, 8000 AS sample_rate,
+        CAST(nb AS INT) AS n_samples, nb * 1000 // 8000 AS duration_ms,
+        CAST(list_max(list_transform(range(nb), i ->
+          abs(ord(substr(text, (i+1)::INT, 1)) * 256 - 32768))) AS INT) AS peak,
+        list_sum(list_transform(range(0, nb // 16), i ->
+          ord(substr(text, (i+1)::INT, 1)) * 256 - 32768))::DOUBLE
+          / (nb // 16) AS f0,
+        list_sum(list_transform(range(15 * nb // 16, nb), i ->
+          ord(substr(text, (i+1)::INT, 1)) * 256 - 32768))::DOUBLE
+          / (nb - 15 * nb // 16) AS f15
+      FROM m"""))
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
-    mm1Decode)
+    mm1Decode, mm2Audio)
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.collect.Collect
 import graft.functions.ComplexFns
-import graft.multimodal.{Multimodal, PngCodec}
+import graft.multimodal.{Multimodal, PngCodec, WavCodec}
 import graft.store.IO
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -109,6 +109,67 @@ class MultimodalSpec extends SparkSpec {
         val lo = d * np / 8; val hi = (d + 1) * np / 8
         val want = (lo until hi).map(i => px(i) & 0xff).sum.toDouble / (hi - lo)
         assert(feats(d) == want, s"stripe $d of doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("WAV codec: encode/decode round-trip recovers exact samples") {
+    val rnd = new scala.util.Random(7)
+    for ((n, ch) <- Seq((1, 1), (300, 1), (64, 2))) {
+      val s = Array.fill(n * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val w = WavCodec.decode(WavCodec.encode(s, 8000, ch))
+      assert(w.sampleRate == 8000 && w.channels == ch)
+      assert(w.samples.toSeq == s.toSeq)
+    }
+  }
+
+  test("WAV codec: decodes + byte-matches python-stdlib wave golden") {
+    // fixture.wav written by python's wave module (see FIXTURES.md):
+    // 300 mono PCM-16 samples s_i = ((i*i*31 + i*7) % 65536) - 32768
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/audio_store/fixture.wav"))
+    val w = WavCodec.decode(bytes)
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.samples.length == 300)
+    val want = Array.tabulate(300)(i =>
+      (((i.toLong * i * 31 + i * 7) % 65536) - 32768).toShort)
+    assert(w.samples.toSeq == want.toSeq)
+    // and our encoder emits the exact same canonical container bytes
+    assert(WavCodec.encode(want, 8000).toSeq == bytes.toSeq)
+    // malformed inputs are rejected, not mis-parsed
+    val notRiff = bytes.clone(); notRiff(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](WavCodec.decode(notRiff))
+    val badFmt = bytes.clone(); badFmt(20) = 3 // audioFormat=3 (float)
+    assertThrows[IllegalArgumentException](WavCodec.decode(badFmt))
+    val overrun = bytes.clone()
+    // data chunk declares more bytes than remain
+    val bb = java.nio.ByteBuffer.wrap(overrun)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 100000)
+    assertThrows[IllegalArgumentException](WavCodec.decode(overrun))
+  }
+
+  test("decodeAudioFeatures: real WAV parse, window means + peak match") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+    val enc = Multimodal.encodeAsWav(docs, "doc_id", "text", sampleRate = 8000)
+      .localCheckpoint()
+    val f = Multimodal.decodeAudioFeatures(enc, featDim = 8)
+    assert(f.columns.toSeq == Seq("media_id", "sample_rate", "n_samples",
+      "duration_ms", "peak", "embedding"))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = f.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val s = texts(r.getLong(0)).getBytes("UTF-8")
+        .map(b => (b & 0xff) * 256 - 32768)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == s.length)
+      assert(r.getLong(3) == s.length.toLong * 1000 / 8000)
+      assert(r.getInt(4) == s.map(math.abs).max)
+      val feats = r.getSeq[Double](5)
+      for (d <- 0 until 8) {
+        val lo = d * s.length / 8; val hi = (d + 1) * s.length / 8
+        val want = (lo until hi).map(s(_).toLong).sum.toDouble / (hi - lo)
+        assert(feats(d) == want, s"window $d of doc ${r.getLong(0)}")
       }
     }
   }
