@@ -423,8 +423,40 @@ object TextQueries {
           / (nb - 15 * nb // 16) AS f15
       FROM m"""))
 
+  /** MM3: video-like frame sampling — payloads split into fixed-size
+    * frames, every 2nd frame kept ([[Multimodal.sampleFrames]]: pure
+    * expression form, no shuffle), per-frame byte checksum. The
+    * payload is the document bytes so the oracle reproduces each
+    * sampled frame's exact byte sum from `documents`; `frame_idx` is
+    * the position within the SAMPLED sequence (original frame =
+    * frame_idx * stride). The decode step for real containers is
+    * [[PngCodec]]/[[WavCodec]] (mm1/mm2); this covers the
+    * frame-extraction plumbing those feed.
+    */
+  val mm3Frames = QueryDef(
+    "mm3_video_frames",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        media, frameSize = 32, stride = 2)
+      val fs = col("frame").cast("string")
+      frames.select(col("media_id"), col("frame_idx"),
+        aggregate(sequence(lit(1), length(fs)), lit(0L),
+          (acc, i) => acc + ascii(fs.substr(i, lit(1))).cast("long"))
+          .as("checksum"))
+    },
+    Some("""WITH k AS (SELECT doc_id, text,
+        unnest(range(length(text) // 32)) AS f FROM documents)
+      SELECT doc_id AS media_id, CAST(f // 2 AS INT) AS frame_idx,
+        CAST(list_sum(list_transform(range(f * 32, (f + 1) * 32), i ->
+          ord(substr(text, (i+1)::INT, 1)))) AS BIGINT) AS checksum
+      FROM k WHERE f % 2 = 0"""))
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
-    mm1Decode, mm2Audio)
+    mm1Decode, mm2Audio, mm3Frames)
 }
