@@ -24,20 +24,25 @@ object TextFns {
   /** Plain word count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles, distinct (the unit for Jaccard/MinHash).
+  /** Word n-grams WITH multiplicity (repetition analysis needs the
+    * duplicates that [[shingles]] drops).
     *
     * Built by zipping n shifted slices of the token array rather than
     * indexing (`element_at`) inside a lambda — a lambda body re-evaluates
     * its captured subtree per ELEMENT, so the indexed form re-ran the
     * regex tokenizer ~|tokens| times per row (measured 8.6s over 5k
     * docs; the zipped form is ~10×). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def ngrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  private def ngramsOfTokens(w: Column, n: Int): Column = {
     val len = greatest(size(w) - (n - 1), lit(0))
     val parts = (0 until n).map(i => slice(w, lit(i + 1), len))
-    array_distinct(
-      parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
   }
+
+  /** Word n-gram shingles, distinct (the unit for Jaccard/MinHash). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngrams(text, n))
 
   /** Punctuation ratio: punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
@@ -116,6 +121,67 @@ object TextFns {
     array_distinct(transform(sequence(lit(0), nWin - 1),
       i => array_min(slice(hashes, i + 1, lit(w)))))
   }
+
+  // ------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 rules, the
+    * standard duplicate-text quality filters for LLM corpora): per
+    * document, the fraction of duplicated words, duplicated word
+    * 2-grams, and the share held by the single most frequent token.
+    *
+    * Shape for scale: the word/bigram duplicate fractions are pure
+    * column expressions (zero shuffle, whole-stage codegen); only the
+    * most-frequent-token share needs the explode → (id, term) partial
+    * count → per-id max, which aggregates with map-side combine and
+    * shuffles counters, never text.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_words"),
+        size(array_distinct(col("__t"))).as("__nd"),
+        size(ngramsOfTokens(col("__t"), 2)).as("__n2"),
+        size(array_distinct(ngramsOfTokens(col("__t"), 2))).as("__nd2"))
+    val top = docs.select(col(idCol), explode(toks).as("__term"))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col(idCol)).agg(max("__tf").as("__mx"))
+    def frac(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        frac(col("n_words") - col("__nd"), col("n_words")).as("dup_word_frac"),
+        frac(col("__n2") - col("__nd2"), col("__n2")).as("dup_bigram_frac"),
+        frac(coalesce(col("__mx"), lit(0L)), col("n_words")).as("top_token_frac"))
+  }
+
+  // -------------------------------------------------------------- PII
+
+  /** PII patterns, written to the common RE2 ⊂ Java-regex subset so
+    * Spark (java.util.regex) and RE2-based engines (the DuckDB oracle)
+    * match identically on ASCII text: no lookaround, no backrefs,
+    * ASCII classes only.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Occurrence counts per PII class (detection / audit pass). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)).cast("long"),
+    "n_ips"    -> regexp_count(text, lit(ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(phoneRe)).cast("long"))
+
+  /** Redaction: emails, then IPv4s, then phone fragments — fixed order
+    * so overlapping matches resolve deterministically across engines.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 
   /** Corpus term statistics: per document, its dominant term (highest
     * term frequency, lexicographic tiebreak) with that term's document

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.functions.TextFns
 import graft.similarity.Similarity
 import org.apache.spark.sql.functions._
@@ -86,6 +86,110 @@ object TextQueries {
         WHERE rn = 1)
       SELECT t.doc_id, t.term, t.tf, d.df
       FROM top t JOIN dfreq d USING (term)"""))
+
+  /** T6: benchmark decontamination — per training document, the
+    * fraction of its distinct 3-grams that appear anywhere in the
+    * benchmark split (docs with doc_id % 97 == 0 stand in for an eval
+    * suite). The benchmark n-gram set is broadcast; corpus text never
+    * shuffles ([[Decontaminate.ngramOverlap]]).
+    */
+  val t6Decontam = QueryDef(
+    "t6_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        "doc_id", "text", n = 3)
+    },
+    Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+      train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM train),
+      hit AS (SELECT doc_id, count(*) AS n_contaminated
+              FROM ex JOIN bench USING (g) GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.s) AS BIGINT) AS n_shingles,
+        COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        ROUND(COALESCE(h.n_contaminated, 0)::DOUBLE /
+          GREATEST(len(t.s), 1), 4) AS contamination
+      FROM train t LEFT JOIN hit h USING (doc_id)"""))
+
+  /** T7: Gopher-style repetition quality rules — duplicate-word,
+    * duplicate-bigram, and top-token fractions per document
+    * ([[TextFns.repetitionStats]]; Rae et al. 2021 §A1.1).
+    */
+  val t7Repetition = QueryDef(
+    "t7_repetition",
+    (s, dir) => TextFns.repetitionStats(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      tfc AS (SELECT doc_id, term, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+      mx AS (SELECT doc_id, max(c) AS mx FROM tfc GROUP BY 1),
+      base AS (SELECT doc_id, len(t) AS nw, len(list_distinct(t)) AS nd,
+        GREATEST(len(t) - 1, 0) AS n2,
+        len(list_distinct(list_transform(range(1, GREATEST(len(t), 1)),
+          i -> t[i] || ' ' || t[i+1]))) AS nd2
+        FROM tok)
+      SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
+        ROUND((b.nw - b.nd)::DOUBLE / GREATEST(b.nw, 1), 4) AS dup_word_frac,
+        ROUND((b.n2 - b.nd2)::DOUBLE / GREATEST(b.n2, 1), 4) AS dup_bigram_frac,
+        ROUND(COALESCE(m.mx, 0)::DOUBLE / GREATEST(b.nw, 1), 4) AS top_token_frac
+      FROM base b LEFT JOIN mx m USING (doc_id)"""))
+
+  /** T8: PII detection + redaction. The corpus is synthetic word-salad
+    * with no real PII, so the query plants deterministic PII derived
+    * from doc_id (emails/IP/phone, with per-residue variation) and the
+    * oracle replants the same — the regex detection and the ordered
+    * redaction pass are then checked end to end on every row
+    * ([[TextFns.piiCounts]]/[[TextFns.redactPii]], common RE2 ⊂ Java
+    * regex subset so both engines match identically).
+    */
+  val t8Pii = QueryDef(
+    "t8_pii",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val synth = concat(
+        col("text"),
+        lit(" contact user"), id, lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit(" and admin"), id, lit("@test.org"))).otherwise(lit("")),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".17"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          concat(lit(" tel 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(col("doc_id"), synth.as("__t"))
+        .select(Seq(col("doc_id")) ++
+          TextFns.piiCounts(col("__t")).map { case (n, c) => c.as(n) } ++
+          Seq(md5(TextFns.redactPii(col("__t"))).as("redacted_fp")): _*)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com' ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' and admin' || doc_id || '@test.org' ELSE '' END ||
+        ' from 10.0.' || (doc_id % 256) || '.17' ||
+        CASE WHEN doc_id % 2 = 0
+             THEN ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+        len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
+      FROM p"""))
 
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
@@ -456,7 +560,8 @@ object TextQueries {
       FROM k WHERE f % 2 = 0"""))
 
   val all: Seq[QueryDef] = Seq(
-    t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats, d1Exact, d2Jaccard,
+    t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
+    t6Decontam, t7Repetition, t8Pii, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames)
 }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.batch.ClusterScripts
+import graft.dedup.Decontaminate
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline additions: decontamination, repetition rules,
+  * PII detection/redaction, deployment-script generation.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- decontamination
+
+  test("ngramOverlap counts benchmark 3-gram hits per training doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 7 shingles
+      (2L, "completely clean text with no overlap at all"), // 6 shingles
+      (3L, "short doc")                                      // 0 shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a quick brown fox jumps question")
+    ).toDF("doc_id", "text")
+    // bench 3-grams: {a quick brown, quick brown fox, brown fox jumps,
+    //                 fox jumps question} — doc 1 contains 2 of its own
+    // shingles in that set (quick brown fox, brown fox jumps)
+    val r = Decontaminate.ngramOverlap(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0).getLong(1) == 7 && r(0).getLong(2) == 2)
+    assert(r(0).getDouble(3) == 0.2857)
+    assert(r(1).getLong(2) == 0 && r(1).getDouble(3) == 0.0)
+    // shingle-less doc: zero shingles, zero contamination (no div-0)
+    assert(r(2).getLong(1) == 0 && r(2).getDouble(3) == 0.0)
+  }
+
+  test("ngramOverlap broadcast and shuffle variants agree") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val a = collectSorted(Decontaminate.ngramOverlap(
+      train, bench, "doc_id", "text", n = 3, broadcastBench = true))
+    val b = collectSorted(Decontaminate.ngramOverlap(
+      train, bench, "doc_id", "text", n = 3, broadcastBench = false))
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ----------------------------------------------------- repetition
+
+  test("repetitionStats: planted duplicate words/bigrams and top token") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),    // 4 words, 1 distinct; bigrams all "spam spam"
+      (2L, "all words here differ"),  // no repetition
+      (3L, "go go stop stop go stop") // 6 words, 2 distinct
+    ).toDF("doc_id", "text")
+    val r = TextFns.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: dup_word 3/4, dup_bigram 2/3, top_token 4/4
+    assert(r(0).getLong(1) == 4)
+    assert(r(0).getDouble(2) == 0.75)
+    assert(r(0).getDouble(3) == 0.6667)
+    assert(r(0).getDouble(4) == 1.0)
+    // doc 2: everything unique → 0, 0, 1/4
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) == 0.0)
+    assert(r(1).getDouble(4) == 0.25)
+    // doc 3: dup_word 4/6; bigrams: go go, go stop, stop stop, stop go,
+    // go stop → 5 total, 4 distinct → 1/5; top token go|stop = 3/6
+    assert(r(2).getDouble(2) == 0.6667)
+    assert(r(2).getDouble(3) == 0.2)
+    assert(r(2).getDouble(4) == 0.5)
+  }
+
+  // ------------------------------------------------------------ PII
+
+  test("piiCounts and redactPii on planted PII") {
+    val df = Seq(
+      "write to jane.doe+x@mail.example.org or 192.168.0.1 tel 555-0199",
+      "no pii here at all",
+      "two mails: a@b.io c.d@e.fr and ip 10.0.0.255"
+    ).toDF("t")
+    val counted = df.select(
+      Seq(col("t")) ++ TextFns.piiCounts(col("t")).map { case (n, c) => c.as(n) }
+        ++ Seq(TextFns.redactPii(col("t")).as("red")): _*).collect()
+    assert(counted(0).getLong(1) == 1 && counted(0).getLong(2) == 1 &&
+      counted(0).getLong(3) == 1)
+    assert(counted(0).getString(4) ==
+      "write to <EMAIL> or <IP> tel <PHONE>")
+    assert(counted(1).getLong(1) == 0 && counted(1).getLong(2) == 0 &&
+      counted(1).getLong(3) == 0)
+    assert(counted(1).getString(4) == "no pii here at all")
+    assert(counted(2).getLong(1) == 2 && counted(2).getLong(2) == 1)
+    assert(counted(2).getString(4) == "two mails: <EMAIL> <EMAIL> and ip <IP>")
+  }
+
+  test("redaction removes every detected match (self-consistency)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .withColumn("t", concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"), lit("@x.org 10.1."),
+        (col("doc_id") % 200).cast("string"), lit(".9 555-1234")))
+    val counts = TextFns.piiCounts(TextFns.redactPii(col("t")))
+    val residue = docs.select(counts.map { case (n, c) => c.as(n) }: _*)
+      .agg(sum("n_emails"), sum("n_ips"), sum("n_phones")).head()
+    assert(residue.getLong(0) == 0 && residue.getLong(1) == 0 &&
+      residue.getLong(2) == 0)
+  }
+
+  // ------------------------------------------- cluster script gen (B9)
+
+  test("sparkSubmit script carries sizing + engine conf") {
+    val s = ClusterScripts.Submit(appJar = "/opt/app/graft.jar",
+      mainClass = "graft.Bench", numExecutors = 400, executorCores = 8,
+      executorMemoryGb = 32, appArgs = Seq("--sf", "100"))
+    val sh = ClusterScripts.sparkSubmit(s)
+    assert(sh.startsWith("#!/usr/bin/env bash"))
+    assert(sh.contains("--num-executors 400"))
+    assert(sh.contains("--executor-cores 8"))
+    assert(sh.contains("--executor-memory 32g"))
+    assert(sh.contains("--class graft.Bench"))
+    // 2 x 400 x 8
+    assert(sh.contains("spark.sql.shuffle.partitions=6400"))
+    assert(sh.contains("spark.sql.adaptive.skewJoin.enabled=true"))
+    assert(sh.contains("mapreduce.fileoutputcommitter.algorithm.version=1"))
+    assert(sh.contains("/opt/app/graft.jar"))
+    assert(sh.contains("--sf 100"))
+  }
+
+  test("slurm wrapper embeds the same submit body") {
+    val s = ClusterScripts.Submit(appJar = "app.jar", numExecutors = 10)
+    val sl = ClusterScripts.slurm(s, jobName = "sweep", nodes = 3, hours = 12)
+    assert(sl.contains("#SBATCH --job-name=sweep"))
+    assert(sl.contains("#SBATCH --nodes=3"))
+    assert(sl.contains("#SBATCH --time=12:00:00"))
+    assert(sl.contains("--num-executors 10"))
+    assert(sl.contains("spark-submit \\"))
+  }
+
+  test("write() produces an executable file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scripts")
+    val p = ClusterScripts.write(s"$dir/sub/run.sh",
+      ClusterScripts.sparkSubmit(ClusterScripts.Submit(appJar = "a.jar")))
+    assert(java.nio.file.Files.isExecutable(p))
+    assert(java.nio.file.Files.readString(p).contains("spark-submit"))
+  }
+}
