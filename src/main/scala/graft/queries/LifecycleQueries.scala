@@ -226,6 +226,38 @@ object LifecycleQueries {
     Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** H3: harvest LOOP — K sequential mergeIns into a PARTITIONED
+    * store, one order-priority sweep per merge. This is the shape a
+    * long-running harvest campaign has (many small deltas into one
+    * big accumulator), and the bench query that makes the
+    * partition-pruned merge measurable: each merge after the first
+    * reads and rewrites only the delta's own partition (dynamic
+    * partition overwrite), so the loop's cost is O(Σ|delta|), not
+    * O(K·|store|). Final store must equal the one-shot aggregate.
+    * (xyzpy harvest loop: farming.py:520-580 — whole-file per merge.)
+    */
+  val h3Loop = QueryDef(
+    "h3_harvest_loop",
+    (s, dir) => {
+      val ords = table(s, dir, "orders")
+      def sweep(p: String) = ords
+        .filter(col("o_orderpriority") === p)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      val st = new graft.store.ParquetStore(s, freshDir("h3") + "/store",
+        Seq("o_orderpriority", "o_orderstatus"),
+        partitionCols = Seq("o_orderpriority"))
+      // bounded collect: the partition coordinate values (K=5 sweeps)
+      val prios = ords.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      prios.foreach(p => st.mergeIn(sweep(p)))
+      st.load().select("o_orderpriority", "o_orderstatus", "n", "sum_cents")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders GROUP BY 1, 2"""))
+
   /** M6: merge-all — three disjoint-variable stores folded into one
     * aligned frame (merge(ds1, ds2, ds3) in the reference).
     */
@@ -317,6 +349,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }

@@ -156,15 +156,52 @@ final class ParquetStore(val spark: SparkSession, val path: String,
 
   /** M4/M5: merge `neu` into the store (creates it if absent). The
     * merged plan is computed from the *loaded* store, so the read
-    * completes before the replace swaps directories. */
+    * completes before the replace swaps directories.
+    *
+    * With `partitionCols` set (and ⊆ `keys`), the merge is restricted
+    * to the partitions whose values appear in `neu`: the store side is
+    * loaded partition-pruned by the delta's partition tuples, only
+    * those rows join, and the write-back uses dynamic partition
+    * overwrite — untouched partitions are never read OR rewritten. A
+    * harvest loop that merges a KB-sized sweep delta into a 100 TB
+    * store pays O(|touched partitions|), not O(|store|), per merge.
+    * Correctness of the pruning relies on partitionCols ⊆ keys: any
+    * store row that can match (or conflict with) a delta key shares
+    * the delta's partition values by definition. The full
+    * read-merge-swap path remains for unpartitioned stores and for
+    * deltas that introduce new value columns (a partition-scoped write
+    * of a widened schema would leave untouched partitions narrow). */
   def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
     if (!exists) writer(neu).parquet(path)
     else {
-      // materialize the merge before overwriting what it reads from;
-      // this is also where a NoConflicts guard fires → typed rethrow
-      val merged = Merge.orConflict(
-        Merge.merge(load(), neu, keys, mode).localCheckpoint())
-      replaceWith(merged)
+      val old = load()
+      val prunable = partitionCols.nonEmpty &&
+        partitionCols.forall(keys.contains) &&
+        neu.columns.forall(old.columns.contains)
+      if (!prunable) {
+        // materialize the merge before overwriting what it reads from;
+        // this is also where a NoConflicts guard fires → typed rethrow
+        val merged = Merge.orConflict(
+          Merge.merge(old, neu, keys, mode).localCheckpoint())
+        replaceWith(merged)
+      } else {
+        // bounded collect: the distinct partition tuples of ONE delta
+        val touched = neu.select(partitionCols.map(col): _*).distinct().collect()
+        if (touched.nonEmpty) {
+          val pred = touched.map { r =>
+            partitionCols.zipWithIndex
+              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          val merged = Merge.orConflict(
+            Merge.merge(old.filter(pred), neu, keys, mode).localCheckpoint())
+          merged.select(old.columns.map(col).toIndexedSeq: _*)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCols: _*)
+            .parquet(path)
+        }
+      }
     }
 
   /** M11 `Sampler.add_df`: append rows (long table, no alignment). */
@@ -209,30 +246,73 @@ final class ParquetStore(val spark: SparkSession, val path: String,
   * same read-before-overwrite materialization.
   */
 final class BucketedStore(val spark: SparkSession, val table: String,
-                          val keys: Seq[String], val nBuckets: Int) {
+                          val keys: Seq[String], val nBuckets: Int,
+                          val partitionCols: Seq[String] = Nil) {
   require(keys.nonEmpty && nBuckets > 0)
+  require(partitionCols.forall(keys.contains),
+    "partitionCols must be key columns (pruned merges match on keys)")
+  private val bucketKeys = keys.filterNot(partitionCols.contains)
+  require(bucketKeys.nonEmpty, "at least one key must remain for bucketing")
 
   def exists: Boolean = spark.catalog.tableExists(table)
 
   def load(): DataFrame = spark.table(table)
 
-  private def write(df: DataFrame, mode: SaveMode): Unit =
-    df.write.mode(mode)
-      .bucketBy(nBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+  private def write(df: DataFrame, mode: SaveMode): Unit = {
+    val w0 = df.write.mode(mode)
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    w.bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def replaceWith(df: DataFrame): Unit = write(df, SaveMode.Overwrite)
 
-  /** M4/M5 over the bucketed table: store-side exchange-free merge. */
+  /** M4/M5 over the bucketed table: store-side exchange-free merge.
+    *
+    * With `partitionCols` set, the same pruning discipline as
+    * [[ParquetStore.mergeIn]] applies on top of the bucket win: the
+    * store side is read partition-pruned by the delta's partition
+    * tuples AND exchange-free (bucketed), and the write-back is an
+    * `insertInto` under dynamic partition overwrite, so only the
+    * touched partitions are rewritten — per-harvest cost is
+    * O(|touched|) read + join + write, with no full-table pass
+    * anywhere. insertInto is position-based, so the merged frame is
+    * aligned to the table's column layout first. */
   def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
     if (!exists) write(neu, SaveMode.ErrorIfExists)
     else {
-      // materialize before the overwrite that invalidates what it reads
-      val merged = Merge.orConflict(
-        Merge.merge(load(), neu, keys, mode).localCheckpoint())
-      write(merged, SaveMode.Overwrite)
+      val old = load()
+      val prunable = partitionCols.nonEmpty &&
+        neu.columns.forall(old.columns.contains)
+      if (!prunable) {
+        // materialize before the overwrite that invalidates what it reads
+        val merged = Merge.orConflict(
+          Merge.merge(old, neu, keys, mode).localCheckpoint())
+        write(merged, SaveMode.Overwrite)
+      } else {
+        val touched = neu.select(partitionCols.map(col): _*).distinct().collect()
+        if (touched.nonEmpty) {
+          val pred = touched.map { r =>
+            partitionCols.zipWithIndex
+              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          val merged = Merge.orConflict(
+            Merge.merge(old.filter(pred), neu, keys, mode).localCheckpoint())
+          val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(overwriteMode)
+          spark.conf.set(overwriteMode, "dynamic")
+          try
+            merged.select(old.columns.map(col).toIndexedSeq: _*)
+              .write.mode(SaveMode.Overwrite).insertInto(table)
+          finally prev match {
+            case Some(v) => spark.conf.set(overwriteMode, v)
+            case None    => spark.conf.unset(overwriteMode)
+          }
+        }
+      }
     }
 
   /** M9 `missing_only` against the bucketed store. */

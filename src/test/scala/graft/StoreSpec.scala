@@ -126,6 +126,53 @@ class ParquetStoreSpec extends SparkSpec {
     assert(st.coords("a").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("partitioned mergeIn touches ONLY the delta's partitions (100x-scale path)") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val st = new ParquetStore(spark, s"$dir/store", Seq("a", "b"),
+      partitionCols = Seq("a"))
+    st.mergeIn((1L to 5L).flatMap(a => (1L to 3L).map(b => (a, b, a * 10.0 + b)))
+      .toDF("a", "b", "v"))
+
+    // fingerprint every data file in the untouched partitions
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/store"))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    Thread.sleep(1100) // ensure an overwrite would move lastModified
+
+    // delta touches only partition a=3 (new b row + an agreeing cell)
+    st.mergeIn(Seq((3L, 4L, 34.0), (3L, 1L, 31.0)).toDF("a", "b", "v"))
+
+    val after = files()
+    val untouchedBefore = before.filterNot(_._1.contains("a=3"))
+    val untouchedAfter = after.filterNot(_._1.contains("a=3"))
+    assert(untouchedAfter == untouchedBefore,
+      "untouched partitions were rewritten")
+    assert(after.keys.exists(_.contains("a=3")))
+
+    // content: merged partition has the new row, others intact
+    val got = st.load().select("a", "b", "v") // partition col reads back last
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (1L to 5L).flatMap(a => (1L to 3L).map(b => (a, b, a * 10.0 + b)))
+      .toSet + ((3L, 4L, 34.0))
+    assert(got == want)
+
+    // conflict detection still fires inside the pruned partition
+    assertThrows[MergeConflictException](
+      st.mergeIn(Seq((3L, 1L, -1.0)).toDF("a", "b", "v")))
+
+    // a delta with a NEW value column falls back to the full rewrite
+    // (schema widening must reach every partition)
+    st.mergeIn(Seq((2L, 1L, 7.0)).toDF("a", "b", "w"))
+    assert(st.load().columns.toSet == Set("a", "b", "v", "w"))
+    assert(st.load().filter($"w".isNotNull).count() == 1)
+  }
+
   test("M11: append grows the long table") {
     val st = new ParquetStore(spark,
       Files.createTempDirectory("graft-samp").toString + "/s", Seq("a"))
@@ -155,6 +202,54 @@ class BucketedStoreSpec extends SparkSpec {
     val got = bs.load().as[(Long, Double)].collect().toMap
     assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
     assert(bs.missing(Seq(3L, 4L).toDF("k")).as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("partitioned+bucketed mergeIn rewrites only touched partitions") {
+    spark.sql("DROP TABLE IF EXISTS bs_part")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(s"$wh/bs_part")
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(whPath)) fs.delete(whPath, true)
+    val bs = new BucketedStore(spark, "bs_part", Seq("p", "k"), 4,
+      partitionCols = Seq("p"))
+    bs.mergeIn((1L to 4L).flatMap(p => (1L to 3L).map(k => (p, k, p * 10.0 + k)))
+      .toDF("p", "k", "v"))
+
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(whPath.toUri.getPath))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    Thread.sleep(1100)
+    bs.mergeIn(Seq((2L, 4L, 24.0)).toDF("p", "k", "v"))
+    val after = files()
+    assert(after.filterNot(_._1.contains("p=2")) ==
+      before.filterNot(_._1.contains("p=2")),
+      "untouched partitions were rewritten")
+
+    val got = bs.load().select("p", "k", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = (1L to 4L).flatMap(p => (1L to 3L).map(k => (p, k, p * 10.0 + k)))
+      .toSet + ((2L, 4L, 24.0))
+    assert(got == want)
+
+    // merge-join on the full keys still sees the bucketing on k
+    val beforeThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val neu = Seq((2L, 1L, -1.0)).toDF("p", "k", "v2")
+      val plan = Merge.merge(bs.load(), neu, Seq("p", "k"), Merge.NewWins)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", beforeThresh)
+
+    // conflicts surface from inside the pruned partition
+    assertThrows[MergeConflictException](
+      bs.mergeIn(Seq((2L, 1L, -5.0)).toDF("p", "k", "v")))
   }
 
   test("store-side merge join needs no exchange (bucket co-location)") {
