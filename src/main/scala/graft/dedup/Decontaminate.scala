@@ -25,6 +25,14 @@ object Decontaminate {
   /** @return one row per `docs` row: id, n_shingles (distinct n-grams),
     *         n_contaminated (of those, how many occur in `bench`),
     *         contamination (their ratio, 0 for shingle-less docs).
+    *
+    * ONE corpus scan: the `(id, shingles)` projection is computed once,
+    * `n_shingles` rides alongside the `explode_outer` (outer keeps
+    * zero-shingle docs in-plan — no second scan + outer join to
+    * recover them), and the benchmark probe is a broadcast LEFT join
+    * whose hit marker is counted in the same per-id aggregation that
+    * carries `first(n_shingles)`. Tokenize+shingle — the expensive
+    * part at 100 TB — runs exactly once per document.
     */
   def ngramOverlap(docs: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 3,
@@ -32,18 +40,18 @@ object Decontaminate {
     val benchGrams0 = bench
       .select(explode(TextFns.shingles(col(textCol), n)).as("__g"))
       .distinct()
+      .withColumn("__hit", lit(1))
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
-    val hits = docs
-      .select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("__g"))
-      .join(benchGrams, Seq("__g"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
     def frac(num: Column, den: Column): Column =
       round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
     docs
-      .select(col(idCol),
-        size(TextFns.shingles(col(textCol), n)).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .select(col(idCol), TextFns.shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        explode_outer(col("__sh")).as("__g"))
+      .join(benchGrams, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(first("n_shingles").as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
       .withColumn("contamination", frac(col("n_contaminated"), col("n_shingles")))
   }
 }

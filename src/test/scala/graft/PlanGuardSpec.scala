@@ -87,6 +87,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "pair-distinct aggregate missing")
   }
 
+  test("t6_decontaminate: corpus is scanned ONCE (bench side once more)") {
+    val p = plan("t6_decontaminate")
+    // one scan feeds both n_shingles and the explode; the only other
+    // scan of documents is the (tiny) benchmark side. The old shape
+    // paid a third scan re-computing size(shingles) for n_shingles —
+    // at 100 TB that constant is a full extra pass of tokenize+shingle.
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans (corpus+bench), got $scans:\n" +
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
