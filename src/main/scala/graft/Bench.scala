@@ -13,9 +13,16 @@ import org.apache.spark.sql.SparkSession
   * a fixed one-time cost reported as `cold_value`), then STEADY_N
   * steady-state passes per query; `value`/`queries` report the
   * per-query MEDIANS (sub-second queries swing ~3× run to run on a
-  * shared box — a single sample can mask or invent a regression), and
-  * `dispersion` reports (max−min)/median over the steady passes so a
-  * noisy measurement is visible as such.
+  * shared box — a single sample can mask or invent a regression).
+  * `dispersion` is MAD/median (median absolute deviation) over the
+  * steady passes — a SINGLE outlier (GC/compaction pause) cannot
+  * saturate it the way (max−min)/median did; the outlier itself stays
+  * visible in the per-query `max` map.
+  *
+  * Emission: the full per-query detail goes to `bench_full.json` (cwd);
+  * stdout carries ONE compact summary line (≤ ~500 bytes) so a
+  * tail-limited capture always holds a complete, parseable JSON
+  * object with the real total.
   *
   * Scaling smoke: the same queries also run against
   * SPARK_GRAFT_SCALING_DIR (default sf0.01) and `scaling` reports the
@@ -72,14 +79,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = once(spark, name, fn, sfDir)
-      if (!okCold) (name, -1.0, cold, -1.0, false)
+      if (!okCold) (name, -1.0, cold, -1.0, -1.0, false)
       else {
         val runs = Seq.fill(SteadyN)(once(spark, name, fn, sfDir))
         val ok = runs.forall(_._2)
         val ts = runs.map(_._1)
         val med = median(ts)
-        val disp = if (med > 0) (ts.max - ts.min) / med else 0.0
-        (name, med, cold, math.rint(disp * 1000) / 1000, ok)
+        // MAD/median: robust to one GC spike; the spike shows in `max`
+        val disp = if (med > 0) median(ts.map(t => math.abs(t - med))) / med else 0.0
+        (name, med, cold, math.rint(disp * 1000) / 1000, ts.max, ok)
       }
     }
 
@@ -97,7 +105,7 @@ object Bench {
           if (!okWarm) None
           else {
             val small = median(Seq.fill(ScalingN)(once(spark, name, fn, scaleDir)._1))
-            results.find(_._1 == name).collect { case (_, med, _, _, true) if small > 0 =>
+            results.find(_._1 == name).collect { case (_, med, _, _, _, true) if small > 0 =>
               name -> math.rint(med / small * 100) / 100
             }
           }
@@ -106,22 +114,34 @@ object Bench {
     // flag only genuinely heavy queries growing >2x the byte ratio
     val flags = scaling.collect { case (name, r)
       if r > 2 * dataRatio &&
-        results.find(_._1 == name).exists(x => x._5 && x._2 > 0.3) => name }
+        results.find(_._1 == name).exists(x => x._6 && x._2 > 0.3) => name }
 
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // a failed query must not masquerade as a fast success: its slot
     // carries -1 and the name is listed in "failed"
-    val qs = results.map { case (k, v, _, _, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, _, _, _, ok) => "\"" + k + "\":" + (if (ok) r3(v) else -1.0) }
       .mkString("{", ",", "}")
-    val disp = results.collect { case (k, _, _, d, true) => "\"" + k + "\":" + d }
+    val disp = results.collect { case (k, _, _, d, _, true) => "\"" + k + "\":" + d }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val maxJson = results.collect { case (k, _, _, _, mx, true) => "\"" + k + "\":" + r3(mx) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val scalingJson = scaling.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true) => v }.sum
-    val cold = results.collect { case (_, _, c, _, true) => c }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"dispersion":$disp,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"data_ratio":${math.rint(dataRatio * 100) / 100},"sf":"$sfDir"}""")
+    val total = r3(results.collect { case (_, v, _, _, _, true) => v }.sum)
+    val cold = r3(results.collect { case (_, _, c, _, _, true) => c }.sum)
+    val nQueries = results.size
+    val dr = math.rint(dataRatio * 100) / 100
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+    // stdout: ONE compact line (~1.7 KB at 61 queries) — a 2 KB stdout
+    // tail must always hold a complete JSON object (the old 4.5 KB line
+    // with dispersion+scaling+max maps overflowed it; those now live
+    // only in bench_full.json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }
