@@ -8,13 +8,21 @@ import org.apache.spark.sql.types._
 
 import java.nio.ByteBuffer
 
-/** Spark-native reader for the netCDF classic format (CDF-1/CDF-2) —
-  * the other half of the xyzpy store bridge (reference IO surface
-  * manage.py:32-169: xyzpy's default engines persist xarray Datasets
-  * as netCDF; `ds.to_netcdf(..., format="NETCDF3_CLASSIC")` writes
-  * this format, which needs no HDF5 library to read — the header is a
-  * few hundred bytes of big-endian tags and variable data lies at
-  * known offsets, per the public NetCDF User Guide spec).
+/** Spark-native reader for the netCDF classic family (CDF-1 classic,
+  * CDF-2 64-bit-offset, CDF-5 64-bit-data) — the other half of the
+  * xyzpy store bridge (reference IO surface manage.py:32-169: xyzpy's
+  * default engines persist xarray Datasets as netCDF;
+  * `ds.to_netcdf(..., format="NETCDF3_CLASSIC")` writes CDF-1, xarray
+  * switches to CDF-2/CDF-5 for >2 GB files — none need an HDF5
+  * library to read: the header is a few hundred bytes of big-endian
+  * tags and variable data lies at known offsets, per the public
+  * NetCDF User Guide spec).
+  *
+  * Format deltas (public spec appendix "File Format Specifications"):
+  * CDF-2 widens only `begin` offsets to 8 bytes; CDF-5 widens every
+  * NON_NEG (numrecs, list counts, name lengths, dim lengths, attr
+  * counts, var ndims, dimids, vsize) AND `begin` to 8 bytes and adds
+  * the unsigned/64-bit atomic types (NC_UBYTE..NC_UINT64).
   *
   * Spark-first shape: the header parses driver-side (tiny), then each
   * variable's byte extent is split into ranges and decoded by
@@ -37,10 +45,10 @@ object NetCDF3Source {
                            shape: Seq[Int], ncType: Int, vsize: Long,
                            begin: Long, isRecord: Boolean) extends Serializable {
     def elemSize: Int = ncType match {
-      case 1 | 2 => 1
-      case 3     => 2
-      case 4 | 5 => 4
-      case 6     => 8
+      case 1 | 2 | 7  => 1 // byte, char, ubyte
+      case 3 | 8      => 2 // short, ushort
+      case 4 | 5 | 9  => 4 // int, float, uint
+      case 6 | 10 | 11 => 8 // double, int64, uint64
     }
     def isFloat: Boolean = ncType == 5 || ncType == 6
     /** elements in one slab (whole var if fixed, one record if record) */
@@ -51,7 +59,7 @@ object NetCDF3Source {
   final case class Header(numrecs: Int, dims: Seq[(String, Int)],
                           vars: Seq[VarMeta], recSize: Long) extends Serializable
 
-  /** Driver-side header parse (CDF-1 32-bit and CDF-2 64-bit offsets). */
+  /** Driver-side header parse (CDF-1 / CDF-2 / CDF-5 widths). */
   def readHeader(spark: SparkSession, file: String): Header = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,41 +70,55 @@ object NetCDF3Source {
     val bb = ByteBuffer.wrap(buf) // netCDF is big-endian = JVM default
     require(bb.get() == 'C' && bb.get() == 'D' && bb.get() == 'F', "not a netCDF file")
     val version = bb.get()
-    require(version == 1 || version == 2,
-      s"netCDF classic CDF-1/CDF-2 only (version byte $version; netCDF-4/HDF5 " +
+    require(version == 1 || version == 2 || version == 5,
+      s"netCDF classic CDF-1/2/5 only (version byte $version; netCDF-4/HDF5 " +
         "stores: re-export with format='NETCDF3_CLASSIC' or scripts/migrate_xyzpy.py)")
     def u32(): Int = bb.getInt()
-    def offset(): Long = if (version == 2) bb.getLong() else u32().toLong & 0xFFFFFFFFL
+    // NON_NEG: 8 bytes in CDF-5, 4 bytes otherwise. Counts/lengths that
+    // must fit driver-side structures are range-checked to Int.
+    def sizeT(): Long = if (version == 5) bb.getLong() else u32().toLong & 0xFFFFFFFFL
+    def sizeTi(what: String): Int = {
+      val v = sizeT()
+      require(v <= Int.MaxValue, s"$what $v exceeds header Int range")
+      v.toInt
+    }
+    // begin: 8 bytes in CDF-2 and CDF-5, 4 in CDF-1
+    def offset(): Long = if (version >= 2) bb.getLong() else u32().toLong & 0xFFFFFFFFL
     def nam(): String = {
-      val n = u32()
+      val n = sizeTi("name length")
       val b = new Array[Byte](n); bb.get(b)
       bb.position(bb.position() + ((4 - n % 4) % 4))
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
     }
     def skipAttrs(): Unit = {
-      val tag = u32(); val n = u32()
+      val tag = u32(); val n = sizeTi("attr count")
       require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
       for (_ <- 0 until n) {
         nam()
-        val typ = u32(); val cnt = u32()
-        val esz = typ match { case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8 }
+        val typ = u32(); val cnt = sizeTi("attr nelems")
+        val esz = typ match {
+          case 1 | 2 | 7 => 1; case 3 | 8 => 2
+          case 4 | 5 | 9 => 4; case 6 | 10 | 11 => 8
+        }
         val bytes = cnt * esz
         bb.position(bb.position() + bytes + ((4 - bytes % 4) % 4))
       }
     }
-    val numrecs = u32()
-    val dtag = u32(); val ndims = u32()
+    val numrecs = sizeTi("numrecs") // STREAMING (-1) not produced by xarray/pnetcdf saves
+    val dtag = u32(); val ndims = sizeTi("dim count")
     require(dtag == NcDimension || (dtag == 0 && ndims == 0), s"bad dim_list tag $dtag")
-    val dims = Seq.fill(ndims)((nam(), u32()))
+    val dims = Seq.fill(ndims)((nam(), sizeTi("dim length")))
     skipAttrs() // global attributes
-    val vtag = u32(); val nvars = u32()
+    val vtag = u32(); val nvars = sizeTi("var count")
     require(vtag == NcVariable || (vtag == 0 && nvars == 0), s"bad var_list tag $vtag")
     val vars = Seq.fill(nvars) {
       val name = nam()
-      val nd = u32()
-      val dimids = Seq.fill(nd)(u32())
+      val nd = sizeTi("var ndims")
+      // dimids are NON_NEG too: 8-byte in CDF-5 (netcdf-c v1hpg.c
+      // writes them via ncx_putn_longlong_int when version == 5)
+      val dimids = Seq.fill(nd)(sizeTi("dimid"))
       skipAttrs()
-      val typ = u32(); val vsize = u32().toLong & 0xFFFFFFFFL; val begin = offset()
+      val typ = u32(); val vsize = sizeT(); val begin = offset()
       val isRec = dimids.headOption.exists(d => dims(d)._2 == 0)
       val shape = dimids.map(d => dims(d)._2).zipWithIndex
         .map { case (s, i) => if (i == 0 && isRec) numrecs else s }
@@ -110,11 +132,17 @@ object NetCDF3Source {
     val bb = ByteBuffer.wrap(buf)
     Array.tabulate[Any](n) { i =>
       ncType match {
-        case 1 => bb.get(i).toLong          // NC_BYTE
-        case 3 => bb.getShort(i * 2).toLong // NC_SHORT
-        case 4 => bb.getInt(i * 4).toLong   // NC_INT
-        case 5 => bb.getFloat(i * 4).toDouble
-        case 6 => bb.getDouble(i * 8)
+        case 1  => bb.get(i).toLong                      // NC_BYTE
+        case 3  => bb.getShort(i * 2).toLong             // NC_SHORT
+        case 4  => bb.getInt(i * 4).toLong               // NC_INT
+        case 5  => bb.getFloat(i * 4).toDouble
+        case 6  => bb.getDouble(i * 8)
+        case 7  => (bb.get(i) & 0xFF).toLong             // NC_UBYTE (CDF-5)
+        case 8  => (bb.getShort(i * 2) & 0xFFFF).toLong  // NC_USHORT
+        case 9  => bb.getInt(i * 4).toLong & 0xFFFFFFFFL // NC_UINT
+        case 10 => bb.getLong(i * 8)                     // NC_INT64
+        case 11 => bb.getLong(i * 8) // NC_UINT64 (maps to signed Long;
+        // values > 2^63-1 wrap — acceptable for index-like payloads)
       }
     }
   }

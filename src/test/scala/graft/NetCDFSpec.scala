@@ -66,6 +66,50 @@ class NetCDFSpec extends SparkSpec {
       Seq(Seq[Any](0L), Seq[Any](1L), Seq[Any](2L)))
   }
 
+  // ---- CDF-2 / CDF-5 variants (fixtures carry the IDENTICAL logical
+  // content as fixture.nc, re-encoded with the wider header fields by
+  // an independent stdlib generator; CDF-5 adds NC_UINT/NC_INT64 vars)
+
+  private val nc2 = "src/test/resources/netcdf_store/fixture_cdf2.nc"
+  private val nc5 = "src/test/resources/netcdf_store/fixture_cdf5.nc"
+
+  test("CDF-2/CDF-5 headers parse to the same dims/shapes as CDF-1") {
+    val h1 = NetCDF3Source.readHeader(spark, nc)
+    for (f <- Seq(nc2, nc5)) {
+      val h = NetCDF3Source.readHeader(spark, f)
+      assert(h.dims == h1.dims && h.numrecs == h1.numrecs, f)
+      val common = h.vars.filter(m => h1.vars.exists(_.name == m.name))
+      assert(common.map(m => (m.name, m.dims, m.shape, m.ncType, m.isRecord)) ==
+        h1.vars.map(m => (m.name, m.dims, m.shape, m.ncType, m.isRecord)), f)
+    }
+  }
+
+  test("CDF-2/CDF-5 readArray parity with the CDF-1 fixture (fixed + record)") {
+    for (v <- Seq("v", "s", "r", "x", "y"); f <- Seq(nc2, nc5)) {
+      assert(collectSorted(NetCDF3Source.readArray(spark, f, v, v)) ==
+        collectSorted(NetCDF3Source.readArray(spark, nc, v, v)), s"$f/$v")
+    }
+  }
+
+  test("CDF-5 64-bit-data types decode: NC_UINT above 2^31, NC_INT64") {
+    val u = NetCDF3Source.readArray(spark, nc5, "u", "u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u == Map(0L -> 4000000000L, 1L -> 7L, 2L -> 2147483648L, 3L -> 42L))
+    val q = NetCDF3Source.readArray(spark, nc5, "q", "q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q == Map(0L -> -8589934592L, 1L -> -1L, 2L -> 0L, 3L -> 1L,
+      4L -> 8589934592L))
+  }
+
+  test("CDF-2/CDF-5 readDataset parity on the shared variables") {
+    val base = collectSorted(NetCDF3Source.readDataset(spark, nc)
+      .select("x", "y", "t", "v", "s", "r"))
+    assert(collectSorted(NetCDF3Source.readDataset(spark, nc2)
+      .select("x", "y", "t", "v", "s", "r")) == base)
+    assert(collectSorted(NetCDF3Source.readDataset(spark, nc5)
+      .select("x", "y", "t", "v", "s", "r")) == base)
+  }
+
   test("netCDF-4/HDF5 input fails with the migration hint") {
     val tmp = java.nio.file.Files.createTempFile("graft-h5", ".nc")
     java.nio.file.Files.write(tmp, "HDF\r\n".getBytes("ISO-8859-1"))
