@@ -192,11 +192,84 @@ object Multimodal {
       .filter(length(col("frame")) === frameSize)
   }
 
-  /** "Resize" stub: truncate/pad payloads to a fixed byte budget —
-    * stands in for an image resize; the plumbing (projection over
-    * binary, no shuffle) is what's real. */
-  def resizeTo(media: DataFrame, bytes: Int): DataFrame =
-    media.withColumn("content",
-      substring(col("content"), 1, bytes))
-      .withColumn("width", least(col("width"), lit(bytes)))
+  /** REAL image resize: PNG decode → box-filter downsample → PNG
+    * re-encode, one `mapPartitions` pass (the `mapInPandas` shape).
+    * Exact integer semantics so the result is SQL-reproducible:
+    * target pixel (Y,X) averages the source block rows
+    * [Y·h/newH, (Y+1)·h/newH) × cols [X·w/newW, (X+1)·w/newW) (floor
+    * arithmetic) as floor(sum/count); an empty block (newH > h) is 0.
+    * Output rows keep the media schema with updated content payloads
+    * (genuine PNGs at newW×newH) and dimensions.
+    */
+  def resizeTo(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val (w, h, px) = PngCodec.decode(internal.getBinary(cIdx))
+        val out = new Array[Byte](newW * newH)
+        var yy = 0
+        while (yy < newH) {
+          val ry0 = (yy.toLong * h / newH).toInt
+          val ry1 = ((yy + 1).toLong * h / newH).toInt
+          var xx = 0
+          while (xx < newW) {
+            val rx0 = (xx.toLong * w / newW).toInt
+            val rx1 = ((xx + 1).toLong * w / newW).toInt
+            var s = 0L; var cnt = 0
+            var y = ry0
+            while (y < ry1) {
+              var x = rx0
+              while (x < rx1) { s += px(y * w + x) & 0xff; cnt += 1; x += 1 }
+              y += 1
+            }
+            out(yy * newW + xx) = if (cnt > 0) (s / cnt).toByte else 0
+            xx += 1
+          }
+          yy += 1
+        }
+        Row(id, "image", PngCodec.encode(out, newW, newH), "image/png",
+          newW, newH, null)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode PNG payloads and fingerprint every pixel: md5 over the
+    * comma-joined unsigned pixel values (row-major) — the byte-exact
+    * gate for resize/codec round trips, reproducible in any SQL
+    * engine that can rebuild the pixel list.
+    */
+  def pixelSignature(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sig", StringType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val (w, h, px) = PngCodec.decode(internal.getBinary(cIdx))
+        val s = px.iterator.map(b => (b & 0xff).toString).mkString(",")
+        md.reset()
+        val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(id, w, h, dig.map("%02x".format(_)).mkString)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -559,9 +559,47 @@ object TextQueries {
           ord(substr(text, (i+1)::INT, 1)))) AS BIGINT) AS checksum
       FROM k WHERE f % 2 = 0"""))
 
+  /** MM4: REAL image resize end to end — documents become 64-wide
+    * grayscale PNGs, box-filtered down to 16×16 (decode → exact
+    * integer block means → re-encode, all genuine PNG bytes), then
+    * decoded AGAIN and fingerprinted pixel-by-pixel (md5 over the
+    * comma-joined values). The oracle rebuilds every one of the 256
+    * block means from the source text with the same floor arithmetic
+    * and hashes identically — byte-exact proof of
+    * encode→decode→resample→encode→decode on real format payloads.
+    */
+  val mm4Resize = QueryDef(
+    "mm4_resize_box",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.encodeAsPng(
+        table(s, dir, "documents"), "doc_id", "text", width = 64)
+        .localCheckpoint() // materialize real PNGs; resize reads them back
+      val resized = graft.multimodal.Multimodal.resizeTo(media, 16, 16)
+        .localCheckpoint() // materialize the RESIZED PNGs too
+      graft.multimodal.Multimodal.pixelSignature(resized)
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, text, length(text) AS nb,
+          GREATEST((length(text) + 63) // 64, 1) AS h
+        FROM documents),
+      px AS (SELECT doc_id, h,
+        list_transform(range(0, 64 * h), i ->
+          CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) ELSE 0 END) AS p
+        FROM m)
+      SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        md5(array_to_string(list_transform(range(0, 256), k ->
+          CASE WHEN (((k // 16) + 1) * h // 16) > ((k // 16) * h // 16)
+            THEN list_sum(flatten(list_transform(
+                   range((k // 16) * h // 16, ((k // 16) + 1) * h // 16), y ->
+                     list_transform(range((k % 16) * 4, ((k % 16) + 1) * 4), x ->
+                       p[(y * 64 + x + 1)::INT]))))
+                 // ((((k // 16) + 1) * h // 16 - (k // 16) * h // 16) * 4)
+            ELSE 0 END), ',')) AS sig
+      FROM px"""))
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
-    mm1Decode, mm2Audio, mm3Frames)
+    mm1Decode, mm2Audio, mm3Frames, mm4Resize)
 }

@@ -79,11 +79,24 @@ class CoverageSpec extends SparkSpec {
     assert(s.select("ab").head().getString(0) == "1|x")
   }
 
-  test("resizeTo truncates payloads to the byte budget") {
+  test("resizeTo box-filters real PNGs to the target dims (exact means)") {
+    // 4x2 image with known pixels -> 2x1: each output pixel is the
+    // floor-mean of its 2x2 source block
+    val px = Array[Byte](10, 20, 30, 40,
+                         50, 60, 70, 81)
+    val png = graft.multimodal.PngCodec.encode(px, 4, 2)
     val media = Multimodal.asMedia(
-      Seq((1L, "0123456789".getBytes)).toDF("id", "c"), "id", "c", "image", "x")
-    val r = Multimodal.resizeTo(media, bytes = 4)
-    assert(r.select("content").head().getAs[Array[Byte]](0).length == 4)
+      Seq((1L, png)).toDF("id", "c"), "id", "c", "image", "image/png")
+    val r = Multimodal.resizeTo(media, 2, 1).collect()(0)
+    assert(r.getInt(4) == 2 && r.getInt(5) == 1)
+    val (w, h, out) = graft.multimodal.PngCodec.decode(r.getAs[Array[Byte]](2))
+    assert((w, h) == (2, 1))
+    // blocks: {10,20,50,60} -> 35; {30,40,70,81} -> floor(221/4)=55
+    assert(out.map(_ & 0xff).toSeq == Seq(35, 55))
+    // upsample degenerate: newH > h leaves empty blocks as 0
+    val up = Multimodal.resizeTo(media, 2, 3).collect()(0)
+    val (_, h3, out3) = graft.multimodal.PngCodec.decode(up.getAs[Array[Byte]](2))
+    assert(h3 == 3 && out3.length == 6)
   }
 
   test("winnowFingerprint shorter than shingle count, non-empty") {
