@@ -352,6 +352,58 @@ object TextQueries {
       members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
       SELECT u AS vec_id, MIN(v) AS cluster FROM members GROUP BY u"""))
 
+  /** D7: the UNBLOCKED embedding-dedup scale path end to end —
+    * [[Similarity.lshCandidatePairs]] (n2's md5-plane LSH: planes →
+    * signatures → bands → candidate pairs → exact-cosine verify, no
+    * label blocking anywhere) feeding the same connected-components
+    * downstream as d6. The oracle recomputes the complete pipeline in
+    * SQL — n2's plane/signature/band CTEs through the verified pair
+    * set, then d6's recursive reachability to (vec_id, cluster = min
+    * reachable id). d6 proved the components; this row proves the
+    * composition a 100 TB corpus would actually run.
+    */
+  val d7LshDedup = QueryDef(
+    "d7_embedding_lsh_dedup",
+    (s, dir) => Dedup.connectedComponents(
+      Similarity.lshCandidatePairs(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.30, nbits = 60, bands = 6,
+        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)))
+        .select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id"),
+    Some("""WITH RECURSIVE planes AS (
+        SELECT p, list_transform(range(64), j ->
+          (CAST('0x' || substr(md5('rhp:' || p || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+           / 1152921504606846976.0) * 2.0 - 1.0) AS pw
+        FROM (SELECT unnest(range(60)) AS p)
+      ), dots AS (
+        SELECT e.vec_id, pl.p,
+          CASE WHEN list_reduce(list_transform(range(64), j ->
+              e.embedding[(j+1)::INT]::DOUBLE * pl.pw[(j+1)::INT]), (x,y) -> x+y) >= 0
+            THEN (1::BIGINT << pl.p::INT) ELSE 0::BIGINT END AS bit
+        FROM embeddings e, planes pl
+      ), sigs AS (
+        SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM dots GROUP BY vec_id
+      ), banded AS (
+        SELECT vec_id, band, (sig >> (band*10)::INT) & 1023 AS bucket
+        FROM sigs, (SELECT unnest(range(6)) AS band)
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id
+      ), pairs AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.30
+      ),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+      SELECT u AS vec_id, MIN(v) AS cluster FROM members GROUP BY u"""))
+
   /** N3: exact embedding near-dup pairs, label-blocked (correctness
     * baseline for N2; threshold 0.35 sits inside the corpus's
     * within-label similarity range).
@@ -600,6 +652,6 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize)
 }
