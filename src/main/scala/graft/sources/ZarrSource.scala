@@ -24,8 +24,11 @@ import scala.jdk.CollectionConverters._
   * listing, not the array size; no driver materialization anywhere.
   *
   * Scope: zarr_format 2, C order, little-endian `<f8 <f4 <i8 <i4`,
-  * compressor null | zlib | gzip (numcodecs ids; blosc needs a native
-  * lib — the migration script re-encodes with zlib). Edge chunks are
+  * compressor null | zlib | gzip | blosc with lz4/lz4hc/zlib/zstd
+  * inner streams and byte-shuffle ([[BloscCodec]] — covers the
+  * numcodecs DEFAULT `to_zarr` encoding, so typical real-world stores
+  * read directly); blosclz/snappy streams and bit-shuffle fail fast
+  * naming the codec and the migration script. Edge chunks are
   * zero-padded per spec; padding is dropped by bounds checks.
   */
 object ZarrSource {
@@ -62,8 +65,20 @@ object ZarrSource {
       s"unsupported dtype '$dtype' (little-endian f8/f4/i8/i4 only)")
     val comp = Option(za.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
-      require(id == "zlib" || id == "gzip",
+      require(id == "zlib" || id == "gzip" || id == "blosc",
         s"unsupported compressor '$id' (re-encode with zlib: scripts/migrate_xyzpy.py)")
+      if (id == "blosc") {
+        // fail fast on inner codecs / filters the chunk decoder will
+        // reject anyway, naming the exact codec and the way out
+        val cname = Option(c.get("cname")).map(_.asText()).getOrElse("blosclz")
+        require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
+          s"unsupported blosc inner codec '$cname' " +
+            "(re-encode with zlib: scripts/migrate_xyzpy.py)")
+        val shuffle = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
+        require(shuffle != 2, // 2 = bit-shuffle
+          "blosc bit-shuffle not supported " +
+            "(re-encode with zlib: scripts/migrate_xyzpy.py)")
+      }
       id
     }
     val dims =
@@ -106,6 +121,7 @@ object ZarrSource {
       in.close()
       require(off == outLen, s"gzip chunk inflated to $off of $outLen bytes")
       out
+    case Some("blosc") => BloscCodec.decode(content, outLen)
     case Some(other) => throw new IllegalArgumentException(other)
   }
 

@@ -66,6 +66,94 @@ class ZarrSpec extends SparkSpec {
     assert(st.load().agg(sum("n")).head().getLong(0) == (0 until 5).map(_ * 100L * 4).sum + (0 until 4).sum * 5)
   }
 
+  // ---- blosc-framed stores (numcodecs' DEFAULT to_zarr encoding).
+  // Fixtures written by the independent stdlib generator: lz4 chunks
+  // with split byte-plane streams (constant planes RLE-compressed,
+  // varying plane stored raw), a leftover block, blosc-zlib chunks,
+  // and memcpy chunks — all byte-shuffled where blosc would be.
+
+  private val bloscStore = "src/test/resources/zarr_blosc"
+
+  test("blosc-lz4: split byte-plane streams, leftover block, edge chunk") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/big", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.size == 520)
+    for (k <- 0 until 520) assert(a(k.toLong) == k * 0.5, s"k=$k")
+  }
+
+  test("blosc-zlib: unsplit shuffled blocks decode exactly") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/zl", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 20)
+    for (k <- 0 until 20) assert(a(k.toLong) == k.toLong * k, s"k=$k")
+  }
+
+  test("blosc memcpy chunks pass through raw") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/mc", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.size == 10)
+    for (k <- 0 until 10) assert(a(k.toLong) == k + 0.25, s"k=$k")
+  }
+
+  test("blosc-zstd streams decode (zstd-jni, container layout as fixtures)") {
+    // container layout is pinned by the python-generated fixtures; the
+    // zstd stream itself is produced here because no stdlib writer for
+    // zstd exists in this container. zlib codec id 4, nsplits=1.
+    val n = 40
+    val raw = new Array[Byte](n * 8)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (k <- 0 until n) bb.putLong(k * 8, k * 3L)
+    // shuffle per block (one block: blocksize = nbytes)
+    val shuffled = new Array[Byte](raw.length)
+    val rows = raw.length / 8
+    for (i <- 0 until rows; b <- 0 until 8) shuffled(b * rows + i) = raw(i * 8 + b)
+    val comp = com.github.luben.zstd.Zstd.compress(shuffled, 3)
+    val out = java.io.File.createTempFile("graft-zstd", "")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd-arr")
+    val arr = dir.resolve("q"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      s"""{"zarr_format":2,"order":"C","filters":null,"dtype":"<i8",
+          "shape":[$n],"chunks":[$n],
+          "compressor":{"id":"blosc","cname":"zstd","clevel":3,"shuffle":1}}"""
+        .getBytes)
+    val chunk = java.nio.ByteBuffer.allocate(16 + 4 + 4 + comp.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put(2.toByte).put(1.toByte)
+      .put((0x01 | (4 << 5)).toByte).put(8.toByte) // shuffle + zstd
+      .putInt(raw.length).putInt(raw.length).putInt(16 + 4 + 4 + comp.length)
+      .putInt(16 + 4)           // bstarts[0]
+      .putInt(comp.length)      // stream cbytes
+    chunk.put(comp)
+    java.nio.file.Files.write(arr.resolve("0"), chunk.array())
+    val got = ZarrSource.readArray(spark, arr.toString, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 0 until n) assert(got(k.toLong) == k * 3L)
+    out.delete()
+  }
+
+  test("blosc refusals name the codec and the migration script") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badblosc")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      """{"zarr_format":2,"order":"C","filters":null,"dtype":"<f8",
+         "shape":[2],"chunks":[2],
+         "compressor":{"id":"blosc","cname":"snappy","clevel":5,"shuffle":1}}"""
+        .getBytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e.getMessage.contains("snappy") &&
+      e.getMessage.contains("migrate_xyzpy.py"), e.getMessage)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      """{"zarr_format":2,"order":"C","filters":null,"dtype":"<f8",
+         "shape":[2],"chunks":[2],
+         "compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":2}}"""
+        .getBytes)
+    val e2 = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e2.getMessage.contains("bit-shuffle") &&
+      e2.getMessage.contains("migrate_xyzpy.py"), e2.getMessage)
+  }
+
   test("unsupported dtype/compressor fail with actionable errors") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badzarr")
     val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
