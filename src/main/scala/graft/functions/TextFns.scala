@@ -129,6 +129,12 @@ object TextFns {
     * document, the fraction of duplicated words, duplicated word
     * 2-grams, and the share held by the single most frequent token.
     *
+    * DEVIATION from the paper: these are TOKEN-COUNT fractions,
+    * whereas Gopher's duplicate/top n-gram rules are CHARACTER-
+    * fraction based (share of characters inside duplicated n-grams) —
+    * so the paper's published thresholds (e.g. 0.2 for dup 2-grams)
+    * do NOT transfer directly; calibrate cutoffs on your corpus.
+    *
     * Shape for scale: the word/bigram duplicate fractions are pure
     * column expressions (zero shuffle, whole-stage codegen); only the
     * most-frequent-token share needs the explode → (id, term) partial
@@ -161,11 +167,22 @@ object TextFns {
   /** PII patterns, written to the common RE2 ⊂ Java-regex subset so
     * Spark (java.util.regex) and RE2-based engines (the DuckDB oracle)
     * match identically on ASCII text: no lookaround, no backrefs,
-    * ASCII classes only.
+    * ASCII classes only. Alternatives are ordered longest-first so
+    * leftmost-first alternation picks the same match in both engines.
+    *
+    * SCOPE: an audit/demo set, not an exhaustive PII suite — IPv4 is
+    * octet-range-checked (999.999.999.999 no longer matches), phones
+    * cover the NANP forms 555-123-4567 / (555) 123-4567 /
+    * +1-555-123-4567 and the bare 7-digit 555-1234. International
+    * numbers, SSNs, IBANs, etc. are deliberately out: production
+    * redaction should bring a vetted pattern pack with the same
+    * fixed-order [[redactPii]] plumbing.
     */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-  val phoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+  private val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val ipv4Re: String = s"\\b(?:$octet\\.){3}$octet\\b"
+  val phoneRe: String =
+    "(?:\\+1[-. ])?(?:\\(\\d{3}\\) ?|\\b\\d{3}[-.])\\d{3}[-.]\\d{4}\\b|\\b\\d{3}-\\d{4}\\b"
 
   /** Occurrence counts per PII class (detection / audit pass). */
   def piiCounts(text: Column): Seq[(String, Column)] = Seq(

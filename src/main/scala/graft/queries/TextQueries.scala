@@ -165,6 +165,14 @@ object TextQueries {
         when(pmod(col("doc_id"), lit(2L)) === 0L,
           concat(lit(" tel 555-"),
             lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(lit(" call (415) 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(lit(" or +1-202-555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
           .otherwise(lit("")))
       table(s, dir, "documents")
         .select(col("doc_id"), synth.as("__t"))
@@ -179,16 +187,22 @@ object TextQueries {
         ' from 10.0.' || (doc_id % 256) || '.17' ||
         CASE WHEN doc_id % 2 = 0
              THEN ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' call (415) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' or +1-202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
              ELSE '' END AS t
         FROM documents)
       SELECT doc_id,
         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
-        len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+        len(regexp_extract_all(t, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS n_ips,
+        len(regexp_extract_all(t, '(?:\+1[-. ])?(?:\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b|\b\d{3}-\d{4}\b')) AS n_phones,
         md5(regexp_replace(regexp_replace(regexp_replace(t,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-          '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
+          '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
+          '(?:\+1[-. ])?(?:\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b|\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
       FROM p"""))
 
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */

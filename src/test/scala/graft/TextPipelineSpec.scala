@@ -77,7 +77,9 @@ class TextPipelineSpec extends SparkSpec {
     val df = Seq(
       "write to jane.doe+x@mail.example.org or 192.168.0.1 tel 555-0199",
       "no pii here at all",
-      "two mails: a@b.io c.d@e.fr and ip 10.0.0.255"
+      "two mails: a@b.io c.d@e.fr and ip 10.0.0.255",
+      // NANP forms redact WHOLE, and out-of-range octets don't match
+      "call 555-123-4567 or (555) 123-4567 or +1-555-123-4567 not 999.999.999.999"
     ).toDF("t")
     val counted = df.select(
       Seq(col("t")) ++ TextFns.piiCounts(col("t")).map { case (n, c) => c.as(n) }
@@ -91,6 +93,10 @@ class TextPipelineSpec extends SparkSpec {
     assert(counted(1).getString(4) == "no pii here at all")
     assert(counted(2).getLong(1) == 2 && counted(2).getLong(2) == 1)
     assert(counted(2).getString(4) == "two mails: <EMAIL> <EMAIL> and ip <IP>")
+    assert(counted(3).getLong(2) == 0, "999.* must not count as an IP")
+    assert(counted(3).getLong(3) == 3)
+    assert(counted(3).getString(4) ==
+      "call <PHONE> or <PHONE> or <PHONE> not 999.999.999.999")
   }
 
   test("redaction removes every detected match (self-consistency)") {
@@ -122,17 +128,41 @@ class TextPipelineSpec extends SparkSpec {
     assert(sh.contains("spark.sql.adaptive.skewJoin.enabled=true"))
     assert(sh.contains("mapreduce.fileoutputcommitter.algorithm.version=1"))
     assert(sh.contains("/opt/app/graft.jar"))
-    assert(sh.contains("--sf 100"))
+    assert(sh.contains("'--sf' '100'"))
   }
 
-  test("slurm wrapper embeds the same submit body") {
+  test("slurm wrapper embeds the same submit body, sized for the client") {
     val s = ClusterScripts.Submit(appJar = "app.jar", numExecutors = 10)
-    val sl = ClusterScripts.slurm(s, jobName = "sweep", nodes = 3, hours = 12)
+    val sl = ClusterScripts.slurm(s, jobName = "sweep", hours = 12)
     assert(sl.contains("#SBATCH --job-name=sweep"))
-    assert(sl.contains("#SBATCH --nodes=3"))
+    // the reservation hosts only the submitting client; executors come
+    // from the cluster manager — one task, not numExecutors nodes
+    assert(sl.contains("#SBATCH --ntasks=1"))
     assert(sl.contains("#SBATCH --time=12:00:00"))
     assert(sl.contains("--num-executors 10"))
     assert(sl.contains("spark-submit \\"))
+    // client-mode runs the driver inside the allocation: mem follows it
+    val cl = ClusterScripts.slurm(s.copy(deployMode = "client",
+      driverMemoryGb = 14), jobName = "c")
+    assert(cl.contains("#SBATCH --mem=16G"))
+  }
+
+  test("conf values and app args with spaces/metachars are shell-quoted") {
+    val s = ClusterScripts.Submit(appJar = "/opt/my app/graft.jar",
+      appArgs = Seq("--note", "two words", "a'b"),
+      extraConf = Seq(
+        "spark.driver.extraJavaOptions" -> "-Da=1 -Db=2"))
+    val sh = ClusterScripts.sparkSubmit(s)
+    assert(sh.contains("--conf 'spark.driver.extraJavaOptions=-Da=1 -Db=2'"), sh)
+    assert(sh.contains("'/opt/my app/graft.jar'"))
+    assert(sh.contains("'two words'"))
+    assert(sh.contains("'a'\\''b'"), sh) // embedded quote escape
+    // every generated line must parse under bash -n when assembled
+    val p = java.nio.file.Files.createTempFile("graft-subm", ".sh")
+    java.nio.file.Files.writeString(p, sh)
+    val rc = new ProcessBuilder("bash", "-n", p.toString)
+      .inheritIO().start().waitFor()
+    assert(rc == 0, "generated script failed bash -n syntax check")
   }
 
   test("write() produces an executable file") {
