@@ -94,6 +94,87 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(merged.m2 - whole.m2) < 1e-6 * math.max(1.0, whole.m2))
     }
   }
+  test("property: pruned partitioned mergeIn ≡ full unpartitioned merge") {
+    // the partition-pruned write path must be semantically invisible:
+    // same keys+values as merging the same deltas into a flat store
+    val storeGen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        p <- Gen.choose(1L, 4L); k <- Gen.choose(1L, 6L)
+      } yield (p, k))
+    } yield rows.distinct.map { case (p, k) => (p, k, p * 100.0 + k) }
+    forAll(storeGen, storeGen) { (base0, delta0) =>
+      // deltas that collide with base keys keep base's VALUE formula so
+      // NoConflicts semantics hold on both paths
+      val base = base0
+      val delta = delta0.map { case (p, k, _) => (p, k, p * 100.0 + k) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val part = new graft.store.ParquetStore(spark, s"$dir/p", Seq("p", "k"),
+        partitionCols = Seq("p"))
+      val flat = new graft.store.ParquetStore(spark, s"$dir/f", Seq("p", "k"))
+      part.mergeIn(base.toDF("p", "k", "v")); part.mergeIn(delta.toDF("p", "k", "v"))
+      flat.mergeIn(base.toDF("p", "k", "v")); flat.mergeIn(delta.toDF("p", "k", "v"))
+      val a = collectSorted(part.load().select("p", "k", "v"))
+      val b = collectSorted(flat.load().select("p", "k", "v"))
+      assert(a == b && a.size == (base ++ delta).distinct.size)
+    }
+  }
+
+  test("property: BloscCodec inverts lz4-java-compressed shuffled chunks") {
+    // container built here with REAL lz4 streams (matches + literals,
+    // not the fixtures' handcrafted sequences): random i64 payloads,
+    // c-blosc layout (split policy, bstarts, raw-store rule), decode
+    // must return the exact original bytes
+    val lz4c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    def buildChunk(data: Array[Byte], typesize: Int, blocksize: Int): Array[Byte] = {
+      val nbytes = data.length
+      val nblocks = (nbytes + blocksize - 1) / blocksize
+      val leftover = nbytes % blocksize
+      val blocks = (0 until nblocks).map { j =>
+        val isLeft = j == nblocks - 1 && leftover > 0
+        val ne = if (isLeft) leftover else blocksize
+        val raw = java.util.Arrays.copyOfRange(data, j * blocksize, j * blocksize + ne)
+        val shuf = new Array[Byte](ne) // byte-shuffle per block
+        val n = ne / typesize
+        for (i <- 0 until n; b <- 0 until typesize)
+          shuf(b * n + i) = raw(i * typesize + b)
+        val nsplits = if (!isLeft && typesize > 1 && typesize <= 16 &&
+          blocksize / typesize >= 128) typesize else 1
+        val slen = ne / nsplits
+        (0 until nsplits).map { s =>
+          val stream = java.util.Arrays.copyOfRange(shuf, s * slen, (s + 1) * slen)
+          val comp = lz4c.compress(stream)
+          if (comp.length >= slen) (slen, stream) else (comp.length, comp)
+        }
+      }
+      val hdrLen = 16 + 4 * nblocks
+      val bstarts = blocks.scanLeft(hdrLen)((p, ss) => p + ss.map(4 + _._1).sum)
+      val total = bstarts.last
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte).put(1.toByte).put((0x01 | (1 << 5)).toByte)
+        .put(typesize.toByte)
+        .putInt(nbytes).putInt(blocksize).putInt(total)
+      bstarts.init.foreach(bb.putInt)
+      for (ss <- blocks; (cb, payload) <- ss) { bb.putInt(cb); bb.put(payload) }
+      bb.array()
+    }
+    val dataGen = for {
+      n <- Gen.choose(130, 400) // elements of 8 bytes
+      // mix of runs (compressible) and noise (raw-stored streams)
+      vs <- Gen.listOfN(n, Gen.oneOf(Gen.const(7L), Gen.choose(Long.MinValue, Long.MaxValue)))
+    } yield vs.toArray
+    forAll(dataGen) { vals =>
+      val raw = new Array[Byte](vals.length * 8)
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putLong)
+      for (blocksize <- Seq(1024, 1536)) {
+        val chunk = buildChunk(raw, 8, blocksize)
+        val out = graft.sources.BloscCodec.decode(chunk, raw.length)
+        assert(java.util.Arrays.equals(out, raw), s"blocksize $blocksize")
+      }
+    }
+  }
+
 }
 
 /** Black-box Scala-closure evaluation — the reference's arbitrary-fn
