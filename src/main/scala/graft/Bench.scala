@@ -137,11 +137,16 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-    // stdout: ONE compact line (~1.7 KB at 61 queries) — a 2 KB stdout
+    // stdout: ONE compact line (~1.7 KB at 64 queries) — a 2 KB stdout
     // tail must always hold a complete JSON object (the old 4.5 KB line
     // with dispersion+scaling+max maps overflowed it; those now live
-    // only in bench_full.json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
+    // only in bench_full.json). If the registry ever grows the line
+    // past the tail budget, drop the per-query map from stdout too —
+    // a parseable total beats a truncated map.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}"""
+    println(
+      if (line.length <= 1900) line
+      else s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

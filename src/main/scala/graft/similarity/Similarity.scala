@@ -205,6 +205,28 @@ object Similarity {
   }
 
   object IvfIndex {
+
+    /** Persist the fitted centroids as a tiny parquet table
+      * (centroid id, component array) — an IVF index over a 10¹¹-row
+      * corpus is just these centroids plus the corpus partitioned by
+      * `centroid`, so save/load makes the index reusable across
+      * sessions without refitting (standard offline-build/online-query
+      * split). */
+    def save(idx: IvfIndex, spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      idx.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("centroid", "components")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: SparkSession, path: String): IvfIndex = {
+      val rows = spark.read.parquet(path)
+        .orderBy("centroid")
+        .collect() // bounded: k centroid rows
+      new IvfIndex(rows.map(_.getSeq[Double](1).toArray))
+    }
+
     /** Fit k-means on a driver-side sample (Lloyd's, kmeans++-ish
       * seeding by spaced picks). Bounded: `sampleSize` rows collected.
       */

@@ -352,6 +352,28 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("IVF save/load round-trips the index: same centroids, same answers") {
+    val e = emb(sf())
+    val idx = Similarity.IvfIndex.fit(e, "embedding", k = 8, sampleSize = 500)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.IvfIndex.save(idx, spark, path)
+    val loaded = Similarity.IvfIndex.load(spark, path)
+    assert(loaded.centroids.length == idx.centroids.length)
+    idx.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq) // exact: parquet doubles round-trip bitwise
+    }
+    val assigned = idx.assign(e, "embedding").cache()
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val a = idx.queryBatch(assigned, "vec_id", "embedding", queries, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = loaded.queryBatch(assigned, "vec_id", "embedding", queries, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assigned.unpersist()
+  }
+
   test("RHP-LSH pairs: planted duplicate vector found at sim ~1") {
     val e = emb(sf()).limit(100)
     val dup = e.filter(col("vec_id") === 3)

@@ -173,6 +173,31 @@ class ParquetStoreSpec extends SparkSpec {
     assert(st.load().filter($"w".isNotNull).count() == 1)
   }
 
+  test("pruned mergeIn READ side: null-safe partition predicate prunes the scan") {
+    // the pruned path filters the store load with `col <=> lit(v)`
+    // disjunctions; this must reach the scan as a PartitionFilter (one
+    // partition read), not a post-scan Filter over the full store
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val st = new ParquetStore(spark, s"$dir/store", Seq("a", "b"),
+      partitionCols = Seq("a"))
+    st.mergeIn((1L to 5L).map(a => (a, 1L, a * 1.0)).toDF("a", "b", "v"))
+    val pred = col("a") <=> lit(3L) // the shape mergeIn builds per tuple
+    val scan = st.load().filter(pred).queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .nonEmpty, s"partition predicate not pushed:\n$scan")
+    // and the scan enumerates exactly the one matching partition
+    def partsRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }.sum
+    val pruned = partsRead(st.load().filter(pred))
+    val all = partsRead(st.load())
+    assert(pruned == 1 && all == 5,
+      s"pruned scan enumerated $pruned of $all partitions")
+  }
+
   test("M11: append grows the long table") {
     val st = new ParquetStore(spark,
       Files.createTempDirectory("graft-samp").toString + "/s", Seq("a"))
