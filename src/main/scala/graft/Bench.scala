@@ -40,7 +40,8 @@ object Bench {
   private val SteadyN = 5
   private val ScalingN = 3
   private val scalingExclude =
-    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters", "n3_cosine_pairs")
+    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters", "n3_cosine_pairs",
+      "d8_quality_keeper") // d5's pipeline + join: same SF-skewed candidates
 
   private def once(spark: SparkSession, name: String,
                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

@@ -339,6 +339,60 @@ object TextQueries {
       members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
       SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u"""))
 
+  /** D8: quality-aware dedup — what a production pipeline actually
+    * does with near-dup clusters: keep the HIGHEST-QUALITY copy, not
+    * an arbitrary one. MinHash near-dup clusters (d3/d5 pipeline) join
+    * the t2 quality score; the keeper per cluster is argmax(quality),
+    * doc_id tiebreak, via a rank-1 window over the (small) clusters.
+    * Oracle: d5's recursive reachability + t2's quality formula + the
+    * same window — every keep/drop decision is checked.
+    */
+  val d8Keeper = QueryDef(
+    "d8_quality_keeper",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minHashCandidates(docs, "doc_id", "text",
+          n = 3, bands = 16, rows = 4, threshold = 0.8))
+        .withColumnRenamed("id", "doc_id")
+      val quality = docs.select(col("doc_id"),
+        TextFns.qualityScore(col("text"), TextFns.langMarkers("en")).as("quality"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      clusters.join(quality, Seq("doc_id"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "quality", "keep")
+    },
+    Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges),
+      cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u),
+      q AS (SELECT doc_id, ROUND((
+        LEAST(len(string_split_regex(trim(text), '\s+')) / 32.0, 1.0)
+        + LEAST(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> list_contains(['the','a','and','of','to','is','in','that'], t)))
+            / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+        + 1.0 - LEAST(4.0 * (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+            / GREATEST(length(text), 1), 1.0)
+        ) / 3.0, 4) AS quality FROM documents)
+      SELECT c.doc_id, c.cluster, q.quality,
+        (row_number() OVER (PARTITION BY c.cluster
+           ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+      FROM cl c JOIN q USING (doc_id)"""))
+
   /** D6: embedding-cosine near-dup dedup end to end — exact cosine
     * pairs (label-blocked, the N3 baseline) fed through connected
     * components to (vec_id, cluster = min reachable id); keepers are
@@ -666,6 +720,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
+    n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize)
 }
