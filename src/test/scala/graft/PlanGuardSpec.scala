@@ -99,6 +99,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
   }
 
+  test("d8_quality_keeper: broadcast cluster join + ONE window exchange") {
+    val p = plan("d8_quality_keeper")
+    // every row keeps a keep-flag (not a top-1 filter), so a full
+    // window is required — the scale discipline is that the (tiny,
+    // driver-bounded) cluster map broadcasts against the corpus scan
+    // and only (doc_id, cluster, quality) rows reach the single
+    // window exchange; corpus text never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle exchange, got $exchanges")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang"), s"scan not pruned to doc_id+text: $read")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
