@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus mixture sampling — the standard way a
+  * training-data pipeline takes domain-weighted subsamples and
+  * train/validation splits: keep a row iff a content-derived hash
+  * fraction falls under the row's target rate. Hash-based (not RNG)
+  * so the decision is a pure function of (salt, id): stable across
+  * runs, partitionings, engines, and re-executions — re-running a
+  * 100 TB sampling job yields byte-identical splits, and adding new
+  * rows never flips old decisions (the property reservoir/RNG
+  * sampling lacks).
+  *
+  * The fraction is the high 60 bits of md5(salt:id) over 2⁶⁰ — the
+  * same construction as the oracled LSH planes (Similarity.md5Planes),
+  * reproducible in any engine with md5 + hex parsing.
+  */
+object Mixture {
+
+  /** Uniform [0,1) hash fraction of (salt, key) — engine-reproducible. */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+
+  /** Keep each row iff hashFraction < the rate of its `keyCol` value;
+    * rows whose key has no configured rate are dropped. The rate
+    * table is a handful of rows → broadcast; the corpus side streams
+    * map-only (no shuffle anywhere).
+    */
+  def sampleByRate(df: DataFrame, idCol: String, keyCol: String,
+                   rates: Map[String, Double], salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTable = broadcast(rates.toSeq.toDF(keyCol, "__rate"))
+    df.join(rateTable, Seq(keyCol))
+      .filter(hashFraction(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+}

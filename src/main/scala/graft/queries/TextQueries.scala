@@ -339,6 +339,30 @@ object TextQueries {
       members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
       SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u"""))
 
+  /** T9: deterministic mixture sampling — domain-weighted subsample
+    * where each keep/drop is a pure function of (salt, doc_id), so the
+    * split is stable across runs/partitionings/engines and old
+    * decisions never flip when the corpus grows. The oracle recomputes
+    * every hash fraction (md5 high-60-bits, the n2/n4 construction)
+    * and rate comparison — the exact kept set is hash-checked, not
+    * just its size.
+    */
+  val t9Mixture = QueryDef(
+    "t9_mixture_sample",
+    (s, dir) => graft.functions.Mixture.sampleByRate(
+      table(s, dir, "documents").select("doc_id", "lang"),
+      idCol = "doc_id", keyCol = "lang",
+      rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25,
+        "es" -> 0.1, "zh" -> 0.75),
+      salt = "mix")
+      .select("doc_id", "lang"),
+    Some("""WITH r(lang, rate) AS (VALUES ('en', 1.0), ('de', 0.5),
+        ('fr', 0.25), ('es', 0.1), ('zh', 0.75))
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE (CAST('0x' || substr(md5('mix:' || d.doc_id), 1, 15) AS BIGINT)::DOUBLE
+             / 1152921504606846976.0) < r.rate"""))
+
   /** D8: quality-aware dedup — what a production pipeline actually
     * does with near-dup clusters: keep the HIGHEST-QUALITY copy, not
     * an arbitrary one. MinHash near-dup clusters (d3/d5 pipeline) join
@@ -719,7 +743,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t7Repetition, t8Pii, d1Exact, d2Jaccard,
+    t6Decontam, t7Repetition, t8Pii, t9Mixture, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize)
