@@ -86,4 +86,29 @@ class StreamingSpec extends SparkSpec {
       assert(texts == Seq("hello world", "other doc"))
     } finally q.stop()
   }
+
+  test("Mixture.sampleByRate is stateless-streaming-safe and batch-identical") {
+    // the keep/drop decision is a pure function of (salt, id), so the
+    // same sampler runs unchanged on a stream (no state, no watermark)
+    // and selects exactly the rows the batch pass selects
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Map("en" -> 0.6, "de" -> 0.3)
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+    val batch = graft.functions.Mixture.sampleByRate(
+      rows.toDF("doc_id", "lang"), "doc_id", "lang", rates, salt = "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val out = graft.functions.Mixture.sampleByRate(
+      input.toDF().toDF("doc_id", "lang"), "doc_id", "lang", rates, salt = "s1")
+    val q = out.writeStream.format("memory").queryName("mix_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(100): _*)
+      input.addData(rows.drop(100): _*) // second micro-batch: no flips
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(streamed == batch && batch.nonEmpty && batch.size < 200)
+    } finally q.stop()
+  }
 }
