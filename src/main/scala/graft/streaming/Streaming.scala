@@ -76,6 +76,29 @@ object Streaming {
           RunningRow(key, next.n, next.mean, next.std, next.stderr)
       }
   }
+
+  /** Streaming HARVEST: merge each micro-batch of arriving sweep
+    * results into a [[graft.store.ParquetStore]] — the continuously-
+    * fed form of the harvest loop (xyzpy's workers-push-results
+    * pattern, farming.py:520-580, without the poll-and-reload). Each
+    * micro-batch pays only the pruned-merge cost of ITS partitions;
+    * Structured Streaming's checkpointing makes delivery
+    * at-least-once, which the merge absorbs: re-merging an already-
+    * merged batch is a no-op under NoConflicts (identical values
+    * coalesce) and NewWins alike, so the store converges exactly-once.
+    * Returns the started query; callers own its lifecycle.
+    */
+  def harvestSink(results: DataFrame, store: graft.store.ParquetStore,
+                  checkpointDir: String,
+                  mode: graft.store.Merge.Mode = graft.store.Merge.NoConflicts)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    results.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) store.mergeIn(batch.toDF(), mode)
+      }
+      .start()
 }
 
 final case class RunningRow(key: String, n: Long, mean: Double,

@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harvestSink: micro-batches merge into a partitioned store, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hsink").toString
+    val store = new graft.store.ParquetStore(spark, s"$dir/store",
+      Seq("a", "b"), partitionCols = Seq("a"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streaming.harvestSink(
+      input.toDF().toDF("a", "b", "v"), store, s"$dir/ckpt")
+    try {
+      input.addData((1L, 1L, 11.0), (1L, 2L, 12.0))
+      q.processAllAvailable()
+      input.addData((2L, 1L, 21.0), (1L, 3L, 13.0)) // second batch: new + same partition
+      q.processAllAvailable()
+      val got = store.load().select("a", "b", "v")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 1L, 11.0), (1L, 2L, 12.0),
+        (2L, 1L, 21.0), (1L, 3L, 13.0)))
+      // replay safety: merging an already-merged delta is a no-op
+      store.mergeIn(Seq((2L, 1L, 21.0)).toDF("a", "b", "v"))
+      assert(store.load().count() == 4)
+    } finally q.stop()
+  }
+
   test("Mixture.sampleByRate is stateless-streaming-safe and batch-identical") {
     // the keep/drop decision is a pure function of (salt, id), so the
     // same sampler runs unchanged on a stream (no state, no watermark)
