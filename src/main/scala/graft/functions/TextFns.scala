@@ -133,7 +133,8 @@ object TextFns {
     * whereas Gopher's duplicate/top n-gram rules are CHARACTER-
     * fraction based (share of characters inside duplicated n-grams) —
     * so the paper's published thresholds (e.g. 0.2 for dup 2-grams)
-    * do NOT transfer directly; calibrate cutoffs on your corpus.
+    * do NOT transfer directly; use [[gopherCharStats]] for the
+    * character-fraction forms the thresholds were calibrated on.
     *
     * Shape for scale: the word/bigram duplicate fractions are pure
     * column expressions (zero shuffle, whole-stage codegen); only the
@@ -160,6 +161,52 @@ object TextFns {
         frac(col("n_words") - col("__nd"), col("n_words")).as("dup_word_frac"),
         frac(col("__n2") - col("__nd2"), col("__n2")).as("dup_bigram_frac"),
         frac(coalesce(col("__mx"), lit(0L)), col("n_words")).as("top_token_frac"))
+  }
+
+  /** Gopher's CHARACTER-fraction repetition rules (Rae et al. 2021
+    * §A1.1 as commonly implemented) — the paper-faithful companions to
+    * [[repetitionStats]]'s token fractions, so published thresholds
+    * apply directly: per document, the fraction of characters inside
+    * duplicated 2-grams (char-weighted: Σ tf·len over grams with
+    * tf>1, capped at 1) and the fraction covered by the single most
+    * frequent 2-gram (tf·len of the top gram, ties broken
+    * lexicographically). Fractions round half-up in integer space
+    * (floor((2·10⁴·k+n)/(2n))) so no engine float rounding is on the
+    * compare path.
+    *
+    * Shape: one explode → (id, gram) counted with map-side combine;
+    * the top pick is a rank-1 window over the (much smaller) count
+    * table; text never shuffles.
+    */
+  def gopherCharStats(docs: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol),
+      length(trim(col(textCol))).cast("long").as("n_chars"),
+      ngrams(col(textCol), 2).as("__gs"))
+    val counts = base
+      .select(col(idCol), explode(col("__gs")).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("__chars", col("__tf") * length(col("__g")).cast("long"))
+    val dup = counts.groupBy(idCol).agg(
+      sum(when(col("__tf") > 1, col("__chars")).otherwise(0L)).as("__dup_chars"))
+    val w = Window.partitionBy(idCol).orderBy(col("__tf").desc, col("__g").asc)
+    val top = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__chars").as("__top_chars"))
+    // exact half-up 4-decimal round in integer space (ev3 pattern)
+    def frac4(k: Column, n: Column): Column = {
+      val kc = least(coalesce(k, lit(0L)), n) // cap at 1.0 before rounding
+      val d = greatest(n, lit(1L))
+      floor((kc * 20000L + d) / (d * 2L)) / lit(1e4)
+    }
+    base.select(col(idCol), col("n_chars"))
+      .join(dup, Seq(idCol), "left")
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        frac4(col("__dup_chars"), col("n_chars")).as("dup_2gram_char_frac"),
+        frac4(col("__top_chars"), col("n_chars")).as("top_2gram_char_frac"))
   }
 
   // -------------------------------------------------------------- PII

@@ -363,6 +363,36 @@ object TextQueries {
       WHERE (CAST('0x' || substr(md5('mix:' || d.doc_id), 1, 15) AS BIGINT)::DOUBLE
              / 1152921504606846976.0) < r.rate"""))
 
+  /** T10: Gopher character-fraction repetition rules — the
+    * paper-faithful companions to t7's token fractions (published
+    * thresholds transfer). Every count and both fractions (integer-
+    * space half-up rounding) are recomputed by the oracle, including
+    * the lexicographic top-gram tiebreak.
+    */
+  val t10GopherChar = QueryDef(
+    "t10_gopher_char",
+    (s, dir) => TextFns.gopherCharStats(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH b AS (SELECT doc_id, length(trim(text)) AS n_chars,
+        string_split_regex(trim(text), '\s+') AS t FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+          range(1, GREATEST(len(t) - 1, 0) + 1),
+          i -> t[i] || ' ' || t[i+1])) AS gram FROM b),
+      c AS (SELECT doc_id, gram, count(*) AS tf,
+          count(*) * length(gram) AS chars FROM g GROUP BY 1, 2),
+      dup AS (SELECT doc_id,
+          SUM(CASE WHEN tf > 1 THEN chars ELSE 0 END) AS dup_chars
+        FROM c GROUP BY 1),
+      top AS (SELECT doc_id, chars AS top_chars FROM c
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY tf DESC, gram) = 1)
+      SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+        ((LEAST(COALESCE(dup_chars, 0), b.n_chars) * 20000 + GREATEST(b.n_chars, 1))
+          // (2 * GREATEST(b.n_chars, 1))) / 10000.0 AS dup_2gram_char_frac,
+        ((LEAST(COALESCE(top_chars, 0), b.n_chars) * 20000 + GREATEST(b.n_chars, 1))
+          // (2 * GREATEST(b.n_chars, 1))) / 10000.0 AS top_2gram_char_frac
+      FROM b LEFT JOIN dup USING (doc_id) LEFT JOIN top USING (doc_id)"""))
+
   /** D8: quality-aware dedup — what a production pipeline actually
     * does with near-dup clusters: keep the HIGHEST-QUALITY copy, not
     * an arbitrary one. MinHash near-dup clusters (d3/d5 pipeline) join
@@ -743,7 +773,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t7Repetition, t8Pii, t9Mixture, d1Exact, d2Jaccard,
+    t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize)
