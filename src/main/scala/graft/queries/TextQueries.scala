@@ -14,15 +14,36 @@ import Queries.table
   */
 object TextQueries {
 
-  /** T1: token counting — whitespace words + a BPE-ish token proxy. */
+  /** T1: token counting — whitespace words + the BPE-ish subword
+    * proxy (words + digit runs + punctuation marks separately, the
+    * cheap stand-in for budgeting LLM token counts). The corpus text
+    * carries no punctuation, so a doc-varying suffix
+    * (`#<id>` + id%5 bangs) is planted to exercise the punctuation
+    * path. The Spark side splits on Java lookaround boundaries; the
+    * oracle proves the equivalent closed form — \w+ runs plus
+    * non-space non-word characters — in RE2, which has no lookaround.
+    */
   val t1Tokens = QueryDef(
     "t1_token_count",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"),
-        TextFns.tokenCount(col("text")).cast("long").as("n_words"),
-        length(col("text")).cast("long").as("n_chars2")),
-    Some("""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words,
-      length(text) AS n_chars2 FROM documents"""))
+    (s, dir) => {
+      val synth = concat(col("text"), lit(" #"),
+        col("doc_id").cast("string"),
+        expr("repeat('!', cast(pmod(doc_id, 5) as int))"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), synth.as("__t"))
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("__t")).cast("long").as("n_words"),
+          length(col("__t")).cast("long").as("n_chars2"),
+          TextFns.tokenCountBpeIsh(col("__t")).cast("long").as("n_bpe_ish"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        text || ' #' || doc_id || repeat('!', CAST(doc_id % 5 AS INT)) AS t
+        FROM documents)
+      SELECT doc_id, len(string_split_regex(trim(t), '\s+')) AS n_words,
+        length(t) AS n_chars2,
+        len(regexp_extract_all(t, '\w+'))
+          + length(regexp_replace(t, '[\w\s]', '', 'g')) AS n_bpe_ish
+      FROM p"""))
 
   /** T2: quality scoring — length/stopword/punctuation heuristic. */
   val t2Quality = QueryDef(
