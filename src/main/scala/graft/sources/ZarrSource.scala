@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import java.nio.{ByteBuffer, ByteOrder}
 import scala.jdk.CollectionConverters._
 
-/** Spark-native reader for Zarr v2 stores — the migration bridge for
+/** Spark-native reader for Zarr v2 AND v3 stores — the migration bridge for
   * xyzpy/xarray result stores (reference IO surface: manage.py:32-169,
   * whose h5netcdf/netcdf4/zarr engines persist xarray Datasets; an
   * xarray store exported with `to_zarr` + zlib/no compression is read
@@ -23,22 +23,29 @@ import scala.jdk.CollectionConverters._
   * directory of independent chunks, so this scales with the file
   * listing, not the array size; no driver materialization anywhere.
   *
-  * Scope: zarr_format 2, C order, little-endian `<f8 <f4 <i8 <i4`,
-  * compressor null | zlib | gzip | blosc with lz4/lz4hc/zlib/zstd
-  * inner streams and byte-shuffle ([[BloscCodec]] — covers the
-  * numcodecs DEFAULT `to_zarr` encoding, so typical real-world stores
-  * read directly); blosclz/snappy streams and bit-shuffle fail fast
-  * naming the codec and the migration script. Edge chunks are
-  * zero-padded per spec; padding is dropped by bounds checks.
+  * Scope: zarr_format 2 (.zarray) and 3 (zarr.json), C order,
+  * little-endian f8/f4/i8/i4. Byte streams: null | zlib | gzip |
+  * zstd | blosc with lz4/lz4hc/zlib/zstd inner streams and
+  * byte-shuffle ([[BloscCodec]] — covers the numcodecs DEFAULT
+  * `to_zarr` encoding, so typical real-world stores read directly).
+  * v3 chunk keys: `default` encoding ("c/0/1" or "c.0.1") and the
+  * `v2` compatibility encoding. blosclz/snappy streams, bit-shuffle,
+  * and the v3 transpose/sharding/crc32c codecs fail fast naming the
+  * feature and the migration script. Edge chunks are zero-padded per
+  * spec (v3 writers may also truncate trailing chunks; both read);
+  * padding is dropped by bounds checks.
   */
 object ZarrSource {
 
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, compressor: Option[String],
-                             dims: Seq[String]) extends Serializable {
+                             dims: Seq[String],
+                             version: Int = 2) extends Serializable {
     def ndim: Int = shape.length
     def isFloat: Boolean = dtype.endsWith("f8") || dtype.endsWith("f4")
   }
+
+  private val migrateHint = "re-encode with zlib: scripts/migrate_xyzpy.py"
 
   private def readSmall(spark: SparkSession, p: Path): String = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,8 +58,17 @@ object ZarrSource {
     } finally in.close()
   }
 
-  /** Parse `.zarray` (+ `.zattrs` for xarray's `_ARRAY_DIMENSIONS`). */
+  /** Parse array metadata: `.zarray` (+ `.zattrs`) for v2, `zarr.json`
+    * for v3 — normalized into one [[ArrayMeta]]. */
   def readMeta(spark: SparkSession, arrayPath: String): ArrayMeta = {
+    val root = new Path(arrayPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, ".zarray")) &&
+      fs.exists(new Path(root, "zarr.json"))) readMetaV3(spark, arrayPath)
+    else readMetaV2(spark, arrayPath)
+  }
+
+  private def readMetaV2(spark: SparkSession, arrayPath: String): ArrayMeta = {
     val om = new ObjectMapper()
     val za = om.readTree(readSmall(spark, new Path(arrayPath, ".zarray")))
     require(za.get("zarr_format").asInt() == 2, "only zarr v2 supported")
@@ -65,7 +81,7 @@ object ZarrSource {
       s"unsupported dtype '$dtype' (little-endian f8/f4/i8/i4 only)")
     val comp = Option(za.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
-      require(id == "zlib" || id == "gzip" || id == "blosc",
+      require(id == "zlib" || id == "gzip" || id == "zstd" || id == "blosc",
         s"unsupported compressor '$id' (re-encode with zlib: scripts/migrate_xyzpy.py)")
       if (id == "blosc") {
         // fail fast on inner codecs / filters the chunk decoder will
@@ -95,6 +111,66 @@ object ZarrSource {
     ArrayMeta(shape, ints(za.get("chunks")), dtype, comp, finalDims)
   }
 
+  /** Zarr v3 array metadata (public spec: zarr.json, regular chunk
+    * grid, codecs chain of one array→bytes `bytes` codec plus at most
+    * one supported bytes→bytes compressor). */
+  private def readMetaV3(spark: SparkSession, arrayPath: String): ArrayMeta = {
+    val om = new ObjectMapper()
+    val zj = om.readTree(readSmall(spark, new Path(arrayPath, "zarr.json")))
+    require(zj.get("zarr_format").asInt() == 3, "zarr.json without zarr_format 3")
+    require(zj.get("node_type").asText() == "array",
+      s"$arrayPath is not a zarr v3 array node")
+    def ints(n: JsonNode): Seq[Int] = n.elements().asScala.map(_.asInt()).toSeq
+    val dtype = zj.get("data_type").asText() match {
+      case "float64" => "<f8"
+      case "float32" => "<f4"
+      case "int64"   => "<i8"
+      case "int32"   => "<i4"
+      case other => throw new IllegalArgumentException(
+        s"unsupported v3 data_type '$other' (float64/float32/int64/int32 only)")
+    }
+    val grid = zj.get("chunk_grid")
+    require(grid != null && grid.get("name").asText() == "regular",
+      "only the regular chunk grid is supported")
+    val chunks = ints(grid.get("configuration").get("chunk_shape"))
+    var comp: Option[String] = None
+    var sawBytes = false
+    zj.get("codecs").elements().asScala.foreach { c =>
+      c.get("name").asText() match {
+        case "bytes" =>
+          val endian = Option(c.get("configuration"))
+            .flatMap(cfg => Option(cfg.get("endian"))).map(_.asText())
+          require(endian.forall(_ == "little"),
+            s"big-endian v3 arrays not supported ($migrateHint)")
+          sawBytes = true
+        case "gzip" => comp = Some("gzip")
+        case "zstd" => comp = Some("zstd")
+        case "blosc" =>
+          val cfg = c.get("configuration")
+          val cname = Option(cfg).flatMap(x => Option(x.get("cname")))
+            .map(_.asText()).getOrElse("blosclz")
+          require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
+            s"unsupported blosc inner codec '$cname' ($migrateHint)")
+          val shuffle = Option(cfg).flatMap(x => Option(x.get("shuffle")))
+            .map(_.asText()).getOrElse("shuffle")
+          require(shuffle != "bitshuffle",
+            s"blosc bit-shuffle not supported ($migrateHint)")
+          comp = Some("blosc")
+        case other => // transpose, sharding_indexed, crc32c, ...
+          throw new IllegalArgumentException(
+            s"unsupported v3 codec '$other' ($migrateHint)")
+      }
+    }
+    require(sawBytes, "v3 codecs chain lacks the bytes (array->bytes) codec")
+    val shape = ints(zj.get("shape"))
+    val dims = Option(zj.get("dimension_names"))
+      .filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(shape.indices.map(i => s"dim_$i"))
+    require(dims.length == shape.length)
+    ArrayMeta(shape, chunks, dtype, comp, dims, version = 3)
+  }
+
   private def decompress(content: Array[Byte], comp: Option[String],
                          outLen: Int): Array[Byte] = comp match {
     case None => content
@@ -121,6 +197,12 @@ object ZarrSource {
       in.close()
       require(off == outLen, s"gzip chunk inflated to $off of $outLen bytes")
       out
+    case Some("zstd") =>
+      val out = new Array[Byte](outLen)
+      val n = com.github.luben.zstd.Zstd.decompressByteArray(
+        out, 0, outLen, content, 0, content.length)
+      require(n == outLen, s"zstd chunk decoded $n of $outLen bytes")
+      out
     case Some("blosc") => BloscCodec.decode(content, outLen)
     case Some(other) => throw new IllegalArgumentException(other)
   }
@@ -139,15 +221,28 @@ object ZarrSource {
       meta.dims.map(d => StructField(d, LongType, nullable = false)) :+
         StructField(valueCol,
           if (meta.isFloat) DoubleType else LongType, nullable = false))
+    // v2 chunk files are flat "i.j"; v3 default keys nest as "c/i/j"
+    // (or flat "c.i.j") — recursive listing covers all encodings, and
+    // the index parse below is encoding-agnostic
+    val root = new Path(arrayPath)
+    val rootUri = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root).toString
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "[0-9]*") // chunk files; skips .zarray/.zattrs
+      .option("recursiveFileLookup", "true")
       .load(arrayPath)
       .select("path", "content")
     val m = meta // stable closure capture
     val rdd = files.rdd.flatMap { r =>
-      val name = r.getString(0).split('/').last
-      val chunkIdx = name.split('.').map(_.toInt)
-      require(chunkIdx.length == m.ndim, s"chunk '$name' vs ndim ${m.ndim}")
+      val p = r.getString(0)
+      val rel = if (p.startsWith(rootUri)) p.substring(rootUri.length + 1)
+                else p.split('/').last
+      // chunk key → indices: optional "c" prefix, "/" or "." separators
+      val tokens = rel.split("[/.]").filterNot(_ == "c")
+      if (rel == "zarr.json" || rel == ".zarray" || rel == ".zattrs" ||
+        !tokens.forall(_.forall(_.isDigit)) || tokens.isEmpty) Iterator.empty
+      else {
+      val chunkIdx = tokens.map(_.toInt)
+      require(chunkIdx.length == m.ndim, s"chunk '$rel' vs ndim ${m.ndim}")
       val raw = decompress(r.getAs[Array[Byte]](1),
         m.compressor, chunkElems * elemSize)
       val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
@@ -175,6 +270,7 @@ object ZarrSource {
           Some(Row.fromSeq(gidx.toSeq :+ v))
         }
       }
+      }
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -189,7 +285,8 @@ object ZarrSource {
     val root = new Path(groupPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val arrays = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new Path(p, ".zarray")))
+      .filter(p => fs.exists(new Path(p, ".zarray")) ||
+        fs.exists(new Path(p, "zarr.json")))
       .map(p => p.getName -> readMeta(spark, p.toString)).toSeq.sortBy(_._1)
     require(arrays.nonEmpty, s"no zarr arrays under $groupPath")
     val (coordArrays, dataVars) = arrays.partition { case (name, m) =>

@@ -131,6 +131,65 @@ class ZarrSpec extends SparkSpec {
     out.delete()
   }
 
+  // ---- Zarr v3 (zarr.json metadata; what zarr-python 3 writes by
+  // default). Fixture store exercises all three chunk-key encodings
+  // (default "c/0/1", default "c.0.1", v2-compat "0"), gzip/blosc/raw
+  // byte streams, edge-chunk padding, and dimension_names.
+
+  private val v3Store = "src/test/resources/zarr_v3_store"
+
+  test("v3 readArray: gzip + nested c/i/j chunk keys, edge chunks dropped") {
+    val a = ZarrSource.readArray(spark, s"$v3Store/vv", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a.size == 20)
+    for (xi <- 0 until 5; yi <- 0 until 4)
+      assert(a((xi.toLong, yi.toLong)) == xi * 10 + yi + 0.25)
+  }
+
+  test("v3 readArray: blosc-lz4 int32 + flat c.i.j keys") {
+    val a = ZarrSource.readArray(spark, s"$v3Store/nn", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (xi <- 0 until 5; yi <- 0 until 4)
+      assert(a((xi.toLong, yi.toLong)) == xi * 100 + yi)
+  }
+
+  test("v3 readArray: raw bytes codec + v2-compat chunk keys") {
+    val a = ZarrSource.readArray(spark, s"$v3Store/x", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(0L -> 10L, 1L -> 20L, 2L -> 30L, 3L -> 40L, 4L -> 50L))
+  }
+
+  test("v3 readDataset: outer-aligned with coord values from dimension_names") {
+    val ds = ZarrSource.readDataset(spark, v3Store)
+    assert(ds.columns.toSet == Set("x", "y", "vv", "nn"))
+    val rows = ds.collect().map { r =>
+      (r.getAs[Long]("x"), r.getAs[Double]("y")) ->
+        ((r.getAs[Double]("vv"), r.getAs[Long]("nn")))
+    }.toMap
+    assert(rows.size == 20)
+    for (xi <- 0 until 5; yi <- 0 until 4) {
+      val (vv, nn) = rows(((xi + 1) * 10L, yi + 0.5))
+      assert(vv == xi * 10 + yi + 0.25 && nn == xi * 100 + yi, s"($xi,$yi)")
+    }
+  }
+
+  test("v3 refusals: sharding/transpose codecs fail naming the feature") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badv3")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+          "data_type":"float64",
+          "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+          "chunk_key_encoding":{"name":"default"},
+          "fill_value":0,
+          "codecs":[{"name":"sharding_indexed","configuration":{}}]}"""
+        .getBytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e.getMessage.contains("sharding_indexed") &&
+      e.getMessage.contains("migrate_xyzpy.py"), e.getMessage)
+  }
+
   test("blosc refusals name the codec and the migration script") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badblosc")
     val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
