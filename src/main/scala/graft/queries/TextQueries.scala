@@ -652,6 +652,89 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** P1: the COMPOSED cleaning pipeline — the stages a production
+    * training-data run chains, in order: quality gate (t2 score ≥
+    * 0.65) → benchmark decontamination (t6 overlap < 0.2 vs the
+    * held-out slice) → exact-dup keeper (d1 fingerprint, min id wins)
+    * → deterministic mixture sample (t9 hash rates). Each stage is
+    * individually oracled elsewhere; this row proves the COMPOSITION:
+    * the oracle chains the same four formulas in one CTE pipeline and
+    * the surviving (doc_id, lang, quality) set must hash-match.
+    */
+  val p1Pipeline = QueryDef(
+    "p1_clean_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      // 1. quality gate
+      val scored = train.withColumn("quality",
+        TextFns.qualityScore(col("text"), TextFns.langMarkers("en")))
+      val q = scored.filter(col("quality") >= 0.65)
+      // 2. decontamination gate
+      val clean = q.join(
+        Decontaminate.ngramOverlap(q, bench, "doc_id", "text", n = 3)
+          .filter(col("contamination") < 0.2).select("doc_id"),
+        Seq("doc_id"))
+      // 3. exact-dup keeper (min id per normalized fingerprint)
+      val fp = clean.withColumn("__fp", TextFns.fingerprint(col("text")))
+      val keepers = fp.withColumn("__min",
+        min("doc_id").over(Window.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__min"))
+      // 4. deterministic mixture sample
+      graft.functions.Mixture.sampleByRate(
+        keepers.select("doc_id", "lang", "quality"),
+        idCol = "doc_id", keyCol = "lang",
+        rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25,
+          "es" -> 0.1, "zh" -> 0.75),
+        salt = "p1")
+        .select("doc_id", "lang", "quality")
+    },
+    Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      q AS (SELECT doc_id, lang, text, ROUND((
+          LEAST(len(string_split_regex(trim(text), '\s+')) / 32.0, 1.0)
+          + LEAST(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(['the','a','and','of','to','is','in','that'], t)))
+              / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+          + 1.0 - LEAST(4.0 * (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+              / GREATEST(length(text), 1), 1.0)
+          ) / 3.0, 4) AS quality
+        FROM train),
+      qf AS (SELECT * FROM q WHERE quality >= 0.65),
+      shb AS (SELECT list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM documents WHERE doc_id % 97 = 0),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM shb),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM qf),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      hit AS (SELECT doc_id, count(*) AS nc FROM ex JOIN bench USING (g)
+              GROUP BY doc_id),
+      cont AS (SELECT sh.doc_id, ROUND(COALESCE(h.nc, 0)::DOUBLE /
+          GREATEST(len(sh.s), 1), 4) AS contamination
+        FROM sh LEFT JOIN hit h USING (doc_id)),
+      clean AS (SELECT qf.* FROM qf JOIN cont USING (doc_id)
+        WHERE contamination < 0.2),
+      fp AS (SELECT doc_id, lang, quality,
+          md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS f
+        FROM clean),
+      keepers AS (SELECT doc_id, lang, quality FROM fp
+        QUALIFY min(doc_id) OVER (PARTITION BY f) = doc_id),
+      r(lang, rate) AS (VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.25),
+        ('es', 0.1), ('zh', 0.75))
+      SELECT k.doc_id, k.lang, k.quality
+      FROM keepers k JOIN r USING (lang)
+      WHERE (CAST('0x' || substr(md5('p1:' || k.doc_id), 1, 15) AS BIGINT)::DOUBLE
+             / 1152921504606846976.0) < r.rate"""))
+
   /** MM1: multimodal decode end-to-end with a REAL image codec —
     * document bytes are rendered into genuine PNGs (zlib IDAT,
     * CRC-checked chunks) in one distributed pass, then a second
@@ -797,5 +880,5 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     n1Knn, n2Lsh, n3CosPairs, n4Ivf,
-    mm1Decode, mm2Audio, mm3Frames, mm4Resize)
+    mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }
