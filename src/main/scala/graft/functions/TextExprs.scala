@@ -21,6 +21,21 @@ object TextExprs {
     */
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftSqlShims.column(ShingleHash(GraftSqlShims.expression(tokens), n))
+
+  /** Per-document term-frequency summary of a gram array, computed
+    * in-row: `struct<dup_chars, top_chars, max_tf>` where `dup_chars`
+    * is Σ tf·len(g) over grams with tf>1, and `top_chars`/`max_tf`
+    * describe the most frequent gram (ties → lexicographically
+    * smallest, byte order — the ORDER BY tf DESC, g ASC argmax).
+    * Per-doc frequency is a ROW-LOCAL property: the explode → groupBy
+    * form shuffles O(corpus grams) counters for it, and the
+    * HigherOrderFunction form (`filter`/`zip_with` over a sorted copy)
+    * re-evaluates the non-lambda-bound sort per element, O(n²·log n).
+    * This kernel is one sort + one run scan per row, inside
+    * whole-stage codegen.
+    */
+  def gramRunStats(grams: Column): Column =
+    GraftSqlShims.column(GramRunStats(GraftSqlShims.expression(grams)))
 }
 
 /** out[i] = hash(tokens[i..i+n-1]), length max(numTokens-n+1, 0). */
@@ -67,6 +82,55 @@ case class ShingleHash(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
+}
+
+/** struct(dup_chars, top_chars, max_tf) over a string array — see
+  * [[TextExprs.gramRunStats]]. `len` counts CHARACTERS (codepoints),
+  * matching Spark's `length()` and the SQL oracles.
+  */
+case class GramRunStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dup_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_tf", LongType, nullable = false)))
+  override def prettyName: String = "gram_run_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GramRunStats.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cls = GramRunStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramRunStats =
+    copy(child = newChild)
+}
+
+object GramRunStats {
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val a = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a.asInstanceOf[Array[Object]], 0, n) // UTF8String: binary (byte) order
+    var dup = 0L; var maxTf = 0L; var topChars = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j).equals(a(i))) j += 1
+      val tf = (j - i).toLong
+      val len = a(i).numChars().toLong
+      if (tf > 1) dup += tf * len
+      if (tf > maxTf) { maxTf = tf; topChars = tf * len } // strict > on the
+      i = j // ascending scan keeps the lexicographically first gram on ties
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dup, topChars, maxTf))
+  }
 }
 
 object ShingleHash {

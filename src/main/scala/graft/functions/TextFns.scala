@@ -124,6 +124,7 @@ object TextFns {
 
   // ------------------------------------------------------- repetition
 
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 rules, the
     * standard duplicate-text quality filters for LLM corpora): per
     * document, the fraction of duplicated words, duplicated word
@@ -136,31 +137,28 @@ object TextFns {
     * do NOT transfer directly; use [[gopherCharStats]] for the
     * character-fraction forms the thresholds were calibrated on.
     *
-    * Shape for scale: the word/bigram duplicate fractions are pure
-    * column expressions (zero shuffle, whole-stage codegen); only the
-    * most-frequent-token share needs the explode → (id, term) partial
-    * count → per-id max, which aggregates with map-side combine and
-    * shuffles counters, never text.
+    * Shape for scale: ALL three signals are pure column expressions
+    * (zero shuffle, whole-stage codegen) — the most-frequent-token
+    * share rides the native [[TextExprs.gramRunStats]] kernel (in-row
+    * sort + run scan) instead of an explode → groupBy counter shuffle,
+    * because per-doc term frequency is row-local.
     */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame,
                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col(textCol))
-    val base = docs.select(col(idCol), toks.as("__t"))
+    def frac(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
+    docs.select(col(idCol), toks.as("__t"))
       .select(col(idCol),
         size(col("__t")).cast("long").as("n_words"),
         size(array_distinct(col("__t"))).as("__nd"),
         size(ngramsOfTokens(col("__t"), 2)).as("__n2"),
-        size(array_distinct(ngramsOfTokens(col("__t"), 2))).as("__nd2"))
-    val top = docs.select(col(idCol), explode(toks).as("__term"))
-      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
-      .groupBy(col(idCol)).agg(max("__tf").as("__mx"))
-    def frac(num: Column, den: Column): Column =
-      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
-    base.join(top, Seq(idCol), "left")
+        size(array_distinct(ngramsOfTokens(col("__t"), 2))).as("__nd2"),
+        TextExprs.gramRunStats(col("__t")).getField("max_tf").as("__mx"))
       .select(col(idCol), col("n_words"),
         frac(col("n_words") - col("__nd"), col("n_words")).as("dup_word_frac"),
         frac(col("__n2") - col("__nd2"), col("__n2")).as("dup_bigram_frac"),
-        frac(coalesce(col("__mx"), lit(0L)), col("n_words")).as("top_token_frac"))
+        frac(col("__mx"), col("n_words")).as("top_token_frac"))
   }
 
   /** Gopher's CHARACTER-fraction repetition rules (Rae et al. 2021
@@ -174,39 +172,29 @@ object TextFns {
     * (floor((2·10⁴·k+n)/(2n))) so no engine float rounding is on the
     * compare path.
     *
-    * Shape: one explode → (id, gram) counted with map-side combine;
-    * the top pick is a rank-1 window over the (much smaller) count
-    * table; text never shuffles.
+    * Shape: fully MAP-ONLY — per-doc gram frequencies come from the
+    * native [[TextExprs.gramRunStats]] kernel (one in-row sort + run
+    * scan inside whole-stage codegen). Zero exchanges: at 100 TB
+    * nothing about this query touches the network, where the
+    * explode → groupBy form shuffles O(corpus bigrams) counters for a
+    * row-local statistic.
     */
   def gopherCharStats(docs: org.apache.spark.sql.DataFrame,
                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol),
-      length(trim(col(textCol))).cast("long").as("n_chars"),
-      ngrams(col(textCol), 2).as("__gs"))
-    val counts = base
-      .select(col(idCol), explode(col("__gs")).as("__g"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__tf"))
-      .withColumn("__chars", col("__tf") * length(col("__g")).cast("long"))
-    val dup = counts.groupBy(idCol).agg(
-      sum(when(col("__tf") > 1, col("__chars")).otherwise(0L)).as("__dup_chars"))
-    val w = Window.partitionBy(idCol).orderBy(col("__tf").desc, col("__g").asc)
-    val top = counts.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__chars").as("__top_chars"))
     // exact half-up 4-decimal round in integer space (ev3 pattern)
     def frac4(k: Column, n: Column): Column = {
       val kc = least(coalesce(k, lit(0L)), n) // cap at 1.0 before rounding
       val d = greatest(n, lit(1L))
       floor((kc * 20000L + d) / (d * 2L)) / lit(1e4)
     }
-    base.select(col(idCol), col("n_chars"))
-      .join(dup, Seq(idCol), "left")
-      .join(top, Seq(idCol), "left")
+    docs.select(col(idCol),
+      length(trim(col(textCol))).cast("long").as("n_chars"),
+      TextExprs.gramRunStats(ngrams(col(textCol), 2)).as("__rs"))
       .select(col(idCol), col("n_chars"),
-        frac4(col("__dup_chars"), col("n_chars")).as("dup_2gram_char_frac"),
-        frac4(col("__top_chars"), col("n_chars")).as("top_2gram_char_frac"))
+        frac4(col("__rs").getField("dup_chars"), col("n_chars"))
+          .as("dup_2gram_char_frac"),
+        frac4(col("__rs").getField("top_chars"), col("n_chars"))
+          .as("top_2gram_char_frac"))
   }
 
   // -------------------------------------------------------------- PII

@@ -113,6 +113,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!read.contains("lang"), s"scan not pruned to doc_id+text: $read")
   }
 
+  test("t7/t10 repetition stats are MAP-ONLY: zero exchanges, native kernel") {
+    // per-doc term frequency is row-local — nothing may shuffle; the
+    // counts come from the gram_run_stats kernel (one in-row sort +
+    // run scan), not an explode → groupBy of O(corpus grams) counters
+    for (name <- Seq("t7_repetition", "t10_gopher_char")) {
+      val p = plan(name)
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+      assert(exchanges == 0, s"$name: expected 0 exchanges, got $exchanges:\n" +
+        p.linesIterator.take(25).mkString("\n"))
+      assert(p.contains("gram_run_stats"), s"$name: native kernel missing")
+    }
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -71,6 +71,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(r(2).getDouble(4) == 0.5)
   }
 
+  test("gramRunStats kernel: run counts, lexicographic tie-break, empties") {
+    val r = Seq(
+      Seq("b b", "a a", "b b", "a a", "c"), // tf 2/2/1, tie at 2 → "a a"
+      Seq[String](),                        // no grams
+      Seq("x")                              // single gram, tf 1
+    ).toDF("gs")
+      .select(graft.functions.TextExprs.gramRunStats(col("gs")).as("s"))
+      .select("s.dup_chars", "s.top_chars", "s.max_tf").collect()
+    assert(r(0).getLong(0) == 12 && r(0).getLong(1) == 6 && r(0).getLong(2) == 2)
+    assert(r(1).getLong(0) == 0 && r(1).getLong(1) == 0 && r(1).getLong(2) == 0)
+    assert(r(2).getLong(0) == 0 && r(2).getLong(1) == 1 && r(2).getLong(2) == 1)
+  }
+
   // ------------------------------------------------------------ PII
 
   test("piiCounts and redactPii on planted PII") {
