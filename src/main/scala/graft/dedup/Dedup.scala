@@ -449,4 +449,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Substring-level dedup spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the fixed-window
+    * form of its suffix-array dedup; `find_all_duplicates` in the
+    * paper's repo): every `w`-char window (stride 1) whose content
+    * occurs 2+ times in the corpus — any document, any position,
+    * including self-repetition — marks its positions; per document,
+    * overlapping/adjacent duplicated windows merge into maximal
+    * `(id, span_start, span_end, n_windows)` removal spans
+    * (1-based, inclusive). A duplicated substring of length ≥ w is
+    * detected exactly: all of its windows collide.
+    *
+    * Shape for scale: window TEXT never shuffles — the duplicate
+    * census exchanges (16-hex-char md5 prefix, id, pos) triples; the
+    * >1-occurrence key set joins back against the map-side re-derived
+    * windows; the span merge is gaps-and-islands over one window on
+    * (id, pos). The paper's suffix-array build is replaced by this
+    * hash-window pass because it is one compact-key shuffle at any
+    * corpus size.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"window must be >= 2 chars, got $w")
+    val wins = docs.filter(length(col(textCol)) >= w)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (w - 1))).as("pos"),
+        col(textCol))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        substring(md5(col(textCol).substr(col("pos"), lit(w))), 1, 16).as("h"))
+    val dupKeys = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    wins.join(dupKeys, Seq("h"))
+      .withColumn("__prev", lag("pos", 1).over(byDoc))
+      .withColumn("__ns", when(col("__prev").isNull ||
+        col("pos") - col("__prev") > w, 1).otherwise(0))
+      .withColumn("__grp", sum("__ns").over(byDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

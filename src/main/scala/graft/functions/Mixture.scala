@@ -38,4 +38,34 @@ object Mixture {
       .filter(hashFraction(col(idCol), salt) < col("__rate"))
       .drop("__rate")
   }
+
+  /** EXACT stratified sampling: per stratum (`keyCol` value) keep
+    * exactly `ceil(rate · n_g)` rows, chosen deterministically by
+    * md5-hash order of (salt, id) — the exact-allocation companion to
+    * [[sampleByRate]]'s per-row coin (binomial-noise counts, right for
+    * unbounded streams; this form hits bounded targets exactly, e.g.
+    * assembling a fixed-size training mix). Strata without a
+    * configured rate are dropped.
+    *
+    * Shape for scale: rates broadcast; one exchange on the stratum
+    * key + a rank window per stratum. The rank bound is per-group
+    * data so WindowGroupLimit cannot prune it — for strata larger
+    * than an executor's sort budget use [[sampleByRate]], or refine:
+    * Bernoulli pre-filter at rate·(1+ε), then exact rank on the
+    * survivors.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, keyCol: String,
+                       rates: Map[String, Double], salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTable = broadcast(rates.toSeq.toDF(keyCol, "__rate"))
+    val wp = Window.partitionBy(keyCol)
+    val wo = wp.orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    df.join(rateTable, Seq(keyCol))
+      .withColumn("__rk", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .filter(col("__rk") <= ceil(col("__rate") * col("__n")))
+      .drop("__rate", "__rk", "__n")
+  }
 }

@@ -253,6 +253,45 @@ object TextFns {
       .join(df, Seq("term"))
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
+
+  /** BM25 relevance of every document against a fixed term set
+    * (Robertson/Spärck Jones idf in the Lucene-style non-negative
+    * form `ln(1 + (N−df+0.5)/(df+0.5))`) — the retrieval primitive
+    * for quality-weighted corpus search. All counts (tf, df, dl, Σdl)
+    * are exact integers, `avgdl` one exact division, and coefficient
+    * folding uses plain IEEE ops, so the score is reproducible to the
+    * last ulp of `ln` in any engine.
+    *
+    * Shape for scale: per-doc tf/dl are map-only column expressions
+    * (an in-row filter per term — right for the handful of terms a
+    * query carries; use [[termStats]] for all-terms statistics); the
+    * corpus stats (N, Σdl, per-term df) are ONE tiny aggregate row
+    * broadcast back. No shuffle of text or per-term rows anywhere.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(Seq(col(idCol), size(col("__t")).cast("long").as("__dl")) ++
+        terms.indices.map(i => size(filter(col("__t"),
+          x => x === lit(terms(i)))).cast("long").as(s"__tf_$i")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("long").as("__n"),
+      Seq(sum("__dl").as("__sumdl")) ++ terms.indices.map(i =>
+        sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i")): _*)
+    val nd = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nd
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val df = col(s"__df_$i").cast("double")
+      log(lit(1.0) + (nd - df + lit(0.5)) / (df + lit(0.5))) *
+        ((tf * lit(k1 + 1)) / (tf + lit(k1) *
+          (lit(1 - b) + lit(b) * (col("__dl").cast("double") / avgdl))))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 4).as("bm25"))
+  }
 }
 
 /** Event-time helpers — the events table ships TIMESTAMP(NANOS), read

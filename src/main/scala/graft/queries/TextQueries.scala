@@ -875,10 +875,126 @@ object TextQueries {
             ELSE 0 END), ',')) AS sig
       FROM px"""))
 
+  /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the fixed-window
+    * form of its suffix-array dedup): every 40-char window (stride 1)
+    * whose content occurs 2+ times in the corpus — any document, any
+    * position, including self-repetition — marks its positions, and
+    * per document the overlapping/adjacent duplicated windows merge
+    * into maximal `[span_start, span_end]` removal spans
+    * (gaps-and-islands over one window on (doc_id, pos)). A duplicated
+    * substring of length ≥ W is detected exactly: all of its windows
+    * collide. Shape for scale: window TEXT never shuffles — the
+    * exchange carries (16-hex-char md5 prefix, doc_id, pos) triples;
+    * the >1-occurrence key set joins back against the map-side
+    * re-derived windows; the paper's suffix-array build is replaced by
+    * this hash-window pass because it is one compact-key shuffle at
+    * any corpus size. Oracle: DuckDB regenerates every window
+    * position, hash, and island boundary.
+    */
+  val d9Spans = QueryDef(
+    "d9_substring_spans",
+    (s, dir) => Dedup.substringSpans(
+      table(s, dir, "documents"), "doc_id", "text", w = 40),
+    Some("""WITH w AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          substr(md5(substr(text, i::INT, 40)), 1, 16) AS h
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+        WHERE length(text) >= 40),
+      dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+      dw AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+      g AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+            THEN 1 ELSE 0 END AS ns
+        FROM dw),
+      gi AS (SELECT doc_id, pos,
+          SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos) + 39 AS BIGINT) AS span_end,
+        CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM gi GROUP BY doc_id, grp"""))
+
+  /** T11: BM25 relevance scoring (Robertson/Spärck Jones, the
+    * Lucene-style `ln(1 + (N−df+0.5)/(df+0.5))` idf) of the whole
+    * corpus against a fixed term set — the retrieval primitive for
+    * quality-weighted corpus search and kNN-free near-topic selection.
+    * k1=1.2, b=0.75; the term set spans common (df≈80%), rare
+    * (df≈5%), and absent (df=0) words. All counts (tf, df, dl, Σdl)
+    * are exact integers on both sides, `avgdl` is a single exact
+    * division, and the score DAG is written with identical literals
+    * and association in Spark and SQL, so the only cross-engine
+    * freedom is `ln` (≤1 ulp), absorbed by ROUND(...,4). Shape for
+    * scale: per-doc tf/dl are map-only column expressions; the corpus
+    * stats (N, Σdl, df per term) are ONE tiny aggregate broadcast
+    * back — no shuffle of text or per-term rows.
+    */
+  val t11Bm25 = QueryDef(
+    "t11_bm25",
+    (s, dir) => TextFns.bm25(table(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("data", "join", "batch", "dup", "quantum")),
+    Some("""WITH b AS (SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'data')) AS BIGINT) AS tf_0,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS BIGINT) AS tf_1,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'batch')) AS BIGINT) AS tf_2,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'dup')) AS BIGINT) AS tf_3,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'quantum')) AS BIGINT) AS tf_4
+      FROM documents),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+        CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2,
+        CAST(SUM(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_3,
+        CAST(SUM(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_4
+      FROM b)
+      SELECT b.doc_id, ROUND(
+          ln(1.0 + (n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5)) * ((tf_0::DOUBLE * (1.2 + 1.0)) / (tf_0::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+        + ln(1.0 + (n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5)) * ((tf_1::DOUBLE * (1.2 + 1.0)) / (tf_1::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+        + ln(1.0 + (n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5)) * ((tf_2::DOUBLE * (1.2 + 1.0)) / (tf_2::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+        + ln(1.0 + (n_docs::DOUBLE - df_3::DOUBLE + 0.5) / (df_3::DOUBLE + 0.5)) * ((tf_3::DOUBLE * (1.2 + 1.0)) / (tf_3::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+        + ln(1.0 + (n_docs::DOUBLE - df_4::DOUBLE + 0.5) / (df_4::DOUBLE + 0.5)) * ((tf_4::DOUBLE * (1.2 + 1.0)) / (tf_4::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+        , 4) AS bm25
+      FROM b, st"""))
+
+  /** T12: EXACT stratified sampling — per stratum (lang) take exactly
+    * `ceil(rate · n_g)` documents, chosen deterministically by
+    * md5-hash order (salt "t12:"), the exact-allocation companion to
+    * t9's Bernoulli mixture sampling: t9's per-row coin gives
+    * binomial-noise counts (right for unbounded streams), this form
+    * hits the target count exactly (right for bounded strata, e.g.
+    * assembling a fixed-size training mix). Both engines compute
+    * `rate·n_g` with the same IEEE ops, so the cut is identical.
+    * Shape for scale: rates broadcast; one exchange on the stratum
+    * key + a rank window per stratum. The rank bound is per-group
+    * data, so WindowGroupLimit cannot prune it — for web-scale
+    * strata (≫ executor memory per group) use t9's Bernoulli rates,
+    * or refine: Bernoulli pre-filter at rate·(1+ε) then exact rank
+    * on the survivors.
+    */
+  val t12Stratified = QueryDef(
+    "t12_stratified_sample",
+    (s, dir) => graft.functions.Mixture.stratifiedSample(
+      table(s, dir, "documents"), idCol = "doc_id", keyCol = "lang",
+      rates = Map("en" -> 0.5, "de" -> 0.4, "fr" -> 0.25,
+        "es" -> 0.1, "zh" -> 0.75), salt = "t12")
+      .select(col("doc_id"), col("lang")),
+    Some("""WITH r(lang, rate) AS (VALUES ('en', 0.5), ('de', 0.4),
+        ('fr', 0.25), ('es', 0.1), ('zh', 0.75)),
+      k AS (SELECT d.doc_id, d.lang, r.rate,
+          row_number() OVER (PARTITION BY d.lang
+            ORDER BY md5('t12:' || d.doc_id)) AS rk,
+          count(*) OVER (PARTITION BY d.lang) AS n_g
+        FROM documents d JOIN r USING (lang))
+      SELECT doc_id, lang FROM k WHERE rk <= CEIL(rate * n_g)"""))
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar, d1Exact, d2Jaccard,
+    t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
+    t11Bm25, t12Stratified, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

@@ -25,13 +25,14 @@ import scala.jdk.CollectionConverters._
   *
   * Scope: zarr_format 2 (.zarray) and 3 (zarr.json), C order,
   * little-endian f8/f4/i8/i4. Byte streams: null | zlib | gzip |
-  * zstd | blosc with lz4/lz4hc/zlib/zstd inner streams and
-  * byte-shuffle ([[BloscCodec]] — covers the numcodecs DEFAULT
-  * `to_zarr` encoding, so typical real-world stores read directly).
-  * v3 chunk keys: `default` encoding ("c/0/1" or "c.0.1") and the
-  * `v2` compatibility encoding. blosclz/snappy streams, bit-shuffle,
-  * and the v3 transpose/sharding/crc32c codecs fail fast naming the
-  * feature and the migration script. Edge chunks are zero-padded per
+  * zstd | blosc with EVERY c-blosc-1 inner codec — blosclz, lz4,
+  * lz4hc, snappy, zlib, zstd — and shuffle mode — none, byte, bit —
+  * ([[BloscCodec]]/[[BloscLz]]: any numcodecs `Blosc(...)`
+  * configuration, including the DEFAULT `to_zarr` encoding, reads
+  * directly). v3 chunk keys: `default` encoding ("c/0/1" or "c.0.1")
+  * and the `v2` compatibility encoding. The v3
+  * transpose/sharding/crc32c codecs fail fast naming the feature and
+  * the migration script. Edge chunks are zero-padded per
   * spec (v3 writers may also truncate trailing chunks; both read);
   * padding is dropped by bounds checks.
   */
@@ -84,16 +85,13 @@ object ZarrSource {
       require(id == "zlib" || id == "gzip" || id == "zstd" || id == "blosc",
         s"unsupported compressor '$id' (re-encode with zlib: scripts/migrate_xyzpy.py)")
       if (id == "blosc") {
-        // fail fast on inner codecs / filters the chunk decoder will
-        // reject anyway, naming the exact codec and the way out
+        // every c-blosc-1 inner codec (blosclz/lz4/lz4hc/snappy/zlib/
+        // zstd) and shuffle mode (none/byte/bit) decodes natively —
+        // the actual codec id comes from each chunk's own header, so
+        // only sanity-check that the name is a known one
         val cname = Option(c.get("cname")).map(_.asText()).getOrElse("blosclz")
-        require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
-          s"unsupported blosc inner codec '$cname' " +
-            "(re-encode with zlib: scripts/migrate_xyzpy.py)")
-        val shuffle = Option(c.get("shuffle")).map(_.asInt()).getOrElse(1)
-        require(shuffle != 2, // 2 = bit-shuffle
-          "blosc bit-shuffle not supported " +
-            "(re-encode with zlib: scripts/migrate_xyzpy.py)")
+        require(Set("blosclz", "lz4", "lz4hc", "snappy", "zlib", "zstd")
+          .contains(cname), s"unknown blosc inner codec '$cname'")
       }
       id
     }

@@ -84,6 +84,55 @@ class TextPipelineSpec extends SparkSpec {
     assert(r(2).getLong(0) == 0 && r(2).getLong(1) == 1 && r(2).getLong(2) == 1)
   }
 
+  // ----------------------------------------- round-6 pipeline ops
+
+  test("substringSpans: planted self-repetition and cross-doc shared block") {
+    val S = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX" // 50 ch, aperiodic
+    assert(S.length == 50)
+    val docs = Seq(
+      (1L, "A" * 60 + "-unique-doc-one-suffix"),       // self-rep: w@1..21 equal
+      (2L, "##doc2####" + S),                          // S at offset 10
+      (3L, "%%%%%doc3-pad-twenty-five" + S),           // S at offset 25
+      (4L, "completely unique text that is longer than forty chars.")
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.substringSpans(docs, "doc_id", "text", w = 40)
+      .orderBy("doc_id", "span_start")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 1L, 60L, 21L), (2L, 11L, 60L, 11L),
+      (3L, 26L, 75L, 11L)))
+  }
+
+  test("stratifiedSample: exact ceil(rate*n) per stratum, deterministic") {
+    val df = ((1 to 10).map(i => (i.toLong, "en")) ++
+      (11 to 14).map(i => (i.toLong, "de")) ++
+      (15 to 17).map(i => (i.toLong, "xx"))).toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.3) // en: 5 of 10, de: ceil(1.2)=2
+    def run() = graft.functions.Mixture
+      .stratifiedSample(df, "id", "lang", rates, salt = "s")
+      .collect().map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("lang")))).toSet
+    val a = run()
+    assert(a.count(_._2 == "en") == 5 && a.count(_._2 == "de") == 2)
+    assert(!a.exists(_._2 == "xx")) // unconfigured strata drop
+    assert(a == run())              // pure function of (salt, id)
+  }
+
+  test("bm25: zero for term-free docs, exact formula on planted counts") {
+    val docs = Seq((1L, "data data join"), (2L, "other words here"),
+      (3L, "data")).toDF("doc_id", "text")
+    val r = TextFns.bm25(docs, "doc_id", "text", Seq("data", "join"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    // N=3, dl=(3,3,1), avgdl=7/3; df_data=2, df_join=1
+    def score(tf: Double, df: Double, dl: Double): Double =
+      math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (7.0 / 3.0)))))
+    assert(r(1) == 0.0)
+    assert(math.abs(r(0) - BigDecimal(score(2, 2, 3) + score(1, 1, 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r(2) - BigDecimal(score(1, 2, 1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r(0) > r(2) && r(2) > 0.0)
+  }
+
   // ------------------------------------------------------------ PII
 
   test("piiCounts and redactPii on planted PII") {

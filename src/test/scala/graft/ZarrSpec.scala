@@ -131,6 +131,48 @@ class ZarrSpec extends SparkSpec {
     out.delete()
   }
 
+  // ---- round-6 fixtures: the remaining c-blosc codecs/filters.
+  // Written by the stdlib generator (spec-based blosclz/snappy
+  // encoders, round-trip checked in python before commit); the snappy
+  // chunks are decoded here by xerial snappy-java — an implementation
+  // we did not write — giving a genuine two-implementation check.
+
+  test("blosclz: split byte-plane streams, RLE/short matches, leftover block") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/blz", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 300)
+    for (k <- 0 until 300) assert(a(k.toLong) == ((k * 7) % 500) - 250, s"k=$k")
+  }
+
+  test("blosclz: far matches (>8191B distance, 16-bit escape) decode") {
+    val per = (0 until 2500).map(i => ((i.toLong * i * 7 + i) % 251).toInt)
+    val a = ZarrSource.readArray(spark, s"$bloscStore/bfar", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 20000)
+    for (k <- 0 until 20000) assert(a(k.toLong) == per(k % 2500), s"k=$k")
+  }
+
+  test("blosc-snappy: xerial decodes the spec-written raw streams") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/bsn", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.size == 200)
+    for (k <- 0 until 200) assert(a(k.toLong) == (k % 17) * 0.5 - 4.0, s"k=$k")
+  }
+
+  test("blosc bit-shuffle: 8-aligned prefix planes + verbatim tail") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/bbt", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 50) // chunks of 20 i8: n8=16 elems, 4-elem tail
+    for (k <- 0 until 50) assert(a(k.toLong) == k.toLong * k * 3 - 40L * k, s"k=$k")
+  }
+
+  test("blosc bit-shuffle + blosclz split streams compose") {
+    val a = ZarrSource.readArray(spark, s"$bloscStore/bbs", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 256)
+    for (k <- 0 until 256) assert(a(k.toLong) == ((k * 3) % 97) - 48, s"k=$k")
+  }
+
   // ---- Zarr v3 (zarr.json metadata; what zarr-python 3 writes by
   // default). Fixture store exercises all three chunk-key encodings
   // (default "c/0/1", default "c.0.1", v2-compat "0"), gzip/blosc/raw
@@ -190,27 +232,26 @@ class ZarrSpec extends SparkSpec {
       e.getMessage.contains("migrate_xyzpy.py"), e.getMessage)
   }
 
-  test("blosc refusals name the codec and the migration script") {
+  test("every numcodecs blosc config is accepted; unknown cname refused") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badblosc")
     val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    for (cname <- Seq("blosclz", "lz4", "lz4hc", "snappy", "zlib", "zstd");
+         shuffle <- 0 to 2) {
+      java.nio.file.Files.write(arr.resolve(".zarray"),
+        s"""{"zarr_format":2,"order":"C","filters":null,"dtype":"<f8",
+           "shape":[2],"chunks":[2],
+           "compressor":{"id":"blosc","cname":"$cname","clevel":5,
+             "shuffle":$shuffle}}""".getBytes)
+      ZarrSource.readMeta(spark, arr.toString) // must not throw
+    }
     java.nio.file.Files.write(arr.resolve(".zarray"),
       """{"zarr_format":2,"order":"C","filters":null,"dtype":"<f8",
          "shape":[2],"chunks":[2],
-         "compressor":{"id":"blosc","cname":"snappy","clevel":5,"shuffle":1}}"""
+         "compressor":{"id":"blosc","cname":"madeup","clevel":5,"shuffle":1}}"""
         .getBytes)
     val e = intercept[IllegalArgumentException](
       ZarrSource.readMeta(spark, arr.toString))
-    assert(e.getMessage.contains("snappy") &&
-      e.getMessage.contains("migrate_xyzpy.py"), e.getMessage)
-    java.nio.file.Files.write(arr.resolve(".zarray"),
-      """{"zarr_format":2,"order":"C","filters":null,"dtype":"<f8",
-         "shape":[2],"chunks":[2],
-         "compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":2}}"""
-        .getBytes)
-    val e2 = intercept[IllegalArgumentException](
-      ZarrSource.readMeta(spark, arr.toString))
-    assert(e2.getMessage.contains("bit-shuffle") &&
-      e2.getMessage.contains("migrate_xyzpy.py"), e2.getMessage)
+    assert(e.getMessage.contains("madeup"), e.getMessage)
   }
 
   test("unsupported dtype/compressor fail with actionable errors") {
