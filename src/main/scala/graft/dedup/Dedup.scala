@@ -461,10 +461,15 @@ object Dedup {
     * (1-based, inclusive). A duplicated substring of length ≥ w is
     * detected exactly: all of its windows collide.
     *
-    * Shape for scale: window TEXT never shuffles — the duplicate
-    * census exchanges (16-hex-char md5 prefix, id, pos) triples; the
-    * >1-occurrence key set joins back against the map-side re-derived
-    * windows; the span merge is gaps-and-islands over one window on
+    * Shape for scale: window TEXT never shuffles — windows are
+    * censused as 64-bit rolling hashes from the
+    * [[graft.functions.TextExprs.charWindowHashes]] kernel (ONE
+    * O(len) pass per doc; equality structure modulo collision, the
+    * d2/d3 shingle-hash discipline — the oracle groups by the raw
+    * window content), so the duplicate census exchanges only
+    * map-combined long counters; the >1-occurrence key set joins back
+    * against the map-side re-derived windows (AQE broadcasts it when
+    * small); the span merge is gaps-and-islands over one window on
     * (id, pos). The paper's suffix-array build is replaced by this
     * hash-window pass because it is one compact-key shuffle at any
     * corpus size.
@@ -474,11 +479,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"window must be >= 2 chars, got $w")
     val wins = docs.filter(length(col(textCol)) >= w)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col(textCol)) - (w - 1))).as("pos"),
-        col(textCol))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        substring(md5(col(textCol).substr(col("pos"), lit(w))), 1, 16).as("h"))
+      .select(col(idCol), posexplode(
+        graft.functions.TextExprs.charWindowHashes(col(textCol), w)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
     val dupKeys = wins.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("h")
     val byDoc = Window.partitionBy(idCol).orderBy("pos")

@@ -36,6 +36,18 @@ object TextExprs {
     */
   def gramRunStats(grams: Column): Column =
     GraftSqlShims.column(GramRunStats(GraftSqlShims.expression(grams)))
+
+  /** 64-bit rolling hashes of every `w`-char window (stride 1) of a
+    * string — the character-level analogue of [[shingleHashes]] for
+    * substring-level dedup. One O(len) Rabin-Karp pass per document
+    * (base = FNV prime, mod 2⁶⁴) replaces per-window
+    * `xxhash64(substr(text, pos, w))`, which re-reads every character
+    * `w` times and allocates a window string per position. Downstream
+    * consumers need only equality structure (hash collisions are the
+    * documented d2/d3 shingle discipline).
+    */
+  def charWindowHashes(text: Column, w: Int): Column =
+    GraftSqlShims.column(CharWindowHashes(GraftSqlShims.expression(text), w))
 }
 
 /** out[i] = hash(tokens[i..i+n-1]), length max(numTokens-n+1, 0). */
@@ -82,6 +94,56 @@ case class ShingleHash(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
+}
+
+/** out[i] = rolling hash of chars [i, i+w), length max(numChars-w+1, 0). */
+case class CharWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 2, s"window must be >= 2 chars, got $w")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharWindowHashes.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cls = CharWindowHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compute($v, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashes =
+    copy(child = newChild)
+}
+
+object CharWindowHashes {
+  private val B = 0x100000001b3L // FNV prime as polynomial base, mod 2^64
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              w: Int): GenericArrayData = {
+    val str = s.toString
+    val n = str.length
+    val nw = math.max(n - w + 1, 0)
+    val out = new Array[Long](nw)
+    if (nw > 0) {
+      var bw = 1L
+      var j = 1
+      while (j < w) { bw *= B; j += 1 } // B^(w-1)
+      var h = 0L
+      j = 0
+      while (j < w) { h = h * B + str.charAt(j); j += 1 }
+      out(0) = h
+      var i = 1
+      while (i < nw) {
+        h = (h - str.charAt(i - 1) * bw) * B + str.charAt(i + w - 1)
+        out(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** struct(dup_chars, top_chars, max_tf) over a string array — see

@@ -885,12 +885,14 @@ object TextQueries {
     * (gaps-and-islands over one window on (doc_id, pos)). A duplicated
     * substring of length ≥ W is detected exactly: all of its windows
     * collide. Shape for scale: window TEXT never shuffles — the
-    * exchange carries (16-hex-char md5 prefix, doc_id, pos) triples;
-    * the >1-occurrence key set joins back against the map-side
-    * re-derived windows; the paper's suffix-array build is replaced by
-    * this hash-window pass because it is one compact-key shuffle at
-    * any corpus size. Oracle: DuckDB regenerates every window
-    * position, hash, and island boundary.
+    * census exchanges map-combined xxhash64 long counters only; the
+    * >1-occurrence key set joins back against the map-side re-derived
+    * windows; the paper's suffix-array build is replaced by this
+    * hash-window pass because it is one compact-key shuffle at any
+    * corpus size. Oracle: DuckDB groups the raw window content (the
+    * 64-bit hash is equality structure modulo collision — the d2/d3
+    * shingle-hash discipline) and regenerates every window position
+    * and island boundary.
     */
   val d9Spans = QueryDef(
     "d9_substring_spans",
@@ -898,7 +900,7 @@ object TextQueries {
       table(s, dir, "documents"), "doc_id", "text", w = 40),
     Some("""WITH w AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
-          substr(md5(substr(text, i::INT, 40)), 1, 16) AS h
+          substr(text, i::INT, 40) AS h
         FROM documents,
           LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
         WHERE length(text) >= 40),
