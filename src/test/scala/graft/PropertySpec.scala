@@ -175,6 +175,130 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Test-side blosclz encoder (greedy over a candidate-distance set,
+    * mirroring the spec): literal runs, short matches, extended
+    * lengths, the 16-bit far escape. Fuzzes the main decoder far
+    * beyond the 5 committed fixtures.
+    */
+  private def blosclzCompress(data: Array[Byte], dists: Seq[Int]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    val lit = scala.collection.mutable.ArrayBuffer[Byte]()
+    def flushLit(): Unit = {
+      var j = 0
+      while (j < lit.length) {
+        val run = math.min(32, lit.length - j)
+        out += (run - 1).toByte
+        out ++= lit.slice(j, j + run)
+        j += run
+      }
+      lit.clear()
+    }
+    def lenBytes(l: Int): Unit = {
+      if (l < 6) () // encoded in the token
+      else { var rem = l - 6; while (rem >= 255) { out += 255.toByte; rem -= 255 }; out += rem.toByte }
+    }
+    lit += data(0)
+    var i = 1
+    while (i < data.length) {
+      var bestLen = 0; var bestD = 0
+      for (d <- dists if d <= i) {
+        var l = 0
+        while (i + l < data.length && data(i + l - d) == data(i + l) && l < 300) l += 1
+        if (l >= 3 && l > bestLen) { bestLen = l; bestD = d }
+      }
+      if (bestLen >= 3) {
+        flushLit()
+        val L = bestLen - 3
+        val tokenLen = if (L < 6) L + 1 else 7
+        if (bestD <= 8191) {
+          val ofs = bestD - 1
+          out += ((tokenLen << 5) | (ofs >> 8)).toByte
+          lenBytes(L)
+          out += (ofs & 0xff).toByte
+        } else {
+          val o16 = bestD - 8191
+          out += ((tokenLen << 5) | 31).toByte
+          lenBytes(L)
+          out += 255.toByte
+          out += ((o16 >> 8) & 0xff).toByte
+          out += (o16 & 0xff).toByte
+        }
+        i += bestLen
+      } else { lit += data(i); i += 1 }
+    }
+    flushLit()
+    out.toArray
+  }
+
+  test("property: BloscLz inverts spec-encoded streams (RLE, short, far, extended)") {
+    val segGen = for {
+      period <- Gen.oneOf(1, 5, 37, 300)
+      reps <- Gen.choose(2, 6)
+      base <- Gen.listOfN(period, Gen.choose(-128, 127).map(_.toByte))
+      noise <- Gen.listOfN(40, Gen.choose(-128, 127).map(_.toByte))
+    } yield (Seq.fill(reps)(base).flatten ++ noise).toArray
+    forAll(segGen, n = 8) { data =>
+      val comp = blosclzCompress(data, Seq(1, 5, 37, 300))
+      val out = new Array[Byte](data.length)
+      val n = graft.sources.BloscLz.decompress(comp, 0, comp.length, out, 0, data.length)
+      assert(n == data.length && java.util.Arrays.equals(out, data))
+    }
+    // deterministic far-distance case: period 9000 > MAX_DISTANCE 8191
+    val far = Array.tabulate[Byte](20000)(i => (((i % 9000) * 31 + (i % 9000) / 7) & 0xff).toByte)
+    val comp = blosclzCompress(far, Seq(9000))
+    val out = new Array[Byte](far.length)
+    val n = graft.sources.BloscLz.decompress(comp, 0, comp.length, out, 0, far.length)
+    assert(n == far.length && java.util.Arrays.equals(out, far))
+    // the stream must actually contain a far escape, or this test is a no-op
+    // first 9000 bytes have no match candidate (all literals); the
+    // remaining 11000 must compress into a handful of far-match tokens
+    assert(comp.length < 9000 + 300 * 3 + 700, "far matches not emitted")
+  }
+
+  test("property: bit-shuffle inverts for all typesizes incl. non-8-aligned tails") {
+    def bitShuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
+      val nelem = data.length / typesize
+      val n8 = nelem - nelem % 8
+      val plane = n8 / 8
+      val out = new Array[Byte](data.length)
+      for (b <- 0 until typesize; k <- 0 until 8; g <- 0 until plane) {
+        var v = 0
+        for (e <- 0 until 8)
+          v |= (((data((g * 8 + e) * typesize + b) >> k) & 1) << e)
+        out((b * 8 + k) * plane + g) = v.toByte
+      }
+      System.arraycopy(data, n8 * typesize, out, n8 * typesize,
+        data.length - n8 * typesize)
+      out
+    }
+    val gen = for {
+      typesize <- Gen.oneOf(1, 2, 4, 8)
+      nelem <- Gen.choose(5, 60)
+      bytes <- Gen.listOfN(nelem * typesize, Gen.choose(-128, 127).map(_.toByte))
+    } yield (typesize, bytes.toArray)
+    forAll(gen, n = 8) { case (typesize, data) =>
+      val shuf = bitShuffle(data, typesize)
+      val comp = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(shuf); d.finish()
+        val buf = new Array[Byte](shuf.length * 2 + 64)
+        val m = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, m)
+      }
+      val stored = if (comp.length >= shuf.length) (shuf.length, shuf)
+        else (comp.length, comp)
+      val total = 16 + 4 + 4 + stored._1
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte).put(1.toByte)
+        .put((0x04 | (3 << 5)).toByte).put(typesize.toByte) // bitshuffle+zlib
+        .putInt(data.length).putInt(data.length).putInt(total)
+        .putInt(16 + 4).putInt(stored._1)
+      bb.put(stored._2)
+      val out = graft.sources.BloscCodec.decode(bb.array(), data.length)
+      assert(java.util.Arrays.equals(out, data), s"typesize $typesize n ${data.length}")
+    }
+  }
 }
 
 /** Black-box Scala-closure evaluation — the reference's arbitrary-fn
