@@ -652,6 +652,46 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** N5: product-quantization ANN with exact re-rank — the ANN
+    * ladder's compressed-scan rung (brute n1 → LSH n2 → IVF n4 → PQ
+    * n5): 8 subspaces × 16 centroids compress each 64-dim vector to 8
+    * codes; a query batch broadcasts ADC lookup tables, the
+    * compressed-code scan shortlists top-32 per query, and the
+    * shortlist re-ranks by EXACT cosine. Oracle: n4's
+    * planted-perturbation gate (query = md5-noise off a corpus
+    * vector, true top-1 known at margin ≈0.99 vs ≤0.51 background) —
+    * a codebook-fit, encode, ADC, or shortlist defect surfaces as a
+    * missing/mismatched row, and `sim` is exact because the re-rank
+    * recomputes true cosine.
+    */
+  val n5Pq = QueryDef(
+    "n5_pq_knn",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val idx = Similarity.PqIndex.fit(emb, "embedding", m = 8, k = 16)
+      val encoded = idx.encode(emb, "embedding")
+      val base = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = base.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"pqq:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      idx.queryBatch(encoded, "vec_id", "embedding", queries, kOut = 1)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('pqq:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
+
   /** P1: the COMPOSED cleaning pipeline — the stages a production
     * training-data run chains, in order: quality gate (t2 score ≥
     * 0.65) → benchmark decontamination (t6 overlap < 0.2 vs the
@@ -997,6 +1037,6 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

@@ -204,6 +204,140 @@ object Similarity {
     }
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the vector splits into `m`
+    * subvectors, each quantized to one of `k` per-subspace centroids,
+    * so a 64-dim float vector compresses to `m` small codes and
+    * query-time scoring is Asymmetric Distance Computation — a
+    * per-query lookup table of subspace dot products, summed by code.
+    * Completes the ANN ladder: brute (n1) → LSH (n2) → IVF (n4) →
+    * PQ-compressed scan with exact re-rank (n5).
+    *
+    * Scale shape: codebooks are driver-bounded (m·k·subDim doubles,
+    * KBs); encode is map-only (one [[graft.functions.NearestCentroid]]
+    * argmin per subspace inside codegen); a query batch broadcasts
+    * (query, ADC table) rows against the encoded corpus — the corpus
+    * side streams compressed codes (m bytes/vector instead of the
+    * raw embedding), the ADC shortlist is a bounded per-query top-S
+    * window, and only shortlisted ids fetch their raw vectors for the
+    * EXACT cosine re-rank (the standard offline-compress /
+    * online-rerank split; at 10¹¹ vectors the scored scan moves ~m
+    * bytes/vector instead of 4·dim).
+    */
+  final class PqIndex(val codebooks: Array[Array[Array[Double]]])
+      extends Serializable {
+    val m: Int = codebooks.length
+    val k: Int = codebooks(0).length
+    val subDim: Int = codebooks(0)(0).length
+
+    /** L2-normalize, then attach `code_0..code_{m-1}` int codes —
+      * map-only, one codegen'd argmin per subspace. */
+    def encode(corpus: DataFrame, vecCol: String): DataFrame = {
+      val normalized = corpus.withColumn("__nv",
+        l2Normalize(col(vecCol).cast("array<double>")))
+      codebooks.zipWithIndex.foldLeft(normalized) { case (df, (cb, mi)) =>
+        df.withColumn(s"code_$mi",
+          org.apache.spark.sql.GraftSqlShims.column(
+            graft.functions.NearestCentroid(
+              org.apache.spark.sql.GraftSqlShims.expression(
+                slice(col("__nv"), mi * subDim + 1, subDim)),
+              cb.flatten, k, subDim)))
+      }.drop("__nv")
+    }
+
+    /** ADC lookup table for one normalized query: flat [m·k] array of
+      * subspace dot products — Σ_m table(m·k + code_m) ≈ cosine. */
+    private def adcTable(qn: Array[Double]): Array[Double] = {
+      val t = new Array[Double](m * k)
+      for (mi <- 0 until m; ki <- 0 until k) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          d += qn(mi * subDim + j) * codebooks(mi)(ki)(j); j += 1
+        }
+        t(mi * k + ki) = d
+      }
+      t
+    }
+
+    /** Batched approximate top-`kOut`: ONE distributed job — ADC
+      * tables broadcast, compressed-code scan scores every vector,
+      * per-query top-`shortlist` window, then the shortlist re-ranks
+      * by EXACT cosine on the raw vectors. Output matches n4's shape:
+      * (query_id, neighbor_id, sim) with `sim` exact. */
+    def queryBatch(encoded: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Double])], kOut: Int,
+                   shortlist: Int = 32): DataFrame = {
+      val spark = encoded.sparkSession
+      import spark.implicits._
+      val qtab = queries.map { case (qid, qv) =>
+        val n = math.sqrt(qv.map(x => x * x).sum)
+        (qid, adcTable(qv.map(_ / n).toArray).toSeq, qv)
+      }.toDF("query_id", "qtab", "qv")
+      val codes = array((0 until m).map(mi => col(s"code_$mi")): _*)
+      val adc = (0 until m).map(mi =>
+        element_at(col("qtab"), col(s"code_$mi") + lit(mi * k) + 1))
+        .reduce(_ + _)
+      encoded.crossJoin(broadcast(qtab))
+        .filter(col(idCol) =!= col("query_id"))
+        .withColumn("__adc", adc)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))))
+        .filter(col("__rn") <= shortlist)
+        .withColumn("sim", cosine(col(vecCol).cast("array<double>"), col("qv")))
+        .withColumn("__rx", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+        .filter(col("__rx") <= kOut)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+    }
+  }
+
+  object PqIndex {
+    /** Per-subspace Lloyd's on a bounded driver sample (the IvfIndex
+      * discipline: deterministic hash-ordered sample, spaced seeding).
+      */
+    def fit(df: DataFrame, vecCol: String, m: Int, k: Int,
+            sampleSize: Int = 2000, iters: Int = 8, seed: Long = 42): PqIndex = {
+      val sample = df.select(
+        l2Normalize(col(vecCol).cast("array<double>")).as("v"))
+        .orderBy(xxhash64(col("v"), lit(seed)))
+        .limit(sampleSize)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "empty corpus")
+      val dim = sample(0).length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      val codebooks = (0 until m).map { mi =>
+        val sub = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim))
+        var centroids = sub.grouped(math.max(sub.length / k, 1))
+          .map(_.head).take(k).toArray
+        for (_ <- 0 until iters) {
+          val sums = Array.fill(centroids.length)(new Array[Double](subDim))
+          val counts = new Array[Long](centroids.length)
+          sub.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue
+            for (c <- centroids.indices) {
+              var d = 0.0; var i = 0
+              while (i < subDim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+            }
+            counts(best) += 1
+            var i = 0
+            while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          }
+          centroids = centroids.indices.map { c =>
+            if (counts(c) == 0) centroids(c)
+            else sums(c).map(_ / counts(c))
+          }.toArray
+        }
+        centroids
+      }.toArray
+      new PqIndex(codebooks)
+    }
+  }
+
   object IvfIndex {
 
     /** Persist the fitted centroids as a tiny parquet table

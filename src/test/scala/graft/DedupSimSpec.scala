@@ -332,6 +332,38 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("PQ: codes in range; full shortlist ≡ brute force; planted top-1 at 32") {
+    // uniform noise embeddings are PQ's adversarial case (no cluster
+    // structure, true neighbors barely above background), so the
+    // recall dial is `shortlist`: at shortlist = corpus the exact
+    // re-rank must reproduce brute force EXACTLY (plumbing proof),
+    // and a high-margin planted query must surface top-1 already at a
+    // small shortlist (the production regime the oracle also gates).
+    val e = emb(sf())
+    val idx = Similarity.PqIndex.fit(e, "embedding", m = 8, k = 16,
+      sampleSize = 500)
+    val encoded = idx.encode(e, "embedding").cache()
+    for (mi <- 0 until 8) {
+      val mm = encoded.agg(min(s"code_$mi"), max(s"code_$mi")).head()
+      assert(mm.getInt(0) >= 0 && mm.getInt(1) < 16, s"subspace $mi codes")
+    }
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val full = idx.queryBatch(encoded, "vec_id", "embedding",
+      Seq((0L, qv)), kOut = 10, shortlist = 500)
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .select("neighbor_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceKnn(
+      e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 10)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(full == exact, s"full-shortlist PQ != brute force: $full vs $exact")
+    val planted = qv.zipWithIndex.map { case (x, j) => x + 0.01 * (j % 3 - 1) }
+    val top = idx.queryBatch(encoded, "vec_id", "embedding",
+      Seq((9999L, planted)), kOut = 1, shortlist = 32).head()
+    assert(top.getLong(1) == 0L, s"planted top-1 missed: $top")
+    encoded.unpersist()
+  }
+
   test("IVF queryBatch: one job, per-query top-k, agrees with single-query path") {
     val e = emb(sf())
     val idx = Similarity.IvfIndex.fit(e, "embedding", k = 8, sampleSize = 500)
