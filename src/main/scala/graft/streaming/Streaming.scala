@@ -58,6 +58,27 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming CLEANING: the stateless stages of the p1 batch
+    * pipeline applied to a continuously-arriving corpus — quality
+    * gate, PII redaction, then watermark-horizon exact dedup on the
+    * REDACTED text (docs differing only in PII deduplicate). Quality
+    * and redaction are the same pure column expressions as the batch
+    * [[graft.functions.TextFns]] formulas, so a document scores
+    * identically online and offline; dedup state stays bounded by the
+    * watermark horizon. Mixture sampling composes downstream via
+    * [[graft.functions.Mixture.sampleByRate]] — a pure (salt, id)
+    * hash filter, stream-safe by construction.
+    */
+  def cleanStream(docs: DataFrame, tsCol: String, textCol: String,
+                  minQuality: Double, watermark: String = "1 hour"): DataFrame =
+    dedupStream(
+      docs
+        .withColumn("quality", graft.functions.TextFns.qualityScore(
+          col(textCol), graft.functions.TextFns.langMarkers("en")))
+        .filter(col("quality") >= minQuality)
+        .withColumn(textCol, graft.functions.TextFns.redactPii(col(textCol))),
+      tsCol, textCol, watermark)
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

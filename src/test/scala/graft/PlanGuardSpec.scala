@@ -126,6 +126,35 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("t11_bm25: map-only doc side + ONE stats exchange, broadcast back") {
+    val p = plan("t11_bm25")
+    // per-doc tf/dl never shuffle; the only exchange feeds the single
+    // corpus-stats aggregate row, which broadcasts back to the scan
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (stats agg), got $exchanges")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats row should broadcast")
+  }
+
+  test("d9_substring_spans: rolling-hash kernel, census prunes to text only") {
+    val p = plan("d9_substring_spans")
+    assert(p.contains("char_window_hashes"), "rolling-hash kernel missing")
+    // the census side scan must read ONLY text (no doc_id) — its
+    // exchange carries hash counters, never window strings
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(_.contains("struct<text:string>")),
+      s"census scan not pruned to text: $reads")
+  }
+
+  test("n5_pq_knn: codegen argmin encode + native cosine re-rank in one job") {
+    val p = plan("n5_pq_knn")
+    assert("""nearest_centroid""".r.findAllIn(p).length >= 8,
+      "per-subspace encode kernels missing")
+    assert(p.contains("vec_cosine"), "exact re-rank kernel missing")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "ADC tables should broadcast")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -48,6 +48,50 @@ class StreamingFileSpec extends SparkSpec {
     assert(rows.filter(col("n_words") =!= 7).count() == 0)
   }
 
+  test("cleanStream: streamed quality gate + redact + dedup ≡ the batch stages") {
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, ts TIMESTAMP, text STRING")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = Seq(
+      (1L, "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate"),
+      (2L, "x!!! ??? ###"), // low quality -> gated
+      (3L, "mail me at a.b@example.com about the data and the words that are of fine quality in this calm prose that passes the length gate"),
+      (4L, "mail me at z.q@other.org about the data and the words that are of fine quality in this calm prose that passes the length gate"),
+      (5L, "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate") // dup of 1
+    ).map { case (id, t) => (id, base, t) }
+    rows.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = Streaming.cleanStream(
+      spark.readStream.schema(schema).parquet(in),
+      "ts", "text", minQuality = 0.5, watermark = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(2L), "low-quality doc must be gated")
+    // 1|5 are exact dups; 3|4 differ ONLY in the email address, so
+    // after redaction they too are identical — dedup-after-redact is
+    // the point (PII-only variants of one doc collapse)
+    assert(got.size == 2, s"expected {1|5, 3|4}, got ${got.keySet}")
+    assert(got.keySet.intersect(Set(1L, 5L)).size == 1, "exact dup must drop")
+    assert(got.keySet.intersect(Set(3L, 4L)).size == 1,
+      "PII-only variants must collapse after redaction")
+    assert(got.values.forall(!_.contains("@")), "emails must be redacted")
+    assert(got.values.exists(_.contains("<EMAIL>")))
+    // batch parity: same stages, same formulas, same survivors
+    val batch = rows.toDF("doc_id", "ts", "text")
+      .withColumn("quality", graft.functions.TextFns.qualityScore(
+        col("text"), graft.functions.TextFns.langMarkers("en")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
+      .dropDuplicates("text")
+      .select("text").as[String].collect().toSet
+    assert(got.values.toSet == batch, "stream and batch stages disagree")
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
