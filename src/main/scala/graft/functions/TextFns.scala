@@ -254,6 +254,63 @@ object TextFns {
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
+  /** Hashed TF-IDF document vectors (feature hashing, Weinberger et
+    * al. 2009) in LONG form — (id, bucket, w_micro): every token
+    * hashes to `bucket = h % dim` with an unbiasing sign from the
+    * next hash bit, weighted tf · (ln((N+1)/(df+1)) + 1). The idf is
+    * fixed-pointed to micro-units (⌊10⁶·idf⌋) BEFORE the per-bucket
+    * sum, so the aggregation is pure integer arithmetic —
+    * order-independent and engine-exact; the only float op is one ln
+    * per vocabulary term. [[assembleVectors]] pivots the long form
+    * into dense `array<double>` embeddings for the n-family (ANN /
+    * cosine dedup over real text features instead of synthetic
+    * embeddings).
+    *
+    * Shape for scale: tf is the standard explode → (id, token)
+    * map-combined count; df aggregates the tf table (no second text
+    * scan); N is one broadcast aggregate row. The join back to tf is
+    * a token-key equi-join of counter tables — text never shuffles.
+    */
+  def hashedTfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, dim: Int = 64,
+                  salt: String = "tfidf"): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),
+      16, 10).cast("long")
+    val idfMicro = floor(lit(1e6) *
+      (log((col("__n").cast("double") + 1.0) /
+        (col("__df").cast("double") + 1.0)) + 1.0)).cast("long")
+    tf.join(dfT, Seq("__t")).crossJoin(broadcast(n))
+      .withColumn("__h", hv)
+      .select(col(idCol),
+        pmod(col("__h"), lit(dim.toLong)).as("bucket"),
+        ((lit(1L) - lit(2L) * pmod(expr(s"__h div $dim"), lit(2L))) *
+          col("__tf") * idfMicro).as("__wm"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum("__wm").as("w_micro"))
+  }
+
+  /** Pivot [[hashedTfIdf]]'s long form into dense L2-normalized
+    * `array<double>` embeddings (one exchange on the id — the long
+    * form is already (id, bucket)-keyed).
+    */
+  def assembleVectors(longForm: org.apache.spark.sql.DataFrame, idCol: String,
+                      dim: Int): org.apache.spark.sql.DataFrame = {
+    val dense = longForm
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("w_micro")))).as("__m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double") / 1e6)
+        .as("embedding"))
+    dense.select(col(idCol),
+      graft.functions.VectorExprs.l2Normalize(col("embedding")).as("embedding"))
+  }
+
   /** BM25 relevance of every document against a fixed term set
     * (Robertson/Spärck Jones idf in the Lucene-style non-negative
     * form `ln(1 + (N−df+0.5)/(df+0.5))`) — the retrieval primitive

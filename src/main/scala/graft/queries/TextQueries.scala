@@ -652,6 +652,32 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** T13: hashed TF-IDF document vectors (feature hashing) in long
+    * form — the text→embedding bridge that lets the n-family (ANN,
+    * cosine dedup) run on REAL text features. The idf is fixed-
+    * pointed to micro-units before the per-bucket sum, so every
+    * aggregation is integer-exact (no float-ordering freedom); the
+    * oracle recomputes every hash, sign, idf, and bucket sum.
+    */
+  val t13TfIdf = QueryDef(
+    "t13_hashed_tfidf",
+    (s, dir) => TextFns.hashedTfIdf(
+      table(s, dir, "documents"), "doc_id", "text", dim = 64),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      w AS (SELECT tf.doc_id,
+          CAST('0x' || substr(md5('tfidf:' || tf.t), 1, 15) AS BIGINT) AS hv,
+          tf.tf, df.df FROM tf JOIN df USING (t))
+      SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+        CAST(SUM((1 - 2 * ((hv // 64) % 2)) * tf *
+          CAST(FLOOR(1000000 * (ln((n.n + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT))
+          AS BIGINT) AS w_micro
+      FROM w, n GROUP BY 1, 2"""))
+
   /** N5: product-quantization ANN with exact re-rank — the ANN
     * ladder's compressed-scan rung (brute n1 → LSH n2 → IVF n4 → PQ
     * n5): 8 subspaces × 16 centroids compress each 64-dim vector to 8
@@ -1035,7 +1061,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
-    t11Bm25, t12Stratified, d1Exact, d2Jaccard,
+    t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)

@@ -133,6 +133,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(r(0) > r(2) && r(2) > 0.0)
   }
 
+  test("hashedTfIdf + assembleVectors: dup docs embed identically, unit norm") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "alpha beta gamma delta alpha beta"), // exact dup of 1
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val lf = TextFns.hashedTfIdf(docs, "doc_id", "text", dim = 16)
+    val m = TextFns.assembleVectors(lf, "doc_id", 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    m.values.foreach(v => assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9))
+    assert(math.abs(cos(m(1L), m(2L)) - 1.0) < 1e-9, "dup docs must coincide")
+    assert(cos(m(1L), m(3L)) < 0.9, "disjoint-vocab docs must separate")
+    assert(cos(m(1L), m(3L)) < cos(m(1L), m(2L)))
+  }
+
   // ------------------------------------------------------------ PII
 
   test("piiCounts and redactPii on planted PII") {
