@@ -2,10 +2,12 @@
 """One-way bridge: xyzpy/xarray result store -> graft.
 
 xyzpy persists harvests as xarray Datasets via h5netcdf / netcdf4 /
-zarr engines (reference: manage.py:32-169). graft reads Zarr v2
-directly (graft.sources.ZarrSource) provided chunks are raw, zlib, or
-gzip — xarray's default blosc compressor needs a native lib the JVM
-side doesn't carry, so this script re-encodes.
+zarr engines (reference: manage.py:32-169). graft reads Zarr v2/v3
+AND netCDF classic (CDF-1/2/5) directly — including every numcodecs
+blosc configuration (blosclz/lz4/lz4hc/snappy/zlib/zstd, byte/bit
+shuffle) — so the ONLY store that still needs this script is a
+netCDF-4/HDF5 file (h5netcdf/netcdf4 engines), which it re-encodes
+to zarr.
 
 Run wherever the legacy store lives (needs xarray + zarr + numcodecs,
 the same deps xyzpy itself required; graft needs none of them):
