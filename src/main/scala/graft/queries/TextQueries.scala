@@ -678,6 +678,49 @@ object TextQueries {
           AS BIGINT) AS w_micro
       FROM w, n GROUP BY 1, 2"""))
 
+  /** N6: text near-dup pairs via hashed TF-IDF cosine — the
+    * COMPOSITION t13 → assembleVectors → cosine pairs, proving the
+    * text→embedding bridge end to end on real documents (the planted
+    * near-dup docs surface at cosine ≥ 0.95 against a ≤0.97
+    * background tail cut). Exact pair step is the correctness
+    * baseline; the unblocked scale path swaps in n2's LSH with
+    * identical plumbing (d6/d7 discipline). Oracle: DuckDB recomputes
+    * hashes, signed micro-weights, dense vectors, and every pairwise
+    * cosine.
+    */
+  val n6TfIdfDedup = QueryDef(
+    "n6_tfidf_neardup",
+    (s, dir) => {
+      val lf = TextFns.hashedTfIdf(
+        table(s, dir, "documents"), "doc_id", "text", dim = 64)
+      val vecs = TextFns.assembleVectors(lf, "doc_id", 64)
+      Similarity.cosinePairs(vecs, "doc_id", "embedding",
+        threshold = 0.95, blockCols = Seq.empty)
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      w AS (SELECT tf.doc_id,
+          CAST('0x' || substr(md5('tfidf:' || tf.t), 1, 15) AS BIGINT) AS hv,
+          tf.tf, df.df FROM tf JOIN df USING (t)),
+      lf AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+          CAST(SUM((1 - 2 * ((hv // 64) % 2)) * tf *
+            CAST(FLOOR(1000000 * (ln((n.n + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT))
+            AS BIGINT) AS wm
+        FROM w, n GROUP BY 1, 2),
+      v AS (SELECT doc_id, list_transform(range(0, 64), b ->
+          COALESCE(list_sum(list_transform(list_filter(
+            list_zip(list(bucket), list(wm)), z -> z[1] = b), z -> z[2])),
+            0)::DOUBLE) AS vec
+        FROM lf GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS sim
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 4) >= 0.95"""))
+
   /** N5: product-quantization ANN with exact re-rank — the ANN
     * ladder's compressed-scan rung (brute n1 → LSH n2 → IVF n4 → PQ
     * n5): 8 subspaces × 16 centroids compress each 64-dim vector to 8
@@ -1063,6 +1106,6 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
+    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq, n6TfIdfDedup,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }
