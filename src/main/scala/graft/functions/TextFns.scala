@@ -294,21 +294,29 @@ object TextFns {
       .agg(sum("__wm").as("w_micro"))
   }
 
-  /** Pivot [[hashedTfIdf]]'s long form into dense L2-normalized
-    * `array<double>` embeddings (one exchange on the id — the long
-    * form is already (id, bucket)-keyed).
+  /** Pivot [[hashedTfIdf]]'s long form into dense `array<double>`
+    * embeddings (one exchange on the id — the long form is already
+    * (id, bucket)-keyed). Default: micro→unit scaling + L2
+    * normalization. `normalize = false` keeps the RAW micro-unit
+    * integers as doubles (exact in fp64): cosine is scale-invariant,
+    * and sign-LSH oracles need both engines to hash the SAME doubles
+    * — integers survive the round trip bit-exactly, normalized
+    * components don't.
     */
   def assembleVectors(longForm: org.apache.spark.sql.DataFrame, idCol: String,
-                      dim: Int): org.apache.spark.sql.DataFrame = {
+                      dim: Int,
+                      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
     val dense = longForm
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(
         struct(col("bucket").cast("int"), col("w_micro")))).as("__m"))
       .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
-        b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double") / 1e6)
+        b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double"))
         .as("embedding"))
-    dense.select(col(idCol),
-      graft.functions.VectorExprs.l2Normalize(col("embedding")).as("embedding"))
+    if (!normalize) dense
+    else dense.select(col(idCol),
+      graft.functions.VectorExprs.l2Normalize(
+        transform(col("embedding"), x => x / 1e6)).as("embedding"))
   }
 
   /** BM25 relevance of every document against a fixed term set

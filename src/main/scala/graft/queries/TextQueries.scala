@@ -679,23 +679,35 @@ object TextQueries {
       FROM w, n GROUP BY 1, 2"""))
 
   /** N6: text near-dup pairs via hashed TF-IDF cosine — the
-    * COMPOSITION t13 → assembleVectors → cosine pairs, proving the
-    * text→embedding bridge end to end on real documents (the planted
-    * near-dup docs surface at cosine ≥ 0.95 against a ≤0.97
-    * background tail cut). Exact pair step is the correctness
-    * baseline; the unblocked scale path swaps in n2's LSH with
-    * identical plumbing (d6/d7 discipline). Oracle: DuckDB recomputes
-    * hashes, signed micro-weights, dense vectors, and every pairwise
-    * cosine.
+    * COMPOSITION t13 → assembleVectors → n2's md5-plane LSH →
+    * exact-cosine verify, proving the text→embedding bridge end to
+    * end on real documents at the SCALE-correct shape (the planted
+    * near-dup docs surface at cosine ≥ 0.95; an exact all-pairs
+    * registered form measured 17 s and a quadratic scaling flag at
+    * sf0.1 — banding is the honest production path, and sign-LSH
+    * recall at this high threshold is ~0.9 per the n2 analysis).
+    * Oracle: DuckDB recomputes hashes, signed micro-weights, dense
+    * vectors, planes, signatures, bands, candidates, AND the exact
+    * verify — banding misses appear identically on both sides, so
+    * the gate stays a hash-exact match.
     */
   val n6TfIdfDedup = QueryDef(
     "n6_tfidf_neardup",
     (s, dir) => {
       val lf = TextFns.hashedTfIdf(
         table(s, dir, "documents"), "doc_id", "text", dim = 64)
-      val vecs = TextFns.assembleVectors(lf, "doc_id", 64)
-      Similarity.cosinePairs(vecs, "doc_id", "embedding",
-        threshold = 0.95, blockCols = Seq.empty)
+        .localCheckpoint() // derive the term weights ONCE — the LSH
+      // stage consumes the vectors three times (signatures + both
+      // candidate re-attach sides); at scale this is the embedding
+      // TABLE a pipeline would persist (derive-once/query-many)
+      // raw micro-unit vectors: exact integers in fp64, so plane-dot
+      // SIGNS are bit-identical to the oracle's (cosine and sign-LSH
+      // are both scale-invariant — normalization would only add fp
+      // noise at the sign boundary)
+      val vecs = TextFns.assembleVectors(lf, "doc_id", 64, normalize = false)
+      Similarity.lshCandidatePairs(vecs, "doc_id", "embedding",
+        dim = 64, threshold = 0.95, nbits = 60, bands = 6,
+        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)))
     },
     Some("""WITH tok AS (SELECT doc_id,
         unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
@@ -715,11 +727,34 @@ object TextQueries {
           COALESCE(list_sum(list_transform(list_filter(
             list_zip(list(bucket), list(wm)), z -> z[1] = b), z -> z[2])),
             0)::DOUBLE) AS vec
-        FROM lf GROUP BY doc_id)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        ROUND(list_cosine_similarity(a.vec, b.vec), 4) AS sim
-      FROM v a JOIN v b ON a.doc_id < b.doc_id
-      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 4) >= 0.95"""))
+        FROM lf GROUP BY doc_id),
+      planes AS (
+        SELECT p, list_transform(range(64), j ->
+          (CAST('0x' || substr(md5('rhp:' || p || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+           / 1152921504606846976.0) * 2.0 - 1.0) AS pw
+        FROM (SELECT unnest(range(60)) AS p)
+      ), dots AS (
+        SELECT v.doc_id, pl.p,
+          CASE WHEN list_reduce(list_transform(range(64), j ->
+              v.vec[(j+1)::INT] * pl.pw[(j+1)::INT]), (x,y) -> x+y) >= 0
+            THEN (1::BIGINT << pl.p::INT) ELSE 0::BIGINT END AS bit
+        FROM v, planes pl
+      ), sigs AS (
+        SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM dots GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, band, (sig >> (band*10)::INT) & 1023 AS bucket
+        FROM sigs, (SELECT unnest(range(6)) AS band)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id
+      )
+      SELECT c.id_a, c.id_b,
+        ROUND(list_cosine_similarity(va.vec, vb.vec), 4) AS sim
+      FROM cand c
+      JOIN v va ON va.doc_id = c.id_a
+      JOIN v vb ON vb.doc_id = c.id_b
+      WHERE ROUND(list_cosine_similarity(va.vec, vb.vec), 4) >= 0.95"""))
 
   /** N5: product-quantization ANN with exact re-rank — the ANN
     * ladder's compressed-scan rung (brute n1 → LSH n2 → IVF n4 → PQ
