@@ -266,9 +266,12 @@ object TextFns {
     * cosine dedup over real text features instead of synthetic
     * embeddings).
     *
-    * Shape for scale: tf is the standard explode → (id, token)
-    * map-combined count; df aggregates the tf table (no second text
-    * scan); N is one broadcast aggregate row. The join back to tf is
+    * Shape for scale: ONE tokenize pass — the tf stage ((id, token)
+    * map-combined counts) is materialized and feeds both the df
+    * aggregation and the weight join (the d3 hashed-shingle
+    * discipline: the derived stage is a fraction of the text it
+    * replaces, and without it Spark re-tokenizes the corpus for the
+    * df branch); N is a row-count-only scan; the join back to tf is
     * a token-key equi-join of counter tables — text never shuffles.
     */
   def hashedTfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -277,6 +280,7 @@ object TextFns {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
     val tf = tok.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),

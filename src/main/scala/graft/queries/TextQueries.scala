@@ -694,12 +694,11 @@ object TextQueries {
   val n6TfIdfDedup = QueryDef(
     "n6_tfidf_neardup",
     (s, dir) => {
+      // hashedTfIdf materializes its tf stage internally, so the
+      // three downstream consumptions (signatures + both candidate
+      // re-attach sides) re-derive only cheap counter aggregations
       val lf = TextFns.hashedTfIdf(
         table(s, dir, "documents"), "doc_id", "text", dim = 64)
-        .localCheckpoint() // derive the term weights ONCE — the LSH
-      // stage consumes the vectors three times (signatures + both
-      // candidate re-attach sides); at scale this is the embedding
-      // TABLE a pipeline would persist (derive-once/query-many)
       // raw micro-unit vectors: exact integers in fp64, so plane-dot
       // SIGNS are bit-identical to the oracle's (cosine and sign-LSH
       // are both scale-invariant — normalization would only add fp
