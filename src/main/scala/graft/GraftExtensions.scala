@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlShims, SparkSession, SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{RhpSig, ShingleHash, VecCosine, VecDot, VecL2Norm}
+import graft.functions.{CharWindowHashes, GramRunStats, RhpSig, ShingleHash, VecCosine, VecDot, VecL2Norm}
 
 /** SQL surface for graft's native codegen kernels, two ways in:
   *
@@ -25,6 +25,10 @@ import graft.functions.{RhpSig, ShingleHash, VecCosine, VecDot, VecL2Norm}
   *    baked into the expression at plan time)
   *  - `shingle_hash(tokens, n)` — 64-bit hashes of every n-token
   *    window (n literal)
+  *  - `gram_run_stats(grams)` — struct(dup_chars, top_chars, max_tf)
+  *    of a gram array, in-row (the map-only repetition-stats kernel)
+  *  - `char_window_hashes(text, w)` — rolling hashes of every w-char
+  *    window, one O(len) pass (w literal; substring-dedup census)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
@@ -87,6 +91,17 @@ object GraftFunctions {
       args => {
         arity("shingle_hash", args, 2)
         ShingleHash(args(0), litInt(args(1), "shingle_hash", "n"))
+      }),
+    ("gram_run_stats",
+      info("gram_run_stats",
+        "gram_run_stats(grams) - struct(dup_chars, top_chars, max_tf) in-row"),
+      args => { arity("gram_run_stats", args, 1); GramRunStats(args(0)) }),
+    ("char_window_hashes",
+      info("char_window_hashes",
+        "char_window_hashes(text, w) - rolling hash of every w-char window"),
+      args => {
+        arity("char_window_hashes", args, 2)
+        CharWindowHashes(args(0), litInt(args(1), "char_window_hashes", "w"))
       }))
 
   /** Register every graft SQL function on a live session. */

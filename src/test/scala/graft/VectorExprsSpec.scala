@@ -129,6 +129,16 @@ class VectorExprsSpec extends SparkSpec {
     val sh2 = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
       .select(graft.functions.TextExprs.shingleHashes(col("toks"), 2).as("h")).collect()
     assert(sh1.map(_.toString).toSeq == sh2.map(_.toString).toSeq)
+    // round-6 kernels: gram_run_stats and char_window_hashes
+    Seq((1L, Seq("x y", "a b", "x y"), "abcabcabc")).toDF("id", "gs", "t")
+      .createOrReplaceTempView("r6_sql")
+    val gr1 = spark.sql(
+      "SELECT gram_run_stats(gs) AS s, char_window_hashes(t, 3) AS h FROM r6_sql")
+      .collect()
+    val gr2 = Seq((1L, Seq("x y", "a b", "x y"), "abcabcabc")).toDF("id", "gs", "t")
+      .select(graft.functions.TextExprs.gramRunStats(col("gs")).as("s"),
+        graft.functions.TextExprs.charWindowHashes(col("t"), 3).as("h")).collect()
+    assert(gr1.map(_.toString).toSeq == gr2.map(_.toString).toSeq)
     // literal-argument guard: a column where a literal is required fails
     intercept[Exception] {
       spark.sql("SELECT rhp_sig(a, 3, CAST(id AS INT)) FROM vecs_sql").collect()
