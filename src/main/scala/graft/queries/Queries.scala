@@ -243,11 +243,23 @@ object Queries {
       CROSS JOIN (SELECT unnest([3,4]) AS b) b
       CROSS JOIN (SELECT unnest([0,1,2]) AS i) i"""))
 
+  /** P7 `auto_xyz_ds` (manage.py:313-346): raw aligned arrays coerced
+    * to a labelled long table. Values are exact IEEE doubles on both
+    * sides (halves/quarters) so the hash compare is bit-exact.
+    */
+  val p7AutoXyz = QueryDef(
+    "p7_auto_xyz",
+    (s, _) => Collect.autoXYZ(s,
+      xs = Seq(0.5, 1.5, 2.5, 3.5, 4.5),
+      ys = Seq(10.25, 20.5, 30.75, 41.0, 51.25)),
+    Some("""SELECT CAST(unnest([0.5, 1.5, 2.5, 3.5, 4.5]) AS DOUBLE) AS x,
+      CAST(unnest([10.25, 20.5, 30.75, 41.0, 51.25]) AS DOUBLE) AS y"""))
+
   // ------------------------------------------------------------ registry
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, v6Tolerant, c6Cases, m9Missing, c1Dense,
-    c2Explode) ++ StoreReduceQueries.all ++ TextQueries.all ++
+    c2Explode, p7AutoXyz) ++ StoreReduceQueries.all ++ TextQueries.all ++
     LifecycleQueries.all ++ ComplexQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

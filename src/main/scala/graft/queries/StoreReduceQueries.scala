@@ -63,6 +63,60 @@ object StoreReduceQueries {
             FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1, 2) b
       USING (l_returnflag, l_linestatus)"""))
 
+  /** M3: old-wins merge (`full.combine_first(new)`, farming.py:652-654)
+    * — the one merge mode without a driver-oracled query until round 7.
+    * The old store covers only 'F' lineitems, the rerun covers every
+    * group with doubled counts: old wins on the shared 'F' groups (the
+    * conflict-keep path) and the rerun fills the 'O' groups old never
+    * had (the gap-fill path), so both arms of the coalesce are hit.
+    */
+  val m3OldWins = QueryDef(
+    "m3_merge_oldwins",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val old = li.filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      val rerun = li.groupBy("l_returnflag", "l_linestatus")
+        .agg((count(lit(1)) * 2).as("n"))
+      Merge.merge(old, rerun, Seq("l_returnflag", "l_linestatus"), Merge.OldWins)
+    },
+    Some("""SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+             COALESCE(a.l_linestatus, b.l_linestatus) AS l_linestatus,
+             COALESCE(a.n, b.n) AS n
+      FROM (SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1, 2) a
+      FULL JOIN (SELECT l_returnflag, l_linestatus, 2*count(*) AS n
+            FROM lineitem GROUP BY 1, 2) b
+      USING (l_returnflag, l_linestatus)"""))
+
+  /** F2 `find_missing_cases` (case_runner.py:262-301): enumerate the
+    * effective grid and keep the points whose every row is all-missing
+    * — or absent entirely. `l_linenumber` plays the internal dim that
+    * `ignore_dims` collapses (the groupBy over the kept axes); the
+    * variable is non-null only for returnflag 'A' rows, so the missing
+    * set is the whole grid minus the (A, F) cell — both the "present
+    * but all-null" and the "absent cell" branches are exercised.
+    */
+  val f2Missing = QueryDef(
+    "f2_find_missing_cases",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val d = li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber"),
+        when(col("l_returnflag") === "A", col("l_quantity")).as("v"))
+      MissingData.findMissingCases(
+        d, Seq("l_returnflag", "l_linestatus"), Seq("v"))
+    },
+    Some("""SELECT g.l_returnflag, g.l_linestatus
+      FROM (SELECT f.l_returnflag, st.l_linestatus
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+            CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) st) g
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        WHERE l.l_returnflag = g.l_returnflag
+          AND l.l_linestatus = g.l_linestatus
+          AND l.l_returnflag = 'A' AND l.l_quantity IS NOT NULL)"""))
+
   /** F4 `check_runs`: holes in an integer dimension — the orderkeys of
     * 'F'-status orders (the status filter creates a sparse run).
     */
@@ -281,6 +335,7 @@ object StoreReduceQueries {
       FROM orders"""))
 
   val all: Seq[QueryDef] = Seq(p2Melt, f3Trimna, m12Align,
-    m1Merge, m2Overwrite, f4Holes, a1Median, a2Band, a3Std, a4Stderr,
+    m1Merge, m2Overwrite, m3OldWins, f2Missing, f4Holes, a1Median,
+    a2Band, a3Std, a4Stderr,
     a5Hist, a6Range, a8TopK, e7Sample, s1Welford, s2Cov, s3Cov)
 }
