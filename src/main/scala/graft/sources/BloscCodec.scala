@@ -30,8 +30,22 @@ package graft.sources
   * bit-shuffle (bitshuffle-library layout: per block,
   * `[byte-of-elem][bit][elem/8]` planes over the 8-aligned element
   * prefix, tail verbatim). Every numcodecs `Blosc(...)` configuration
-  * is directly readable; nothing blosc-framed needs the migration
-  * script any more.
+  * is accepted for both Zarr v2 and v3 stores.
+  *
+  * VALIDATION CAVEAT (honest provenance, see FIXTURES.md): the
+  * lz4/snappy/zlib/zstd inner streams and the container layout are
+  * validated against implementations we did not write (lz4-java,
+  * xerial snappy, java.util.zip, zstd-jni decode fixture bytes an
+  * independent stdlib encoder produced). The BLOSCLZ decoder and the
+  * BIT-SHUFFLE layout, however, are only checked against in-repo
+  * spec-written fixtures plus property fuzz — this container ships no
+  * c-blosc/numcodecs to generate a truly independent golden, so a
+  * shared misreading of the public spec (e.g. bit-plane order) would
+  * pass every test here yet mis-decode a real store. Before trusting
+  * a production blosclz- or bitshuffle-framed corpus, verify one real
+  * chunk out-of-band (`python -c "import numcodecs, ..."` on any
+  * machine with numcodecs, or eyeball a known array) — the decode is
+  * deterministic, so one verified chunk validates the path.
   */
 object BloscCodec {
 

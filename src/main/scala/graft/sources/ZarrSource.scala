@@ -144,15 +144,19 @@ object ZarrSource {
         case "gzip" => comp = Some("gzip")
         case "zstd" => comp = Some("zstd")
         case "blosc" =>
+          // same scope as v2: the decode dispatches on each chunk's own
+          // self-describing header ([[BloscCodec]] — every c-blosc-1
+          // inner codec and shuffle mode), so the metadata check is
+          // only a sanity gate on the declared name
           val cfg = c.get("configuration")
           val cname = Option(cfg).flatMap(x => Option(x.get("cname")))
             .map(_.asText()).getOrElse("blosclz")
-          require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
-            s"unsupported blosc inner codec '$cname' ($migrateHint)")
+          require(Set("blosclz", "lz4", "lz4hc", "snappy", "zlib", "zstd")
+            .contains(cname), s"unknown blosc inner codec '$cname'")
           val shuffle = Option(cfg).flatMap(x => Option(x.get("shuffle")))
             .map(_.asText()).getOrElse("shuffle")
-          require(shuffle != "bitshuffle",
-            s"blosc bit-shuffle not supported ($migrateHint)")
+          require(Set("noshuffle", "shuffle", "bitshuffle").contains(shuffle),
+            s"unknown blosc shuffle mode '$shuffle'")
           comp = Some("blosc")
         case other => // transpose, sharding_indexed, crc32c, ...
           throw new IllegalArgumentException(

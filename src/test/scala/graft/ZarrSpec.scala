@@ -215,6 +215,58 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  // ---- v3 blosc parity with v2 (round 7): the chunk payloads are the
+  // SAME independently-generated container bytes as the v2 fixtures
+  // (zarr_blosc/bbs, zarr_blosc/bsn — a v3 [bytes, blosc] codec chain
+  // produces byte-identical chunk files to a v2 blosc compressor), so
+  // only the metadata parse is new; the decode path is shared.
+
+  private val v3Blosc = "src/test/resources/zarr_v3_blosc"
+
+  test("v3 blosc: blosclz + bit-shuffle reads like its v2 twin") {
+    val a = ZarrSource.readArray(spark, s"$v3Blosc/bbs", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 256)
+    for (k <- 0 until 256) assert(a(k.toLong) == ((k * 3) % 97) - 48, s"k=$k")
+  }
+
+  test("v3 blosc: snappy + byte-shuffle reads like its v2 twin") {
+    val a = ZarrSource.readArray(spark, s"$v3Blosc/bsn", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.size == 200)
+    for (k <- 0 until 200) assert(a(k.toLong) == (k % 17) * 0.5 - 4.0, s"k=$k")
+  }
+
+  test("v3 blosc metadata: every numcodecs config accepted, unknowns refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v3blosc")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    def meta(cname: String, shuffle: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[4],
+          "data_type":"int32",
+          "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+          "chunk_key_encoding":{"name":"default"},
+          "fill_value":0,
+          "codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+            {"name":"blosc","configuration":{"cname":"$cname",
+              "clevel":5,"shuffle":"$shuffle","typesize":4}}]}"""
+    for (cname <- Seq("blosclz", "lz4", "lz4hc", "snappy", "zlib", "zstd");
+         shuffle <- Seq("noshuffle", "shuffle", "bitshuffle")) {
+      java.nio.file.Files.write(arr.resolve("zarr.json"),
+        meta(cname, shuffle).getBytes)
+      ZarrSource.readMeta(spark, arr.toString) // must not throw
+    }
+    java.nio.file.Files.write(arr.resolve("zarr.json"),
+      meta("madeup", "shuffle").getBytes)
+    val e1 = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e1.getMessage.contains("madeup"), e1.getMessage)
+    java.nio.file.Files.write(arr.resolve("zarr.json"),
+      meta("lz4", "zigzag").getBytes)
+    val e2 = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e2.getMessage.contains("zigzag"), e2.getMessage)
+  }
+
   test("v3 refusals: sharding/transpose codecs fail naming the feature") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badv3")
     val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
