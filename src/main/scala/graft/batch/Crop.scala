@@ -55,8 +55,9 @@ final class Crop(val spark: SparkSession, val dir: String,
     import org.apache.spark.sql.types.LongType
     // materialize once: sow replays the grid three times (count,
     // zipWithIndex's internal count, write) — without a barrier an
-    // expensive upstream (distinct over a fact table) is scanned 3×
-    val g = grid.localCheckpoint()
+    // expensive upstream (distinct over a fact table) is scanned 3×.
+    // persist keeps lineage (executor-loss-safe), unlike localCheckpoint
+    val g = graft.Materialize.reuse(grid)
     val n = g.count()
     val nb = numBatchesFor(n, batchSize, numBatches)
     val per = math.max(math.ceil(n.toDouble / nb).toLong, 1L)

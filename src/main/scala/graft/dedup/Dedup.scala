@@ -70,11 +70,12 @@ object Dedup {
     * xxhash64 values — set intersection then runs on primitive longs
     * (specialized fast path) instead of strings, with a collision
     * probability ~|union|²/2⁶⁴ per pair (irrelevant); (b) the stage is
-    * localCheckpoint-ed, because it feeds both sides of a self-join
-    * and Catalyst's CollapseProject would otherwise inline the whole
-    * tokenize→shingle→hash expression into every downstream reference.
-    * At cluster scale this is `persist(MEMORY_AND_DISK)` on a stage
-    * that is ~1% the corpus size.
+    * persisted ([[graft.Materialize.reuse]]), because it feeds both
+    * sides of a self-join and Catalyst's CollapseProject would
+    * otherwise inline the whole tokenize→shingle→hash expression into
+    * every downstream reference. persist (not localCheckpoint) keeps
+    * the lineage, so a lost executor recomputes its partitions instead
+    * of killing the job; the stage is ~1% the corpus size.
     */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
                              n: Int, extraCols: Seq[String],
@@ -90,8 +91,8 @@ object Dedup {
       .withColumn("h",
         if (sorted) array_sort(array_distinct(col("h0")))
         else array_distinct(col("h0")))
-    hashed.select((extraCols :+ "id" :+ "h").map(col): _*)
-      .localCheckpoint()
+    graft.Materialize.reuse(
+      hashed.select((extraCols :+ "id" :+ "h").map(col): _*))
   }
 
   /** Prefix-filtered inverted-index join (AllPairs/PPJoin family,
@@ -209,11 +210,10 @@ object Dedup {
     // band buckets only — the shuffle carries (id, band, bucket) longs,
     // never the shingle arrays (a naive banded join would amplify the
     // arrays ×bands through the exchange)
-    val banded = sig.select(col("id"),
+    val banded = graft.Materialize.reuse(sig.select(col("id"),
       posexplode(array((0 until bands).map(
         b => xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
-        .as(Seq("band", "bucket")))
-      .localCheckpoint() // tiny; feeds both sides of the self-join
+        .as(Seq("band", "bucket")))) // tiny; feeds both join sides
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -269,8 +269,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           driverMaxEdges: Long = 2000000L): DataFrame = {
-    val raw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .localCheckpoint() // materialized once: sizing count + either path
+    // materialized once (sizing count + either path); persist keeps
+    // the lineage so executor loss recomputes rather than failing
+    val raw = graft.Materialize.reuse(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")))
     // near-dup pair sets are usually a tiny fraction of the corpus —
     // below the threshold a driver-side union-find replaces ~log(d)
     // shuffle rounds with one collect (ms vs seconds of scheduling);
@@ -282,10 +284,15 @@ object Dedup {
     // canonical orientation larger-endpoint → smaller, self-loops out,
     // distinct: both star ops preserve this invariant, so every round
     // starts from a set of (node, smaller-node) edges
-    var edges = raw.filter(col("u") =!= col("v"))
+    // the star-contraction loop is the one place lineage TRUNCATION is
+    // deliberate (each round would otherwise stack two more joins into
+    // a single ever-deeper plan): Materialize.truncate = reliable
+    // checkpoint under a configured checkpoint dir (cluster), local
+    // truncation only in local mode where executor loss is JVM death
+    var edges = graft.Materialize.truncate(raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var nEdges = edges.count()
     var iter = 0
     var converged = false
@@ -293,21 +300,21 @@ object Dedup {
       // large-star: attach each node's LARGER neighbors to the minimum
       // of its neighborhood (incl itself) — long chains fold in half
       val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val ls = adj
+      val ls = graft.Materialize.truncate(adj
         .join(adj.groupBy("u").agg(min("v").as("mn"))
           .select(col("u"), least(col("u"), col("mn")).as("m")), Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint() // feeds both small-star inputs
+        .distinct()) // feeds both small-star inputs
       // small-star: attach each node's smaller neighbors (and itself)
       // to the minimum of that down-neighborhood — stars flatten
       val mins = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(mins, Seq("u"))
+      val ss = graft.Materialize.truncate(ls.join(mins, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct())
       val n2 = ss.count()
       // exact no-change test: same size AND no edge outside the old
       // set (both are distinct sets, so that implies equality); the

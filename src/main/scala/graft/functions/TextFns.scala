@@ -279,8 +279,8 @@ object TextFns {
                   salt: String = "tfidf"): org.apache.spark.sql.DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val tf = tok.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+    val tf = graft.Materialize.reuse(
+      tok.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf")))
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),

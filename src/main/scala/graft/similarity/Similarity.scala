@@ -47,10 +47,11 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, blockCols: Seq[String]): DataFrame = {
-    val vecs = df.select(
+    // normalized once; feeds both join sides. persist keeps lineage
+    // (executor loss recomputes, localCheckpoint would fail the job)
+    val vecs = graft.Materialize.reuse(df.select(
       blockCols.map(col) :+ col(idCol).as("id") :+
-        l2Normalize(col(vecCol).cast("array<double>")).as("v"): _*)
-      .localCheckpoint() // normalized once; feeds both join sides
+        l2Normalize(col(vecCol).cast("array<double>")).as("v"): _*))
     val dot = graft.functions.VectorExprs.dot(col("v_a"), col("v_b"))
     graft.dedup.PlanBarrier.saltedSelfJoin(
       vecs.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("v").as("v_a"): _*),
@@ -116,11 +117,10 @@ object Similarity {
     val withSig = vecs.withColumn("sig", sigCol)
     // shuffle only (id, band, bucket) — vectors re-attach after the
     // candidate pairs are deduplicated
-    val banded = withSig.select(col("id"),
+    val banded = graft.Materialize.reuse(withSig.select(col("id"),
       posexplode(array((0 until bands).map(
         b => shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
-        .as(Seq("band", "bucket")))
-      .localCheckpoint() // tiny; feeds both sides of the self-join
+        .as(Seq("band", "bucket")))) // tiny; feeds both sides of the self-join
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))

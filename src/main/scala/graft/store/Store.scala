@@ -154,9 +154,20 @@ final class ParquetStore(val spark: SparkSession, val path: String,
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
-  /** M4/M5: merge `neu` into the store (creates it if absent). The
-    * merged plan is computed from the *loaded* store, so the read
-    * completes before the replace swaps directories.
+  /** M4/M5: merge `neu` into the store (creates it if absent).
+    *
+    * Read-before-overwrite discipline (round-7 fault-tolerance fix —
+    * no `localCheckpoint` anywhere on this path): the unpruned branch
+    * needs no explicit materialization at all, because [[replaceWith]]
+    * writes the merged frame to `<path>.__tmp` while the source dir is
+    * still intact and only then swaps — the tmp write IS the staging
+    * barrier, streams through the executors without pinning the whole
+    * merged store in block storage, and recovers from executor loss by
+    * plain lineage recompute (the read path still exists). The pruned
+    * branch overwrites partitions of the SAME directory it reads, so
+    * the merged delta is staged to `<path>.__stage` first and the
+    * dynamic-partition overwrite re-reads the staged files — on-disk,
+    * lineage-free-but-reliable, executor-loss-safe.
     *
     * With `partitionCols` set (and ⊆ `keys`), the merge is restricted
     * to the partitions whose values appear in `neu`: the store side is
@@ -179,11 +190,10 @@ final class ParquetStore(val spark: SparkSession, val path: String,
         partitionCols.forall(keys.contains) &&
         neu.columns.forall(old.columns.contains)
       if (!prunable) {
-        // materialize the merge before overwriting what it reads from;
-        // this is also where a NoConflicts guard fires → typed rethrow
-        val merged = Merge.orConflict(
-          Merge.merge(old, neu, keys, mode).localCheckpoint())
-        replaceWith(merged)
+        // replaceWith writes to <path>.__tmp BEFORE touching <path> —
+        // the write is the materialization point, and a NoConflicts
+        // raise_error fires during it (before any mutation) → rethrow
+        Merge.orConflict(replaceWith(Merge.merge(old, neu, keys, mode)))
       } else {
         // bounded collect: the distinct partition tuples of ONE delta
         val touched = neu.select(partitionCols.map(col): _*).distinct().collect()
@@ -193,13 +203,24 @@ final class ParquetStore(val spark: SparkSession, val path: String,
               .map { case (c, i) => col(c) <=> lit(r.get(i)) }
               .reduce(_ && _)
           }.reduce(_ || _)
-          val merged = Merge.orConflict(
-            Merge.merge(old.filter(pred), neu, keys, mode).localCheckpoint())
-          merged.select(old.columns.map(col).toIndexedSeq: _*)
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partitionCols: _*)
-            .parquet(path)
+          // stage the merged delta on disk before overwriting the
+          // partitions it was computed from (conflicts fire here)
+          val stage = new org.apache.hadoop.fs.Path(path + ".__stage")
+          val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Merge.orConflict(
+            Merge.merge(old.filter(pred), neu, keys, mode)
+              .select(old.columns.map(col).toIndexedSeq: _*)
+              .write.mode(SaveMode.Overwrite).parquet(stage.toString))
+          // read back as written (no imposed schema: the store read
+          // infers partition-col types from dir names, which can be
+          // narrower than the staged data columns)
+          try
+            spark.read.parquet(stage.toString)
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(partitionCols: _*)
+              .parquet(path)
+          finally fs.delete(stage, true)
         }
       }
     }
@@ -209,13 +230,14 @@ final class ParquetStore(val spark: SparkSession, val path: String,
     if (!exists) writer(rows).parquet(path)
     else rows.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
-  /** M7 `expand_dims`: add a constant coordinate to the whole store. */
+  /** M7 `expand_dims`: add a constant coordinate to the whole store.
+    * (No checkpoint: replaceWith's tmp write reads the intact store.) */
   def expandDims(name: String, value: Any): Unit =
-    replaceWith(load().withColumn(name, lit(value)).localCheckpoint())
+    replaceWith(load().withColumn(name, lit(value)))
 
   /** M8 `drop_sel`: delete coordinate values from a dimension. */
   def dropSel(dim: String, values: Seq[Any]): Unit =
-    replaceWith(load().filter(!col(dim).isin(values: _*)).localCheckpoint())
+    replaceWith(load().filter(!col(dim).isin(values: _*)))
 
   /** M10 Ellipsis axis: the store's own coordinates for `axis`. */
   def coords(axis: String): DataFrame =
@@ -269,6 +291,16 @@ final class BucketedStore(val spark: SparkSession, val table: String,
 
   def replaceWith(df: DataFrame): Unit = write(df, SaveMode.Overwrite)
 
+  /** Staging dir for read-before-overwrite materialization: the table
+    * is both the source and the sink of a merge, so the merged frame
+    * is parked as plain parquet on the (shared) filesystem and the
+    * overwrite re-reads the staged files — reliable under executor
+    * loss, unlike a localCheckpoint whose blocks die with their
+    * executor. */
+  private def stagePath = new org.apache.hadoop.fs.Path(
+    spark.conf.get("spark.sql.warehouse.dir"),
+    s"__graft_stage_${table.replace('.', '_')}")
+
   /** M4/M5 over the bucketed table: store-side exchange-free merge.
     *
     * With `partitionCols` set, the same pruning discipline as
@@ -279,18 +311,22 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     * touched partitions are rewritten — per-harvest cost is
     * O(|touched|) read + join + write, with no full-table pass
     * anywhere. insertInto is position-based, so the merged frame is
-    * aligned to the table's column layout first. */
+    * aligned to the table's column layout first. Both branches stage
+    * the merged frame on disk (see [[stagePath]]) before overwriting
+    * the table they read from. */
   def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
     if (!exists) write(neu, SaveMode.ErrorIfExists)
     else {
       val old = load()
+      val stage = stagePath
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prunable = partitionCols.nonEmpty &&
         neu.columns.forall(old.columns.contains)
       if (!prunable) {
-        // materialize before the overwrite that invalidates what it reads
-        val merged = Merge.orConflict(
-          Merge.merge(old, neu, keys, mode).localCheckpoint())
-        write(merged, SaveMode.Overwrite)
+        Merge.orConflict(Merge.merge(old, neu, keys, mode)
+          .write.mode(SaveMode.Overwrite).parquet(stage.toString))
+        try write(spark.read.parquet(stage.toString), SaveMode.Overwrite)
+        finally fs.delete(stage, true)
       } else {
         val touched = neu.select(partitionCols.map(col): _*).distinct().collect()
         if (touched.nonEmpty) {
@@ -299,17 +335,22 @@ final class BucketedStore(val spark: SparkSession, val table: String,
               .map { case (c, i) => col(c) <=> lit(r.get(i)) }
               .reduce(_ && _)
           }.reduce(_ || _)
-          val merged = Merge.orConflict(
-            Merge.merge(old.filter(pred), neu, keys, mode).localCheckpoint())
+          Merge.orConflict(
+            Merge.merge(old.filter(pred), neu, keys, mode)
+              .select(old.columns.map(col).toIndexedSeq: _*)
+              .write.mode(SaveMode.Overwrite).parquet(stage.toString))
           val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
           val prev = spark.conf.getOption(overwriteMode)
           spark.conf.set(overwriteMode, "dynamic")
           try
-            merged.select(old.columns.map(col).toIndexedSeq: _*)
+            spark.read.parquet(stage.toString)
               .write.mode(SaveMode.Overwrite).insertInto(table)
-          finally prev match {
-            case Some(v) => spark.conf.set(overwriteMode, v)
-            case None    => spark.conf.unset(overwriteMode)
+          finally {
+            prev match {
+              case Some(v) => spark.conf.set(overwriteMode, v)
+              case None    => spark.conf.unset(overwriteMode)
+            }
+            fs.delete(stage, true)
           }
         }
       }

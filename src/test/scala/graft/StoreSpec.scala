@@ -205,6 +205,40 @@ class ParquetStoreSpec extends SparkSpec {
     st.append(Seq((1L, 2.0)).toDF("a", "v"))
     assert(st.load().count() == 2)
   }
+
+  test("mergeIn pins no executor-local blocks; result survives a cache wipe") {
+    // round-7 fault-tolerance discipline: the merge paths stage through
+    // the filesystem (tmp/stage dirs), never through localCheckpoint,
+    // whose executor-pinned blocks turn one lost executor into a dead
+    // job on a real cluster. Observable: no new entries in
+    // getPersistentRDDs after any merge path, and the store content is
+    // independent of every in-memory block.
+    def pinned() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = pinned()
+    val dir = Files.createTempDirectory("graft-ft").toString
+    val st = new ParquetStore(spark, s"$dir/store", Seq("a", "b"),
+      partitionCols = Seq("a"))
+    st.mergeIn((1L to 3L).map(a => (a, 1L, a * 1.0)).toDF("a", "b", "v"))
+    st.mergeIn(Seq((2L, 2L, 22.0)).toDF("a", "b", "v"))     // pruned path
+    st.mergeIn(Seq((1L, 1L, 9.0)).toDF("a", "b", "w"))      // full path (widen)
+    st.expandDims("run", "r0")
+    st.dropSel("a", Seq(3L))
+    assert(pinned() == before,
+      s"merge pinned blocks: ${pinned().diff(before)}")
+    // no leftover staging dirs either
+    val stray = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.contains("__stage") || n.contains("__tmp"))
+    assert(stray.isEmpty, s"stray staging dirs: ${stray.mkString(",")}")
+    spark.sqlContext.clearCache() // survives unpersist of everything
+    val got = st.load().select("a", "b", "v", "w", "run")
+      .collect().map(r => (r.getAs[Number]("a").longValue(),
+        r.getAs[Number]("b").longValue()) ->
+        ((r.get(2), r.get(3), r.getString(4)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((1.0, 9.0, "r0")),
+      (2L, 1L) -> ((2.0, null, "r0")),
+      (2L, 2L) -> ((22.0, null, "r0"))))
+  }
 }
 
 class BucketedStoreSpec extends SparkSpec {
