@@ -628,7 +628,7 @@ object TextQueries {
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
       val idx = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
-      val assigned = idx.assign(emb, "embedding").localCheckpoint()
+      val assigned = graft.Materialize.reuse(idx.assign(emb, "embedding"))
       val base = emb.filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -789,6 +789,46 @@ object TextQueries {
         SELECT vec_id, list_transform(range(64), j ->
           embedding[(j+1)::INT]::DOUBLE + 0.1 *
           ((CAST('0x' || substr(md5('pqq:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
+
+  /** N7: IVF × PQ — the production ANN shape (IVFADC, Jégou et al.
+    * 2011 §V), composing n4's partition-pruned probe with n5's
+    * compressed-code ADC scan and exact re-rank in ONE distributed
+    * job. Same planted-perturbation gate as n4/n5: the true top-1 is
+    * known at cosine ≈0.99 vs a ≤0.51 background, so a defect in
+    * probe selection, codebook fit, encode, ADC scoring, or the
+    * shortlist surfaces as a missing/mismatched row; `sim` is exact
+    * because the re-rank recomputes true cosine on the raw vectors.
+    */
+  val n7IvfPq = QueryDef(
+    "n7_ivfpq_knn",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val ivf = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
+      val pq = Similarity.PqIndex.fit(emb, "embedding", m = 8, k = 16)
+      val corpus = graft.Materialize.reuse(
+        ivf.assign(pq.encode(emb, "embedding"), "embedding"))
+      val base = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = base.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"ipq:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      Similarity.ivfPqQueryBatch(ivf, pq, corpus, "vec_id", "embedding",
+        queries, kOut = 1, nprobe = 4)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('ipq:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
             / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
         FROM embeddings WHERE vec_id < 20)
       SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
@@ -1140,6 +1180,6 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq, n6TfIdfDedup,
+    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq, n6TfIdfDedup, n7IvfPq,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

@@ -246,8 +246,9 @@ object Similarity {
     }
 
     /** ADC lookup table for one normalized query: flat [m·k] array of
-      * subspace dot products — Σ_m table(m·k + code_m) ≈ cosine. */
-    private def adcTable(qn: Array[Double]): Array[Double] = {
+      * subspace dot products — Σ_m table(m·k + code_m) ≈ cosine.
+      * (package-visible: [[Similarity.ivfPqQueryBatch]] reuses it.) */
+    private[similarity] def adcTable(qn: Array[Double]): Array[Double] = {
       val t = new Array[Double](m * k)
       for (mi <- 0 until m; ki <- 0 until k) {
         var d = 0.0
@@ -291,6 +292,55 @@ object Similarity {
         .select(col("query_id"), col(idCol).as("neighbor_id"),
           round(col("sim"), 4).as("sim"))
     }
+  }
+
+  /** IVF × PQ — the production ANN shape (Jégou et al. 2011 §V,
+    * "IVFADC"): IVF partition-prunes the scan to `nprobe` inverted
+    * lists per query, PQ's ADC scores the survivors on compressed
+    * codes, and only the per-query shortlist fetches raw vectors for
+    * the EXACT cosine re-rank. SCALE.md's promised composition — both
+    * halves already existed ([[IvfIndex]] n4, [[PqIndex]] n5); this
+    * joins them end to end.
+    *
+    * Corpus layout: `ivf.assign(pq.encode(corpus))` — `centroid` for
+    * pruning plus `code_0..m-1` for scoring, both map-only codegen'd
+    * kernels; partition/bucket the stored corpus by `centroid` so the
+    * probe join prunes at the source. Per query the broadcast side
+    * carries nprobe rows × (ADC table of m·k doubles) — KBs. At 10¹¹
+    * vectors the scored scan touches nprobe/k_lists of the corpus and
+    * moves m bytes/vector; nothing else leaves the executors.
+    */
+  def ivfPqQueryBatch(ivf: IvfIndex, pq: PqIndex, assignedEncoded: DataFrame,
+                      idCol: String, vecCol: String,
+                      queries: Seq[(Long, Seq[Double])],
+                      kOut: Int, nprobe: Int,
+                      shortlist: Int = 32): DataFrame = {
+    val spark = assignedEncoded.sparkSession
+    import spark.implicits._
+    // probe selection + ADC tables are driver-side by construction
+    // (centroids and codebooks are KB-bounded); one row per (query,
+    // probed list) broadcasts
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x * x).sum)
+      val tab = pq.adcTable(qv.map(_ / n).toArray).toSeq
+      ivf.nearestCentroids(qv, nprobe).map(c => (qid, tab, qv, c))
+    }.toDF("query_id", "qtab", "qv", "centroid")
+    val adc = (0 until pq.m).map(mi =>
+      element_at(col("qtab"), col(s"code_$mi") + lit(mi * pq.k) + 1))
+      .reduce(_ + _)
+    assignedEncoded
+      .join(broadcast(probeRows), Seq("centroid")) // the IVF prune
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__adc", adc)                    // the compressed scan
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))))
+      .filter(col("__rn") <= shortlist)            // bounded shortlist
+      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), col("qv")))
+      .withColumn("__rx", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+      .filter(col("__rx") <= kOut)                 // exact re-rank
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
   }
 
   object PqIndex {

@@ -155,6 +155,17 @@ class PlanGuardSpec extends SparkSpec {
       "ADC tables should broadcast")
   }
 
+  test("n7_ivfpq_knn: probe join broadcast, ADC scan, exact re-rank") {
+    val p = plan("n7_ivfpq_knn")
+    // the probe table (query, ADC table, centroid) must broadcast —
+    // the corpus side never shuffles for the scan
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "probe rows should broadcast against the assigned corpus")
+    assert("""nearest_centroid""".r.findAllIn(p).length >= 9,
+      "IVF assign + per-subspace encode kernels missing")
+    assert(p.contains("vec_cosine"), "exact re-rank kernel missing")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
