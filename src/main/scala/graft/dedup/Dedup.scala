@@ -481,6 +481,51 @@ object Dedup {
     * hash-window pass because it is one compact-key shuffle at any
     * corpus size.
     */
+  /** Apply [[substringSpans]]'s removal spans to the corpus — Lee et
+    * al.'s pipeline CUTS the duplicated substrings, it doesn't just
+    * report them. Every span is excised and the inter-span segments
+    * keep their order; documents with no spans pass through unchanged
+    * (`textCol` is REPLACED with the cleaned text).
+    *
+    * Shape for scale: the span table aggregates to ONE small array row
+    * per affected doc (spans are maximal and non-overlapping by
+    * construction, so the array is bounded by text_len/w), then
+    * LEFT-joins the corpus on the id — the big text column never
+    * shuffles when the corpus is the build-side-stationary probe of a
+    * broadcast join (AQE broadcasts the aggregated span side; a span
+    * census is a tiny fraction of the corpus). The surgery itself is
+    * one map-only fold over the sorted span array — no per-span jobs,
+    * no driver contact.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("__spans"))
+    val t = col(textCol)
+    // fold state: (next keep-position, accumulated cleaned prefix);
+    // spans are sorted and disjoint, so each step appends the segment
+    // between the previous span's end and this span's start
+    val cleaned = aggregate(
+      col("__spans"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + lit(1L)).as("pos"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("pos").cast("int"),
+            greatest(sp.getField("s") - st.getField("pos"), lit(0L))
+              .cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("pos").cast("int"),
+          greatest(length(t).cast("long") - st.getField("pos") + lit(1L),
+            lit(0L)).cast("int"))))
+    docs.join(spanArr, Seq(idCol), "left_outer")
+      .withColumn(textCol,
+        when(col("__spans").isNull, t).otherwise(cleaned))
+      .drop("__spans")
+  }
+
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window

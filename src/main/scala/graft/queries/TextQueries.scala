@@ -1101,6 +1101,63 @@ object TextQueries {
         CAST(COUNT(*) AS BIGINT) AS n_windows
       FROM gi GROUP BY doc_id, grp"""))
 
+  /** D10: span REMOVAL — d9's spans applied back to the corpus (Lee
+    * et al.'s pipeline cuts the duplicated substrings; reporting them
+    * is only half the operator). One left join of the aggregated span
+    * arrays against the corpus + a map-only fold does the surgery;
+    * docs without spans pass through unchanged. Oracle: DuckDB
+    * re-derives the span set from raw window content (the d9 oracle),
+    * performs the same segment-wise cut with window functions +
+    * ordered string_agg, and both engines emit md5(cleaned) + length —
+    * a byte-exact proof of span → cleaned corpus.
+    */
+  val d10Removal = QueryDef(
+    "d10_span_removal",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val spans = Dedup.substringSpans(docs, "doc_id", "text", w = 40)
+      Dedup.removeSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("clean_len"),
+          md5(col("text")).as("clean_md5"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          substr(text, i::INT, 40) AS h
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+        WHERE length(text) >= 40),
+      dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+      dw AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+      g AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+            OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+            THEN 1 ELSE 0 END AS ns
+        FROM dw),
+      gi AS (SELECT doc_id, pos,
+          SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g),
+      spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 39 AS e
+        FROM gi GROUP BY doc_id, grp),
+      seg AS (SELECT doc_id, s, e,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        FROM spans),
+      pieces AS (
+        SELECT doc_id, pe + 1 AS a, s - 1 AS b, s AS o FROM seg
+        UNION ALL
+        SELECT sp.doc_id, MAX(sp.e) + 1 AS a, length(d.text) AS b,
+          2147483647 AS o
+        FROM spans sp JOIN documents d USING (doc_id)
+        GROUP BY sp.doc_id, length(d.text)),
+      cleaned AS (
+        SELECT p.doc_id, string_agg(
+            CASE WHEN p.b >= p.a THEN substr(d.text, p.a::INT, (p.b - p.a + 1)::INT)
+                 ELSE '' END, '' ORDER BY p.o) AS ct
+        FROM pieces p JOIN documents d USING (doc_id)
+        GROUP BY p.doc_id)
+      SELECT d.doc_id,
+        CAST(length(COALESCE(c.ct, d.text)) AS BIGINT) AS clean_len,
+        md5(COALESCE(c.ct, d.text)) AS clean_md5
+      FROM documents d LEFT JOIN cleaned c USING (doc_id)"""))
+
   /** T11: BM25 relevance scoring (Robertson/Spärck Jones, the
     * Lucene-style `ln(1 + (N−df+0.5)/(df+0.5))` idf) of the whole
     * corpus against a fixed term set — the retrieval primitive for
@@ -1180,6 +1237,7 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    d9Spans, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq, n6TfIdfDedup, n7IvfPq,
+    d9Spans, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
+    n6TfIdfDedup, n7IvfPq,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

@@ -102,6 +102,32 @@ class TextPipelineSpec extends SparkSpec {
       (3L, 26L, 75L, 11L)))
   }
 
+  test("removeSpans: cuts spans, keeps segments in order, passes clean docs") {
+    val S = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX" // 50 ch
+    val docs = Seq(
+      (1L, "A" * 60 + "-unique-doc-one-suffix"),  // span [1,60] → prefix cut
+      (2L, "##doc2####" + S),                     // span [11,60] → tail cut
+      (3L, "%%%%%doc3-pad-twenty-five" + S),      // span [26,75]
+      (4L, "completely unique text that is longer than forty chars.")
+    ).toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.substringSpans(docs, "doc_id", "text", w = 40)
+    val got = graft.dedup.Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(0) == "-unique-doc-one-suffix")
+    assert(got(1) == "##doc2####")
+    assert(got(2) == "%%%%%doc3-pad-twenty-five")
+    assert(got(3) == "completely unique text that is longer than forty chars.")
+    // multi-span surgery: two islands in one doc cut independently
+    val two = Seq(
+      (10L, "B" * 50 + "-middle-keeps-this-bit-" + "C" * 50),
+      (11L, "B" * 50), (12L, "C" * 50)).toDF("doc_id", "text")
+    val sp2 = graft.dedup.Dedup.substringSpans(two, "doc_id", "text", w = 40)
+    val g2 = graft.dedup.Dedup.removeSpans(two, sp2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(g2(0) == "-middle-keeps-this-bit-")
+    assert(g2(1) == "" && g2(2) == "") // fully-duplicated docs empty out
+  }
+
   test("stratifiedSample: exact ceil(rate*n) per stratum, deterministic") {
     val df = ((1 to 10).map(i => (i.toLong, "en")) ++
       (11 to 14).map(i => (i.toLong, "de")) ++
