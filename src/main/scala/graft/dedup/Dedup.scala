@@ -241,10 +241,21 @@ object Dedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftSqlShims.expression(TextFns.tokens(textCol))))
 
-  /** 60-bit md5-hash SimHash variant — same vote semantics, but every
-    * ingredient is SQL-reproducible, so banded near-dup pairs over it
-    * are DuckDB-oracle-checkable (the FNV kernel above stays the
-    * throughput path). */
+  /** 60-bit FNV SimHash — the PRODUCTION hash at oracle-checkable
+    * width: same ±1-vote semantics over bits 0..59 of each token's
+    * FNV-1a64, so the 60-bit signature stays inside a signed BIGINT
+    * on both engines and DuckDB reproduces it exactly (HUGEINT
+    * mod-2⁶⁴ multiply/xor per byte — no md5 per token, which made the
+    * former md5-variant oracle the #2 bench cost at sf0.1). */
+  def simHashFnv60(textCol: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlShims.expression(TextFns.tokens(textCol)),
+        bits = 60))
+
+  /** 60-bit md5-hash SimHash variant — same vote semantics with the
+    * md5 token hash; kept as a second cross-engine golden (specs) now
+    * that [[simHashFnv60]] carries the oracle query. */
   def simHashMd5(textCol: Column): Column =
     org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.SimHashMd5(
@@ -408,11 +419,16 @@ object Dedup {
     * @param bits signature width (64 for the FNV kernel; 60 for the
     *             md5-oracle variant) — chunk boundaries derive from it
     */
-  def simHashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+  def simHashPairsFromSigs(sigs0: DataFrame, maxDist: Int = 3,
                            bucketCap: Int = 100000,
                            bits: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole banding is exact only for maxDist <= 3")
     require(bits >= 8 && bits <= 64)
+    // (id, sig) is 16 bytes/doc; the census, the small-bucket join and
+    // the refinement branch all consume it — without this persist the
+    // upstream (typically scan → tokenize → simhash over the whole
+    // corpus) re-executes 3-4× (measured: d4 1.17 → 0.4 s at sf0.1)
+    val sigs = graft.Materialize.reuse(sigs0)
     val chunkW = (bits + 3) / 4
     val chunkMask = (1L << chunkW) - 1
     // per chunk i: (key, remaining-bits value) — the remainder packs

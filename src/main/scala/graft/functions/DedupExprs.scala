@@ -70,13 +70,18 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a token array: bit b of the signature is the
-  * sign of Σ_tokens (±1 by bit b of the token's FNV-1a 64-bit hash).
-  * One pass over the tokens with 64 vote counters — identical
-  * arithmetic to the former UDF.
+/** SimHash over a token array: bit b of the signature is the sign of
+  * Σ_tokens (±1 by bit b of the token's FNV-1a 64-bit hash). One pass
+  * over the tokens with `bits` vote counters — identical arithmetic
+  * to the former UDF. `bits` defaults to the full 64; the 60-bit form
+  * keeps the unsigned signature inside a signed BIGINT on BOTH
+  * engines, which is what lets the d4 oracle reproduce the signature
+  * (DuckDB computes the same FNV-1a64 with HUGEINT mod-2⁶⁴ arithmetic
+  * — one multiply+xor per byte, no md5 anywhere).
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, bits: Int = 64)
     extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -84,7 +89,7 @@ case class SimHash64(child: Expression)
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](bits)
     var t = 0
     while (t < n) {
       val bytes = arr.getUTF8String(t).getBytes
@@ -92,12 +97,12 @@ case class SimHash64(child: Expression)
       var i = 0
       while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
       var b = 0
-      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      while (b < bits) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
       t += 1
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 
@@ -109,19 +114,19 @@ case class SimHash64(child: Expression)
       val bytes = ctx.freshName("bytes"); val sig = ctx.freshName("sig")
       s"""
          |int $n = $v.numElements();
-         |int[] $votes = new int[64];
+         |int[] $votes = new int[$bits];
          |for (int $t = 0; $t < $n; $t++) {
          |  byte[] $bytes = $v.getUTF8String($t).getBytes();
          |  long $h = 0xcbf29ce484222325L;
          |  for (int $i = 0; $i < $bytes.length; $i++) {
          |    $h ^= ($bytes[$i] & 0xffL); $h *= 0x100000001b3L;
          |  }
-         |  for (int $b = 0; $b < 64; $b++) {
+         |  for (int $b = 0; $b < $bits; $b++) {
          |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |long $sig = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
+         |for (int $b = 0; $b < $bits; $b++) {
          |  if ($votes[$b] > 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;

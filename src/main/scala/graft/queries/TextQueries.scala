@@ -280,12 +280,16 @@ object TextQueries {
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
 
   /** D4: SimHash near-dup candidates (Hamming ≤ 3 via adaptive chunk
-    * banding). The registered query runs the md5-hash 60-bit sig so
-    * the oracle can recompute signatures in SQL and brute-force the
-    * Hamming-≤3 pair set — which also proves the banding's exact
-    * recall (pigeonhole) against an engine that doesn't band at all.
-    * The FNV kernel ([[Dedup.simHash]]) is the throughput path,
-    * spec-covered in DedupSpec.
+    * banding). Round 7: the registered query now runs the PRODUCTION
+    * FNV-1a64 token hash (at 60-bit width so the unsigned signature
+    * fits a signed BIGINT on both engines) — DuckDB reproduces FNV
+    * exactly with HUGEINT mod-2⁶⁴ multiply/xor per byte, so the
+    * oracle brute-forces the Hamming-≤3 pair set over the SAME
+    * signatures, proving the banding's exact recall (pigeonhole)
+    * against an engine that doesn't band at all. This retires the
+    * md5-per-token oracle variant whose MessageDigest cost made d4
+    * the #2 bench query (2.4 s at sf0.1) without ever timing the
+    * production hash.
     */
   val d4SimHash = QueryDef(
     "d4_simhash",
@@ -293,18 +297,24 @@ object TextQueries {
       val docs = table(s, dir, "documents")
       Dedup.simHashPairsFromSigs(
         docs.select(col("doc_id").as("id"),
-          Dedup.simHashMd5(col("text")).as("sig")),
+          Dedup.simHashFnv60(col("text")).as("sig")),
         maxDist = 3, bits = 60)
     },
     Some("""WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
         FROM documents
       ), h AS (
-        SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv
+        SELECT doc_id, list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(range(length(t)),
+              i -> ord(substr(t, (i+1)::INT, 1))::HUGEINT)),
+          (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+            % 18446744073709551616::HUGEINT) AS hv
         FROM toks
       ), votes AS (
         SELECT doc_id, b,
-          CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+          CASE WHEN sum(CASE WHEN (hv >> b::INT) & 1::HUGEINT = 1::HUGEINT
+                 THEN 1 ELSE -1 END) > 0
                THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END AS bit
         FROM h, (SELECT unnest(range(60)) AS b)
         GROUP BY doc_id, b
