@@ -6,6 +6,58 @@ import org.apache.spark.sql.functions._
 /** Merge conflict found by the strict (no-overwrite) merge mode. */
 final class MergeConflictException(msg: String) extends RuntimeException(msg)
 
+/** A second writer tried to mutate a store while another held the
+  * write lease. */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+/** Single-writer lease for store mutations (round-7 directive).
+  *
+  * The harvest merge is read-merge-write: two concurrent `mergeIn`s
+  * into the same store race that cycle and the second overwrite
+  * silently drops the first's rows (a lost update — xyzpy's
+  * single-process file dance, farming.py:549-580, never faced this;
+  * a 1000-executor deployment with several harvest drivers will).
+  * Guard: an atomically-created lease FILE next to the store
+  * (`fs.create(..., overwrite = false)` — atomic on HDFS and object
+  * stores with conditional put). Holding it is required for every
+  * mutating op; a concurrent attempt fails LOUDLY with the holder's
+  * identity rather than corrupting the store. A crashed writer leaves
+  * its lease behind by design (auto-expiry would reintroduce the race
+  * as split-brain); `break()` removes a verified-stale lease, and the
+  * exception message says exactly that. Semantics: ONE writer per
+  * store at a time; readers are never blocked (parquet reads are
+  * immutable-file snapshots).
+  */
+private[store] object WriteLease {
+  def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                   lock: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
+    val payload = s"pid=${ProcessHandle.current().pid()} op=$op " +
+      s"at=${java.time.Instant.now()} host=${java.net.InetAddress.getLocalHost.getHostName}"
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            } catch { case _: Throwable => "<unreadable>" }
+          throw new ConcurrentWriteException(
+            s"store at '${lock.toString.stripSuffix(".__lock")}' is being " +
+              s"written by another process [$holder]; concurrent store " +
+              "mutation would lose updates. If that writer crashed, clear " +
+              s"the stale lease with breakLease() (removes $lock).")
+      }
+    try {
+      out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      body
+    } finally fs.delete(lock, true)
+  }
+}
+
 /** Harvest-store merge family (SURVEY §2.4, M1-M12).
   *
   * Reference semantics: farming.py:602-670 (`Harvester.add_ds` three
@@ -126,10 +178,24 @@ final class ParquetStore(val spark: SparkSession, val path: String,
                          val keys: Seq[String],
                          val partitionCols: Seq[String] = Nil) {
 
+  private def hadoopFs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val lockPath = new org.apache.hadoop.fs.Path(path + ".__lock")
+
+  /** Every mutating op runs under the single-writer lease (see
+    * [[WriteLease]]); a concurrent writer gets a typed loud failure. */
+  private def locked[T](op: String)(body: => T): T =
+    WriteLease.withLease(hadoopFs, lockPath, op)(body)
+
+  /** Remove a stale write lease left by a CRASHED writer (never call
+    * while a live writer holds it — that reintroduces the lost-update
+    * race the lease exists to prevent). */
+  def breakLease(): Unit = hadoopFs.delete(lockPath, true)
+
   def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+    hadoopFs.exists(p)
   }
 
   def load(): DataFrame = spark.read.parquet(path)
@@ -141,7 +207,10 @@ final class ParquetStore(val spark: SparkSession, val path: String,
 
   /** Atomic replace: write to `<path>.__tmp`, swap, keep `<path>.__bak`
     * until the swap succeeds (IO5, farming.py:549-580). */
-  def replaceWith(df: DataFrame): Unit = {
+  def replaceWith(df: DataFrame): Unit =
+    locked("replace")(replaceWithUnlocked(df))
+
+  private def replaceWithUnlocked(df: DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
@@ -182,7 +251,7 @@ final class ParquetStore(val spark: SparkSession, val path: String,
     * read-merge-swap path remains for unpartitioned stores and for
     * deltas that introduce new value columns (a partition-scoped write
     * of a widened schema would leave untouched partitions narrow). */
-  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
+  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit = locked("mergeIn") {
     if (!exists) writer(neu).parquet(path)
     else {
       val old = load()
@@ -193,7 +262,7 @@ final class ParquetStore(val spark: SparkSession, val path: String,
         // replaceWith writes to <path>.__tmp BEFORE touching <path> —
         // the write is the materialization point, and a NoConflicts
         // raise_error fires during it (before any mutation) → rethrow
-        Merge.orConflict(replaceWith(Merge.merge(old, neu, keys, mode)))
+        Merge.orConflict(replaceWithUnlocked(Merge.merge(old, neu, keys, mode)))
       } else {
         // bounded collect: the distinct partition tuples of ONE delta
         val touched = neu.select(partitionCols.map(col): _*).distinct().collect()
@@ -224,20 +293,24 @@ final class ParquetStore(val spark: SparkSession, val path: String,
         }
       }
     }
+  }
 
   /** M11 `Sampler.add_df`: append rows (long table, no alignment). */
-  def append(rows: DataFrame): Unit =
+  def append(rows: DataFrame): Unit = locked("append") {
     if (!exists) writer(rows).parquet(path)
     else rows.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+  }
 
   /** M7 `expand_dims`: add a constant coordinate to the whole store.
     * (No checkpoint: replaceWith's tmp write reads the intact store.) */
-  def expandDims(name: String, value: Any): Unit =
-    replaceWith(load().withColumn(name, lit(value)))
+  def expandDims(name: String, value: Any): Unit = locked("expandDims") {
+    replaceWithUnlocked(load().withColumn(name, lit(value)))
+  }
 
   /** M8 `drop_sel`: delete coordinate values from a dimension. */
-  def dropSel(dim: String, values: Seq[Any]): Unit =
-    replaceWith(load().filter(!col(dim).isin(values: _*)))
+  def dropSel(dim: String, values: Seq[Any]): Unit = locked("dropSel") {
+    replaceWithUnlocked(load().filter(!col(dim).isin(values: _*)))
+  }
 
   /** M10 Ellipsis axis: the store's own coordinates for `axis`. */
   def coords(axis: String): DataFrame =
@@ -301,6 +374,23 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     spark.conf.get("spark.sql.warehouse.dir"),
     s"__graft_stage_${table.replace('.', '_')}")
 
+  private def lockPath = new org.apache.hadoop.fs.Path(
+    spark.conf.get("spark.sql.warehouse.dir"),
+    s"__graft_lock_${table.replace('.', '_')}")
+
+  /** Single-writer lease, same contract as [[ParquetStore]] (see
+    * [[WriteLease]]): a concurrent mutator fails loudly instead of
+    * losing the other writer's update. */
+  private def locked[T](op: String)(body: => T): T = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WriteLease.withLease(fs, lockPath, op)(body)
+  }
+
+  /** Remove a stale lease left by a crashed writer. */
+  def breakLease(): Unit = lockPath
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .delete(lockPath, true)
+
   /** M4/M5 over the bucketed table: store-side exchange-free merge.
     *
     * With `partitionCols` set, the same pruning discipline as
@@ -314,7 +404,7 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     * aligned to the table's column layout first. Both branches stage
     * the merged frame on disk (see [[stagePath]]) before overwriting
     * the table they read from. */
-  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit =
+  def mergeIn(neu: DataFrame, mode: Merge.Mode = Merge.NoConflicts): Unit = locked("mergeIn") {
     if (!exists) write(neu, SaveMode.ErrorIfExists)
     else {
       val old = load()
@@ -355,6 +445,7 @@ final class BucketedStore(val spark: SparkSession, val table: String,
         }
       }
     }
+  }
 
   /** M9 `missing_only` against the bucketed store. */
   def missing(grid: DataFrame): DataFrame =

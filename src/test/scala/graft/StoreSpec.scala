@@ -206,6 +206,32 @@ class ParquetStoreSpec extends SparkSpec {
     assert(st.load().count() == 2)
   }
 
+  test("concurrent-writer guard: second writer fails loudly, store intact") {
+    val dir = Files.createTempDirectory("graft-lock").toString
+    val st = new ParquetStore(spark, s"$dir/store", Seq("a", "b"))
+    st.mergeIn(Seq((1L, 1L, 10.0)).toDF("a", "b", "v"))
+    // simulate another writer mid-merge: its lease file exists
+    val lock = new java.io.File(s"$dir/store.__lock")
+    val w = new java.io.FileWriter(lock)
+    w.write("pid=9999 op=mergeIn at=2026-08-13T00:00:00Z host=other"); w.close()
+    val e = intercept[graft.store.ConcurrentWriteException](
+      st.mergeIn(Seq((2L, 1L, 20.0)).toDF("a", "b", "v")))
+    assert(e.getMessage.contains("pid=9999"), e.getMessage)   // names the holder
+    assert(e.getMessage.contains("breakLease"), e.getMessage) // names the cure
+    // every mutating op is guarded; reads are not
+    assertThrows[graft.store.ConcurrentWriteException](
+      st.append(Seq((3L, 1L, 30.0)).toDF("a", "b", "v")))
+    assertThrows[graft.store.ConcurrentWriteException](st.expandDims("r", "x"))
+    assertThrows[graft.store.ConcurrentWriteException](st.dropSel("a", Seq(1L)))
+    assert(st.load().count() == 1) // store untouched by the failures
+    // crashed-writer recovery: break the stale lease, writes resume,
+    // and a completed write leaves no lease behind
+    st.breakLease()
+    st.mergeIn(Seq((2L, 1L, 20.0)).toDF("a", "b", "v"))
+    assert(st.load().count() == 2)
+    assert(!lock.exists(), "lease must be released after a completed write")
+  }
+
   test("mergeIn pins no executor-local blocks; result survives a cache wipe") {
     // round-7 fault-tolerance discipline: the merge paths stage through
     // the filesystem (tmp/stage dirs), never through localCheckpoint,
