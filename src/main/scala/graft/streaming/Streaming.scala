@@ -58,26 +58,34 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  /** Streaming CLEANING: the stateless stages of the p1 batch
-    * pipeline applied to a continuously-arriving corpus — quality
-    * gate, PII redaction, then watermark-horizon exact dedup on the
-    * REDACTED text (docs differing only in PII deduplicate). Quality
-    * and redaction are the same pure column expressions as the batch
-    * [[graft.functions.TextFns]] formulas, so a document scores
-    * identically online and offline; dedup state stays bounded by the
-    * watermark horizon. Mixture sampling composes downstream via
+  /** Streaming CLEANING: the full p1 batch pipeline applied to a
+    * continuously-arriving corpus — quality gate, PII redaction,
+    * watermark-horizon exact dedup on the REDACTED text (docs
+    * differing only in PII deduplicate), then deterministic mixture
+    * sampling. Quality and redaction are the same pure column
+    * expressions as the batch [[graft.functions.TextFns]] formulas,
+    * so a document scores identically online and offline; dedup state
+    * stays bounded by the watermark horizon; the sampling stage is
     * [[graft.functions.Mixture.sampleByRate]] — a pure (salt, id)
-    * hash filter, stream-safe by construction.
+    * hash coin against a broadcast static rate table, stream-safe by
+    * construction (stateless, and adding rows never flips an earlier
+    * decision). Pass empty `rates` to skip sampling.
     */
   def cleanStream(docs: DataFrame, tsCol: String, textCol: String,
-                  minQuality: Double, watermark: String = "1 hour"): DataFrame =
-    dedupStream(
+                  minQuality: Double, watermark: String = "1 hour",
+                  idCol: String = "doc_id", keyCol: String = "lang",
+                  rates: Map[String, Double] = Map.empty,
+                  salt: String = "clean"): DataFrame = {
+    val deduped = dedupStream(
       docs
         .withColumn("quality", graft.functions.TextFns.qualityScore(
           col(textCol), graft.functions.TextFns.langMarkers("en")))
         .filter(col("quality") >= minQuality)
         .withColumn(textCol, graft.functions.TextFns.redactPii(col(textCol))),
       tsCol, textCol, watermark)
+    if (rates.isEmpty) deduped
+    else graft.functions.Mixture.sampleByRate(deduped, idCol, keyCol, rates, salt)
+  }
 
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch

@@ -48,23 +48,31 @@ class StreamingFileSpec extends SparkSpec {
     assert(rows.filter(col("n_words") =!= 7).count() == 0)
   }
 
-  test("cleanStream: streamed quality gate + redact + dedup ≡ the batch stages") {
+  test("cleanStream: streamed quality+redact+dedup+sample ≡ the batch stages") {
     val in = tmp(); val out = tmp(); val ckpt = tmp()
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, ts TIMESTAMP, text STRING")
+      "doc_id BIGINT, ts TIMESTAMP, lang STRING, text STRING")
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val filler = "about the data and the words that are of fine quality in this calm prose that passes the length gate"
     val rows = Seq(
-      (1L, "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate"),
-      (2L, "x!!! ??? ###"), // low quality -> gated
-      (3L, "mail me at a.b@example.com about the data and the words that are of fine quality in this calm prose that passes the length gate"),
-      (4L, "mail me at z.q@other.org about the data and the words that are of fine quality in this calm prose that passes the length gate"),
-      (5L, "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate") // dup of 1
-    ).map { case (id, t) => (id, base, t) }
-    rows.toDF("doc_id", "ts", "text")
+      (1L, "en", "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate"),
+      (2L, "en", "x!!! ??? ###"), // low quality -> gated
+      (3L, "en", s"mail me at a.b@example.com $filler"),
+      (4L, "en", s"mail me at z.q@other.org $filler"),
+      (5L, "en", "the data is good and the words are of fine quality here today friend and more of the same calm prose to pass the length gate"), // dup of 1
+      // unique de docs: the rate-0.5 hash coin bites here (ids decide)
+      (6L, "de", s"unique first german-bucket doc $filler"),
+      (7L, "de", s"unique second german-bucket doc $filler"),
+      (8L, "de", s"unique third german-bucket doc $filler"),
+      (9L, "xx", s"unconfigured language doc $filler") // no rate -> dropped
+    ).map { case (id, lang, t) => (id, base, lang, t) }
+    rows.toDF("doc_id", "ts", "lang", "text")
       .coalesce(1).write.mode("append").parquet(in)
+    val rates = Map("en" -> 1.0, "de" -> 0.5)
     val q = Streaming.cleanStream(
       spark.readStream.schema(schema).parquet(in),
-      "ts", "text", minQuality = 0.5, watermark = "1 hour")
+      "ts", "text", minQuality = 0.5, watermark = "1 hour",
+      idCol = "doc_id", keyCol = "lang", rates = rates, salt = "clean")
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .start()
@@ -75,19 +83,30 @@ class StreamingFileSpec extends SparkSpec {
     // 1|5 are exact dups; 3|4 differ ONLY in the email address, so
     // after redaction they too are identical — dedup-after-redact is
     // the point (PII-only variants of one doc collapse)
-    assert(got.size == 2, s"expected {1|5, 3|4}, got ${got.keySet}")
     assert(got.keySet.intersect(Set(1L, 5L)).size == 1, "exact dup must drop")
     assert(got.keySet.intersect(Set(3L, 4L)).size == 1,
       "PII-only variants must collapse after redaction")
     assert(got.values.forall(!_.contains("@")), "emails must be redacted")
     assert(got.values.exists(_.contains("<EMAIL>")))
-    // batch parity: same stages, same formulas, same survivors
-    val batch = rows.toDF("doc_id", "ts", "text")
-      .withColumn("quality", graft.functions.TextFns.qualityScore(
-        col("text"), graft.functions.TextFns.langMarkers("en")))
-      .filter(col("quality") >= 0.5)
-      .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
-      .dropDuplicates("text")
+    assert(!got.contains(9L), "unconfigured-language doc must be dropped")
+    // the de coin is a pure function of (salt, id): stream survivors
+    // must be exactly the hash-selected subset
+    val deKept = Seq(6L, 7L, 8L).filter { id =>
+      spark.range(1).select(graft.functions.Mixture
+        .hashFraction(lit(id), "clean").as("f")).head().getDouble(0) < 0.5
+    }.toSet
+    assert(got.keySet.filter(_ >= 6L) == deKept,
+      s"de survivors ${got.keySet.filter(_ >= 6L)} != hash-selected $deKept")
+    // batch parity: the same four stages composed in batch mode give
+    // the same survivor TEXT set (dedup picks one of each text class)
+    val batch = graft.functions.Mixture.sampleByRate(
+      rows.toDF("doc_id", "ts", "lang", "text")
+        .withColumn("quality", graft.functions.TextFns.qualityScore(
+          col("text"), graft.functions.TextFns.langMarkers("en")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("text", graft.functions.TextFns.redactPii(col("text")))
+        .dropDuplicates("text"),
+      "doc_id", "lang", rates, "clean")
       .select("text").as[String].collect().toSet
     assert(got.values.toSet == batch, "stream and batch stages disagree")
   }
