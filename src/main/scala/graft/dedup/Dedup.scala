@@ -485,11 +485,14 @@ object Dedup {
     * detected exactly: all of its windows collide.
     *
     * Shape for scale: window TEXT never shuffles — windows are
-    * censused as 64-bit rolling hashes from the
-    * [[graft.functions.TextExprs.charWindowHashes]] kernel (ONE
-    * O(len) pass per doc; equality structure modulo collision, the
-    * d2/d3 shingle-hash discipline — the oracle groups by the raw
-    * window content), so the duplicate census exchanges only
+    * censused as 64-bit hashes from the
+    * [[graft.functions.TextExprs.charWindowHashes]] kernel: a
+    * Rabin-Karp polynomial rolling hash (ONE O(len) pass per doc,
+    * codepoint-indexed) with a murmur3 fmix64 avalanche on each
+    * emitted value, so the polynomial's structured collisions are
+    * broken and equality structure holds modulo the generic ~2⁻⁶⁴
+    * rate (the d2/d3 shingle-hash discipline — the oracle groups by
+    * the raw window content). The duplicate census exchanges only
     * map-combined long counters; the >1-occurrence key set joins back
     * against the map-side re-derived windows (AQE broadcasts it when
     * small); the span merge is gaps-and-islands over one window on

@@ -121,10 +121,27 @@ case class CharWindowHashes(child: Expression, w: Int)
 object CharWindowHashes {
   private val B = 0x100000001b3L // FNV prime as polynomial base, mod 2^64
 
+  /** murmur3 fmix64: the Rabin-Karp polynomial rolling hash has
+    * STRUCTURED collisions (it is linear in the window contents);
+    * avalanching each emitted value breaks that structure so
+    * same-hash ⇒ same-content holds at the generic ~2⁻⁶⁴ rate
+    * (round-7 advisor note). The rolling state itself stays
+    * un-finalized so the O(1) per-position update is preserved. */
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
   def compute(s: org.apache.spark.unsafe.types.UTF8String,
               w: Int): GenericArrayData = {
-    val str = s.toString
-    val n = str.length
+    // CODEPOINT positions (not UTF-16 units), matching Spark's own
+    // length()/substring() semantics and the content-based oracle's
+    // substr for supplementary-plane text (round-7 advisor note);
+    // for BMP-only text this is identical to the former charAt walk
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     val nw = math.max(n - w + 1, 0)
     val out = new Array[Long](nw)
     if (nw > 0) {
@@ -133,12 +150,12 @@ object CharWindowHashes {
       while (j < w) { bw *= B; j += 1 } // B^(w-1)
       var h = 0L
       j = 0
-      while (j < w) { h = h * B + str.charAt(j); j += 1 }
-      out(0) = h
+      while (j < w) { h = h * B + cps(j); j += 1 }
+      out(0) = fmix64(h)
       var i = 1
       while (i < nw) {
-        h = (h - str.charAt(i - 1) * bw) * B + str.charAt(i + w - 1)
-        out(i) = h
+        h = (h - cps(i - 1) * bw) * B + cps(i + w - 1)
+        out(i) = fmix64(h)
         i += 1
       }
     }
@@ -174,10 +191,17 @@ case class GramRunStats(child: Expression)
 
 object GramRunStats {
   def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    val n = arr.numElements()
-    val a = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val n0 = arr.numElements()
+    val a = new Array[org.apache.spark.unsafe.types.UTF8String](n0)
+    // skip null elements (the SQL surface allows gram_run_stats(
+    // array('a', NULL)); sorting nulls would NPE — advisor note):
+    // a null gram contributes no characters and no term frequency
+    var n = 0
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n0) {
+      if (!arr.isNullAt(i)) { a(n) = arr.getUTF8String(i); n += 1 }
+      i += 1
+    }
     java.util.Arrays.sort(a.asInstanceOf[Array[Object]], 0, n) // UTF8String: binary (byte) order
     var dup = 0L; var maxTf = 0L; var topChars = 0L
     i = 0

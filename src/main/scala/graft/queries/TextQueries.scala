@@ -1078,12 +1078,15 @@ object TextQueries {
     * (gaps-and-islands over one window on (doc_id, pos)). A duplicated
     * substring of length ≥ W is detected exactly: all of its windows
     * collide. Shape for scale: window TEXT never shuffles — the
-    * census exchanges map-combined xxhash64 long counters only; the
-    * >1-occurrence key set joins back against the map-side re-derived
-    * windows; the paper's suffix-array build is replaced by this
-    * hash-window pass because it is one compact-key shuffle at any
-    * corpus size. Oracle: DuckDB groups the raw window content (the
-    * 64-bit hash is equality structure modulo collision — the d2/d3
+    * census exchanges map-combined 64-bit long counters only (a
+    * Rabin-Karp polynomial rolling hash, one O(1) update per
+    * position, each emitted value passed through a murmur3 fmix64
+    * avalanche so the polynomial's structured collisions are broken);
+    * the >1-occurrence key set joins back against the map-side
+    * re-derived windows; the paper's suffix-array build is replaced
+    * by this hash-window pass because it is one compact-key shuffle
+    * at any corpus size. Oracle: DuckDB groups the raw window content
+    * (the hash is equality structure modulo collision — the d2/d3
     * shingle-hash discipline) and regenerates every window position
     * and island boundary.
     */
@@ -1218,7 +1221,11 @@ object TextQueries {
     * binomial-noise counts (right for unbounded streams), this form
     * hits the target count exactly (right for bounded strata, e.g.
     * assembling a fixed-size training mix). Both engines compute
-    * `rate·n_g` with the same IEEE ops, so the cut is identical.
+    * `rate·n_g` with the same IEEE ops — the oracle rates carry an
+    * explicit ::DOUBLE cast because bare VALUES literals are DECIMAL
+    * in DuckDB, whose exact `CEIL(0.1·30) = 3` would diverge from the
+    * IEEE `ceil(3.0000000000000004) = 4` at exact-product boundaries
+    * (round-7 advisor note) — so the cut is identical.
     * Shape for scale: rates broadcast; one exchange on the stratum
     * key + a rank window per stratum. The rank bound is per-group
     * data, so WindowGroupLimit cannot prune it — for web-scale
@@ -1233,8 +1240,8 @@ object TextQueries {
       rates = Map("en" -> 0.5, "de" -> 0.4, "fr" -> 0.25,
         "es" -> 0.1, "zh" -> 0.75), salt = "t12")
       .select(col("doc_id"), col("lang")),
-    Some("""WITH r(lang, rate) AS (VALUES ('en', 0.5), ('de', 0.4),
-        ('fr', 0.25), ('es', 0.1), ('zh', 0.75)),
+    Some("""WITH r(lang, rate) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.4::DOUBLE),
+        ('fr', 0.25::DOUBLE), ('es', 0.1::DOUBLE), ('zh', 0.75::DOUBLE)),
       k AS (SELECT d.doc_id, d.lang, r.rate,
           row_number() OVER (PARTITION BY d.lang
             ORDER BY md5('t12:' || d.doc_id)) AS rk,

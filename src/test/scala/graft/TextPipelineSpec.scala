@@ -84,6 +84,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(r(2).getLong(0) == 0 && r(2).getLong(1) == 1 && r(2).getLong(2) == 1)
   }
 
+  test("gramRunStats: null elements are skipped, not an NPE (SQL surface)") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT gram_run_stats(array('a', NULL, 'a')) AS s")
+      .select("s.dup_chars", "s.top_chars", "s.max_tf").collect() match {
+      case Array(r) =>
+        assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    }
+    // all-null array behaves like an empty one
+    spark.sql("SELECT gram_run_stats(array(CAST(NULL AS STRING))) AS s")
+      .select("s.max_tf").collect() match {
+      case Array(r) => assert(r.getLong(0) == 0)
+    }
+  }
+
+  test("charWindowHashes counts CODEPOINTS: emoji text matches substring semantics") {
+    // "x😀y😀x😀y" = 7 codepoints (10 UTF-16 units): windows of 3 →
+    // 5 positions, and positions 1 and 3 hold equal content x😀y/…
+    // — matching Spark substring/length semantics, not charAt units
+    val df = Seq("x😀y😀x😀y").toDF("t")
+    val h = df.select(graft.functions.TextExprs.charWindowHashes(col("t"), 3).as("h"))
+      .selectExpr("size(h) AS n", "h").collect()(0)
+    assert(h.getInt(0) == 5, s"expected 5 codepoint windows, got ${h.getInt(0)}")
+    val arr = h.getSeq[Long](1)
+    // content at codepoint offsets: [x😀y, 😀y😀, y😀x, 😀x😀, x😀y]
+    assert(arr(0) == arr(4), "equal codepoint windows must hash equal")
+    assert(arr(1) != arr(3), "😀y😀 vs 😀x😀 must differ")
+    assert(Set(arr(0), arr(1), arr(2), arr(3)).size == 4)
+  }
+
   // ----------------------------------------- round-6 pipeline ops
 
   test("substringSpans: planted self-repetition and cross-doc shared block") {
