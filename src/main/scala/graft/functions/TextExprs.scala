@@ -139,9 +139,19 @@ object CharWindowHashes {
     // CODEPOINT positions (not UTF-16 units), matching Spark's own
     // length()/substring() semantics and the content-based oracle's
     // substr for supplementary-plane text (round-7 advisor note);
-    // for BMP-only text this is identical to the former charAt walk
-    val cps = s.toString.codePoints().toArray
-    val n = cps.length
+    // for BMP-only text this is identical to the former charAt walk.
+    // Manual decode into a preallocated array — the IntStream
+    // (codePoints().toArray) route measured +40% on the d9 bench
+    val str = s.toString
+    val n16 = str.length
+    val cps = new Array[Int](n16)
+    var n = 0
+    var k = 0
+    while (k < n16) {
+      val cp = str.codePointAt(k)
+      cps(n) = cp; n += 1
+      k += Character.charCount(cp)
+    }
     val nw = math.max(n - w + 1, 0)
     val out = new Array[Long](nw)
     if (nw > 0) {
