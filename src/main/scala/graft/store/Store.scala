@@ -370,13 +370,17 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     * overwrite re-reads the staged files — reliable under executor
     * loss, unlike a localCheckpoint whose blocks die with their
     * executor. */
+  // no leading underscore: Spark's file listing treats `_`-prefixed
+  // paths as hidden metadata ("All paths were ignored" on the staged
+  // read — worked by accident on the direct-path branch, but glob and
+  // partition-discovery listings genuinely skip such dirs)
   private def stagePath = new org.apache.hadoop.fs.Path(
     spark.conf.get("spark.sql.warehouse.dir"),
-    s"__graft_stage_${table.replace('.', '_')}")
+    s"graft-stage-${table.replace('.', '_')}")
 
   private def lockPath = new org.apache.hadoop.fs.Path(
     spark.conf.get("spark.sql.warehouse.dir"),
-    s"__graft_lock_${table.replace('.', '_')}")
+    s"graft-lock-${table.replace('.', '_')}")
 
   /** Single-writer lease, same contract as [[ParquetStore]] (see
     * [[WriteLease]]): a concurrent mutator fails loudly instead of
