@@ -53,7 +53,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
-    ((System.nanoTime() - t0) / 1e9, ok)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // Release OUTSIDE the timer: bookkeeping, not query cost. Every
+    // timed pass therefore pays the FULL pipeline including its own
+    // cache population — steady-state medians measure what a fresh
+    // pipeline run costs, not a warm cross-run cache (round-8 persist
+    // lifecycle discipline; see BENCH_NOTES.md).
+    Materialize.releaseAll()
+    (elapsed, ok)
   }
 
   private def median(xs: Seq[Double]): Double = {

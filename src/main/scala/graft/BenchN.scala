@@ -21,7 +21,9 @@ object BenchN {
       val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        Materialize.releaseAll() // outside the timer, like Bench
+        t
       }.sorted
       println(f"[benchN] $name%-26s min ${ts.head}%6.2f  med ${ts(ts.size / 2)}%6.2f  max ${ts.last}%6.2f")
     }

@@ -1,10 +1,12 @@
 package graft
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-/** Materialization discipline for derived stages (round-7 fault-
-  * tolerance directive).
+import scala.collection.mutable
+
+/** Materialization discipline for derived stages.
   *
   * `localCheckpoint()` truncates lineage AND pins the blocks to
   * executor-local storage: on a multi-executor cluster, losing one
@@ -29,17 +31,97 @@ import org.apache.spark.storage.StorageLevel
   *    FS and survive executor loss), and falls back to
   *    `localCheckpoint()` only in local mode, where executor loss is
   *    JVM death anyway.
+  *
+  * == Release discipline (round-8) ==
+  *
+  * Every cached stage must be RELEASED once the pipeline that created
+  * it has run its terminal action — a long-lived driver running many
+  * pipelines would otherwise accumulate cached stages without bound,
+  * and MEMORY_AND_DISK eviction then thrashes recompute exactly on the
+  * cache-dependent plans. Two forms:
+  *
+  *  - [[withReuse]] — scoped: persist, run the body (which must
+  *    perform every action that benefits from the cache), unpersist in
+  *    `finally`. Use when the stage does NOT escape into a returned
+  *    lazy plan.
+  *  - [[reuse]]/[[truncate]] + [[releaseAll]] — registry: most graft
+  *    pipelines RETURN a lazy DataFrame whose plan references the
+  *    cached stage, so the stage must outlive the function that built
+  *    it. Both calls register what they pin in a session-global
+  *    registry; the pipeline's RUNNER (Verify / Bench / a test
+  *    harness / a user driver) calls `releaseAll()` after the terminal
+  *    action (write/collect). Releasing is non-blocking; a released
+  *    plan that is re-run afterwards recomputes from source — safe,
+  *    never wrong.
+  *
+  * `truncate`'s local fallback is tracked by RDD-id diff around the
+  * (eager) `localCheckpoint()` call: `Dataset.unpersist` cannot reach
+  * the checkpointed RDD (it lives behind a `LogicalRDD`, not the
+  * CacheManager), so release goes through
+  * `SparkContext.getPersistentRDDs`. Driver-side pipeline construction
+  * is single-threaded per query (our runners and specs run queries
+  * sequentially), which the id-diff relies on; concurrent misattribution
+  * would only change WHICH releaseAll() drops a block, never whether.
+  * MaterializeLifecycleSpec asserts the invariant the registry exists
+  * for: after every registered query's action + releaseAll(), the
+  * session's persistent-RDD set returns to its baseline.
   */
 object Materialize {
 
-  /** Deterministic multi-consumer stage: persist with lineage kept. */
-  def reuse(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+  /** DataFrame handles persisted via [[reuse]] (CacheManager-backed). */
+  private val persistedFrames = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** RDD ids pinned by [[truncate]]'s local fallback (BlockManager-
+    * backed; no CacheManager entry exists for these). */
+  private val pinnedRddIds = mutable.ArrayBuffer.empty[(SparkContext, Int)]
+
+  /** Deterministic multi-consumer stage: persist with lineage kept,
+    * registered for [[releaseAll]]. */
+  def reuse(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames += p
+    p
+  }
+
+  /** Scoped variant for stages that do NOT escape the builder: persist,
+    * run every consuming action inside `body`, unpersist in finally. */
+  def withReuse[A](df: DataFrame)(body: DataFrame => A): A = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try body(p)
+    finally p.unpersist(blocking = false)
+  }
 
   /** Iterative-loop truncation point: reliable checkpoint when
     * configured, executor-local truncation otherwise (documented
-    * local-mode-only fallback). */
-  def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    * local-mode-only fallback, registered for [[releaseAll]]). */
+  def truncate(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) df.checkpoint()
+    else synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: blocks register here
+      pinnedRddIds ++= (sc.getPersistentRDDs.keySet -- before).map((sc, _))
+      out
+    }
+  }
+
+  /** Release every stage registered since the last call. Runners call
+    * this after each pipeline's terminal action; non-blocking, so the
+    * cost is bookkeeping, not I/O. Safe to call at any quiesce point:
+    * a plan re-run after release recomputes from source. */
+  def releaseAll(): Unit = synchronized {
+    persistedFrames.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+    }
+    persistedFrames.clear()
+    pinnedRddIds.foreach { case (sc, id) =>
+      try sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    pinnedRddIds.clear()
+  }
+
+  /** Count of registered-but-unreleased stages (spec/diagnostic use). */
+  def trackedCount: Int = synchronized { persistedFrames.size + pinnedRddIds.size }
 }

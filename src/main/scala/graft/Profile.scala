@@ -29,19 +29,19 @@ object Profile {
         .filter(size(col("sh")) > 0)
         .withColumn("h", transform(col("sh"), s => xxhash64(s)))
         .select(col("id"), col("h"))
-        .localCheckpoint()
+        .transform(graft.Materialize.truncate)
     }
     val sig = time("signatures") {
       sh.select(col("id"),
         graft.dedup.Dedup.minHashSignatureFromHashes(col("h"), 64).as("sig"))
-        .localCheckpoint()
+        .transform(graft.Materialize.truncate)
     }
     val banded = time("banding") {
       sig.select(col("id"),
         posexplode(array((0 until 16).map(
           b => xxhash64(slice(col("sig"), b * 4 + 1, 4))): _*))
           .as(Seq("band", "bucket")))
-        .localCheckpoint()
+        .transform(graft.Materialize.truncate)
     }
     val pairs = time("bucket self-join + distinct") {
       banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -49,7 +49,7 @@ object Profile {
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize.truncate)
     }
     println(s"  candidate pairs: ${pairs.count()}")
     time("verify join") {
@@ -61,6 +61,7 @@ object Profile {
         .withColumn("jaccard", round(inter / uni, 4))
         .filter(col("jaccard") >= 0.8).count()
     }
+    Materialize.releaseAll()
     spark.stop()
   }
 }

@@ -941,9 +941,9 @@ object TextQueries {
   val mm1Decode = QueryDef(
     "mm1_decode_features",
     (s, dir) => {
-      val media = graft.multimodal.Multimodal.encodeAsPng(
-        table(s, dir, "documents"), "doc_id", "text", width = 64)
-        .localCheckpoint() // materialize real PNG bytes; decode reads them back
+      val media = graft.Materialize.truncate( // real PNG bytes; decode reads them back
+        graft.multimodal.Multimodal.encodeAsPng(
+          table(s, dir, "documents"), "doc_id", "text", width = 64))
       graft.multimodal.Multimodal.decodeFeatures(
         media.drop("width", "height"), featDim = 16)
         .select(col("media_id"), col("width"), col("height"),
@@ -976,9 +976,9 @@ object TextQueries {
   val mm2Audio = QueryDef(
     "mm2_audio_features",
     (s, dir) => {
-      val media = graft.multimodal.Multimodal.encodeAsWav(
-        table(s, dir, "documents"), "doc_id", "text", sampleRate = 8000)
-        .localCheckpoint() // materialize real WAV bytes; decode reads them back
+      val media = graft.Materialize.truncate( // real WAV bytes; decode reads them back
+        graft.multimodal.Multimodal.encodeAsWav(
+          table(s, dir, "documents"), "doc_id", "text", sampleRate = 8000))
       graft.multimodal.Multimodal.decodeAudioFeatures(media, featDim = 16)
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("peak"),
@@ -1042,11 +1042,11 @@ object TextQueries {
   val mm4Resize = QueryDef(
     "mm4_resize_box",
     (s, dir) => {
-      val media = graft.multimodal.Multimodal.encodeAsPng(
-        table(s, dir, "documents"), "doc_id", "text", width = 64)
-        .localCheckpoint() // materialize real PNGs; resize reads them back
-      val resized = graft.multimodal.Multimodal.resizeTo(media, 16, 16)
-        .localCheckpoint() // materialize the RESIZED PNGs too
+      val media = graft.Materialize.truncate( // real PNGs; resize reads them back
+        graft.multimodal.Multimodal.encodeAsPng(
+          table(s, dir, "documents"), "doc_id", "text", width = 64))
+      val resized = graft.Materialize.truncate( // the RESIZED PNGs too
+        graft.multimodal.Multimodal.resizeTo(media, 16, 16))
       graft.multimodal.Multimodal.pixelSignature(resized)
     },
     Some("""WITH m AS (

@@ -104,4 +104,10 @@ object Benchmarking {
 object CacheToDisk {
   def apply(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** Explicit release — CacheToDisk is USER-managed memoization, so its
+    * lifetime is deliberately not tied to [[graft.Materialize.releaseAll]]
+    * (a runner quiescing between queries must not drop a cache the user
+    * asked to keep). Callers pair apply/release like open/close. */
+  def release(df: DataFrame): DataFrame = df.unpersist(blocking = false)
 }

@@ -41,6 +41,7 @@ class BenchmarkingSpec extends SparkSpec {
     val df = CacheToDisk(Seq(1, 2, 3).toDF("x"))
     assert(df.storageLevel.useDisk && !df.storageLevel.useMemory)
     assert(df.count() == 3)
-    df.unpersist()
+    CacheToDisk.release(df)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 }
