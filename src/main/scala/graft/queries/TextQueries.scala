@@ -290,6 +290,16 @@ object TextQueries {
     * md5-per-token oracle variant whose MessageDigest cost made d4
     * the #2 bench query (2.4 s at sf0.1) without ever timing the
     * production hash.
+    *
+    * ASCII-ONLY ORACLE VALIDITY (advisor r7): the production
+    * [[Dedup.simHashFnv60]] folds FNV-1a per UTF-8 BYTE, while the
+    * DuckDB SQL below folds per CODEPOINT (`ord(substr(t, i+1, 1))`).
+    * The two agree exactly on ASCII (1 byte = 1 codepoint = ord value
+    * < 128) and the documents fixture is verified ASCII-only; on
+    * non-ASCII text they diverge by construction. A future non-ASCII
+    * fixture must switch the oracle to byte iteration (fold over
+    * `octet_length(encode(t))` extracting bytes from the BLOB) — a
+    * mismatch there is oracle skew, not an engine bug.
     */
   val d4SimHash = QueryDef(
     "d4_simhash",

@@ -33,22 +33,36 @@ private[store] object WriteLease {
                    lock: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
     val payload = s"pid=${ProcessHandle.current().pid()} op=$op " +
       s"at=${java.time.Instant.now()} host=${java.net.InetAddress.getLocalHost.getHostName}"
+    // Only "the lock file already exists" means a concurrent writer.
+    // A transient FS failure (permissions, quota, network) must NOT be
+    // retyped as a held lease — its message would instruct the operator
+    // to breakLease(), and following that advice against a REAL holder
+    // reintroduces the lost-update race. Typed signal first; for FS
+    // implementations that throw a bare IOException on create-no-
+    // overwrite, an existence probe decides, and anything else rethrows
+    // as what it is.
+    def heldBy(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new ConcurrentWriteException(
+        s"store at '${lock.toString.stripSuffix(".__lock")}' is being " +
+          s"written by another process [$holder]; concurrent store " +
+          "mutation would lose updates. If that writer crashed, clear " +
+          s"the stale lease with breakLease() (removes $lock).")
+    }
     val out =
       try fs.create(lock, false)
       catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-                java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            } catch { case _: Throwable => "<unreadable>" }
-          throw new ConcurrentWriteException(
-            s"store at '${lock.toString.stripSuffix(".__lock")}' is being " +
-              s"written by another process [$holder]; concurrent store " +
-              "mutation would lose updates. If that writer crashed, clear " +
-              s"the stale lease with breakLease() (removes $lock).")
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => heldBy()
+        case _: java.nio.file.FileAlreadyExistsException        => heldBy()
+        case e: java.io.IOException =>
+          if (try fs.exists(lock) catch { case _: Throwable => false }) heldBy()
+          else throw e
       }
     try {
       out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -217,9 +231,22 @@ final class ParquetStore(val spark: SparkSession, val path: String,
     val bak = new org.apache.hadoop.fs.Path(path + ".__bak")
     val fs = p.getFileSystem(conf)
     writer(df).parquet(tmp.toString)
+    // Every rename's boolean result is checked: proceeding past a
+    // failed swap (dest recreated concurrently, cross-FS rename quirk)
+    // and then deleting .__bak would destroy the only surviving copy.
+    // On failure the store is left recoverable — either untouched at
+    // <path> or intact at <path>.__bak — and the caller gets an
+    // IOException naming the failed step.
+    def renameOrAbort(from: org.apache.hadoop.fs.Path,
+                      to: org.apache.hadoop.fs.Path, keep: String): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(
+          s"store swap: rename $from -> $to failed; $keep")
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(p)) fs.rename(p, bak)
-    fs.rename(tmp, p)
+    if (fs.exists(p))
+      renameOrAbort(p, bak, s"store left untouched at $p")
+    renameOrAbort(tmp, p,
+      s"previous store preserved at $bak (restore by renaming it back)")
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
@@ -362,7 +389,11 @@ final class BucketedStore(val spark: SparkSession, val table: String,
       .saveAsTable(table)
   }
 
-  def replaceWith(df: DataFrame): Unit = write(df, SaveMode.Overwrite)
+  /** Leased like every other mutator (the WriteLease contract): a
+    * replaceWith racing a concurrent mergeIn must fail loudly, not
+    * silently drop the merge's rows. */
+  def replaceWith(df: DataFrame): Unit =
+    locked("replace")(write(df, SaveMode.Overwrite))
 
   /** Staging dir for read-before-overwrite materialization: the table
     * is both the source and the sink of a merge, so the merged frame

@@ -116,16 +116,41 @@ object Streaming {
     * merged batch is a no-op under NoConflicts (identical values
     * coalesce) and NewWins alike, so the store converges exactly-once.
     * Returns the started query; callers own its lifecycle.
+    *
+    * Lease contention (round-8): the store's single-writer lease fails
+    * LOUDLY on a concurrent holder — the right semantic for two batch
+    * drivers, but a streaming sink racing a TRANSIENT batch writer
+    * should ride it out, not die and demand a manual restart. Each
+    * micro-batch therefore retries the merge under bounded exponential
+    * backoff (`leaseRetries` attempts; ~2^k × `retryBaseMs` between
+    * attempts) before surfacing [[graft.store.ConcurrentWriteException]]
+    * to the stream. A CRASHED writer's stale lease still fails the
+    * query after the retries burn out — auto-breaking it here would be
+    * split-brain, so the exception (naming breakLease()) stands.
     */
   def harvestSink(results: DataFrame, store: graft.store.ParquetStore,
                   checkpointDir: String,
-                  mode: graft.store.Merge.Mode = graft.store.Merge.NoConflicts)
+                  mode: graft.store.Merge.Mode = graft.store.Merge.NoConflicts,
+                  leaseRetries: Int = 3, retryBaseMs: Long = 500)
   : org.apache.spark.sql.streaming.StreamingQuery =
     results.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) store.mergeIn(batch.toDF(), mode)
+        if (!batch.isEmpty) {
+          val df = batch.toDF()
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { store.mergeIn(df, mode); done = true }
+            catch {
+              case e: graft.store.ConcurrentWriteException =>
+                if (attempt >= leaseRetries) throw e
+                Thread.sleep(retryBaseMs << attempt) // 0.5s, 1s, 2s, ...
+                attempt += 1
+            }
+          }
+        }
       }
       .start()
 }

@@ -110,6 +110,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harvestSink rides out a transient lease holder (bounded backoff)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hsink-lease").toString
+    val store = new graft.store.ParquetStore(spark, s"$dir/store",
+      Seq("a", "b"), partitionCols = Seq("a"))
+    // simulate a batch writer holding the store's write lease
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/store.__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(lock, false)
+    o.write("pid=batch-writer op=test".getBytes("UTF-8")); o.close()
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = Streaming.harvestSink(
+      input.toDF().toDF("a", "b", "v"), store, s"$dir/ckpt",
+      leaseRetries = 6, retryBaseMs = 50)
+    try {
+      // the "batch writer" finishes (releases the lease) mid-backoff
+      val releaser = new Thread(() => { Thread.sleep(400); fs.delete(lock, false); () })
+      releaser.start()
+      input.addData((1L, 1L, 11.0), (2L, 1L, 21.0))
+      q.processAllAvailable() // must ride out the held lease, not die
+      releaser.join()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(store.load().count() == 2)
+    } finally q.stop()
+  }
+
+  test("harvestSink surfaces ConcurrentWriteException once retries burn out") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hsink-stale").toString
+    val store = new graft.store.ParquetStore(spark, s"$dir/store", Seq("a"))
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/store.__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(lock, false)
+    o.write("pid=crashed-writer op=test".getBytes("UTF-8")); o.close()
+    val input = MemoryStream[(Long, Double)]
+    val q = Streaming.harvestSink(
+      input.toDF().toDF("a", "v"), store, s"$dir/ckpt",
+      leaseRetries = 1, retryBaseMs = 10)
+    try {
+      input.addData((1L, 1.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(5000)
+      }
+      // the typed loud failure (naming breakLease) still stands for a
+      // genuinely stale lease — retry only absorbs TRANSIENT holders
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[graft.store.ConcurrentWriteException]))
+    } finally { q.stop(); fs.delete(lock, false) }
+  }
+
   test("Mixture.sampleByRate is stateless-streaming-safe and batch-identical") {
     // the keep/drop decision is a pure function of (salt, id), so the
     // same sampler runs unchanged on a stream (no state, no watermark)
