@@ -50,6 +50,17 @@ object VectorExprs {
     GraftSqlShims.column(RhpSig(expr(v), planes, nbits, dim))
   }
 
+  /** Residual of the L2-normalized vector vs a reference vector picked
+    * by index: `res[i] = normalize(v)[i] − refs[idx][i]`. One fused
+    * codegen pass (norm + subtract), no intermediate normalized array —
+    * the IVFADC residual-encode kernel (Jégou et al. 2011 §V).
+    * `refs` is row-major [ref][dim], length nRefs*dim. */
+  def residual(v: Column, idx: Column, refs: Array[Double],
+               nRefs: Int, dim: Int): Column = {
+    require(refs.length == nRefs * dim && nRefs > 0)
+    GraftSqlShims.column(VecResidual(expr(v), expr(idx), refs, nRefs, dim))
+  }
+
   private def expr(c: Column): Expression = GraftSqlShims.expression(c)
 }
 
@@ -170,6 +181,73 @@ case class VecL2Norm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): VecL2Norm =
     copy(child = newChild)
+}
+
+/** `refs` is row-major `[ref][dim]`, length nRefs*dim; `right` is the
+  * ref index (int). Computes normalize(left) − refs[right] in one pass.
+  * An out-of-range index yields null (never silently wraps). */
+case class VecResidual(left: Expression, right: Expression,
+                       refs: Array[Double], nRefs: Int, dim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // out-of-range ref index yields null even when both children are
+  // non-nullable — without this the generated code assigns to a
+  // constant-folded `false` isNull slot and fails janino compilation
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[Int]
+    if (c < 0 || c >= nRefs) return null
+    val n = math.min(x.numElements(), dim)
+    var s = 0.0; var i = 0
+    while (i < n) { val xv = x.getDouble(i); s += xv * xv; i += 1 }
+    val norm = math.sqrt(s)
+    val off = c * dim
+    val res = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val nv = if (norm == 0.0) 0.0 else x.getDouble(i) / norm
+      res(i) = nv - refs(off + i); i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rf = ctx.addReferenceObj("refs", refs, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val norm = ctx.freshName("norm")
+      val off = ctx.freshName("off"); val res = ctx.freshName("res")
+      val nv = ctx.freshName("nv")
+      s"""
+         |if ($c < 0 || $c >= $nRefs) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = java.lang.Math.min($a.numElements(), $dim);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = $a.getDouble($i); $s += xv * xv;
+         |  }
+         |  double $norm = java.lang.Math.sqrt($s);
+         |  int $off = $c * $dim;
+         |  double[] $res = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $nv = $norm == 0.0 ? 0.0 : $a.getDouble($i) / $norm;
+         |    $res[$i] = $nv - $rf[$off + $i];
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecResidual =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `planes` is row-major `[bit][dim]`, length nbits*dim. */

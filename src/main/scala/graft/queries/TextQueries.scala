@@ -818,20 +818,27 @@ object TextQueries {
   /** N7: IVF × PQ — the production ANN shape (IVFADC, Jégou et al.
     * 2011 §V), composing n4's partition-pruned probe with n5's
     * compressed-code ADC scan and exact re-rank in ONE distributed
-    * job. Same planted-perturbation gate as n4/n5: the true top-1 is
-    * known at cosine ≈0.99 vs a ≤0.51 background, so a defect in
-    * probe selection, codebook fit, encode, ADC scoring, or the
-    * shortlist surfaces as a missing/mismatched row; `sim` is exact
-    * because the re-rank recomputes true cosine on the raw vectors.
+    * job. Round 8: TRUE residual IVFADC — codebooks fit on residuals
+    * x − ĉ_list ([[Similarity.PqIndex.fitResiduals]]), codes quantize
+    * the residual, and scoring adds the per-(query,list) offset qn·ĉ_l
+    * (the inner-product factorization of Jégou's per-list table; see
+    * [[Similarity.ivfAdcQueryBatch]]). Same planted-perturbation gate
+    * as n4/n5: the true top-1 is known at cosine ≈0.99 vs a ≤0.51
+    * background, so a defect in probe selection, codebook fit, encode,
+    * ADC scoring, the offset, or the shortlist surfaces as a
+    * missing/mismatched row; `sim` is exact because the re-rank
+    * recomputes true cosine on the raw vectors.
     */
   val n7IvfPq = QueryDef(
     "n7_ivfpq_knn",
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
       val ivf = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
-      val pq = Similarity.PqIndex.fit(emb, "embedding", m = 8, k = 16)
+      val assigned = ivf.assign(emb, "embedding")
+      val pq = Similarity.PqIndex.fitResiduals(assigned, "embedding", ivf,
+        m = 8, k = 16)
       val corpus = graft.Materialize.reuse(
-        ivf.assign(pq.encode(emb, "embedding"), "embedding"))
+        pq.encodeResiduals(assigned, "embedding", ivf))
       val base = emb.filter(col("vec_id") < 20)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -842,7 +849,7 @@ object TextQueries {
             .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
         })
       }
-      Similarity.ivfPqQueryBatch(ivf, pq, corpus, "vec_id", "embedding",
+      Similarity.ivfAdcQueryBatch(ivf, pq, corpus, "vec_id", "embedding",
         queries, kOut = 1, nprobe = 4)
     },
     Some("""WITH q AS (

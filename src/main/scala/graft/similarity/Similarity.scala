@@ -141,6 +141,19 @@ object Similarity {
     */
   final class IvfIndex(val centroids: Array[Array[Double]]) extends Serializable {
 
+    /** L2-normalized centroids — the per-list reference vectors for
+      * residual PQ encoding ([[PqIndex.encodeResiduals]]): vectors are
+      * scored in normalized (cosine) space, so the residual must be
+      * taken against the centroid's image in that same space. */
+    lazy val normalizedCentroids: Array[Array[Double]] = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c.clone() else c.map(_ / n)
+    }
+
+    /** [[normalizedCentroids]] flattened row-major [centroid][dim] for
+      * the codegen'd [[graft.functions.VectorExprs.residual]] kernel. */
+    lazy val normalizedCentroidsFlat: Array[Double] = normalizedCentroids.flatten
+
     /** Corpus with its inverted-list assignment (persist/partition by
       * `centroid` for repeated querying). Assignment is the native
       * [[graft.functions.NearestCentroid]] kernel — one codegen'd
@@ -245,6 +258,33 @@ object Similarity {
       }.drop("__nv")
     }
 
+    /** Residual encode (Jégou et al. 2011 §V, IVFADC proper): codes
+      * quantize r = normalize(x) − ĉ_list instead of the raw vector.
+      * Residuals concentrate around the origin — the same m×k code
+      * budget spends its centroids on the (small) within-list spread
+      * rather than the whole corpus span, so ADC approximates the true
+      * score materially better on clustered data (spec-demonstrated).
+      * `assigned` must already carry the IVF `centroid` column; the
+      * residual is one fused codegen kernel per row
+      * ([[graft.functions.VectorExprs.residual]]), then one codegen'd
+      * argmin per subspace — map-only, like the raw encode. */
+    def encodeResiduals(assigned: DataFrame, vecCol: String,
+                        ivf: IvfIndex): DataFrame = {
+      val dim = m * subDim
+      val withRes = assigned.withColumn("__res",
+        graft.functions.VectorExprs.residual(
+          col(vecCol).cast("array<double>"), col("centroid"),
+          ivf.normalizedCentroidsFlat, ivf.centroids.length, dim))
+      codebooks.zipWithIndex.foldLeft(withRes) { case (df, (cb, mi)) =>
+        df.withColumn(s"code_$mi",
+          org.apache.spark.sql.GraftSqlShims.column(
+            graft.functions.NearestCentroid(
+              org.apache.spark.sql.GraftSqlShims.expression(
+                slice(col("__res"), mi * subDim + 1, subDim)),
+              cb.flatten, k, subDim)))
+      }.drop("__res")
+    }
+
     /** ADC lookup table for one normalized query: flat [m·k] array of
       * subspace dot products — Σ_m table(m·k + code_m) ≈ cosine.
       * (package-visible: [[Similarity.ivfPqQueryBatch]] reuses it.) */
@@ -343,6 +383,59 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVFADC with RESIDUAL codes (Jégou et al. 2011 §V proper —
+    * [[ivfPqQueryBatch]] is the raw-vector variant kept for the n5
+    * lineage): the corpus carries codes for r = normalize(x) − ĉ_list
+    * ([[PqIndex.encodeResiduals]]), and scoring uses the inner-product
+    * factorization of Jégou's per-list lookup table. With
+    * x̂ = ĉ_l + r̂,   qn·x̂ = qn·ĉ_l + Σ_m qn_sub·cb_m[code_m]
+    * — the subspace table is list-INdependent (codebooks are shared
+    * across lists), and the list dependence collapses to one scalar
+    * offset qn·ĉ_l per (query, probed list). The broadcast side is
+    * therefore the same per-(query,list) probe rows as before plus one
+    * double; everything else — partition-pruned probe join, compressed
+    * scan, bounded shortlist, EXACT cosine re-rank — is unchanged.
+    * Residuals concentrate quantization error near the origin, so the
+    * same m×k budget ranks clustered corpora materially better
+    * (recall spec in SimilaritySpec demonstrates it; the exact re-rank
+    * keeps output sims true either way).
+    */
+  def ivfAdcQueryBatch(ivf: IvfIndex, pq: PqIndex, assignedEncoded: DataFrame,
+                       idCol: String, vecCol: String,
+                       queries: Seq[(Long, Seq[Double])],
+                       kOut: Int, nprobe: Int,
+                       shortlist: Int = 32): DataFrame = {
+    val spark = assignedEncoded.sparkSession
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val n = math.sqrt(qv.map(x => x * x).sum)
+      val qn = qv.map(_ / n).toArray
+      val tab = pq.adcTable(qn).toSeq
+      ivf.nearestCentroids(qv, nprobe).map { c =>
+        val cn = ivf.normalizedCentroids(c)
+        var off = 0.0; var i = 0
+        while (i < qn.length) { off += qn(i) * cn(i); i += 1 }
+        (qid, tab, off, qv, c)
+      }
+    }.toDF("query_id", "qtab", "qoff", "qv", "centroid")
+    val adc = col("qoff") + (0 until pq.m).map(mi =>
+      element_at(col("qtab"), col(s"code_$mi") + lit(mi * pq.k) + 1))
+      .reduce(_ + _)
+    assignedEncoded
+      .join(broadcast(probeRows), Seq("centroid")) // the IVF prune
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__adc", adc)                    // residual ADC scan
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))))
+      .filter(col("__rn") <= shortlist)            // bounded shortlist
+      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), col("qv")))
+      .withColumn("__rx", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
+      .filter(col("__rx") <= kOut)                 // exact re-rank
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   object PqIndex {
     /** Per-subspace Lloyd's on a bounded driver sample (the IvfIndex
       * discipline: deterministic hash-ordered sample, spaced seeding).
@@ -354,6 +447,37 @@ object Similarity {
         .orderBy(xxhash64(col("v"), lit(seed)))
         .limit(sampleSize)
         .collect().map(_.getSeq[Double](0).toArray)
+      fromSample(sample, m, k, iters)
+    }
+
+    /** Fit per-subspace codebooks on RESIDUALS x − ĉ_list (Jégou §V):
+      * the sample pairs each normalized vector with its assigned list's
+      * normalized centroid and quantizes the difference. Bounded like
+      * [[fit]]: `sampleSize` rows collect. `assigned` must carry the
+      * IVF `centroid` column. */
+    def fitResiduals(assigned: DataFrame, vecCol: String, ivf: IvfIndex,
+                     m: Int, k: Int, sampleSize: Int = 2000,
+                     iters: Int = 8, seed: Long = 42): PqIndex = {
+      val rows = assigned.select(col("centroid"),
+        l2Normalize(col(vecCol).cast("array<double>")).as("v"))
+        .orderBy(xxhash64(col("v"), lit(seed)))
+        .limit(sampleSize)
+        .collect()
+      val sample = rows.map { r =>
+        val c = ivf.normalizedCentroids(r.getInt(0))
+        val v = r.getSeq[Double](1).toArray
+        val res = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { res(i) = v(i) - c(i); i += 1 }
+        res
+      }
+      fromSample(sample, m, k, iters)
+    }
+
+    /** Shared per-subspace Lloyd's (spaced seeding) over a driver-side
+      * sample — raw vectors and residuals both enter here. */
+    private def fromSample(sample: Array[Array[Double]], m: Int, k: Int,
+                           iters: Int): PqIndex = {
       require(sample.nonEmpty, "empty corpus")
       val dim = sample(0).length
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
