@@ -545,22 +545,53 @@ object Dedup {
       .drop("__spans")
   }
 
+  /** `stride` > 1 samples the census by WINNOWING selection
+    * (Schleimer et al. 2003 via
+    * [[graft.functions.TextExprs.winnowedWindowHashes]]): only windows
+    * whose hash is the rightmost minimum of their `stride`-length
+    * neighborhood enter the exchange — expected 2/(stride+1) of all
+    * positions, the same O(len) map-side pass. Selection is
+    * content-defined, so both copies of a duplicate select the same
+    * interior windows REGARDLESS of their byte offsets (a positional
+    * every-s-th stride silently misses copies whose offsets disagree
+    * mod s); any duplicate of length ≥ w + stride − 1 is still
+    * detected. Reported spans are conservative: each end can
+    * undershoot the true duplicated region by up to stride − 1
+    * positions (unselected boundary windows). stride = 1 is the exact
+    * census — bit-identical to the pre-stride behavior (the d9/d10
+    * oracles pin it).
+    */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
-                     w: Int = 40): DataFrame = {
+                     w: Int = 40, stride: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"window must be >= 2 chars, got $w")
-    val wins = docs.filter(length(col(textCol)) >= w)
-      .select(col(idCol), posexplode(
-        graft.functions.TextExprs.charWindowHashes(col(textCol), w)))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val wins =
+      if (stride == 1)
+        docs.filter(length(col(textCol)) >= w)
+          .select(col(idCol), posexplode(
+            graft.functions.TextExprs.charWindowHashes(col(textCol), w)))
+          .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("h"))
+      else
+        docs.filter(length(col(textCol)) >= w)
+          .select(col(idCol), explode(
+            graft.functions.TextExprs.winnowedWindowHashes(
+              col(textCol), w, stride)).as("pw"))
+          .select(col(idCol),
+            (col("pw.pos") + 1).cast("long").as("pos"), col("pw.h").as("h"))
     val dupKeys = wins.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("h")
+    // selected duplicate windows sit ≤ stride apart inside one true
+    // duplicated region (winnowing picks ≥1 window per neighborhood),
+    // so the merge gap widens to w + stride − 1 — at stride=1 exactly
+    // the original `> w` rule
+    val gap = w + stride - 1
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     wins.join(dupKeys, Seq("h"))
       .withColumn("__prev", lag("pos", 1).over(byDoc))
       .withColumn("__ns", when(col("__prev").isNull ||
-        col("pos") - col("__prev") > w, 1).otherwise(0))
+        col("pos") - col("__prev") > gap, 1).otherwise(0))
       .withColumn("__grp", sum("__ns").over(byDoc))
       .groupBy(col(idCol), col("__grp"))
       .agg(min("pos").as("span_start"),

@@ -48,6 +48,23 @@ object TextExprs {
     */
   def charWindowHashes(text: Column, w: Int): Column =
     GraftSqlShims.column(CharWindowHashes(GraftSqlShims.expression(text), w))
+
+  /** Winnowing-SELECTED window hashes (Schleimer et al. 2003, the
+    * fingerprint-selection algorithm this repo already uses for doc
+    * fingerprints): array<struct<pos:int, h:long>> of the positions
+    * whose hash is the rightmost minimum of its `stride`-length
+    * neighborhood. Selection is CONTENT-defined — the same duplicated
+    * substring selects the same interior windows in every copy
+    * regardless of its offset in each document — which is what makes
+    * a sampled duplicate-window census sound: a positional every-s-th
+    * stride only matches copies whose offsets happen to agree mod s.
+    * Guarantee: any duplicate of length ≥ w + stride − 1 shares at
+    * least one selected window between copies; expected census
+    * density is 2/(stride+1) of all windows. stride=1 selects every
+    * window (exact). */
+  def winnowedWindowHashes(text: Column, w: Int, stride: Int): Column =
+    GraftSqlShims.column(
+      WinnowedWindowHashes(GraftSqlShims.expression(text), w, stride))
 }
 
 /** out[i] = hash(tokens[i..i+n-1]), length max(numTokens-n+1, 0). */
@@ -168,6 +185,88 @@ object CharWindowHashes {
         out(i) = fmix64(h)
         i += 1
       }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing selection over [[CharWindowHashes]]'s rolling hashes —
+  * see [[TextExprs.winnowedWindowHashes]]. One O(len) pass: the
+  * rolling-hash walk plus a monotonic-deque neighborhood minimum
+  * (amortized O(1) per window), so the strided census costs the same
+  * map-side work as the exact one and shrinks the EXCHANGE.
+  */
+case class WinnowedWindowHashes(child: Expression, w: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 2, s"window must be >= 2 chars, got $w")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnowed_window_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowedWindowHashes.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cls = WinnowedWindowHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.compute($v, $w, $stride);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedWindowHashes =
+    copy(child = newChild)
+}
+
+object WinnowedWindowHashes {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              w: Int, stride: Int): GenericArrayData = {
+    val hashes = CharWindowHashes.compute(s, w).toLongArray()
+    val nw = hashes.length
+    if (nw == 0) return new GenericArrayData(Array.empty[Any])
+    val sel = new Array[Int](nw)
+    var nSel = 0
+    if (nw < stride) {
+      // document shorter than one neighborhood: keep its rightmost
+      // minimum so short texts still participate in the census
+      var m = 0
+      var j = 1
+      while (j < nw) {
+        if (java.lang.Long.compareUnsigned(hashes(j), hashes(m)) <= 0) m = j
+        j += 1
+      }
+      sel(0) = m; nSel = 1
+    } else {
+      // monotonic deque of candidate indices; head = neighborhood min.
+      // Popping on >= makes the head the RIGHTMOST minimal hash, the
+      // robust-winnowing tie rule (both copies of a duplicate pick the
+      // same window because the rule sees identical hash sequences)
+      val q = new Array[Int](nw)
+      var qh = 0; var qt = 0
+      var last = -1
+      var j = 0
+      while (j < nw) {
+        while (qt > qh &&
+          java.lang.Long.compareUnsigned(hashes(q(qt - 1)), hashes(j)) >= 0)
+          qt -= 1
+        q(qt) = j; qt += 1
+        if (q(qh) <= j - stride) qh += 1
+        if (j >= stride - 1) {
+          val m = q(qh)
+          if (m != last) { sel(nSel) = m; nSel += 1; last = m }
+        }
+        j += 1
+      }
+    }
+    val out = new Array[Any](nSel)
+    var i = 0
+    while (i < nSel) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](sel(i), hashes(sel(i))))
+      i += 1
     }
     new GenericArrayData(out)
   }

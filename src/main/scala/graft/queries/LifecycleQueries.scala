@@ -49,6 +49,41 @@ object LifecycleQueries {
     Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** H4: store-MUTATION lifecycle (the last spec-only store ops with
+    * SQL-visible semantics, round-8 directive): build a store from an
+    * aggregation, `append` extra rows (M11 `Sampler.add_df`,
+    * farming.py:975-1008), `expandDims` a constant coordinate (M7
+    * `expand_dims`, farming.py:672-708), `dropSel` a coordinate value
+    * (M8 `drop_sel`), then read back. The oracle recomputes the final
+    * table as UNION ALL + literal column + filter — every mutation's
+    * effect is visible in the hash.
+    */
+  val h4Mutations = QueryDef(
+    "h4_store_mutations",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def agg(flags: String*) = li
+        .filter(col("l_returnflag").isin(flags: _*))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("qty"))
+      val st = new graft.store.ParquetStore(s, freshDir("h4") + "/store",
+        Seq("l_returnflag", "l_linestatus"),
+        partitionCols = Seq("l_returnflag"))
+      st.replaceWith(agg("A", "N")) // build
+      st.append(agg("R"))           // M11: long-table append
+      st.expandDims("batch", 7L)    // M7: constant coordinate
+      st.dropSel("l_linestatus", Seq("F")) // M8: drop a coord value
+      st.load()
+    },
+    Some("""WITH allrows AS (
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+        FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1, 2
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+      SELECT l_returnflag, l_linestatus, qty, CAST(7 AS BIGINT) AS batch
+      FROM allrows WHERE l_linestatus <> 'F'"""))
+
   /** B4: crop sow/grow/reap round-trip — batched evaluation over the
     * (returnflag × linestatus × priority) grid must equal the direct
     * cross join + expression.
@@ -349,6 +384,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }

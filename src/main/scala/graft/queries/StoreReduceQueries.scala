@@ -302,6 +302,25 @@ object StoreReduceQueries {
       UNION ALL
       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"""))
 
+  /** P3/P4: stack — fuse several dims into ONE composite iteration
+    * key (infiniplot.py:569-578, 731-807; the z-iteration key the
+    * plotters build when more than one dim varies off-axis), then
+    * aggregate per stacked key. Oracle: DuckDB concat_ws.
+    */
+  val p3Stack = QueryDef(
+    "p3_stack",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      graft.collect.Collect
+        .stackDims(li, Seq("l_returnflag", "l_linestatus"), "rs")
+        .groupBy("rs")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+    },
+    Some("""SELECT concat_ws('|', l_returnflag, l_linestatus) AS rs,
+        count(*) AS n, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1"""))
+
   /** F3: trimna — drop axis values whose rows are all-NULL in every
     * variable (the dense grid's dead rows/columns).
     */
@@ -334,7 +353,7 @@ object StoreReduceQueries {
       COALESCE(CASE WHEN o_orderpriority <> '1-URGENT' THEN o_totalprice END, -1.0) AS v
       FROM orders"""))
 
-  val all: Seq[QueryDef] = Seq(p2Melt, f3Trimna, m12Align,
+  val all: Seq[QueryDef] = Seq(p2Melt, p3Stack, f3Trimna, m12Align,
     m1Merge, m2Overwrite, m3OldWins, f2Missing, f4Holes, a1Median,
     a2Band, a3Std, a4Stderr,
     a5Hist, a6Range, a8TopK, e7Sample, s1Welford, s2Cov, s3Cov)

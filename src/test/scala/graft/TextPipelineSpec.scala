@@ -131,6 +131,59 @@ class TextPipelineSpec extends SparkSpec {
       (3L, 26L, 75L, 11L)))
   }
 
+  test("substringSpans stride: winnowed census detects MISALIGNED copies " +
+       "of >= w+stride-1 chars; exchange shrinks ~2/(stride+1)") {
+    // stride-8 sampling with w=20 guarantees detection at length >= 27.
+    // The planted 30-char block sits at offset 0 in doc 1 and offset 13
+    // in doc 2 — 13 ≢ 0 (mod 8), exactly the case a positional
+    // every-8th-window stride would miss; winnowing selection is
+    // content-defined so both copies select the same interior windows.
+    val S2 = "0123456789abcdefghijABCDEFGHIJ" // 30 distinct chars, aperiodic
+    val docs = Seq(
+      (1L, S2 + "_alpha-unique-tail-x"),
+      (2L, "padpadpadpad!" + S2 + "-beta-unique-tail"),
+      (3L, "this text shares nothing with the others at all!")
+    ).toDF("doc_id", "text")
+    val strided = graft.dedup.Dedup
+      .substringSpans(docs, "doc_id", "text", w = 20, stride = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(strided.keySet == Set(1L, 2L), s"got $strided")
+    // spans are conservative subsets of the true duplicated regions
+    val (s1, e1) = strided(1L); val (s2b, e2b) = strided(2L)
+    assert(s1 >= 1 && e1 <= 30, s"doc1 span ($s1,$e1) outside [1,30]")
+    assert(s2b >= 14 && e2b <= 43, s"doc2 span ($s2b,$e2b) outside [14,43]")
+    // ...and within stride−1 of the exact census' spans
+    val exact = graft.dedup.Dedup
+      .substringSpans(docs, "doc_id", "text", w = 20, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact == Map(1L -> ((1L, 30L)), 2L -> ((14L, 43L))), s"$exact")
+    for (id <- Seq(1L, 2L)) {
+      assert(strided(id)._1 - exact(id)._1 <= 7 &&
+        exact(id)._2 - strided(id)._2 <= 7, s"doc $id drift > stride-1")
+    }
+    // docs shorter than one neighborhood still census their minimum:
+    // two identical 22-char docs (nw = 3 < stride = 8) must pair up
+    val short = Seq((10L, "exactly-22-characters!"),
+      (11L, "exactly-22-characters!")).toDF("doc_id", "text")
+    val sShort = graft.dedup.Dedup
+      .substringSpans(short, "doc_id", "text", w = 20, stride = 8)
+      .collect()
+    assert(sShort.map(_.getLong(0)).toSet == Set(10L, 11L))
+    // exchange reduction: selected fraction ≈ 2/(stride+1) on
+    // non-repetitive text (deterministic seeded corpus)
+    val rnd = new scala.util.Random(11)
+    val alphabet = ('a' to 'z') ++ ('0' to '9')
+    val big = (1 to 2000).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    val dfBig = Seq(big).toDF("t")
+    val nSel = dfBig.select(size(graft.functions.TextExprs
+      .winnowedWindowHashes(col("t"), 20, 8)).as("n")).head().getInt(0)
+    val nAll = big.length - 20 + 1
+    val frac = nSel.toDouble / nAll
+    info(f"winnow census density at stride 8: $frac%.3f of $nAll windows " +
+      f"(theory 2/9 = ${2.0 / 9}%.3f)")
+    assert(frac > 0.12 && frac < 0.35, s"density $frac far from 2/9")
+  }
+
   test("removeSpans: cuts spans, keeps segments in order, passes clean docs") {
     val S = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX" // 50 ch
     val docs = Seq(
