@@ -163,7 +163,29 @@ class PlanGuardSpec extends SparkSpec {
       "probe rows should broadcast against the assigned corpus")
     assert("""nearest_centroid""".r.findAllIn(p).length >= 9,
       "IVF assign + per-subspace encode kernels missing")
+    // round 8: residual IVFADC — the fused normalize+subtract kernel
+    // must encode residuals in-plan (raw-vector encode has no residual)
+    assert(p.contains("vec_residual"), "residual encode kernel missing")
     assert(p.contains("vec_cosine"), "exact re-rank kernel missing")
+  }
+
+  test("strided d9: winnowed census keeps kernel + pruning, adds no exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.dedup.Dedup
+      .substringSpans(docs, "doc_id", "text", w = 40, stride = 8)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("winnowed_window_hashes"), "winnowing kernel missing")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(_.contains("struct<text:string>")),
+      s"census scan not pruned to text: $reads")
+    // same exchange count as the exact census: the sampling is map-side
+    val exact = graft.dedup.Dedup
+      .substringSpans(docs, "doc_id", "text", w = 40, stride = 1)
+      .queryExecution.explainString(FormattedMode)
+    def nx(s: String) = """Exchange""".r.findAllIn(s).length
+    assert(nx(p) <= nx(exact),
+      s"strided census added exchanges: ${nx(p)} vs ${nx(exact)}")
   }
 
   test("native kernels present in an un-checkpointed similarity plan") {
