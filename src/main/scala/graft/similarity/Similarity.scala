@@ -437,6 +437,37 @@ object Similarity {
   }
 
   object PqIndex {
+
+    /** Persist the codebooks as a tiny parquet table (subspace,
+      * centroid id, components) — the PQ half of the offline-build /
+      * online-query split [[IvfIndex.save]] already provides for the
+      * coarse quantizer. An IVFADC index over a 10¹¹-row corpus is
+      * exactly: these codebooks + the IVF centroids + the corpus
+      * stored with (centroid, code_0..m-1) columns. Works identically
+      * for raw and residual codebooks (a codebook is just centroids;
+      * residual-ness lives in how encode/query call sites use it). */
+    def save(idx: PqIndex, spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      (for {
+        mi <- idx.codebooks.indices
+        ki <- idx.codebooks(mi).indices
+      } yield (mi, ki, idx.codebooks(mi)(ki).toSeq))
+        .toDF("subspace", "centroid", "components")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: SparkSession, path: String): PqIndex = {
+      val rows = spark.read.parquet(path)
+        .orderBy("subspace", "centroid")
+        .collect() // bounded: m·k codebook rows (KBs)
+      require(rows.nonEmpty, s"empty PQ codebook store at $path")
+      val m = rows.map(_.getInt(0)).max + 1
+      val codebooks = Array.tabulate(m) { mi =>
+        rows.filter(_.getInt(0) == mi).map(_.getSeq[Double](2).toArray)
+      }
+      new PqIndex(codebooks)
+    }
+
     /** Per-subspace Lloyd's on a bounded driver sample (the IvfIndex
       * discipline: deterministic hash-ordered sample, spaced seeding).
       */

@@ -474,6 +474,26 @@ class SimilaritySpec extends SparkSpec {
     assigned.unpersist(); rawEnc.unpersist(); resEnc.unpersist()
   }
 
+  test("PQ save/load round-trips codebooks: same codes, same answers") {
+    val e = emb(sf())
+    val idx = Similarity.PqIndex.fit(e, "embedding", m = 8, k = 16,
+      sampleSize = 500)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/pq"
+    Similarity.PqIndex.save(idx, spark, path)
+    val loaded = Similarity.PqIndex.load(spark, path)
+    assert(loaded.m == idx.m && loaded.k == idx.k && loaded.subDim == idx.subDim)
+    for (mi <- 0 until idx.m; ki <- 0 until idx.k)
+      assert(loaded.codebooks(mi)(ki).toSeq == idx.codebooks(mi)(ki).toSeq)
+    // parquet doubles round-trip bitwise → encode agrees code-for-code
+    val a = idx.encode(e.limit(50), "embedding")
+      .select((0 until 8).map(i => col(s"code_$i")) :+ col("vec_id"): _*)
+      .collect().map(_.toSeq).toSeq
+    val b = loaded.encode(e.limit(50), "embedding")
+      .select((0 until 8).map(i => col(s"code_$i")) :+ col("vec_id"): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("RHP-LSH pairs: planted duplicate vector found at sim ~1") {
     val e = emb(sf()).limit(100)
     val dup = e.filter(col("vec_id") === 3)
