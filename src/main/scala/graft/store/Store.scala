@@ -486,4 +486,37 @@ final class BucketedStore(val spark: SparkSession, val table: String,
   def missing(grid: DataFrame): DataFrame =
     if (!exists) grid
     else graft.expand.Grid.missing(grid, load(), keys)
+
+  /** Rewrite the whole table from a frame derived from ITSELF: stage
+    * on the shared FS first (same discipline as [[mergeIn]] — the
+    * table is both source and sink, and a localCheckpoint would die
+    * with its executors). Callers hold the lease. */
+  private def replaceStagedUnlocked(df: DataFrame): Unit = {
+    val stage = stagePath
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    try write(spark.read.parquet(stage.toString), SaveMode.Overwrite)
+    finally fs.delete(stage, true)
+  }
+
+  /** M11 `Sampler.add_df`: append rows — bucketed append keeps the
+    * layout (Spark verifies matching bucket spec on saveAsTable
+    * Append). API parity with [[ParquetStore.append]]. */
+  def append(rows: DataFrame): Unit = locked("append") {
+    if (!exists) write(rows, SaveMode.ErrorIfExists)
+    else write(rows.select(load().columns.map(col).toIndexedSeq: _*),
+      SaveMode.Append)
+  }
+
+  /** M7 `expand_dims`: add a constant coordinate to the whole store —
+    * parity with [[ParquetStore.expandDims]]. */
+  def expandDims(name: String, value: Any): Unit = locked("expandDims") {
+    replaceStagedUnlocked(load().withColumn(name, lit(value)))
+  }
+
+  /** M8 `drop_sel`: delete coordinate values from a dimension —
+    * parity with [[ParquetStore.dropSel]]. */
+  def dropSel(dim: String, values: Seq[Any]): Unit = locked("dropSel") {
+    replaceStagedUnlocked(load().filter(!col(dim).isin(values: _*)))
+  }
 }

@@ -42,6 +42,44 @@ class PropertySpec extends SparkSpec {
     vs <- Gen.pick(n, 1L to 12L)
   } yield vs.toSeq
 
+  test("property: winnowing shares a selected window for every ≥ w+s−1 " +
+       "duplicate at ANY pair of offsets (200 random trials, kernel-level)") {
+    // the detection guarantee behind substringSpans(stride = s): both
+    // copies of a duplicate select at least one identical interior
+    // window, independent of each copy's byte offset — the property a
+    // positional every-s-th stride does NOT have. Kernel-level (no
+    // Spark jobs), so the trial count is cheap.
+    import org.apache.spark.unsafe.types.UTF8String
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toIndexedSeq
+    val rnd = new scala.util.Random(13)
+    def rs(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+    def sel(t: String, w: Int, s: Int): Seq[(Int, Long)] = {
+      val arr = graft.functions.WinnowedWindowHashes
+        .compute(UTF8String.fromString(t), w, s)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+    }
+    for (trial <- 1 to 200) {
+      val w = 8 + rnd.nextInt(12)          // 8..19
+      val s = 2 + rnd.nextInt(9)           // 2..10
+      val len = w + s - 1 + rnd.nextInt(12) // threshold .. threshold+11
+      val dup = rs(len)
+      val pa = rnd.nextInt(30); val pb = rnd.nextInt(30)
+      val a = rs(pa) + dup + rs(rnd.nextInt(30))
+      val b = rs(pb) + dup + rs(rnd.nextInt(30))
+      val hA = sel(a, w, s); val hB = sel(b, w, s)
+      // a shared selected window fully inside BOTH planted copies
+      val shared = hA.exists { case (p, h) =>
+        p >= pa && p + w <= pa + len &&
+          hB.exists { case (q, h2) =>
+            h2 == h && q >= pb && q + w <= pb + len }
+      }
+      assert(shared,
+        s"trial $trial: w=$w s=$s len=$len pa=$pa pb=$pb — no shared window")
+    }
+  }
+
   test("property: |expand(combos)| = ∏ |axis| and rows are distinct") {
     forAll(axisGen, axisGen) { (as, bs) =>
       val g = Grid.expand(spark, ComboSpec.of("a" -> as, "b" -> bs))

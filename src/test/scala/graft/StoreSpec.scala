@@ -289,6 +289,23 @@ class BucketedStoreSpec extends SparkSpec {
     assert(bs.missing(Seq(3L, 4L).toDF("k")).as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("bucketed M7/M8/M11: append, expandDims, dropSel — parity with ParquetStore") {
+    val bs = fresh("bs_mut")
+    bs.mergeIn(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    bs.append(Seq((3L, 30.0)).toDF("k", "v"))            // M11
+    bs.expandDims("run", "r0")                           // M7
+    bs.dropSel("k", Seq(2L))                             // M8
+    val got = bs.load().select("k", "v", "run")
+      .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10.0, "r0"), (3L, 30.0, "r0")))
+    // the table stays bucketed after the staged self-rewrite: the
+    // co-location win (no exchange on a store-side merge join) is the
+    // whole point of this store flavor
+    val tbl = spark.sql(s"DESCRIBE EXTENDED bs_mut").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tbl.get("Num Buckets").exists(_.trim == "4"), tbl.get("Num Buckets"))
+  }
+
   test("partitioned+bucketed mergeIn rewrites only touched partitions") {
     spark.sql("DROP TABLE IF EXISTS bs_part")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
