@@ -50,9 +50,16 @@ import scala.collection.mutable
   *    it. Both calls register what they pin in a session-global
   *    registry; the pipeline's RUNNER (Verify / Bench / a test
   *    harness / a user driver) calls `releaseAll()` after the terminal
-  *    action (write/collect). Releasing is non-blocking; a released
-  *    plan that is re-run afterwards recomputes from source — safe,
-  *    never wrong.
+  *    action (write/collect). Releasing is non-blocking. A released
+  *    [[reuse]] plan that is re-run afterwards recomputes from source
+  *    (the CacheManager keeps lineage) — safe, never wrong. A released
+  *    [[truncate]]-LOCAL frame must NOT be re-run: localCheckpoint cut
+  *    the lineage and unpersist dropped the only copy, so a re-run
+  *    fails with a missing-checkpoint-block error rather than
+  *    recomputing. releaseAll() is therefore a QUIESCE point — call it
+  *    when the pipeline's outputs have been written/collected and its
+  *    frames will not be driven again (with a checkpoint dir set,
+  *    `truncate` uses reliable checkpoints and re-runs stay safe).
   *
   * `truncate`'s local fallback is tracked by RDD-id diff around the
   * (eager) `localCheckpoint()` call: `Dataset.unpersist` cannot reach
@@ -107,8 +114,11 @@ object Materialize {
 
   /** Release every stage registered since the last call. Runners call
     * this after each pipeline's terminal action; non-blocking, so the
-    * cost is bookkeeping, not I/O. Safe to call at any quiesce point:
-    * a plan re-run after release recomputes from source. */
+    * cost is bookkeeping, not I/O. Call at a QUIESCE point — after the
+    * registered pipelines' outputs are written/collected: re-running a
+    * released [[reuse]] plan recomputes from source, but a released
+    * truncate-local frame has no lineage left to recompute (see class
+    * doc). */
   def releaseAll(): Unit = synchronized {
     persistedFrames.foreach { df =>
       try df.unpersist(blocking = false)

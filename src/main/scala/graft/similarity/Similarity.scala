@@ -365,13 +365,28 @@ object Similarity {
       val tab = pq.adcTable(qv.map(_ / n).toArray).toSeq
       ivf.nearestCentroids(qv, nprobe).map(c => (qid, tab, qv, c))
     }.toDF("query_id", "qtab", "qv", "centroid")
-    val adc = (0 until pq.m).map(mi =>
+    adcPipeline(assignedEncoded, idCol, vecCol, probeRows,
+      adcSum(pq), kOut, shortlist)
+  }
+
+  /** Σ_m qtab[m·k + code_m] — the shared subspace-table ADC score. */
+  private def adcSum(pq: PqIndex): Column =
+    (0 until pq.m).map(mi =>
       element_at(col("qtab"), col(s"code_$mi") + lit(mi * pq.k) + 1))
       .reduce(_ + _)
+
+  /** Shared IVF×PQ tail (raw [[ivfPqQueryBatch]] and residual
+    * [[ivfAdcQueryBatch]] differ ONLY in their probe rows and ADC
+    * score): broadcast probe join = the IVF prune, ADC compressed
+    * scan, bounded per-query shortlist, exact cosine re-rank. */
+  private def adcPipeline(assignedEncoded: DataFrame, idCol: String,
+                          vecCol: String, probeRows: DataFrame,
+                          adcScore: Column, kOut: Int,
+                          shortlist: Int): DataFrame =
     assignedEncoded
       .join(broadcast(probeRows), Seq("centroid")) // the IVF prune
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("__adc", adc)                    // the compressed scan
+      .withColumn("__adc", adcScore)               // the compressed scan
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))))
       .filter(col("__rn") <= shortlist)            // bounded shortlist
@@ -381,7 +396,6 @@ object Similarity {
       .filter(col("__rx") <= kOut)                 // exact re-rank
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("sim"), 4).as("sim"))
-  }
 
   /** IVFADC with RESIDUAL codes (Jégou et al. 2011 §V proper —
     * [[ivfPqQueryBatch]] is the raw-vector variant kept for the n5
@@ -418,22 +432,8 @@ object Similarity {
         (qid, tab, off, qv, c)
       }
     }.toDF("query_id", "qtab", "qoff", "qv", "centroid")
-    val adc = col("qoff") + (0 until pq.m).map(mi =>
-      element_at(col("qtab"), col(s"code_$mi") + lit(mi * pq.k) + 1))
-      .reduce(_ + _)
-    assignedEncoded
-      .join(broadcast(probeRows), Seq("centroid")) // the IVF prune
-      .filter(col(idCol) =!= col("query_id"))
-      .withColumn("__adc", adc)                    // residual ADC scan
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("__adc").desc, col(idCol))))
-      .filter(col("__rn") <= shortlist)            // bounded shortlist
-      .withColumn("sim", cosine(col(vecCol).cast("array<double>"), col("qv")))
-      .withColumn("__rx", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col(idCol))))
-      .filter(col("__rx") <= kOut)                 // exact re-rank
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    adcPipeline(assignedEncoded, idCol, vecCol, probeRows,
+      col("qoff") + adcSum(pq), kOut, shortlist)
   }
 
   object PqIndex {
@@ -465,6 +465,18 @@ object Similarity {
       val codebooks = Array.tabulate(m) { mi =>
         rows.filter(_.getInt(0) == mi).map(_.getSeq[Double](2).toArray)
       }
+      // save() writes exactly m·k equal-dim rows; anything else is a
+      // partial/corrupt store — fail loudly HERE, not as an index
+      // error deep inside encode/adcTable at query time
+      val k0 = codebooks(0).length
+      require(k0 > 0 && codebooks.forall(_.length == k0) &&
+        rows.length == m * k0,
+        s"corrupt PQ codebook store at $path: expected $m x $k0 " +
+          s"equal-sized subspaces, found ${rows.length} rows " +
+          s"(per-subspace counts: ${codebooks.map(_.length).mkString(",")})")
+      val d0 = codebooks(0)(0).length
+      require(codebooks.forall(_.forall(_.length == d0)),
+        s"corrupt PQ codebook store at $path: ragged component arrays")
       new PqIndex(codebooks)
     }
 

@@ -40,7 +40,12 @@ private[store] object WriteLease {
     // reintroduces the lost-update race. Typed signal first; for FS
     // implementations that throw a bare IOException on create-no-
     // overwrite, an existence probe decides, and anything else rethrows
-    // as what it is.
+    // as what it is. Known window on such untyped FSes only: if the
+    // holder releases between the failed create and the probe, the
+    // contention surfaces as the raw IOException (callers retrying on
+    // ConcurrentWriteException simply retry one level up); local and
+    // HDFS FileSystems throw the typed FileAlreadyExistsException, so
+    // they never enter the probe branch.
     def heldBy(): Nothing = {
       val holder =
         try {

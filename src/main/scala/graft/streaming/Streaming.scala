@@ -122,8 +122,8 @@ object Streaming {
     * drivers, but a streaming sink racing a TRANSIENT batch writer
     * should ride it out, not die and demand a manual restart. Each
     * micro-batch therefore retries the merge under bounded exponential
-    * backoff (`leaseRetries` attempts; ~2^k × `retryBaseMs` between
-    * attempts) before surfacing [[graft.store.ConcurrentWriteException]]
+    * backoff (`leaseRetries` attempts; 2^k × `retryBaseMs` between
+    * attempts, capped at 30 s) before surfacing [[graft.store.ConcurrentWriteException]]
     * to the stream. A CRASHED writer's stale lease still fails the
     * query after the retries burn out — auto-breaking it here would be
     * split-brain, so the exception (naming breakLease()) stands.
@@ -146,7 +146,11 @@ object Streaming {
             catch {
               case e: graft.store.ConcurrentWriteException =>
                 if (attempt >= leaseRetries) throw e
-                Thread.sleep(retryBaseMs << attempt) // 0.5s, 1s, 2s, ...
+                // 0.5s, 1s, 2s, ... capped at 30s: large leaseRetries
+                // must mean "keep trying for a while", not multi-hour
+                // sleeps (and an uncapped shift goes negative past 2⁶³)
+                Thread.sleep(math.min(
+                  retryBaseMs << math.min(attempt, 16), 30000L))
                 attempt += 1
             }
           }
