@@ -341,6 +341,58 @@ object LifecycleQueries {
         CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
       FROM lineitem WHERE l_returnflag = 'R'"""))
 
+  /** IO5: netCDF save-side bridge round-trip — aggregate lineitem
+    * onto a dense (linenum × pk8) grid, write it as a CDF-1 file with
+    * [[graft.sources.NetCDF3Sink]] (xyzpy's own persistence format,
+    * manage.py:61-99), read it back with
+    * [[graft.sources.NetCDF3Source]], and compare against the direct
+    * aggregation. Values stay integral-in-double (sums of integral
+    * quantities, counts) so the dense round-trip is bit-exact and the
+    * grid is complete by construction at every tested SF.
+    */
+  val io5Netcdf = QueryDef(
+    "io5_netcdf_roundtrip",
+    (s, dir) => {
+      val grid = table(s, dir, "lineitem")
+        .groupBy(col("l_linenumber").as("linenum"),
+          (col("l_partkey") % 8).as("pk8"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"))
+      val f = freshDir("io5") + "/grid.nc"
+      graft.sources.NetCDF3Sink.writeDataset(grid, f, Seq("linenum", "pk8"))
+      graft.sources.NetCDF3Source.readDataset(s, f)
+        .select("linenum", "pk8", "sum_qty", "n_rows")
+    },
+    Some("""SELECT CAST(l_linenumber AS BIGINT) AS linenum,
+        CAST(l_partkey % 8 AS BIGINT) AS pk8,
+        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY 1, 2"""))
+
+  /** IO6: zarr save-side bridge round-trip — same shape as IO5 via
+    * the DISTRIBUTED writer ([[graft.sources.ZarrSink]], one chunk =
+    * one task, zlib chunks) and [[graft.sources.ZarrSource]] read-back.
+    */
+  val io6Zarr = QueryDef(
+    "io6_zarr_roundtrip",
+    (s, dir) => {
+      val grid = table(s, dir, "lineitem")
+        .groupBy(col("l_linenumber").as("linenum"),
+          (col("l_orderkey") % 4).as("ok4"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double").as("sum_cents"),
+          count(lit(1)).cast("double").as("n_rows"))
+      val d = freshDir("io6") + "/grid.zarr"
+      graft.sources.ZarrSink.writeDataset(grid, d, Seq("linenum", "ok4"))
+      graft.sources.ZarrSource.readDataset(s, d)
+        .select("linenum", "ok4", "sum_cents", "n_rows")
+    },
+    Some("""SELECT CAST(l_linenumber AS BIGINT) AS linenum,
+        CAST(l_orderkey % 4 AS BIGINT) AS ok4,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sum_cents,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY 1, 2"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -384,6 +436,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }
