@@ -89,12 +89,22 @@ object ZarrSink {
 
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
-    writeSmall(fs, new Path(path, ".zgroup"), """{"zarr_format": 2}""")
-    writeSmall(fs, new Path(path, ".zattrs"), "{}")
+    // every metadata file also lands in .zmetadata (consolidated
+    // metadata, zarr v2 convention): xarray's open_zarr defaults to
+    // consolidated=True, and on object stores one .zmetadata read
+    // replaces a listing plus 3 small reads per array
+    val meta = scala.collection.mutable.TreeMap[String, String]()
+    def metaFile(key: String, text: String): Unit = {
+      meta(key) = text
+      writeSmall(fs, new Path(path, key), text)
+    }
+    metaFile(".zgroup", """{"zarr_format": 2}""")
+    metaFile(".zattrs", "{}")
 
     // coordinate arrays: tiny, single-chunk, driver-written
     for ((d, vs) <- coords)
-      writeCoordArray(fs, new Path(path, d), d, vs, isFloatCol(d), compress)
+      writeCoordArray(fs, new Path(path, d), d, vs, isFloatCol(d), compress,
+        metaFile)
 
     val idxMaps: Map[String, Map[Any, Long]] =
       coords.map { case (d, vs) => d -> vs.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap }.toMap
@@ -104,11 +114,10 @@ object ZarrSink {
 
     for (v <- dataVars) {
       val float = isFloatCol(v)
-      val arrPath = new Path(path, v)
-      fs.mkdirs(arrPath)
-      writeSmall(fs, new Path(arrPath, ".zarray"),
+      fs.mkdirs(new Path(path, v))
+      metaFile(s"$v/.zarray",
         zarrayJson(shape, c0 +: shape.drop(1), float, compress))
-      writeSmall(fs, new Path(arrPath, ".zattrs"),
+      metaFile(s"$v/.zattrs",
         s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""$d"""").mkString(", ")}]}""")
 
       // (chunk, offsetInChunk, value-bits): absent → fill at assembly
@@ -144,6 +153,12 @@ object ZarrSink {
         chunkElems.toInt, innerElems, shape.head, dims.length,
         spark.sparkContext.hadoopConfiguration)
     }
+    // consolidated metadata last: readers treating it as the manifest
+    // only ever see a complete store
+    writeSmall(fs, new Path(path, ".zmetadata"),
+      "{\"metadata\": {" +
+        meta.map { case (k, t) => s""""$k": $t""" }.mkString(", ") +
+        "}, \"zarr_consolidated_format\": 1}")
   }
 
   /** Assemble + write each chunk in its own reduce task. */
@@ -201,11 +216,12 @@ object ZarrSink {
 
   private def writeCoordArray(fs: org.apache.hadoop.fs.FileSystem, arrPath: Path,
                               name: String, vs: Array[Any], float: Boolean,
-                              compress: Boolean): Unit = {
+                              compress: Boolean,
+                              metaFile: (String, String) => Unit): Unit = {
     fs.mkdirs(arrPath)
-    writeSmall(fs, new Path(arrPath, ".zarray"),
+    metaFile(s"$name/.zarray",
       zarrayJson(Seq(vs.length), Seq(vs.length), float, compress))
-    writeSmall(fs, new Path(arrPath, ".zattrs"),
+    metaFile(s"$name/.zattrs",
       s"""{"_ARRAY_DIMENSIONS": ["$name"]}""")
     val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     vs.foreach {
