@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared long-form → dense-grid preparation for the save-side bridges
+  * ([[ZarrSink]], [[NetCDF3Sink]]): type normalization, coordinate-axis
+  * extraction, and index maps. One definition so validation and type
+  * semantics cannot drift between the two writers.
+  *
+  * The normalized frame is persisted for the scope of `body`: writing a
+  * dataset runs one Spark job per dim (axis distinct) plus one per data
+  * variable, and without the persist each job would re-execute the full
+  * upstream plan (for a harvested aggregation that multiplies write
+  * cost by dims+vars). Scoped via [[graft.Materialize.withReuse]], so
+  * the cache is released when the write finishes.
+  */
+private[sources] object GridPrep {
+
+  /** Prepared grid: `nd` is the persisted normalized frame with columns
+    * `dims ++ dataVars`, every column LongType or DoubleType. */
+  final case class Grid(nd: DataFrame, dataVars: Seq[String],
+                        isFloatCol: Map[String, Boolean],
+                        coords: Seq[(String, Array[Any])],
+                        idxMaps: Map[String, Map[Any, Long]]) {
+    def shape: Seq[Int] = coords.map(_._2.length)
+  }
+
+  /** Both sinks interpolate names into JSON metadata and (zarr) use
+    * them as store paths; netCDF names share the no-'/' rule. Fail
+    * loudly on names the formats cannot represent rather than writing
+    * a corrupt store. */
+  private def validateName(c: String): Unit = {
+    require(c.nonEmpty, "empty column name")
+    require(!c.contains("/"),
+      s"column name '$c' contains '/' — not representable as a zarr/netCDF name")
+    require(!c.exists(ch => ch < ' '),
+      s"column name '$c' contains a control character")
+  }
+
+  /** Escape for interpolation inside a JSON string literal. */
+  def jsonString(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b += '"'
+    s.foreach {
+      case '"'           => b ++= "\\\""
+      case '\\'          => b ++= "\\\\"
+      case c if c < ' '  => b ++= f"\\u${c.toInt}%04x"
+      case c             => b += c
+    }
+    b += '"'
+    b.toString
+  }
+
+  /** Normalize `df` to i8/f8, extract sorted coordinate axes (driver-
+    * side, bounded: these ARE the store's dimensions), and run `body`
+    * with the normalized frame persisted. Null coordinates are
+    * rejected up front — dims must be total for EVERY row, regardless
+    * of which data variables that row carries (both sinks then
+    * re-assert per-row at assembly time, where the requirement is
+    * per-task-local and free). */
+  def withGrid[A](df: DataFrame, dims: Seq[String])(body: Grid => A): A = {
+    val dataVars = df.columns.filterNot(dims.contains).toSeq
+    require(dims.nonEmpty && dims.forall(df.columns.contains),
+      s"dims ${dims.mkString(",")} must be columns of ${df.columns.mkString(",")}")
+    require(dataVars.nonEmpty, "no data-variable columns besides dims")
+    (dims ++ dataVars).foreach(validateName)
+
+    def norm(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case LongType | DoubleType              => col(c)
+      case ByteType | ShortType | IntegerType => col(c).cast(LongType).as(c)
+      case FloatType                          => col(c).cast(DoubleType).as(c)
+      case BooleanType                        => col(c).cast(LongType).as(c)
+      case t => throw new IllegalArgumentException(
+        s"column '$c': unsupported type $t (numeric/boolean only)")
+    }
+
+    graft.Materialize.withReuse(df.select((dims ++ dataVars).map(norm): _*)) { nd =>
+      val isFloatCol: Map[String, Boolean] =
+        (dims ++ dataVars).map(c => c -> (nd.schema(c).dataType == DoubleType)).toMap
+      val coords: Seq[(String, Array[Any])] = dims.map { d =>
+        val vs = nd.select(d).distinct().collect().map(_.get(0))
+        require(!vs.contains(null),
+          s"null coordinate in dim '$d' (dims must be total)")
+        require(vs.nonEmpty, s"dim '$d' has no values")
+        d -> (if (isFloatCol(d)) vs.map(_.asInstanceOf[Double]).sorted.toArray[Any]
+              else vs.map(_.asInstanceOf[Long]).sorted.toArray[Any])
+      }
+      val idxMaps: Map[String, Map[Any, Long]] =
+        coords.map { case (d, vs) =>
+          d -> vs.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
+        }.toMap
+      body(Grid(nd, dataVars, isFloatCol, coords, idxMaps))
+    }
+  }
+}

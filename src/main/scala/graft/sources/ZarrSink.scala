@@ -1,10 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.HashPartitioner
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import java.nio.{ByteBuffer, ByteOrder}
 
@@ -15,25 +14,35 @@ import java.nio.{ByteBuffer, ByteOrder}
   * store xarray/zarr-python opens unchanged (`_ARRAY_DIMENSIONS`
   * attrs, C-order little-endian arrays, zlib or raw chunks).
   *
-  * Spark-first shape: one chunk = one task. Rows shuffle ONCE, keyed
-  * by target chunk (dim-0 slabs, inner dims kept whole, so every
-  * chunk is a contiguous C-order block and the per-task assembly is a
-  * plain array fill); each reduce task assembles its chunk dense
-  * (fill value for absent cells), encodes, deflates, and writes its
-  * own `<var>/<i>.0…` file through the Hadoop FS — no driver
-  * materialization of array data, write bandwidth scales with
-  * executors exactly like the parquet store's. Only the per-dim
-  * coordinate axes collect to the driver (bounded: they are the
-  * store's dimensions, kilobytes by construction — same bound as
-  * [[graft.store.ParquetStore]]'s key handling).
+  * Spark-first shape: rows shuffle ONCE as (chunk, offset, bits)
+  * triples — `repartitionAndSortWithinPartitions` keyed by (chunk,
+  * offset), so each reduce task streams its chunks IN ORDER and holds
+  * exactly ONE dense chunk buffer at a time (no map-side dense
+  * combiners: a sparse slab costs its rows, never its dense extent).
+  * Chunks are dim-0 slabs with inner dims kept whole, so every chunk
+  * is a contiguous C-order block and assembly is a plain array fill;
+  * each task encodes, deflates, and writes its chunk files through the
+  * Hadoop FS — no driver materialization of array data, write
+  * bandwidth scales with executors (reduce width follows
+  * `defaultParallelism`, capped by the chunk count) exactly like the
+  * parquet store's. Only the per-dim coordinate axes collect to the
+  * driver (bounded: they are the store's dimensions, kilobytes by
+  * construction — same bound as [[graft.store.ParquetStore]]'s key
+  * handling).
   *
   * Long-form in, dense out: input columns = `dims` (the coordinate
   * axes, numeric) + data-variable columns (numeric). Cells absent
   * from the long form become `fill_value` (NaN for floats — xyzpy's
   * own missing-cell encoding, farming.py:975-1008); integer variables
   * have no NaN, so absent/null cells there fail loudly instead of
-  * inventing a sentinel. A grid cell written twice is a conflict and
-  * fails loudly (mirrors [[graft.store.Merge.NoConflicts]]).
+  * inventing a sentinel. EVERY chunk in the grid is written, even
+  * all-fill ones (a seed row per chunk rides the shuffle): the store
+  * is complete on disk, the int-completeness check cannot be bypassed
+  * by a wholly-absent slab, and readers that don't synthesize missing
+  * chunks still see every cell. A grid cell written twice is a
+  * conflict and fails loudly (mirrors [[graft.store.Merge.NoConflicts]];
+  * duplicates are ADJACENT after the sort, so detection is a local
+  * compare, not a lookup structure).
   */
 object ZarrSink {
 
@@ -48,170 +57,168 @@ object ZarrSink {
     */
   def writeDataset(df: DataFrame, path: String, dims: Seq[String],
                    chunkTargetBytes: Long = 16L << 20,
-                   compress: Boolean = true): Unit = {
-    val spark = df.sparkSession
-    val dataVars = df.columns.filterNot(dims.contains).toSeq
-    require(dims.nonEmpty && dims.forall(df.columns.contains),
-      s"dims ${dims.mkString(",")} must be columns of ${df.columns.mkString(",")}")
-    require(dataVars.nonEmpty, "no data-variable columns besides dims")
+                   compress: Boolean = true): Unit =
+    GridPrep.withGrid(df, dims) { g =>
+      val spark = df.sparkSession
+      val shape = g.shape
+      val innerElems = shape.drop(1).map(_.toLong).product
+      val c0 = math.max(1L, math.min(shape.head.toLong,
+        chunkTargetBytes / 8L / math.max(1L, innerElems))).toInt
+      val nChunks = (shape.head + c0 - 1) / c0
+      val chunkElems = c0 * innerElems
+      require(chunkElems <= (Int.MaxValue - 16L) / 8L,
+        s"chunk of $chunkElems elems exceeds the 2 GiB single-buffer bound " +
+          "(inner dims too large — reorder dims so a big axis leads)")
 
-    // normalize every column to i8/f8 so coord lookup and encoding
-    // see exactly two runtime types
-    def norm(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
-      case LongType | DoubleType              => col(c)
-      case ByteType | ShortType | IntegerType => col(c).cast(LongType).as(c)
-      case FloatType                          => col(c).cast(DoubleType).as(c)
-      case BooleanType => col(c).cast(LongType).as(c) // zarr v2 has no bool in our subset
-      case t => throw new IllegalArgumentException(
-        s"column '$c': unsupported type $t (numeric/boolean only)")
-    }
-    val nd = df.select((dims ++ dataVars).map(norm): _*)
-    val isFloatCol: Map[String, Boolean] =
-      (dims ++ dataVars).map(c => c -> (nd.schema(c).dataType == DoubleType)).toMap
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(path))
+      // every metadata file also lands in .zmetadata (consolidated
+      // metadata, zarr v2 convention): xarray's open_zarr defaults to
+      // consolidated=True, and on object stores one .zmetadata read
+      // replaces a listing plus 3 small reads per array
+      val meta = scala.collection.mutable.TreeMap[String, String]()
+      def metaFile(key: String, text: String): Unit = {
+        meta(key) = text
+        writeSmall(fs, new Path(path, key), text)
+      }
+      metaFile(".zgroup", """{"zarr_format": 2}""")
+      metaFile(".zattrs", "{}")
 
-    // coordinate axes: sorted distinct values per dim (driver-side,
-    // bounded — these ARE the store dimensions)
-    val coords: Seq[(String, Array[Any])] = dims.map { d =>
-      val vs = nd.select(d).na.drop().distinct().collect().map(_.get(0))
-      require(vs.nonEmpty, s"dim '$d' has no values")
-      d -> (if (isFloatCol(d)) vs.map(_.asInstanceOf[Double]).sorted.toArray[Any]
-            else vs.map(_.asInstanceOf[Long]).sorted.toArray[Any])
-    }
-    val shape = coords.map(_._2.length)
-    val innerElems = shape.drop(1).map(_.toLong).product
-    val c0 = math.max(1L, math.min(shape.head.toLong,
-      chunkTargetBytes / 8L / math.max(1L, innerElems))).toInt
-    val nChunks = (shape.head + c0 - 1) / c0
-    val chunkElems = c0 * innerElems
-    require(chunkElems <= (Int.MaxValue - 16L) / 8L,
-      s"chunk of $chunkElems elems exceeds the 2 GiB single-buffer bound " +
-        "(inner dims too large — reorder dims so a big axis leads)")
+      // coordinate arrays: tiny, single-chunk, driver-written
+      for ((d, vs) <- g.coords)
+        writeCoordArray(fs, new Path(path, d), d, vs, g.isFloatCol(d),
+          compress, metaFile)
 
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(path))
-    // every metadata file also lands in .zmetadata (consolidated
-    // metadata, zarr v2 convention): xarray's open_zarr defaults to
-    // consolidated=True, and on object stores one .zmetadata read
-    // replaces a listing plus 3 small reads per array
-    val meta = scala.collection.mutable.TreeMap[String, String]()
-    def metaFile(key: String, text: String): Unit = {
-      meta(key) = text
-      writeSmall(fs, new Path(path, key), text)
-    }
-    metaFile(".zgroup", """{"zarr_format": 2}""")
-    metaFile(".zattrs", "{}")
+      val bIdx = spark.sparkContext.broadcast(g.idxMaps)
+      val dimsArr = dims.toArray
+      val shapeTail = shape.drop(1).map(_.toLong).toArray
 
-    // coordinate arrays: tiny, single-chunk, driver-written
-    for ((d, vs) <- coords)
-      writeCoordArray(fs, new Path(path, d), d, vs, isFloatCol(d), compress,
-        metaFile)
+      for (v <- g.dataVars) {
+        val float = g.isFloatCol(v)
+        fs.mkdirs(new Path(path, v))
+        metaFile(s"$v/.zarray",
+          zarrayJson(shape, c0 +: shape.drop(1), float, compress))
+        metaFile(s"$v/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
 
-    val idxMaps: Map[String, Map[Any, Long]] =
-      coords.map { case (d, vs) => d -> vs.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap }.toMap
-    val bIdx = spark.sparkContext.broadcast(idxMaps)
-    val dimsArr = dims.toArray
-    val shapeTail = shape.drop(1).map(_.toLong).toArray
-
-    for (v <- dataVars) {
-      val float = isFloatCol(v)
-      fs.mkdirs(new Path(path, v))
-      metaFile(s"$v/.zarray",
-        zarrayJson(shape, c0 +: shape.drop(1), float, compress))
-      metaFile(s"$v/.zattrs",
-        s"""{"_ARRAY_DIMENSIONS": [${dims.map(d => s""""$d"""").mkString(", ")}]}""")
-
-      // (chunk, offsetInChunk, value-bits): absent → fill at assembly
-      val rows = nd.select((dimsArr.toSeq :+ v).map(col): _*).rdd.flatMap { r =>
-        if (r.isNullAt(dimsArr.length)) {
-          require(float, s"integer variable '$v' has a null cell " +
-            "(no NaN fill exists for ints — fill or drop before writing)")
-          Iterator.empty
-        } else {
-          val maps = bIdx.value
+        // (chunk, offsetInChunk, value-bits); dims are total (GridPrep
+        // rejected null coords up front), value-null cells become fill
+        val rows = g.nd.select((dimsArr.toSeq :+ v).map(col): _*).rdd.flatMap { r =>
           var dn = 0
           while (dn < dimsArr.length) {
             require(!r.isNullAt(dn),
               s"null coordinate in dim '${dimsArr(dn)}' (dims must be total)")
             dn += 1
           }
-          // row-major offset over (local0, i1..in); inner chunk
-          // extents are the full shape, so offset arithmetic is the
-          // array's own except dim 0 folds to its slab-local index
-          val i0 = maps(dimsArr(0))(r.get(0))
-          var off = i0 % c0
-          var dd = 1
-          while (dd < dimsArr.length) {
-            off = off * shapeTail(dd - 1) + maps(dimsArr(dd))(r.get(dd))
-            dd += 1
+          if (r.isNullAt(dimsArr.length)) {
+            require(float, s"integer variable '$v' has a null cell " +
+              "(no NaN fill exists for ints — fill or drop before writing)")
+            Iterator.empty
+          } else {
+            val maps = bIdx.value
+            // row-major offset over (local0, i1..in); inner chunk
+            // extents are the full shape, so offset arithmetic is the
+            // array's own except dim 0 folds to its slab-local index
+            val i0 = maps(dimsArr(0))(r.get(0))
+            var off = i0 % c0
+            var dd = 1
+            while (dd < dimsArr.length) {
+              off = off * shapeTail(dd - 1) + maps(dimsArr(dd))(r.get(dd))
+              dd += 1
+            }
+            val bits = if (float) java.lang.Double.doubleToRawLongBits(r.getDouble(dimsArr.length))
+                       else r.getLong(dimsArr.length)
+            Iterator(((i0 / c0).toInt, off, bits))
           }
-          val bits = if (float) java.lang.Double.doubleToRawLongBits(r.getDouble(dimsArr.length))
-                     else r.getLong(dimsArr.length)
-          Iterator(((i0 / c0).toInt, (off, bits)))
         }
+        writeChunks(rows, path, v, float, compress, nChunks, c0,
+          chunkElems.toInt, innerElems, shape.head, dims.length,
+          spark.sparkContext.hadoopConfiguration)
       }
-      writeChunks(rows, path, v, float, compress, nChunks, c0,
-        chunkElems.toInt, innerElems, shape.head, dims.length,
-        spark.sparkContext.hadoopConfiguration)
+      // consolidated metadata last: readers treating it as the manifest
+      // only ever see a complete store
+      writeSmall(fs, new Path(path, ".zmetadata"),
+        "{\"metadata\": {" +
+          meta.map { case (k, t) => s"""${GridPrep.jsonString(k)}: $t""" }.mkString(", ") +
+          "}, \"zarr_consolidated_format\": 1}")
     }
-    // consolidated metadata last: readers treating it as the manifest
-    // only ever see a complete store
-    writeSmall(fs, new Path(path, ".zmetadata"),
-      "{\"metadata\": {" +
-        meta.map { case (k, t) => s""""$k": $t""" }.mkString(", ") +
-        "}, \"zarr_consolidated_format\": 1}")
-  }
 
-  /** Assemble + write each chunk in its own reduce task. */
-  private def writeChunks(rows: org.apache.spark.rdd.RDD[(Int, (Long, Long))],
+  /** One ordered shuffle, then stream: each partition's rows arrive
+    * sorted by (chunk, offset), so chunks assemble one at a time in a
+    * single reusable-size buffer and duplicates are adjacent. A
+    * sentinel seed (offset −1) per chunk guarantees every chunk
+    * flushes, including all-fill ones. */
+  private def writeChunks(rows: org.apache.spark.rdd.RDD[(Int, Long, Long)],
                           path: String, v: String, float: Boolean,
                           compress: Boolean, nChunks: Int, c0: Int,
                           chunkElems: Int, innerElems: Long, dim0: Int,
                           ndim: Int,
                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sc = rows.sparkContext
     val hconf = new SerializableHadoopConf(conf)
     val fillBits =
       if (float) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
-    rows.combineByKey[(Array[Long], java.util.BitSet)](
-      (t: (Long, Long)) => {
-        val a = Array.fill(chunkElems)(fillBits)
-        val seen = new java.util.BitSet(chunkElems)
-        a(t._1.toInt) = t._2; seen.set(t._1.toInt); (a, seen)
-      },
-      (acc: (Array[Long], java.util.BitSet), t: (Long, Long)) => {
-        require(!acc._2.get(t._1.toInt),
-          s"conflict: cell written twice in variable '$v'")
-        acc._1(t._1.toInt) = t._2; acc._2.set(t._1.toInt); acc
-      },
-      (a1: (Array[Long], java.util.BitSet), a2: (Array[Long], java.util.BitSet)) => {
-        var i = a2._2.nextSetBit(0)
-        while (i >= 0) {
-          require(!a1._2.get(i), s"conflict: cell written twice in variable '$v'")
-          a1._1(i) = a2._1(i); a1._2.set(i)
-          i = a2._2.nextSetBit(i + 1)
-        }
-        a1
-      },
-      new HashPartitioner(math.max(1, math.min(nChunks, 64)))
-    ).foreach { case (chunk, (bits, seen)) =>
-      val validElems = (math.min(c0.toLong * (chunk + 1), dim0.toLong) -
-        c0.toLong * chunk) * innerElems
-      if (!float) { // ints have no fill — the grid must be complete
-        require(seen.cardinality().toLong == validElems,
-          s"integer variable '$v' chunk $chunk: ${seen.cardinality()} of " +
-            s"$validElems cells present (ints cannot encode missing cells)")
+    // reduce width scales with the cluster, bounded by the chunk count
+    // (each task then streams several chunks sequentially — memory
+    // stays one chunk buffer regardless)
+    val parts = math.max(1, math.min(nChunks,
+      math.max(sc.defaultParallelism * 2, 32)))
+    val byChunk = new Partitioner {
+      def numPartitions: Int = parts
+      def getPartition(key: Any): Int = {
+        val c = key.asInstanceOf[(Int, Long)]._1
+        (c % parts + parts) % parts
       }
-      val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < chunkElems) { buf.putLong(bits(i)); i += 1 }
-      val raw = buf.array()
-      val payload = if (compress) deflate(raw) else raw
-      val fsx = new Path(path).getFileSystem(hconf.value)
-      // v2 chunk key: dot-joined per-dim chunk indices; inner dims are
-      // unsplit, so every key is "<i0>.0.0…"
-      val key = (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
-      val out = fsx.create(new Path(new Path(path, v), key), true)
-      try out.write(payload) finally out.close()
     }
+    val seeds = sc.parallelize(0 until nChunks, math.min(nChunks, parts))
+      .map(c => ((c, -1L), 0L))
+    seeds.union(rows.map { case (c, off, bits) => ((c, off), bits) })
+      .repartitionAndSortWithinPartitions(byChunk)
+      .foreachPartition { it =>
+        val fsx = new Path(path).getFileSystem(hconf.value)
+        var cur = -1
+        var buf: Array[Long] = null
+        var lastOff = -1L
+        var cells = 0L
+        def flush(): Unit = if (cur >= 0) {
+          val validElems = (math.min(c0.toLong * (cur + 1), dim0.toLong) -
+            c0.toLong * cur) * innerElems
+          if (!float) { // ints have no fill — the grid must be complete
+            require(cells == validElems,
+              s"integer variable '$v' chunk $cur: $cells of " +
+                s"$validElems cells present (ints cannot encode missing cells)")
+          }
+          val bb = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < chunkElems) { bb.putLong(buf(i)); i += 1 }
+          val raw = bb.array()
+          val payload = if (compress) deflate(raw) else raw
+          // v2 chunk key: dot-joined per-dim chunk indices; inner dims
+          // are unsplit, so every key is "<i0>.0.0…"
+          val key = (cur.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
+          val out = fsx.create(new Path(new Path(path, v), key), true)
+          try out.write(payload) finally out.close()
+        }
+        while (it.hasNext) {
+          val ((c, off), bits) = it.next()
+          if (c != cur) {
+            flush()
+            cur = c
+            if (buf == null) buf = new Array[Long](chunkElems)
+            java.util.Arrays.fill(buf, fillBits)
+            lastOff = -1L
+            cells = 0L
+          }
+          if (off >= 0L) { // a real cell (−1 is the seed sentinel)
+            require(off != lastOff,
+              s"conflict: cell written twice in variable '$v'")
+            buf(off.toInt) = bits
+            lastOff = off
+            cells += 1
+          }
+        }
+        flush()
+      }
   }
 
   private def writeCoordArray(fs: org.apache.hadoop.fs.FileSystem, arrPath: Path,
@@ -222,7 +229,7 @@ object ZarrSink {
     metaFile(s"$name/.zarray",
       zarrayJson(Seq(vs.length), Seq(vs.length), float, compress))
     metaFile(s"$name/.zattrs",
-      s"""{"_ARRAY_DIMENSIONS": ["$name"]}""")
+      s"""{"_ARRAY_DIMENSIONS": [${GridPrep.jsonString(name)}]}""")
     val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     vs.foreach {
       case d: Double => buf.putDouble(d)

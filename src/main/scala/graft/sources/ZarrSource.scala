@@ -61,7 +61,8 @@ object ZarrSource {
                              dtype: String, compressor: Option[String],
                              dims: Seq[String],
                              version: Int = 2,
-                             sharding: Option[ShardingMeta] = None)
+                             sharding: Option[ShardingMeta] = None,
+                             fillValue: Option[Any] = None)
       extends Serializable {
     def ndim: Int = shape.length
     def isFloat: Boolean = dtype.endsWith("f8") || dtype.endsWith("f4")
@@ -127,8 +128,26 @@ object ZarrSource {
     val finalDims =
       if (dims.nonEmpty) dims else shape.indices.map(i => s"dim_$i")
     require(finalDims.length == shape.length)
-    ArrayMeta(shape, ints(za.get("chunks")), dtype, comp, finalDims)
+    ArrayMeta(shape, ints(za.get("chunks")), dtype, comp, finalDims,
+      fillValue = parseFill(za.get("fill_value"), dtype(1) == 'f'))
   }
+
+  /** `fill_value` → the typed fill for this dtype: Double for floats
+    * (including the JSON-string spellings v2/v3 use for non-finite
+    * values), Long for ints. v2 `null` = undefined fill → None (absent
+    * chunks then stay absent rather than synthesizing cells). */
+  private def parseFill(node: JsonNode, isFloat: Boolean): Option[Any] =
+    Option(node).filterNot(_.isNull).map { n =>
+      if (isFloat) {
+        if (n.isTextual) n.asText() match {
+          case "NaN"       => Double.NaN
+          case "Infinity"  => Double.PositiveInfinity
+          case "-Infinity" => Double.NegativeInfinity
+          case other => throw new IllegalArgumentException(
+            s"unsupported fill_value '$other'")
+        } else n.asDouble()
+      } else n.asLong()
+    }
 
   /** Zarr v3 array metadata (public spec: zarr.json, regular chunk
     * grid, codecs chain of one array→bytes `bytes` codec plus at most
@@ -195,7 +214,8 @@ object ZarrSource {
       .getOrElse(shape.indices.map(i => s"dim_$i"))
     require(dims.length == shape.length)
     ArrayMeta(shape, chunks, dtype, comp, dims, version = 3,
-      sharding = sharding)
+      sharding = sharding,
+      fillValue = parseFill(zj.get("fill_value"), dtype(1) == 'f'))
   }
 
   /** Parse a v3 bytes-stream codec chain — one `bytes` (little-endian)
@@ -299,37 +319,90 @@ object ZarrSource {
       .load(arrayPath)
       .select("path", "content")
     val m = meta // stable closure capture
-    val rdd = files.rdd.flatMap { r =>
-      val p = r.getString(0)
+    // chunk key → indices: optional "c" prefix, "/" or "." separators;
+    // metadata files → None (shared by the decode pass and the
+    // missing-chunk census below)
+    val parseKey: String => Option[Array[Int]] = { p =>
       val rel = if (p.startsWith(rootUri)) p.substring(rootUri.length + 1)
                 else p.split('/').last
-      // chunk key → indices: optional "c" prefix, "/" or "." separators
       val tokens = rel.split("[/.]").filterNot(_ == "c")
       if (rel == "zarr.json" || rel == ".zarray" || rel == ".zattrs" ||
-        !tokens.forall(_.forall(_.isDigit)) || tokens.isEmpty) Iterator.empty
+        !tokens.forall(_.forall(_.isDigit)) || tokens.isEmpty) None
       else {
-      val chunkIdx = tokens.map(_.toInt)
-      require(chunkIdx.length == m.ndim, s"chunk '$rel' vs ndim ${m.ndim}")
-      val content = r.getAs[Array[Byte]](1)
-      m.sharding match {
-        case None =>
-          val raw = decompress(content, m.compressor, chunkElems * elemSize)
-          val base = Array.tabulate(m.ndim)(i => chunkIdx(i).toLong * m.chunks(i))
-          emitElems(m, m.chunks, base,
-            ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
-        case Some(sh) =>
-          readShard(m, sh, chunkIdx, content, elemSize, rel)
-      }
+        val chunkIdx = tokens.map(_.toInt)
+        require(chunkIdx.length == m.ndim, s"chunk '$rel' vs ndim ${m.ndim}")
+        Some(chunkIdx)
       }
     }
-    spark.createDataFrame(rdd, schema)
+    val rdd = files.rdd.flatMap { r =>
+      parseKey(r.getString(0)) match {
+        case None => Iterator.empty
+        case Some(chunkIdx) =>
+          val content = r.getAs[Array[Byte]](1)
+          m.sharding match {
+            case None =>
+              val raw = decompress(content, m.compressor, chunkElems * elemSize)
+              val base = Array.tabulate(m.ndim)(i => chunkIdx(i).toLong * m.chunks(i))
+              val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+              emitElems(m, m.chunks, base, bufferValue(m, bb))
+            case Some(sh) =>
+              readShard(m, sh, chunkIdx,
+                r.getString(0).split('/').last, content, elemSize)
+          }
+      }
+    }
+    // Zarr semantics: an ABSENT chunk file means every cell in it is
+    // fill_value (zarr-python `write_empty_chunks=False` elides
+    // all-fill chunks — common in sparse migrated stores). Synthesize
+    // those cells so read-back is dense like a present chunk's; v2
+    // fill_value null = undefined, so absent stays absent there. The
+    // census is per-CHUNK (ids only, distributed anti-join), never
+    // per-element, and the path-only scan reads no chunk bytes.
+    val full = m.fillValue match {
+      case None => rdd
+      case Some(fill) =>
+        val grid = m.shape.indices.map(i =>
+          (m.shape(i) + m.chunks(i) - 1) / m.chunks(i)).toArray
+        val totalChunks = grid.map(_.toLong).product
+        import spark.implicits._
+        val present = files.select("path").as[String].flatMap { p =>
+          parseKey(p).map(_.zipWithIndex.foldLeft(0L) {
+            case (acc, (ci, i)) => acc * grid(i) + ci
+          })
+        }.toDF("cid")
+        val missing = spark.range(totalChunks).toDF("cid")
+          .join(present.distinct(), Seq("cid"), "left_anti")
+        val fillRows = missing.rdd.flatMap { row =>
+          var rem = row.getLong(0)
+          val base = new Array[Long](m.ndim)
+          var i = m.ndim - 1
+          while (i >= 0) {
+            base(i) = (rem % grid(i)) * m.chunks(i); rem /= grid(i)
+            i -= 1
+          }
+          emitElems(m, m.chunks, base, _ => fill)
+        }
+        rdd.union(fillRows)
+    }
+    spark.createDataFrame(full, schema)
   }
 
-  /** Emit (global indices, value) rows for one decoded chunk of shape
-    * `cshape` whose element [0,…,0] sits at global `base`; C-order
-    * flat offsets, out-of-bounds (edge padding) dropped. */
+  /** Element extractor for a decoded little-endian chunk buffer. */
+  private def bufferValue(m: ArrayMeta, bb: ByteBuffer): Int => Any =
+    m.dtype match {
+      case "<f8" => flat => bb.getDouble(flat * 8)
+      case "<f4" => flat => bb.getFloat(flat * 4).toDouble
+      case "<i8" => flat => bb.getLong(flat * 8)
+      case "<i4" => flat => bb.getInt(flat * 4).toLong
+    }
+
+  /** Emit (global indices, value) rows for one chunk of shape `cshape`
+    * whose element [0,…,0] sits at global `base`; C-order flat
+    * offsets, out-of-bounds (edge padding) dropped. `value` maps the
+    * flat offset to the cell value — a decoded buffer read for present
+    * chunks, a constant for synthesized fill chunks. */
   private def emitElems(m: ArrayMeta, cshape: Seq[Int], base: Array[Long],
-                        bb: ByteBuffer): Iterator[Row] = {
+                        value: Int => Any): Iterator[Row] = {
     val elems = cshape.product
     (0 until elems).iterator.flatMap { flat =>
       var rem = flat
@@ -344,15 +417,7 @@ object ZarrSource {
         i -= 1
       }
       if (!inBounds) None
-      else {
-        val v: Any = m.dtype match {
-          case "<f8" => bb.getDouble(flat * 8)
-          case "<f4" => bb.getFloat(flat * 4).toDouble
-          case "<i8" => bb.getLong(flat * 8)
-          case "<i4" => bb.getInt(flat * 4).toLong
-        }
-        Some(Row.fromSeq(gidx.toSeq :+ v))
-      }
+      else Some(Row.fromSeq(gidx.toSeq :+ value(flat)))
     }
   }
 
@@ -364,8 +429,8 @@ object ZarrSource {
     * Offsets are absolute within the shard file per the spec, so the
     * reader follows the index rather than assuming layout order. */
   private def readShard(m: ArrayMeta, sh: ShardingMeta, chunkIdx: Array[Int],
-                        buf: Array[Byte], elemSize: Int,
-                        rel: String): Iterator[Row] = {
+                        rel: String, buf: Array[Byte],
+                        elemSize: Int): Iterator[Row] = {
     val innerGrid = Array.tabulate(m.ndim)(i => m.chunks(i) / sh.innerChunks(i))
     val numInner = innerGrid.product
     val innerElems = sh.innerChunks.product
@@ -385,23 +450,29 @@ object ZarrSource {
     (0 until numInner).iterator.flatMap { ci =>
       val off = bb.getLong(idxOff + ci * 16)
       val nb = bb.getLong(idxOff + ci * 16 + 8)
-      if (off == -1L && nb == -1L) Iterator.empty // missing inner chunk
-      else {
+      // C-order inner-chunk coords within the shard
+      var rem = ci
+      val base = new Array[Long](m.ndim)
+      var i = m.ndim - 1
+      while (i >= 0) {
+        val ic = rem % innerGrid(i); rem /= innerGrid(i)
+        base(i) = chunkIdx(i).toLong * m.chunks(i) + ic.toLong * sh.innerChunks(i)
+        i -= 1
+      }
+      if (off == -1L && nb == -1L) {
+        // missing inner chunk = all fill_value (same semantics as a
+        // missing chunk file; v3 always defines a fill)
+        m.fillValue match {
+          case Some(fill) => emitElems(m, sh.innerChunks, base, _ => fill)
+          case None       => Iterator.empty
+        }
+      } else {
         require(off >= 0 && nb >= 0 && off + nb <= buf.length,
           s"shard '$rel': inner chunk $ci range [$off, ${off + nb}) outside ${buf.length}-byte shard")
-        // C-order inner-chunk coords within the shard
-        var rem = ci
-        val base = new Array[Long](m.ndim)
-        var i = m.ndim - 1
-        while (i >= 0) {
-          val ic = rem % innerGrid(i); rem /= innerGrid(i)
-          base(i) = chunkIdx(i).toLong * m.chunks(i) + ic.toLong * sh.innerChunks(i)
-          i -= 1
-        }
         val payload = java.util.Arrays.copyOfRange(buf, off.toInt, (off + nb).toInt)
         val raw = decompress(payload, sh.innerComp, innerElems * elemSize)
         emitElems(m, sh.innerChunks, base,
-          ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
+          bufferValue(m, ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)))
       }
     }
   }

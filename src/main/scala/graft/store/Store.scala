@@ -500,8 +500,20 @@ final class BucketedStore(val spark: SparkSession, val table: String,
     val stage = stagePath
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // The Overwrite below drops the managed table before rewriting it,
+    // so until it succeeds the stage IS the only complete copy — keep
+    // it on failure (mirror of ParquetStore.replaceWithUnlocked's
+    // .__bak discipline) and name it in the error so the operator can
+    // recover by re-running the swap from the stage.
     try write(spark.read.parquet(stage.toString), SaveMode.Overwrite)
-    finally fs.delete(stage, true)
+    catch {
+      case e: Throwable =>
+        throw new java.io.IOException(
+          s"table rewrite failed mid-swap; the staged copy at $stage is " +
+            "preserved and holds the full post-mutation table — re-run the " +
+            "mutation or restore from the stage", e)
+    }
+    fs.delete(stage, true)
   }
 
   /** M11 `Sampler.add_df`: append rows — bucketed append keeps the

@@ -84,6 +84,70 @@ class WriteSinkSpec extends SparkSpec {
     assert(back.length == 6) // dense read across the 3 slab chunks
   }
 
+  test("ZarrSink writes EVERY chunk: a float slab with no rows still gets a " +
+       "chunk file and round-trips as NaN") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrsinkm").toString
+    // x is null for BOTH rows of slab a=2 (coords for the slab come
+    // from other rows), 1 row per chunk => chunk 1 would previously be
+    // skipped entirely and the cells silently lost on read-back
+    val df = Seq[(Long, Long, Option[Double])](
+      (1L, 0L, Some(1.0)), (1L, 1L, Some(2.0)),
+      (2L, 0L, None), (2L, 1L, None),
+      (3L, 0L, Some(5.0)), (3L, 1L, Some(6.0)))
+      .toDF("a", "t", "x")
+    ZarrSink.writeDataset(df, dir, Seq("a", "t"),
+      chunkTargetBytes = 16L, compress = false)
+    val chunkFiles = filesUnder(dir).filter(_.matches("x/\\d+\\.\\d+"))
+    assert(chunkFiles == Seq("x/0.0", "x/1.0", "x/2.0"), chunkFiles.toString)
+    val back = ZarrSource.readArray(spark, s"$dir/x", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(back.size == 6)
+    assert(back((0L, 0L)) == 1.0 && back((2L, 1L)) == 6.0)
+    assert(back((1L, 0L)).isNaN && back((1L, 1L)).isNaN)
+  }
+
+  test("ZarrSink: a grid cell written twice fails loudly as a conflict") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrsinkd").toString
+    val dup = Seq((1L, 0L, 1.0), (1L, 0L, 2.0), (2L, 0L, 3.0))
+      .toDF("a", "t", "x")
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrSink.writeDataset(dup, dir, Seq("a", "t"), compress = false)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("written twice")))
+  }
+
+  test("sinks reject a null dim coordinate loudly, even when the value cell " +
+       "is also null") {
+    import spark.implicits._
+    val bad = Seq[(Option[Long], Long, Option[Double])](
+      (Some(1L), 0L, Some(1.0)), (None, 1L, None))
+      .toDF("a", "t", "x")
+    val e1 = intercept[Exception] {
+      ZarrSink.writeDataset(bad, Files.createTempDirectory("zn").toString,
+        Seq("a", "t"), compress = false)
+    }
+    assert(e1.getMessage.contains("null coordinate"))
+    val e2 = intercept[Exception] {
+      NetCDF3Sink.writeDataset(bad,
+        Files.createTempFile("nn", ".nc").toString, Seq("a", "t"))
+    }
+    assert(e2.getMessage.contains("null coordinate"))
+  }
+
+  test("sinks refuse column names their formats cannot represent") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("a", "x/y")
+    val e = intercept[IllegalArgumentException] {
+      ZarrSink.writeDataset(df, Files.createTempDirectory("zb").toString,
+        Seq("a"))
+    }
+    assert(e.getMessage.contains("'/'"), e.getMessage)
+  }
+
   test("ZarrSink: integer variable with a missing cell fails loudly") {
     val dir = Files.createTempDirectory("zarrsinkf").toString
     val bad = canonical.filter("n != 60") // drop one (a,t) row entirely

@@ -409,6 +409,46 @@ class ZarrSpec extends SparkSpec {
       c.getMessage.contains("CRC32C mismatch")), e.getMessage)
   }
 
+  test("an ABSENT chunk file reads as fill_value (write_empty_chunks=False " +
+       "stores); fill_value null stays absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-absent").toString
+    val df = Seq((0L, 1.5), (1L, 2.5), (2L, 3.5), (3L, 4.5)).toDF("i", "v")
+    graft.sources.ZarrSink.writeDataset(df, dir, Seq("i"),
+      chunkTargetBytes = 16L, compress = false) // 2 rows/chunk, 2 chunks
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "v", "1"))
+    val back = ZarrSource.readArray(spark, s"$dir/v", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // fill_value "NaN" per the sink's .zarray: absent chunk = NaN cells
+    assert(back.size == 4, back.toString)
+    assert(back(0L) == 1.5 && back(1L) == 2.5)
+    assert(back(2L).isNaN && back(3L).isNaN)
+    // fill_value null (v2 "undefined"): absent chunks produce NOTHING
+    val za = java.nio.file.Paths.get(dir, "v", ".zarray")
+    val txt = new String(java.nio.file.Files.readAllBytes(za))
+      .replace("\"fill_value\": \"NaN\"", "\"fill_value\": null")
+    java.nio.file.Files.write(za, txt.getBytes)
+    // the out-of-band rewrite invalidates the local FS's .crc sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "v", "..zarray.crc"))
+    val sparse = ZarrSource.readArray(spark, s"$dir/v", "v").collect()
+    assert(sparse.length == 2, sparse.mkString(","))
+  }
+
+  test("absent chunk in an INT array reads as its integer fill_value") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-absenti").toString
+    val df = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L)).toDF("i", "n")
+    graft.sources.ZarrSink.writeDataset(df, dir, Seq("i"),
+      chunkTargetBytes = 16L, compress = false)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "n", "0"))
+    val back = ZarrSource.readArray(spark, s"$dir/n", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back.size == 4)
+    assert(back(0L) == 0L && back(1L) == 0L) // fill_value 0
+    assert(back(2L) == 30L && back(3L) == 40L)
+  }
+
   test("v3 sharded: readDataset integrates sharded arrays group-wide") {
     // the group holds sg (x,y f8) and sr (i i4) — disjoint dims, so the
     // dataset outer-aligns to a cartesian over both sharded arrays
