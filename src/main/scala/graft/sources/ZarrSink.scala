@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Distributed Zarr v2 WRITER — the save side of the legacy-store
-  * bridge (reference IO surface manage.py:61-99: `save_ds(ds, fn,
-  * engine="zarr")` → `ds.to_zarr`). [[ZarrSource]] reads xyzpy's
-  * stores into the engine; this writes engine results back out as a
-  * store xarray/zarr-python opens unchanged (`_ARRAY_DIMENSIONS`
-  * attrs, C-order little-endian arrays, zlib or raw chunks).
+/** Distributed Zarr WRITER, v2 AND v3 — the save side of the
+  * legacy-store bridge (reference IO surface manage.py:61-99:
+  * `save_ds(ds, fn, engine="zarr")` → `ds.to_zarr`). [[ZarrSource]]
+  * reads xyzpy's stores into the engine; this writes engine results
+  * back out as a store xarray/zarr-python opens unchanged — zarr v2
+  * (`_ARRAY_DIMENSIONS` attrs, consolidated `.zmetadata`, zlib or raw
+  * chunks: what xarray's `to_zarr` has historically produced) or zarr
+  * v3 (`zarr.json` metadata with `dimension_names`, gzip or raw
+  * chunks, optional `sharding_indexed` with a CRC32C-tailed index:
+  * what zarr-python 3 writes, shards included, per ZEP 2).
   *
   * Spark-first shape: rows shuffle ONCE as (chunk, offset, bits)
   * triples — `repartitionAndSortWithinPartitions` keyed by (chunk,
@@ -21,14 +25,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * combiners: a sparse slab costs its rows, never its dense extent).
   * Chunks are dim-0 slabs with inner dims kept whole, so every chunk
   * is a contiguous C-order block and assembly is a plain array fill;
-  * each task encodes, deflates, and writes its chunk files through the
-  * Hadoop FS — no driver materialization of array data, write
+  * each task encodes, compresses, and writes its chunk files through
+  * the Hadoop FS — no driver materialization of array data, write
   * bandwidth scales with executors (reduce width follows
   * `defaultParallelism`, capped by the chunk count) exactly like the
-  * parquet store's. Only the per-dim coordinate axes collect to the
-  * driver (bounded: they are the store's dimensions, kilobytes by
-  * construction — same bound as [[graft.store.ParquetStore]]'s key
-  * handling).
+  * parquet store's. V3 shards reuse the same machinery with shard =
+  * chunk: the slab buffer splits into CONTIGUOUS inner-chunk byte
+  * ranges (inner dims whole ⇒ an inner chunk is a plain slice), each
+  * encoded independently behind the shard's (offset, nbytes) index —
+  * the object store sees few large objects, readers still get
+  * random access to 1/`shardInnerRows` of a slab. Only the per-dim
+  * coordinate axes collect to the driver (bounded: they are the
+  * store's dimensions, kilobytes by construction — same bound as
+  * [[graft.store.ParquetStore]]'s key handling).
   *
   * Long-form in, dense out: input columns = `dims` (the coordinate
   * axes, numeric) + data-variable columns (numeric). Cells absent
@@ -46,24 +55,42 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object ZarrSink {
 
-  /** Write `df` (long form) as a Zarr v2 group at `path`, one array
-    * per non-dim column plus one 1-D coordinate array per dim.
+  /** Write `df` (long form) as a Zarr group at `path`, one array per
+    * non-dim column plus one 1-D coordinate array per dim.
     *
-    * @param chunkTargetBytes dim-0 slab size per chunk, pre-compression
-    *                         (16 MiB default: large enough to amortize
+    * @param chunkTargetBytes dim-0 slab size per chunk (v3 sharded:
+    *                         per SHARD), pre-compression (16 MiB
+    *                         default: large enough to amortize
     *                         per-file overhead, small enough that the
     *                         dense assembly fits comfortably in a task)
-    * @param compress zlib-1 chunks (numcodecs `zlib`) vs raw
+    * @param compress v2: zlib-1 chunks (numcodecs `zlib`); v3: gzip-1
+    *                 (a v3 core codec — zlib-raw is not) — vs raw
+    * @param zarrFormat 2 (default, xarray-classic stores) or 3
+    * @param shardInnerRows v3 only: >0 writes `sharding_indexed`
+    *                       arrays whose inner chunks are this many
+    *                       dim-0 rows (inner dims whole); 0 = plain
+    *                       chunked arrays
     */
   def writeDataset(df: DataFrame, path: String, dims: Seq[String],
                    chunkTargetBytes: Long = 16L << 20,
-                   compress: Boolean = true): Unit =
+                   compress: Boolean = true,
+                   zarrFormat: Int = 2,
+                   shardInnerRows: Int = 0): Unit = {
+    require(zarrFormat == 2 || zarrFormat == 3,
+      s"zarrFormat $zarrFormat (want 2 or 3)")
+    require(shardInnerRows == 0 || zarrFormat == 3,
+      "sharding is a zarr v3 feature (ZEP 2) — set zarrFormat = 3")
+    require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     GridPrep.withGrid(df, dims) { g =>
       val spark = df.sparkSession
       val shape = g.shape
       val innerElems = shape.drop(1).map(_.toLong).product
-      val c0 = math.max(1L, math.min(shape.head.toLong,
+      val c0raw = math.max(1L, math.min(shape.head.toLong,
         chunkTargetBytes / 8L / math.max(1L, innerElems))).toInt
+      // sharded: the slab must split evenly into inner chunks
+      val c0 = if (shardInnerRows > 0)
+        math.max(shardInnerRows, c0raw / shardInnerRows * shardInnerRows)
+      else c0raw
       val nChunks = (shape.head + c0 - 1) / c0
       val chunkElems = c0 * innerElems
       require(chunkElems <= (Int.MaxValue - 16L) / 8L,
@@ -72,22 +99,37 @@ object ZarrSink {
 
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(new Path(path))
-      // every metadata file also lands in .zmetadata (consolidated
-      // metadata, zarr v2 convention): xarray's open_zarr defaults to
-      // consolidated=True, and on object stores one .zmetadata read
-      // replaces a listing plus 3 small reads per array
+      // every metadata text also lands in the consolidated manifest —
+      // v2: `.zmetadata` (xarray's open_zarr consolidated=True
+      // default); v3: inlined in the group's zarr.json
+      // (zarr-python 3's consolidated_metadata) — on object stores one
+      // read replaces a listing plus a small read per array
       val meta = scala.collection.mutable.TreeMap[String, String]()
       def metaFile(key: String, text: String): Unit = {
         meta(key) = text
         writeSmall(fs, new Path(path, key), text)
       }
-      metaFile(".zgroup", """{"zarr_format": 2}""")
-      metaFile(".zattrs", "{}")
+      if (zarrFormat == 2) {
+        metaFile(".zgroup", """{"zarr_format": 2}""")
+        metaFile(".zattrs", "{}")
+      }
 
       // coordinate arrays: tiny, single-chunk, driver-written
-      for ((d, vs) <- g.coords)
-        writeCoordArray(fs, new Path(path, d), d, vs, g.isFloatCol(d),
-          compress, metaFile)
+      for ((d, vs) <- g.coords) {
+        val float = g.isFloatCol(d)
+        fs.mkdirs(new Path(path, d))
+        if (zarrFormat == 2) {
+          metaFile(s"$d/.zarray",
+            zarrayJson(Seq(vs.length), Seq(vs.length), float, compress))
+          metaFile(s"$d/.zattrs",
+            s"""{"_ARRAY_DIMENSIONS": [${GridPrep.jsonString(d)}]}""")
+        } else {
+          meta(d) = v3ArrayJson(Seq(vs.length), vs.length, 0, float,
+            compress, Seq(d))
+          writeSmall(fs, new Path(new Path(path, d), "zarr.json"), meta(d))
+        }
+        writeCoordPayload(fs, new Path(path, d), vs, compress, zarrFormat)
+      }
 
       val bIdx = spark.sparkContext.broadcast(g.idxMaps)
       val dimsArr = dims.toArray
@@ -96,10 +138,18 @@ object ZarrSink {
       for (v <- g.dataVars) {
         val float = g.isFloatCol(v)
         fs.mkdirs(new Path(path, v))
-        metaFile(s"$v/.zarray",
-          zarrayJson(shape, c0 +: shape.drop(1), float, compress))
-        metaFile(s"$v/.zattrs",
-          s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
+        val enc = ChunkEnc(zarrFormat, v, float, compress, c0,
+          shardInnerRows, chunkElems.toInt, innerElems, shape.head,
+          dims.length)
+        if (zarrFormat == 2) {
+          metaFile(s"$v/.zarray",
+            zarrayJson(shape, c0 +: shape.drop(1), float, compress))
+          metaFile(s"$v/.zattrs",
+            s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
+        } else {
+          meta(v) = v3ArrayJson(shape, c0, shardInnerRows, float, compress, dims)
+          writeSmall(fs, new Path(new Path(path, v), "zarr.json"), meta(v))
+        }
 
         // (chunk, offsetInChunk, value-bits); dims are total (GridPrep
         // rejected null coords up front), value-null cells become fill
@@ -131,33 +181,95 @@ object ZarrSink {
             Iterator(((i0 / c0).toInt, off, bits))
           }
         }
-        writeChunks(rows, path, v, float, compress, nChunks, c0,
-          chunkElems.toInt, innerElems, shape.head, dims.length,
+        writeChunks(rows, path, enc, nChunks,
           spark.sparkContext.hadoopConfiguration)
       }
-      // consolidated metadata last: readers treating it as the manifest
-      // only ever see a complete store
-      writeSmall(fs, new Path(path, ".zmetadata"),
-        "{\"metadata\": {" +
-          meta.map { case (k, t) => s"""${GridPrep.jsonString(k)}: $t""" }.mkString(", ") +
-          "}, \"zarr_consolidated_format\": 1}")
+      if (zarrFormat == 2) {
+        // consolidated metadata last: readers treating it as the
+        // manifest only ever see a complete store
+        writeSmall(fs, new Path(path, ".zmetadata"),
+          "{\"metadata\": {" +
+            meta.map { case (k, t) => s"""${GridPrep.jsonString(k)}: $t""" }.mkString(", ") +
+            "}, \"zarr_consolidated_format\": 1}")
+      } else {
+        // v3 group node, also the consolidated manifest, written last
+        writeSmall(fs, new Path(path, "zarr.json"),
+          "{\"attributes\": {}, \"consolidated_metadata\": " +
+            "{\"kind\": \"inline\", \"metadata\": {" +
+            meta.map { case (k, t) => s"""${GridPrep.jsonString(k)}: $t""" }.mkString(", ") +
+            "}, \"must_understand\": false}, " +
+            "\"node_type\": \"group\", \"zarr_format\": 3}")
+      }
     }
+  }
+
+  /** Per-variable chunk-file encoding: format-specific key naming and
+    * payload assembly, shipped to the reduce tasks (primitives only). */
+  private final case class ChunkEnc(format: Int, v: String, float: Boolean,
+                                    compress: Boolean, c0: Int,
+                                    innerRows: Int, chunkElems: Int,
+                                    innerElems: Long, dim0: Int, ndim: Int)
+      extends Serializable {
+    def fillBits: Long =
+      if (float) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
+
+    def key(chunk: Int): String =
+      if (format == 2) (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
+      else ("c" +: chunk.toString +: Seq.fill(ndim - 1)("0")).mkString("/")
+
+    def payload(chunk: Int, buf: Array[Long]): Array[Byte] = {
+      val raw = toBytesLE(buf, chunkElems)
+      if (innerRows == 0) {
+        if (!compress) raw
+        else if (format == 2) deflate(raw) else gzip1(raw)
+      } else shardPayload(chunk, raw)
+    }
+
+    /** ZEP 2 shard: concatenated inner chunks (contiguous slices of
+      * the C-order slab — inner dims are whole) + uint64-LE
+      * (offset, nbytes) index in C-order + CRC32C, index at end.
+      * Inner chunks wholly past the array's dim-0 extent are MISSING
+      * (2⁶⁴−1 entries) per the spec. */
+    private def shardPayload(chunk: Int, raw: Array[Byte]): Array[Byte] = {
+      val innerPerShard = c0 / innerRows
+      val validRows = math.min(c0.toLong * (chunk + 1), dim0.toLong) -
+        c0.toLong * chunk
+      val innerBytes = (innerRows * innerElems * 8L).toInt
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val index = ByteBuffer.allocate(innerPerShard * 16 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var ci = 0
+      while (ci < innerPerShard) {
+        if (ci.toLong * innerRows >= validRows) {
+          index.putLong(-1L); index.putLong(-1L) // fully out of bounds
+        } else {
+          val enc0 = out.size().toLong
+          val slice = java.util.Arrays.copyOfRange(raw,
+            ci * innerBytes, (ci + 1) * innerBytes)
+          val enc = if (compress) gzip1(slice) else slice
+          out.write(enc, 0, enc.length)
+          index.putLong(enc0); index.putLong(enc.length.toLong)
+        }
+        ci += 1
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(index.array(), 0, innerPerShard * 16)
+      index.putInt(crc.getValue.toInt)
+      out.write(index.array(), 0, index.capacity())
+      out.toByteArray
+    }
+  }
 
   /** One ordered shuffle, then stream: each partition's rows arrive
     * sorted by (chunk, offset), so chunks assemble one at a time in a
-    * single reusable-size buffer and duplicates are adjacent. A
-    * sentinel seed (offset −1) per chunk guarantees every chunk
-    * flushes, including all-fill ones. */
+    * single reusable buffer and duplicates are adjacent. A sentinel
+    * seed (offset −1) per chunk guarantees every chunk flushes,
+    * including all-fill ones. */
   private def writeChunks(rows: org.apache.spark.rdd.RDD[(Int, Long, Long)],
-                          path: String, v: String, float: Boolean,
-                          compress: Boolean, nChunks: Int, c0: Int,
-                          chunkElems: Int, innerElems: Long, dim0: Int,
-                          ndim: Int,
+                          path: String, enc: ChunkEnc, nChunks: Int,
                           conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sc = rows.sparkContext
     val hconf = new SerializableHadoopConf(conf)
-    val fillBits =
-      if (float) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
     // reduce width scales with the cluster, bounded by the chunk count
     // (each task then streams several chunks sequentially — memory
     // stays one chunk buffer regardless)
@@ -176,42 +288,35 @@ object ZarrSink {
       .repartitionAndSortWithinPartitions(byChunk)
       .foreachPartition { it =>
         val fsx = new Path(path).getFileSystem(hconf.value)
+        val varDir = new Path(path, enc.v)
         var cur = -1
         var buf: Array[Long] = null
         var lastOff = -1L
         var cells = 0L
         def flush(): Unit = if (cur >= 0) {
-          val validElems = (math.min(c0.toLong * (cur + 1), dim0.toLong) -
-            c0.toLong * cur) * innerElems
-          if (!float) { // ints have no fill — the grid must be complete
+          val validElems = (math.min(enc.c0.toLong * (cur + 1), enc.dim0.toLong) -
+            enc.c0.toLong * cur) * enc.innerElems
+          if (!enc.float) { // ints have no fill — the grid must be complete
             require(cells == validElems,
-              s"integer variable '$v' chunk $cur: $cells of " +
+              s"integer variable '${enc.v}' chunk $cur: $cells of " +
                 s"$validElems cells present (ints cannot encode missing cells)")
           }
-          val bb = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < chunkElems) { bb.putLong(buf(i)); i += 1 }
-          val raw = bb.array()
-          val payload = if (compress) deflate(raw) else raw
-          // v2 chunk key: dot-joined per-dim chunk indices; inner dims
-          // are unsplit, so every key is "<i0>.0.0…"
-          val key = (cur.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
-          val out = fsx.create(new Path(new Path(path, v), key), true)
-          try out.write(payload) finally out.close()
+          val out = fsx.create(new Path(varDir, enc.key(cur)), true)
+          try out.write(enc.payload(cur, buf)) finally out.close()
         }
         while (it.hasNext) {
           val ((c, off), bits) = it.next()
           if (c != cur) {
             flush()
             cur = c
-            if (buf == null) buf = new Array[Long](chunkElems)
-            java.util.Arrays.fill(buf, fillBits)
+            if (buf == null) buf = new Array[Long](enc.chunkElems)
+            java.util.Arrays.fill(buf, enc.fillBits)
             lastOff = -1L
             cells = 0L
           }
           if (off >= 0L) { // a real cell (−1 is the seed sentinel)
             require(off != lastOff,
-              s"conflict: cell written twice in variable '$v'")
+              s"conflict: cell written twice in variable '${enc.v}'")
             buf(off.toInt) = bits
             lastOff = off
             cells += 1
@@ -221,15 +326,11 @@ object ZarrSink {
       }
   }
 
-  private def writeCoordArray(fs: org.apache.hadoop.fs.FileSystem, arrPath: Path,
-                              name: String, vs: Array[Any], float: Boolean,
-                              compress: Boolean,
-                              metaFile: (String, String) => Unit): Unit = {
-    fs.mkdirs(arrPath)
-    metaFile(s"$name/.zarray",
-      zarrayJson(Seq(vs.length), Seq(vs.length), float, compress))
-    metaFile(s"$name/.zattrs",
-      s"""{"_ARRAY_DIMENSIONS": [${GridPrep.jsonString(name)}]}""")
+  /** Coordinate-array CHUNK bytes (metadata is the caller's — it owns
+    * the consolidated manifest). */
+  private def writeCoordPayload(fs: org.apache.hadoop.fs.FileSystem,
+                                arrPath: Path, vs: Array[Any],
+                                compress: Boolean, zarrFormat: Int): Unit = {
     val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     vs.foreach {
       case d: Double => buf.putDouble(d)
@@ -237,8 +338,12 @@ object ZarrSink {
       case other => throw new IllegalStateException(s"coord $other")
     }
     val raw = buf.array()
-    val out = fs.create(new Path(arrPath, "0"), true)
-    try out.write(if (compress) deflate(raw) else raw) finally out.close()
+    val payload =
+      if (!compress) raw
+      else if (zarrFormat == 2) deflate(raw) else gzip1(raw)
+    val chunkName = if (zarrFormat == 2) "0" else "c/0"
+    val out = fs.create(new Path(arrPath, chunkName), true)
+    try out.write(payload) finally out.close()
   }
 
   /** `.zarray` text matching zarr-python's own field set; key order is
@@ -254,6 +359,47 @@ object ZarrSink {
       s""""order": "C", "shape": [${shape.mkString(", ")}], "zarr_format": 2}"""
   }
 
+  /** v3 `zarr.json` array text — alphabetical keys, `json.dumps`
+    * spacing, same canonical-form discipline as [[zarrayJson]]. */
+  private def v3ArrayJson(shape: Seq[Int], c0: Int, innerRows: Int,
+                          float: Boolean, compress: Boolean,
+                          dims: Seq[String]): String = {
+    val dataType = if (float) "float64" else "int64"
+    val fill = if (float) "\"NaN\"" else "0"
+    val chunkShape = (c0 +: shape.drop(1)).mkString(", ")
+    val byteChain = {
+      val bytes = """{"configuration": {"endian": "little"}, "name": "bytes"}"""
+      if (compress)
+        s"""$bytes, {"configuration": {"level": 1}, "name": "gzip"}"""
+      else bytes
+    }
+    val codecs =
+      if (innerRows == 0) s"[$byteChain]"
+      else {
+        val innerShape = (innerRows +: shape.drop(1)).mkString(", ")
+        s"""[{"configuration": {"chunk_shape": [$innerShape], """ +
+          s""""codecs": [$byteChain], "index_codecs": """ +
+          s"""[{"configuration": {"endian": "little"}, "name": "bytes"}, """ +
+          s"""{"name": "crc32c"}], "index_location": "end"}, """ +
+          s""""name": "sharding_indexed"}]"""
+      }
+    s"""{"attributes": {}, "chunk_grid": {"configuration": """ +
+      s"""{"chunk_shape": [$chunkShape]}, "name": "regular"}, """ +
+      s""""chunk_key_encoding": {"configuration": {"separator": "/"}, """ +
+      s""""name": "default"}, "codecs": $codecs, """ +
+      s""""data_type": "$dataType", "dimension_names": """ +
+      s"""[${dims.map(GridPrep.jsonString).mkString(", ")}], """ +
+      s""""fill_value": $fill, "node_type": "array", """ +
+      s""""shape": [${shape.mkString(", ")}], "zarr_format": 3}"""
+  }
+
+  private def toBytesLE(buf: Array[Long], n: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(1)
     d.setInput(raw); d.finish()
@@ -262,6 +408,18 @@ object ZarrSink {
     while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
     d.end()
     out.toByteArray
+  }
+
+  /** gzip at level 1 (v3 core codec; member fields pinned: no name, no
+    * mtime — java's GZIPOutputStream writes mtime 0, matching a
+    * generator that passes mtime=0). */
+  private def gzip1(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(1)
+    }
+    gz.write(raw); gz.close()
+    bos.toByteArray
   }
 
   private def writeSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path,

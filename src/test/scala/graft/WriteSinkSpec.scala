@@ -43,18 +43,76 @@ class WriteSinkSpec extends SparkSpec {
     out.toSeq.sorted
   }
 
-  test("ZarrSink uncompressed output is byte-identical to the independent python writer") {
-    val dir = Files.createTempDirectory("zarrsink").toString
-    ZarrSink.writeDataset(canonical, dir, Seq("a", "t"), compress = false)
-    val want = filesUnder(s"$golden/zarr")
+  /** Byte-identity between a golden tree and a written tree. */
+  private def assertTreesEqual(goldenRoot: String, dir: String): Unit = {
+    val want = filesUnder(goldenRoot)
     val got = filesUnder(dir)
     assert(got == want, s"file sets differ: got $got want $want")
     for (f <- want) {
-      val g = Files.readAllBytes(Paths.get(s"$golden/zarr/$f"))
+      val g = Files.readAllBytes(Paths.get(s"$goldenRoot/$f"))
       val o = Files.readAllBytes(Paths.get(s"$dir/$f"))
       assert(java.util.Arrays.equals(g, o),
-        s"$f differs: golden ${g.length}B vs written ${o.length}B")
+        s"$f differs: golden ${g.length}B vs written ${o.length}B" +
+          (if (f.endsWith(".json") || f.startsWith(".z"))
+             s"\n golden: ${new String(g)}\n written: ${new String(o)}"
+           else ""))
     }
+  }
+
+  test("ZarrSink uncompressed output is byte-identical to the independent python writer") {
+    val dir = Files.createTempDirectory("zarrsink").toString
+    ZarrSink.writeDataset(canonical, dir, Seq("a", "t"), compress = false)
+    assertTreesEqual(s"$golden/zarr", dir)
+  }
+
+  test("ZarrSink v3 uncompressed output is byte-identical to the independent python writer") {
+    val dir = Files.createTempDirectory("zarrsink3").toString
+    ZarrSink.writeDataset(canonical, dir, Seq("a", "t"), compress = false,
+      zarrFormat = 3)
+    assertTreesEqual(s"$golden/zarr_v3", dir)
+  }
+
+  test("ZarrSink v3 SHARDED uncompressed output is byte-identical to the " +
+       "independent python writer (missing OOB inner chunk, CRC32C index)") {
+    val dir = Files.createTempDirectory("zarrsink3s").toString
+    // 32 B/shard => 2 rows of the (3,2) grid per shard, 1-row inner
+    // chunks => shard c/1/0 has a MISSING second inner chunk
+    ZarrSink.writeDataset(canonical, dir, Seq("a", "t"),
+      chunkTargetBytes = 32L, compress = false, zarrFormat = 3,
+      shardInnerRows = 1)
+    assertTreesEqual(s"$golden/zarr_v3s", dir)
+  }
+
+  test("ZarrSink v3 gzip store round-trips through ZarrSource.readDataset") {
+    val dir = Files.createTempDirectory("zarrsink3z").toString
+    ZarrSink.writeDataset(canonical, dir, Seq("a", "t"), compress = true,
+      zarrFormat = 3)
+    val back = ZarrSource.readDataset(spark, dir)
+      .select("a", "t", "x", "n").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(back.length == 6)
+    assert(back.take(5).toSeq == Seq((1L, 0.0, 1.5, 10L), (1L, 0.5, 2.5, 20L),
+      (2L, 0.0, 3.5, 30L), (2L, 0.5, -4.25, 40L), (3L, 0.0, 5.0, 50L)))
+    assert(back.last._3.isNaN && back.last._4 == 60L)
+  }
+
+  test("ZarrSink v3 sharded gzip: PARTIAL edge inner chunk pads with fill " +
+       "and round-trips exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarrsink3sp").toString
+    // 5 dim-0 rows, 2-row inner chunks, 64 B/shard => c0=4: shard 0 =
+    // inners (0-1),(2-3); shard 1 = inner (4-5) PARTIALLY out of
+    // bounds (row 5 is fill padding) + second inner fully OOB
+    val df = (0 until 5).map(i => (i.toLong, i * 1.5)).toDF("i", "v")
+    ZarrSink.writeDataset(df, dir, Seq("i"), chunkTargetBytes = 64L,
+      compress = true, zarrFormat = 3, shardInnerRows = 2)
+    val meta = ZarrSource.readMeta(spark, s"$dir/v")
+    assert(meta.sharding.exists(_.innerChunks == Seq(2)), meta.toString)
+    val back = ZarrSource.readArray(spark, s"$dir/v", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(back.size == 5, back.toString)
+    for (i <- 0 until 5) assert(back(i.toLong) == i * 1.5, s"i=$i")
   }
 
   test("ZarrSink zlib store round-trips through ZarrSource.readDataset") {
