@@ -78,9 +78,9 @@ object ZarrSink {
                    shardInnerRows: Int = 0): Unit = {
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat $zarrFormat (want 2 or 3)")
+    require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     require(shardInnerRows == 0 || zarrFormat == 3,
       "sharding is a zarr v3 feature (ZEP 2) — set zarrFormat = 3")
-    require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     GridPrep.withGrid(df, dims) { g =>
       val spark = df.sparkSession
       val shape = g.shape
@@ -96,6 +96,13 @@ object ZarrSink {
       require(chunkElems <= (Int.MaxValue - 16L) / 8L,
         s"chunk of $chunkElems elems exceeds the 2 GiB single-buffer bound " +
           "(inner dims too large — reorder dims so a big axis leads)")
+      if (shardInnerRows > 0) {
+        val innerPerShard = c0 / shardInnerRows
+        require(innerPerShard.toLong * 16 + 4 <= Int.MaxValue,
+          s"shard index of $innerPerShard inner chunks exceeds the 2 GiB " +
+            "single-buffer bound — raise shardInnerRows or lower " +
+            "chunkTargetBytes")
+      }
 
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(new Path(path))
@@ -108,6 +115,11 @@ object ZarrSink {
       def metaFile(key: String, text: String): Unit = {
         meta(key) = text
         writeSmall(fs, new Path(path, key), text)
+      }
+      // v3: manifest key is the NODE name, the file is <name>/zarr.json
+      def v3MetaFile(name: String, text: String): Unit = {
+        meta(name) = text
+        writeSmall(fs, new Path(new Path(path, name), "zarr.json"), text)
       }
       if (zarrFormat == 2) {
         metaFile(".zgroup", """{"zarr_format": 2}""")
@@ -124,9 +136,8 @@ object ZarrSink {
           metaFile(s"$d/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${GridPrep.jsonString(d)}]}""")
         } else {
-          meta(d) = v3ArrayJson(Seq(vs.length), vs.length, 0, float,
-            compress, Seq(d))
-          writeSmall(fs, new Path(new Path(path, d), "zarr.json"), meta(d))
+          v3MetaFile(d, v3ArrayJson(Seq(vs.length), vs.length, 0, float,
+            compress, Seq(d)))
         }
         writeCoordPayload(fs, new Path(path, d), vs, compress, zarrFormat)
       }
@@ -147,8 +158,8 @@ object ZarrSink {
           metaFile(s"$v/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
         } else {
-          meta(v) = v3ArrayJson(shape, c0, shardInnerRows, float, compress, dims)
-          writeSmall(fs, new Path(new Path(path, v), "zarr.json"), meta(v))
+          v3MetaFile(v, v3ArrayJson(shape, c0, shardInnerRows, float,
+            compress, dims))
         }
 
         // (chunk, offsetInChunk, value-bits); dims are total (GridPrep
@@ -244,11 +255,11 @@ object ZarrSink {
           index.putLong(-1L); index.putLong(-1L) // fully out of bounds
         } else {
           val enc0 = out.size().toLong
-          val slice = java.util.Arrays.copyOfRange(raw,
-            ci * innerBytes, (ci + 1) * innerBytes)
-          val enc = if (compress) gzip1(slice) else slice
-          out.write(enc, 0, enc.length)
-          index.putLong(enc0); index.putLong(enc.length.toLong)
+          // both branches write the slab region in place — no
+          // per-inner-chunk copy of the (already full-slab) raw bytes
+          if (compress) gzip1To(out, raw, ci * innerBytes, innerBytes)
+          else out.write(raw, ci * innerBytes, innerBytes)
+          index.putLong(enc0); index.putLong(out.size().toLong - enc0)
         }
         ci += 1
       }
@@ -415,11 +426,21 @@ object ZarrSink {
     * generator that passes mtime=0). */
   private def gzip1(raw: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos) {
+    gzip1To(bos, raw, 0, raw.length)
+    bos.toByteArray
+  }
+
+  /** gzip a region of `raw` straight into `out` — the sharded path
+    * compresses many slab slices and needs no intermediate copies. */
+  private def gzip1To(out: java.io.ByteArrayOutputStream, raw: Array[Byte],
+                      off: Int, len: Int): Unit = {
+    val gz = new java.util.zip.GZIPOutputStream(out) {
       `def`.setLevel(1)
     }
-    gz.write(raw); gz.close()
-    bos.toByteArray
+    gz.write(raw, off, len)
+    // close() ends the native Deflater; ByteArrayOutputStream.close()
+    // is a no-op, so the shared `out` stays usable
+    gz.close()
   }
 
   private def writeSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path,

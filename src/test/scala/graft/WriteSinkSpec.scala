@@ -53,7 +53,7 @@ class WriteSinkSpec extends SparkSpec {
       val o = Files.readAllBytes(Paths.get(s"$dir/$f"))
       assert(java.util.Arrays.equals(g, o),
         s"$f differs: golden ${g.length}B vs written ${o.length}B" +
-          (if (f.endsWith(".json") || f.startsWith(".z"))
+          (if (f.endsWith(".json") || f.contains(".z"))
              s"\n golden: ${new String(g)}\n written: ${new String(o)}"
            else ""))
     }
