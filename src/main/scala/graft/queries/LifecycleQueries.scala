@@ -393,6 +393,38 @@ object LifecycleQueries {
         CAST(COUNT(*) AS DOUBLE) AS n_rows
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** IO7: zarr V3 SHARDED save-side round-trip — the zarr-python-3
+    * store shape ([[graft.sources.ZarrSink]] `zarrFormat = 3`,
+    * `sharding_indexed` per ZEP 2). The tiny `chunkTargetBytes`
+    * forces MULTIPLE shards with 2-row inner chunks, so the read-back
+    * crosses shard boundaries, decodes a partially-padded edge inner
+    * chunk, and verifies each shard's CRC32C-tailed index. Same
+    * complete-by-construction (linenum × ok4) grid discipline as
+    * io5/io6, different aggregates.
+    */
+  val io7ZarrV3 = QueryDef(
+    "io7_zarr_v3_sharded_roundtrip",
+    (s, dir) => {
+      val grid = table(s, dir, "lineitem")
+        .groupBy(col("l_linenumber").as("linenum"),
+          (col("l_orderkey") % 4).as("ok4"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum((col("l_suppkey") % 97).cast("double")).as("sum_sk97"))
+      val d = freshDir("io7") + "/grid.zarr"
+      // 4 dim-0 rows per shard (4 inner cols × 8 B × 4), 2-row inner
+      // chunks: linenum's 7 values split into shards {1..4} and
+      // {5..7} (edge inner chunk padded, tail inner chunk missing)
+      graft.sources.ZarrSink.writeDataset(grid, d, Seq("linenum", "ok4"),
+        chunkTargetBytes = 128L, zarrFormat = 3, shardInnerRows = 2)
+      graft.sources.ZarrSource.readDataset(s, d)
+        .select("linenum", "ok4", "sum_qty", "sum_sk97")
+    },
+    Some("""SELECT CAST(l_linenumber AS BIGINT) AS linenum,
+        CAST(l_orderkey % 4 AS BIGINT) AS ok4,
+        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        CAST(SUM(l_suppkey % 97) AS DOUBLE) AS sum_sk97
+      FROM lineitem GROUP BY 1, 2"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -436,6 +468,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }

@@ -359,6 +359,57 @@ class BlackBoxEvalSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(2) == mystery(r.getLong(0), r.getLong(1))))
   }
 
+  test("property: ZarrSink round-trips random sparse grids exactly — v2, " +
+       "v3, and v3 sharded, across chunk/shard splits") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 0 until 6) {
+      val na = 2 + rnd.nextInt(7)      // dim-0 extent 2..8
+      val nt = 1 + rnd.nextInt(4)      // inner extent 1..4
+      // sparse float cells: each present with p=0.7 (absent -> NaN)
+      val cells = for (a <- 0 until na; t <- 0 until nt
+                       if rnd.nextDouble() < 0.7)
+        yield (a.toLong, t.toLong, rnd.nextInt(1000) / 8.0)
+      if (cells.nonEmpty) {
+        // EVERY axis value must appear in some row (axes derive from
+        // the data); missing axis values just shrink the grid
+        val df = spark.createDataFrame(cells).toDF("a", "t", "v")
+        val expect = cells.map { case (a, t, v) => (a, t) -> v }.toMap
+        val aVals = cells.map(_._1).distinct.sorted
+        val tVals = cells.map(_._2).distinct.sorted
+        val configs = Seq(
+          (2, 0, 8L * nt * (1 + rnd.nextInt(3))), // v2, 1-3 rows/chunk
+          (3, 0, 8L * nt * (1 + rnd.nextInt(3))), // v3 plain
+          (3, 1 + rnd.nextInt(2),                  // v3 sharded
+            8L * nt * (2 + rnd.nextInt(4))))
+        for ((fmt, innerRows, target) <- configs) {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"zprop$trial-$fmt").toString
+          graft.sources.ZarrSink.writeDataset(df, dir, Seq("a", "t"),
+            chunkTargetBytes = target, compress = trial % 2 == 0,
+            zarrFormat = fmt, shardInnerRows = innerRows)
+          val back = graft.sources.ZarrSource.readDataset(spark, dir)
+            .select(col("a"), col("t"), col("v")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+          // dense read over the derived axes: every (a,t) cell present,
+          // absent long-form rows as NaN
+          assert(back.size == aVals.size * tVals.size,
+            s"trial $trial fmt $fmt inner $innerRows: ${back.size} cells, " +
+              s"want ${aVals.size * tVals.size}")
+          for (a <- aVals; t <- tVals) {
+            val got = back((a, t))
+            expect.get((a, t)) match {
+              case Some(v) => assert(got == v,
+                s"trial $trial fmt $fmt ($a,$t): $got != $v")
+              case None => assert(got.isNaN,
+                s"trial $trial fmt $fmt ($a,$t): $got not NaN")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("Dataset-returning fn via typed flatMap (inner dims become rows)") {
     val g = Grid.expand(spark, ComboSpec.of("a" -> (1L to 3L)))
     val out = g.as[Long].flatMap { a =>
