@@ -477,19 +477,60 @@ object ZarrSource {
     }
   }
 
+  /** Array names from the group's consolidated metadata, when present
+    * — v2 `.zmetadata` (xarray writes it by default) or a v3 group
+    * `zarr.json` with inline `consolidated_metadata` (zarr-python 3).
+    * On an object store this replaces a listing plus an
+    * existence-probe per entry with ONE small read — the reason the
+    * convention exists, and [[ZarrSink]] writes it on both formats. */
+  private def consolidatedArrayNames(spark: SparkSession,
+                                     root: Path): Option[Seq[String]] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val om = new ObjectMapper()
+    def names(metaNode: JsonNode, v3: Boolean): Seq[String] =
+      metaNode.fields().asScala.toSeq.flatMap { e =>
+        val (key, node) = (e.getKey, e.getValue)
+        if (v3) {
+          // v3 keys are node paths; keep top-level array nodes
+          if (!key.contains("/") &&
+            Option(node.get("node_type")).exists(_.asText() == "array"))
+            Some(key)
+          else None
+        } else if (key.endsWith("/.zarray")) Some(key.dropRight(8))
+        else None
+      }.distinct.sorted
+    val v2Manifest = new Path(root, ".zmetadata")
+    val v3Group = new Path(root, "zarr.json")
+    if (fs.exists(v2Manifest)) {
+      val mj = om.readTree(readSmall(spark, v2Manifest))
+      Option(mj.get("metadata")).map(names(_, v3 = false)).filter(_.nonEmpty)
+    } else if (fs.exists(v3Group)) {
+      val gj = om.readTree(readSmall(spark, v3Group))
+      Option(gj.get("consolidated_metadata"))
+        .flatMap(cm => Option(cm.get("metadata")))
+        .map(names(_, v3 = true)).filter(_.nonEmpty)
+    } else None
+  }
+
   /** Whole xarray-style group → ONE long DataFrame in graft's
     * harvest-store shape: dimension columns carry the COORD VALUES
     * (from the 1-D coordinate arrays, broadcast-joined over indices),
     * and each data variable is a value column, outer-aligned on its
-    * dims — `load_ds` for a migrated store.
+    * dims — `load_ds` for a migrated store. Array discovery prefers
+    * the consolidated manifest ([[consolidatedArrayNames]]), falling
+    * back to a directory listing for stores written without one.
     */
   def readDataset(spark: SparkSession, groupPath: String): DataFrame = {
     val root = new Path(groupPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val arrays = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(new Path(p, ".zarray")) ||
-        fs.exists(new Path(p, "zarr.json")))
-      .map(p => p.getName -> readMeta(spark, p.toString)).toSeq.sortBy(_._1)
+    val arrayNames = consolidatedArrayNames(spark, root).getOrElse {
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new Path(p, ".zarray")) ||
+          fs.exists(new Path(p, "zarr.json")))
+        .map(_.getName).toSeq.sorted
+    }
+    val arrays = arrayNames
+      .map(n => n -> readMeta(spark, new Path(root, n).toString))
     require(arrays.nonEmpty, s"no zarr arrays under $groupPath")
     val (coordArrays, dataVars) = arrays.partition { case (name, m) =>
       m.ndim == 1 && m.dims == Seq(name)

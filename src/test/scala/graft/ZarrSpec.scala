@@ -449,6 +449,28 @@ class ZarrSpec extends SparkSpec {
     assert(back(2L) == 30L && back(3L) == 40L)
   }
 
+  test("readDataset discovers arrays via CONSOLIDATED metadata when present " +
+       "(v2 .zmetadata and v3 group zarr.json), listing only as fallback") {
+    import spark.implicits._
+    for (fmt <- Seq(2, 3)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-cons$fmt").toString
+      val df = Seq((0L, 1.5), (1L, 2.5)).toDF("i", "v")
+      graft.sources.ZarrSink.writeDataset(df, dir, Seq("i"),
+        compress = false, zarrFormat = fmt)
+      // a stray directory that LOOKS like an array but is not in the
+      // manifest: manifest-driven discovery must skip it; a listing
+      // would trip over its corrupt metadata
+      val stray = java.nio.file.Paths.get(dir, "stray")
+      java.nio.file.Files.createDirectory(stray)
+      java.nio.file.Files.write(stray.resolve(
+        if (fmt == 2) ".zarray" else "zarr.json"), "NOT JSON".getBytes)
+      val back = ZarrSource.readDataset(spark, dir)
+        .select("i", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(back == Map(0L -> 1.5, 1L -> 2.5), s"fmt $fmt: $back")
+    }
+  }
+
   test("v3 sharded: readDataset integrates sharded arrays group-wide") {
     // the group holds sg (x,y f8) and sr (i i4) — disjoint dims, so the
     // dataset outer-aligns to a cartesian over both sharded arrays
