@@ -18,12 +18,41 @@ import org.apache.spark.sql.types._
   */
 private[sources] object GridPrep {
 
+  /** coord value → 0-based axis position, by BINARY SEARCH over the
+    * sorted primitive axis. A boxed `Map[Any, Long]` here costs ~50
+    * bytes/entry in the task broadcast plus java-serialization of
+    * millions of boxed entries — a 2M-row time axis made the whole
+    * write broadcast-bound. Primitive arrays broadcast at 8
+    * bytes/entry and probe without allocation. Sort order is
+    * `Ordering.Double.TotalOrdering`, matching `Double.compare` in
+    * `Arrays.binarySearch`, so NaN coordinates resolve too. */
+  final class AxisIndex private (longs: Array[Long], doubles: Array[Double])
+      extends Serializable {
+    def apply(v: Any): Long = {
+      val i = v match {
+        case l: java.lang.Long =>
+          java.util.Arrays.binarySearch(longs, l.longValue())
+        case d: java.lang.Double =>
+          java.util.Arrays.binarySearch(doubles, d.doubleValue())
+        case other => throw new IllegalStateException(s"coord $other")
+      }
+      require(i >= 0, s"coordinate $v not on its axis")
+      i.toLong
+    }
+  }
+  object AxisIndex {
+    /** `vs` must already be sorted (GridPrep sorts the axes). */
+    def of(vs: Array[Any], isFloat: Boolean): AxisIndex =
+      if (isFloat) new AxisIndex(null, vs.map(_.asInstanceOf[Double]))
+      else new AxisIndex(vs.map(_.asInstanceOf[Long]), null)
+  }
+
   /** Prepared grid: `nd` is the persisted normalized frame with columns
     * `dims ++ dataVars`, every column LongType or DoubleType. */
   final case class Grid(nd: DataFrame, dataVars: Seq[String],
                         isFloatCol: Map[String, Boolean],
                         coords: Seq[(String, Array[Any])],
-                        idxMaps: Map[String, Map[Any, Long]]) {
+                        idxMaps: Map[String, AxisIndex]) {
     def shape: Seq[Int] = coords.map(_._2.length)
   }
 
@@ -87,9 +116,9 @@ private[sources] object GridPrep {
         d -> (if (isFloatCol(d)) vs.map(_.asInstanceOf[Double]).sorted.toArray[Any]
               else vs.map(_.asInstanceOf[Long]).sorted.toArray[Any])
       }
-      val idxMaps: Map[String, Map[Any, Long]] =
+      val idxMaps: Map[String, AxisIndex] =
         coords.map { case (d, vs) =>
-          d -> vs.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
+          d -> AxisIndex.of(vs, isFloatCol(d))
         }.toMap
       body(Grid(nd, dataVars, isFloatCol, coords, idxMaps))
     }

@@ -146,55 +146,70 @@ object ZarrSink {
       val dimsArr = dims.toArray
       val shapeTail = shape.drop(1).map(_.toLong).toArray
 
-      for (v <- g.dataVars) {
-        val float = g.isFloatCol(v)
+      val varsArr = g.dataVars.toArray
+      val floatArr = varsArr.map(g.isFloatCol)
+      for ((v, vi) <- varsArr.zipWithIndex) {
         fs.mkdirs(new Path(path, v))
-        val enc = ChunkEnc(zarrFormat, v, float, compress, c0,
-          shardInnerRows, chunkElems.toInt, innerElems, shape.head,
-          dims.length)
         if (zarrFormat == 2) {
           metaFile(s"$v/.zarray",
-            zarrayJson(shape, c0 +: shape.drop(1), float, compress))
+            zarrayJson(shape, c0 +: shape.drop(1), floatArr(vi), compress))
           metaFile(s"$v/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
         } else {
-          v3MetaFile(v, v3ArrayJson(shape, c0, shardInnerRows, float,
+          v3MetaFile(v, v3ArrayJson(shape, c0, shardInnerRows, floatArr(vi),
             compress, dims))
         }
+      }
 
-        // (chunk, offsetInChunk, value-bits); dims are total (GridPrep
-        // rejected null coords up front), value-null cells become fill
-        val rows = g.nd.select((dimsArr.toSeq :+ v).map(col): _*).rdd.flatMap { r =>
-          var dn = 0
-          while (dn < dimsArr.length) {
-            require(!r.isNullAt(dn),
-              s"null coordinate in dim '${dimsArr(dn)}' (dims must be total)")
-            dn += 1
-          }
-          if (r.isNullAt(dimsArr.length)) {
-            require(float, s"integer variable '$v' has a null cell " +
-              "(no NaN fill exists for ints — fill or drop before writing)")
+      // ONE pass over the long form for ALL variables: the grid offset
+      // is computed once per row (it is the same for every variable of
+      // that row) and each present cell becomes a
+      // ((chunk, var, offsetInChunk), value-bits) record. One scan and
+      // one shuffle regardless of variable count — an xarray store
+      // commonly carries 10-20 data vars, and a scan+shuffle per var
+      // multiplies write cost by exactly that factor. Dims are total
+      // (GridPrep rejected null coords up front); value-null cells
+      // become fill.
+      val ndim = dimsArr.length
+      val nv = varsArr.length
+      val rows = g.nd.rdd.flatMap { r =>
+        var dn = 0
+        while (dn < ndim) {
+          require(!r.isNullAt(dn),
+            s"null coordinate in dim '${dimsArr(dn)}' (dims must be total)")
+          dn += 1
+        }
+        val maps = bIdx.value
+        // row-major offset over (local0, i1..in); inner chunk extents
+        // are the full shape, so offset arithmetic is the array's own
+        // except dim 0 folds to its slab-local index
+        val i0 = maps(dimsArr(0))(r.get(0))
+        var off = i0 % c0
+        var dd = 1
+        while (dd < ndim) {
+          off = off * shapeTail(dd - 1) + maps(dimsArr(dd))(r.get(dd))
+          dd += 1
+        }
+        val chunk = (i0 / c0).toInt
+        (0 until nv).iterator.flatMap { vi =>
+          if (r.isNullAt(ndim + vi)) {
+            require(floatArr(vi), s"integer variable '${varsArr(vi)}' has a " +
+              "null cell (no NaN fill exists for ints — fill or drop " +
+              "before writing)")
             Iterator.empty
           } else {
-            val maps = bIdx.value
-            // row-major offset over (local0, i1..in); inner chunk
-            // extents are the full shape, so offset arithmetic is the
-            // array's own except dim 0 folds to its slab-local index
-            val i0 = maps(dimsArr(0))(r.get(0))
-            var off = i0 % c0
-            var dd = 1
-            while (dd < dimsArr.length) {
-              off = off * shapeTail(dd - 1) + maps(dimsArr(dd))(r.get(dd))
-              dd += 1
-            }
-            val bits = if (float) java.lang.Double.doubleToRawLongBits(r.getDouble(dimsArr.length))
-                       else r.getLong(dimsArr.length)
-            Iterator(((i0 / c0).toInt, off, bits))
+            val bits =
+              if (floatArr(vi)) java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
+              else r.getLong(ndim + vi)
+            Iterator(((chunk, vi, off), bits))
           }
         }
-        writeChunks(rows, path, enc, nChunks,
-          spark.sparkContext.hadoopConfiguration)
       }
+      val enc = ChunkEnc(zarrFormat, varsArr, floatArr, compress, c0,
+        shardInnerRows, chunkElems.toInt, innerElems, shape.head,
+        dims.length)
+      writeChunks(rows, path, enc, nChunks,
+        spark.sparkContext.hadoopConfiguration)
       if (zarrFormat == 2) {
         // consolidated metadata last: readers treating it as the
         // manifest only ever see a complete store
@@ -214,15 +229,17 @@ object ZarrSink {
     }
   }
 
-  /** Per-variable chunk-file encoding: format-specific key naming and
-    * payload assembly, shipped to the reduce tasks (primitives only). */
-  private final case class ChunkEnc(format: Int, v: String, float: Boolean,
+  /** Chunk-file encoding for the variable set: format-specific key
+    * naming and payload assembly, shipped to the reduce tasks
+    * (primitives and small arrays only). */
+  private final case class ChunkEnc(format: Int, vars: Array[String],
+                                    floats: Array[Boolean],
                                     compress: Boolean, c0: Int,
                                     innerRows: Int, chunkElems: Int,
                                     innerElems: Long, dim0: Int, ndim: Int)
       extends Serializable {
-    def fillBits: Long =
-      if (float) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
+    def fillBits(vi: Int): Long =
+      if (floats(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
 
     def key(chunk: Int): String =
       if (format == 2) (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
@@ -271,63 +288,71 @@ object ZarrSink {
     }
   }
 
-  /** One ordered shuffle, then stream: each partition's rows arrive
-    * sorted by (chunk, offset), so chunks assemble one at a time in a
-    * single reusable buffer and duplicates are adjacent. A sentinel
-    * seed (offset −1) per chunk guarantees every chunk flushes,
+  /** One ordered shuffle for the whole variable set, then stream: each
+    * partition's records arrive sorted by (chunk, var, offset), so
+    * (chunk, var) files assemble one at a time in a single reusable
+    * buffer and duplicate cells are adjacent. A sentinel seed (offset
+    * −1) per (chunk, var) guarantees every chunk file flushes,
     * including all-fill ones. */
-  private def writeChunks(rows: org.apache.spark.rdd.RDD[(Int, Long, Long)],
+  private def writeChunks(rows: org.apache.spark.rdd.RDD[((Int, Int, Long), Long)],
                           path: String, enc: ChunkEnc, nChunks: Int,
                           conf: org.apache.hadoop.conf.Configuration): Unit = {
     val sc = rows.sparkContext
     val hconf = new SerializableHadoopConf(conf)
-    // reduce width scales with the cluster, bounded by the chunk count
-    // (each task then streams several chunks sequentially — memory
-    // stays one chunk buffer regardless)
-    val parts = math.max(1, math.min(nChunks,
-      math.max(sc.defaultParallelism * 2, 32)))
-    val byChunk = new Partitioner {
+    val nv = enc.vars.length
+    // reduce width scales with the cluster, bounded by the file count
+    // (each task then streams several (chunk, var) groups sequentially
+    // — memory stays one chunk buffer regardless)
+    val nGroups = nChunks.toLong * nv
+    val parts = math.max(1, math.min(nGroups,
+      math.max(sc.defaultParallelism * 2, 32)).toInt)
+    val byGroup = new Partitioner {
       def numPartitions: Int = parts
       def getPartition(key: Any): Int = {
-        val c = key.asInstanceOf[(Int, Long)]._1
-        (c % parts + parts) % parts
+        val k = key.asInstanceOf[(Int, Int, Long)]
+        val g = k._1.toLong * nv + k._2
+        ((g % parts).toInt + parts) % parts
       }
     }
-    val seeds = sc.parallelize(0 until nChunks, math.min(nChunks, parts))
-      .map(c => ((c, -1L), 0L))
-    seeds.union(rows.map { case (c, off, bits) => ((c, off), bits) })
-      .repartitionAndSortWithinPartitions(byChunk)
+    val seeds = sc.range(0, nGroups, numSlices = math.min(nGroups, parts).toInt)
+      .map(g => (((g / nv).toInt, (g % nv).toInt, -1L), 0L))
+    seeds.union(rows)
+      .repartitionAndSortWithinPartitions(byGroup)
       .foreachPartition { it =>
         val fsx = new Path(path).getFileSystem(hconf.value)
-        val varDir = new Path(path, enc.v)
-        var cur = -1
+        var curChunk = -1
+        var curVar = -1
         var buf: Array[Long] = null
         var lastOff = -1L
         var cells = 0L
-        def flush(): Unit = if (cur >= 0) {
-          val validElems = (math.min(enc.c0.toLong * (cur + 1), enc.dim0.toLong) -
-            enc.c0.toLong * cur) * enc.innerElems
-          if (!enc.float) { // ints have no fill — the grid must be complete
+        def flush(): Unit = if (curChunk >= 0) {
+          val validElems =
+            (math.min(enc.c0.toLong * (curChunk + 1), enc.dim0.toLong) -
+              enc.c0.toLong * curChunk) * enc.innerElems
+          if (!enc.floats(curVar)) { // ints have no fill — must be complete
             require(cells == validElems,
-              s"integer variable '${enc.v}' chunk $cur: $cells of " +
-                s"$validElems cells present (ints cannot encode missing cells)")
+              s"integer variable '${enc.vars(curVar)}' chunk $curChunk: " +
+                s"$cells of $validElems cells present (ints cannot encode " +
+                "missing cells)")
           }
-          val out = fsx.create(new Path(varDir, enc.key(cur)), true)
-          try out.write(enc.payload(cur, buf)) finally out.close()
+          val out = fsx.create(
+            new Path(new Path(path, enc.vars(curVar)), enc.key(curChunk)), true)
+          try out.write(enc.payload(curChunk, buf)) finally out.close()
         }
         while (it.hasNext) {
-          val ((c, off), bits) = it.next()
-          if (c != cur) {
+          val ((c, vi, off), bits) = it.next()
+          if (c != curChunk || vi != curVar) {
             flush()
-            cur = c
+            curChunk = c
+            curVar = vi
             if (buf == null) buf = new Array[Long](enc.chunkElems)
-            java.util.Arrays.fill(buf, enc.fillBits)
+            java.util.Arrays.fill(buf, enc.fillBits(vi))
             lastOff = -1L
             cells = 0L
           }
           if (off >= 0L) { // a real cell (−1 is the seed sentinel)
             require(off != lastOff,
-              s"conflict: cell written twice in variable '${enc.v}'")
+              s"conflict: cell written twice in variable '${enc.vars(vi)}'")
             buf(off.toInt) = bits
             lastOff = off
             cells += 1
