@@ -370,8 +370,9 @@ object LifecycleQueries {
       FROM lineitem GROUP BY 1, 2"""))
 
   /** IO6: zarr save-side bridge round-trip — same shape as IO5 via
-    * the DISTRIBUTED writer ([[graft.sources.ZarrSink]], one chunk =
-    * one task, zlib chunks) and [[graft.sources.ZarrSource]] read-back.
+    * the DISTRIBUTED writer ([[graft.sources.ZarrSink]], one sorted
+    * shuffle for the variable set, zlib chunks) and
+    * [[graft.sources.ZarrSource]] read-back.
     */
   val io6Zarr = QueryDef(
     "io6_zarr_roundtrip",
