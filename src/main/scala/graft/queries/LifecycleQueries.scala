@@ -399,7 +399,9 @@ object LifecycleQueries {
     * `sharding_indexed` per ZEP 2). The tiny `chunkTargetBytes`
     * forces MULTIPLE shards with 2-row inner chunks, so the read-back
     * crosses shard boundaries, decodes a partially-padded edge inner
-    * chunk, and verifies each shard's CRC32C-tailed index. Same
+    * chunk, skips MISSING (2⁶⁴−1) index entries for the fully
+    * out-of-bounds tail, and verifies each shard's CRC32C-tailed
+    * index. Same
     * complete-by-construction (linenum × ok4) grid discipline as
     * io5/io6, different aggregates.
     */
@@ -412,11 +414,14 @@ object LifecycleQueries {
         .agg(sum("l_quantity").as("sum_qty"),
           sum((col("l_suppkey") % 97).cast("double")).as("sum_sk97"))
       val d = freshDir("io7") + "/grid.zarr"
-      // 4 dim-0 rows per shard (4 inner cols × 8 B × 4), 2-row inner
-      // chunks: linenum's 7 values split into shards {1..4} and
-      // {5..7} (edge inner chunk padded, tail inner chunk missing)
+      // 6 dim-0 rows per shard (4 inner cols × 8 B × 6), 2-row inner
+      // chunks: linenum's 7 values split into shards {1..6} and {7}
+      // — shard 1's first inner chunk is PARTIALLY padded (1 of 2
+      // rows valid) and its remaining two inner chunks are fully out
+      // of bounds, written as MISSING (2⁶⁴−1) index entries, so the
+      // oracle round-trip exercises both ZEP-2 edge encodings
       graft.sources.ZarrSink.writeDataset(grid, d, Seq("linenum", "ok4"),
-        chunkTargetBytes = 128L, zarrFormat = 3, shardInnerRows = 2)
+        chunkTargetBytes = 192L, zarrFormat = 3, shardInnerRows = 2)
       graft.sources.ZarrSource.readDataset(s, d)
         .select("linenum", "ok4", "sum_qty", "sum_sk97")
     },

@@ -18,18 +18,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   * chunks, optional `sharding_indexed` with a CRC32C-tailed index:
   * what zarr-python 3 writes, shards included, per ZEP 2).
   *
-  * Spark-first shape: rows shuffle ONCE as (chunk, offset, bits)
-  * triples — `repartitionAndSortWithinPartitions` keyed by (chunk,
-  * offset), so each reduce task streams its chunks IN ORDER and holds
-  * exactly ONE dense chunk buffer at a time (no map-side dense
-  * combiners: a sparse slab costs its rows, never its dense extent).
-  * Chunks are dim-0 slabs with inner dims kept whole, so every chunk
-  * is a contiguous C-order block and assembly is a plain array fill;
-  * each task encodes, compresses, and writes its chunk files through
-  * the Hadoop FS — no driver materialization of array data, write
-  * bandwidth scales with executors (reduce width follows
-  * `defaultParallelism`, capped by the chunk count) exactly like the
-  * parquet store's. V3 shards reuse the same machinery with shard =
+  * Spark-first shape: ONE scan and ONE shuffle for the WHOLE variable
+  * set — each row's grid offset is computed once and every present
+  * cell becomes a ((chunk, var, offset), bits) record through
+  * `repartitionAndSortWithinPartitions`, so each reduce task streams
+  * its (chunk, var) groups IN ORDER and holds exactly ONE dense chunk
+  * buffer at a time (no map-side dense combiners: a sparse slab costs
+  * its rows, never its dense extent; no per-variable re-scan: an
+  * xarray store commonly carries 10-20 data vars). Chunks are dim-0
+  * slabs with inner dims kept whole, so every chunk is a contiguous
+  * C-order block and assembly is a plain array fill; each task
+  * encodes, compresses, and writes its chunk files through the Hadoop
+  * FS — no driver materialization of array data, write bandwidth
+  * scales with executors (reduce width follows `defaultParallelism`,
+  * capped by the chunk-file count) exactly like the parquet store's. V3 shards reuse the same machinery with shard =
   * chunk: the slab buffer splits into CONTIGUOUS inner-chunk byte
   * ranges (inner dims whole ⇒ an inner chunk is a plain slice), each
   * encoded independently behind the shard's (offset, nbytes) index —
@@ -142,8 +144,10 @@ object ZarrSink {
         writeCoordPayload(fs, new Path(path, d), vs, compress, zarrFormat)
       }
 
-      val bIdx = spark.sparkContext.broadcast(g.idxMaps)
       val dimsArr = dims.toArray
+      // positional axis array: the hot loop indexes by dim position,
+      // not by a per-row name lookup
+      val bIdx = spark.sparkContext.broadcast(dimsArr.map(g.idxMaps))
       val shapeTail = shape.drop(1).map(_.toLong).toArray
 
       val varsArr = g.dataVars.toArray
@@ -179,15 +183,15 @@ object ZarrSink {
             s"null coordinate in dim '${dimsArr(dn)}' (dims must be total)")
           dn += 1
         }
-        val maps = bIdx.value
+        val axes = bIdx.value
         // row-major offset over (local0, i1..in); inner chunk extents
         // are the full shape, so offset arithmetic is the array's own
         // except dim 0 folds to its slab-local index
-        val i0 = maps(dimsArr(0))(r.get(0))
+        val i0 = axes(0)(r.get(0))
         var off = i0 % c0
         var dd = 1
         while (dd < ndim) {
-          off = off * shapeTail(dd - 1) + maps(dimsArr(dd))(r.get(dd))
+          off = off * shapeTail(dd - 1) + axes(dd)(r.get(dd))
           dd += 1
         }
         val chunk = (i0 / c0).toInt

@@ -94,6 +94,16 @@ object ZarrSource {
   private def readMetaV2(spark: SparkSession, arrayPath: String): ArrayMeta = {
     val om = new ObjectMapper()
     val za = om.readTree(readSmall(spark, new Path(arrayPath, ".zarray")))
+    val attrs =
+      try Some(om.readTree(readSmall(spark, new Path(arrayPath, ".zattrs"))))
+      catch { case _: java.io.FileNotFoundException => None }
+    metaV2(za, attrs)
+  }
+
+  /** v2 metadata from parsed nodes — shared between per-array file
+    * reads and the consolidated manifest (which inlines the same
+    * objects). */
+  private def metaV2(za: JsonNode, attrs: Option[JsonNode]): ArrayMeta = {
     require(za.get("zarr_format").asInt() == 2, "only zarr v2 supported")
     require(za.get("order").asText() == "C", "only C-order zarr arrays supported")
     require(za.get("filters") == null || za.get("filters").isNull,
@@ -117,13 +127,10 @@ object ZarrSource {
       }
       id
     }
-    val dims =
-      try {
-        val attrs = om.readTree(readSmall(spark, new Path(arrayPath, ".zattrs")))
-        Option(attrs.get("_ARRAY_DIMENSIONS"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Seq.empty)
-      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val dims = attrs
+      .flatMap(a => Option(a.get("_ARRAY_DIMENSIONS")))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
     val shape = ints(za.get("shape"))
     val finalDims =
       if (dims.nonEmpty) dims else shape.indices.map(i => s"dim_$i")
@@ -154,10 +161,15 @@ object ZarrSource {
     * one supported bytes→bytes compressor). */
   private def readMetaV3(spark: SparkSession, arrayPath: String): ArrayMeta = {
     val om = new ObjectMapper()
-    val zj = om.readTree(readSmall(spark, new Path(arrayPath, "zarr.json")))
+    metaV3(om.readTree(readSmall(spark, new Path(arrayPath, "zarr.json"))))
+  }
+
+  /** v3 metadata from the parsed node — shared between per-array file
+    * reads and the consolidated manifest. */
+  private def metaV3(zj: JsonNode): ArrayMeta = {
     require(zj.get("zarr_format").asInt() == 3, "zarr.json without zarr_format 3")
     require(zj.get("node_type").asText() == "array",
-      s"$arrayPath is not a zarr v3 array node")
+      "not a zarr v3 array node")
     def ints(n: JsonNode): Seq[Int] = n.elements().asScala.map(_.asInt()).toSeq
     val dtype = zj.get("data_type").asText() match {
       case "float64" => "<f8"
@@ -300,8 +312,9 @@ object ZarrSource {
     * `binaryFile` chunk splits.
     */
   def readArray(spark: SparkSession, arrayPath: String,
-                valueCol: String = "value"): DataFrame = {
-    val meta = readMeta(spark, arrayPath)
+                valueCol: String = "value",
+                knownMeta: Option[ArrayMeta] = None): DataFrame = {
+    val meta = knownMeta.getOrElse(readMeta(spark, arrayPath))
     val elemSize = if (meta.dtype.endsWith("8")) 8 else 4
     val chunkElems = meta.chunks.product
     val schema = StructType(
@@ -477,38 +490,46 @@ object ZarrSource {
     }
   }
 
-  /** Array names from the group's consolidated metadata, when present
-    * — v2 `.zmetadata` (xarray writes it by default) or a v3 group
-    * `zarr.json` with inline `consolidated_metadata` (zarr-python 3).
-    * On an object store this replaces a listing plus an
-    * existence-probe per entry with ONE small read — the reason the
-    * convention exists, and [[ZarrSink]] writes it on both formats. */
-  private def consolidatedArrayNames(spark: SparkSession,
-                                     root: Path): Option[Seq[String]] = {
+  /** TOP-LEVEL arrays (name → full [[ArrayMeta]]) from the group's
+    * consolidated metadata, when present — v2 `.zmetadata` (xarray
+    * writes it by default) or a v3 group `zarr.json` with inline
+    * `consolidated_metadata` (zarr-python 3). The manifest inlines
+    * every array's metadata objects, so on an object store the whole
+    * group's metadata costs ONE small read instead of a listing plus
+    * 1-2 reads per array — the reason the convention exists, and
+    * [[ZarrSink]] writes it on both formats. Nested-group entries
+    * (zarr consolidation walks the whole tree) are skipped on both
+    * versions: this reader's dataset model is xarray's flat group. */
+  private def consolidatedArrays(spark: SparkSession,
+                                 root: Path): Option[Seq[(String, ArrayMeta)]] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val om = new ObjectMapper()
-    def names(metaNode: JsonNode, v3: Boolean): Seq[String] =
-      metaNode.fields().asScala.toSeq.flatMap { e =>
-        val (key, node) = (e.getKey, e.getValue)
-        if (v3) {
-          // v3 keys are node paths; keep top-level array nodes
-          if (!key.contains("/") &&
-            Option(node.get("node_type")).exists(_.asText() == "array"))
-            Some(key)
-          else None
-        } else if (key.endsWith("/.zarray")) Some(key.dropRight(8))
-        else None
-      }.distinct.sorted
     val v2Manifest = new Path(root, ".zmetadata")
     val v3Group = new Path(root, "zarr.json")
     if (fs.exists(v2Manifest)) {
       val mj = om.readTree(readSmall(spark, v2Manifest))
-      Option(mj.get("metadata")).map(names(_, v3 = false)).filter(_.nonEmpty)
+      Option(mj.get("metadata")).map { metaNode =>
+        metaNode.fields().asScala.toSeq.flatMap { e =>
+          val key = e.getKey
+          if (key.endsWith("/.zarray") && !key.dropRight(8).contains("/")) {
+            val name = key.dropRight(8)
+            Some(name -> metaV2(e.getValue,
+              Option(metaNode.get(s"$name/.zattrs"))))
+          } else None
+        }.sortBy(_._1)
+      }.filter(_.nonEmpty)
     } else if (fs.exists(v3Group)) {
       val gj = om.readTree(readSmall(spark, v3Group))
       Option(gj.get("consolidated_metadata"))
         .flatMap(cm => Option(cm.get("metadata")))
-        .map(names(_, v3 = true)).filter(_.nonEmpty)
+        .map { metaNode =>
+          metaNode.fields().asScala.toSeq.flatMap { e =>
+            if (!e.getKey.contains("/") &&
+              Option(e.getValue.get("node_type")).exists(_.asText() == "array"))
+              Some(e.getKey -> metaV3(e.getValue))
+            else None
+          }.sortBy(_._1)
+        }.filter(_.nonEmpty)
     } else None
   }
 
@@ -523,33 +544,35 @@ object ZarrSource {
   def readDataset(spark: SparkSession, groupPath: String): DataFrame = {
     val root = new Path(groupPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val arrayNames = consolidatedArrayNames(spark, root).getOrElse {
+    val arrays = consolidatedArrays(spark, root).getOrElse {
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .filter(p => fs.exists(new Path(p, ".zarray")) ||
           fs.exists(new Path(p, "zarr.json")))
-        .map(_.getName).toSeq.sorted
+        .map(p => p.getName -> readMeta(spark, p.toString)).toSeq.sortBy(_._1)
     }
-    val arrays = arrayNames
-      .map(n => n -> readMeta(spark, new Path(root, n).toString))
     require(arrays.nonEmpty, s"no zarr arrays under $groupPath")
     val (coordArrays, dataVars) = arrays.partition { case (name, m) =>
       m.ndim == 1 && m.dims == Seq(name)
     }
     require(dataVars.nonEmpty, "no data variables (only coords) in group")
 
-    // outer-align data vars: densest first, others join on their dims
+    // outer-align data vars: densest first, others join on their dims;
+    // metas thread through so a consolidated store's metadata is never
+    // re-read per array
     val base = dataVars.sortBy(-_._2.ndim)
-    var df = readArray(spark, new Path(root, base.head._1).toString, base.head._1)
+    var df = readArray(spark, new Path(root, base.head._1).toString,
+      base.head._1, Some(base.head._2))
     for ((name, m) <- base.tail) {
-      val d = readArray(spark, new Path(root, name).toString, name)
+      val d = readArray(spark, new Path(root, name).toString, name, Some(m))
       val shared = m.dims.filter(df.columns.contains)
       df = if (shared.nonEmpty) df.join(d, shared, "full_outer")
            else df.crossJoin(d) // disjoint dims: outer-align = cartesian
     }
     // replace each dim-index column that has a coordinate array with
     // the coordinate VALUES (coords are per-dim and small -> broadcast)
-    for ((name, _) <- coordArrays if df.columns.contains(name)) {
-      val coords = readArray(spark, new Path(root, name).toString, s"__c_$name")
+    for ((name, m) <- coordArrays if df.columns.contains(name)) {
+      val coords = readArray(spark, new Path(root, name).toString,
+        s"__c_$name", Some(m))
       df = df.join(broadcast(coords), Seq(name), "left_outer")
         .drop(name)
         .withColumnRenamed(s"__c_$name", name)
