@@ -8,9 +8,6 @@ import org.apache.spark.sql.SparkSession
   * - shuffle.partitions = core count: local[N] has no reason for 200
   *   reducers; on a real cluster this is set per-deploy (or AQE
   *   coalesces it).
-  * - nanosAsLong: the events table carries TIMESTAMP(NANOS) which
-  *   Spark's parquet reader otherwise rejects; nanos arrive as Long
-  *   and [[graft.functions.TimeFns.tsNanos]] converts on use.
   * - AQE on (default in 4.x, pinned explicitly): runtime coalescing +
   *   skew-join handling are part of the 100 TB design.
   */
@@ -20,7 +17,6 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // catalog tables (BucketedStore) land under /tmp, not the repo;

@@ -13,17 +13,26 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each query's cached stages die with the query, not the session
       finally Materialize.releaseAll()
     }
+    // a throwing query must be visible as FAILED in the round record,
+    // not mistaken for an unregistered one: leave a failed-query
+    // manifest next to the dumps (exit stays 0 so the driver still
+    // compares every query that did produce output)
+    if (failed.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/FAILED.json"),
+        failed.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

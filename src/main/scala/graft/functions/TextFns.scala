@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Text-analysis scalar functions for large-scale corpus pipelines
   * (driver north-star ops, beyond the reference). All built from
@@ -363,10 +364,29 @@ object TextFns {
   }
 }
 
-/** Event-time helpers — the events table ships TIMESTAMP(NANOS), read
-  * as Long nanos under `nanosAsLong` (see [[graft.Sessions]]).
+/** Event-time helpers. The events table ships a native parquet
+  * TIMESTAMP (micros); older exports stored nanos-since-epoch as a
+  * plain Long. Queries resolve the encoding from the schema at
+  * plan-build time, so both generations of data read correctly.
   */
 object TimeFns {
-  /** nanos-since-epoch Long → TimestampType (microsecond precision). */
-  def tsNanos(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+  /** Schema-adaptive timestamp accessor: pass-through when the column
+    * is already timestamp-typed, Long-nanos → micros otherwise.
+    */
+  def asTimestamp(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case _: TimestampType | _: TimestampNTZType => col(name)
+      case _ => timestamp_micros((col(name) / 1000L).cast("long"))
+    }
+
+  /** Micros-since-epoch regardless of physical encoding (timestamp
+    * column vs legacy Long nanos) — for gap/interval arithmetic.
+    */
+  def asMicros(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case _: TimestampType => unix_micros(col(name))
+      case _: TimestampNTZType =>
+        unix_micros(col(name).cast(TimestampType))
+      case _ => (col(name) / 1000L).cast("long")
+    }
 }

@@ -129,8 +129,9 @@ object LifecycleQueries {
     // this class: DuckDB truncates double→decimal where Spark rounds.)
     (s, dir) => {
       val q = round(col("value") * lit(1e6)).cast("long")
-      table(s, dir, "events")
-        .withColumn("hour", date_trunc("hour", TimeFns.tsNanos(col("ts"))))
+      val ev = table(s, dir, "events")
+      ev
+        .withColumn("hour", date_trunc("hour", TimeFns.asTimestamp(ev, "ts")))
         .groupBy("hour", "event_type")
         .agg(count(lit(1)).as("n"), sum(q).as("__s"))
         .withColumn("mean_value",
@@ -152,11 +153,16 @@ object LifecycleQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts")
-      val ev = table(s, dir, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      val events = table(s, dir, "events")
+      // gap test in micros-since-epoch: schema-adaptive (native
+      // TIMESTAMP or legacy Long-nanos), and a plain BIGINT compare
+      // keeps the window + filter inside whole-stage codegen
+      val ev = events
+        .withColumn("__us", TimeFns.asMicros(events, "ts"))
+        .withColumn("prev_us", lag(col("__us"), 1).over(w))
         .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            (col("ts") - col("prev_ts")) > 1800L * 1000000000L, 1L).otherwise(0L))
+          when(col("prev_us").isNull ||
+            (col("__us") - col("prev_us")) > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("session_id", sum("new_session").over(
           Window.partitionBy("user_id").orderBy("ts")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -206,9 +212,9 @@ object LifecycleQueries {
   /** EV4: as-of join — each click event attaches the most recent
     * prior view's value for the same user (backward, tie-inclusive).
     * Oracled against DuckDB's NATIVE ASOF JOIN, so the operator's
-    * semantics are pinned to an engine that has it built in. The
-    * nanosecond ts column stays internal (Long on the Spark side,
-    * TIMESTAMP in DuckDB — excluded from the compared output).
+    * semantics are pinned to an engine that has it built in. The ts
+    * column stays internal (only ordered, never compared across
+    * encodings — excluded from the compared output).
     */
   val ev4Asof = QueryDef(
     "ev4_asof_join",
