@@ -437,6 +437,35 @@ object LifecycleQueries {
         CAST(SUM(l_suppkey % 97) AS DOUBLE) AS sum_sk97
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** IO8: dtype-bridge round-trip — the reference's canonical store
+    * shape (tests/test_manage.py:15-27: a STRING coordinate axis plus
+    * non-float variables) through the distributed zarr writer and
+    * back. `rflag` writes as numpy `<U1`, `even_rows` as `|b1`;
+    * [[graft.sources.ZarrSource]] restores STRING/BOOLEAN types, so
+    * the oracle compares typed values, not encodings. The
+    * (rflag × linenum) grid is complete at every tested SF (21 cells),
+    * which the bool variable requires — bools, like ints, have no NaN
+    * fill.
+    */
+  val io8Dtypes = QueryDef(
+    "io8_dtype_roundtrip",
+    (s, dir) => {
+      val grid = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"),
+          col("l_linenumber").as("linenum"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          (count(lit(1)) % 2 === 0).as("even_rows"))
+      val d = freshDir("io8") + "/grid.zarr"
+      graft.sources.ZarrSink.writeDataset(grid, d, Seq("rflag", "linenum"))
+      graft.sources.ZarrSource.readDataset(s, d)
+        .select("rflag", "linenum", "sum_qty", "even_rows")
+    },
+    Some("""SELECT l_returnflag AS rflag,
+        CAST(l_linenumber AS BIGINT) AS linenum,
+        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        (COUNT(*) % 2 = 0) AS even_rows
+      FROM lineitem GROUP BY 1, 2"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -480,6 +509,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, io8Dtypes, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }

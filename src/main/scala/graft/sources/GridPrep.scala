@@ -9,6 +9,13 @@ import org.apache.spark.sql.types._
   * extraction, and index maps. One definition so validation and type
   * semantics cannot drift between the two writers.
   *
+  * Column kinds: every column normalizes to one of f8 (DOUBLE), i8
+  * (LONG), bool (BOOLEAN, data variables), or string (dims only — the
+  * reference's canonical store has a STRING coordinate axis,
+  * tests/test_manage.py:15-27; string DATA variables stay out of scope
+  * and fail loudly). Bool dims fold to i8 (a 2-value axis); bool data
+  * variables keep their type so the store round-trips bool-for-bool.
+  *
   * The normalized frame is persisted for the scope of `body`: writing a
   * dataset runs one Spark job per dim (axis distinct) plus one per data
   * variable, and without the persist each job would re-execute the full
@@ -18,6 +25,16 @@ import org.apache.spark.sql.types._
   */
 private[sources] object GridPrep {
 
+  /** Normalized column kind — the bridge's four storable types. */
+  sealed trait ColKind extends Serializable
+  object ColKind {
+    case object F8   extends ColKind
+    case object I8   extends ColKind
+    case object Bool extends ColKind
+    case object Str  extends ColKind
+  }
+  import ColKind._
+
   /** coord value → 0-based axis position, by BINARY SEARCH over the
     * sorted primitive axis. A boxed `Map[Any, Long]` here costs ~50
     * bytes/entry in the task broadcast plus java-serialization of
@@ -25,8 +42,11 @@ private[sources] object GridPrep {
     * write broadcast-bound. Primitive arrays broadcast at 8
     * bytes/entry and probe without allocation. Sort order is
     * `Ordering.Double.TotalOrdering`, matching `Double.compare` in
-    * `Arrays.binarySearch`, so NaN coordinates resolve too. */
-  final class AxisIndex private (longs: Array[Long], doubles: Array[Double])
+    * `Arrays.binarySearch`, so NaN coordinates resolve too. String
+    * axes (small by construction — they are the store's dimensions)
+    * probe a sorted String array with the same binary search. */
+  final class AxisIndex private (longs: Array[Long], doubles: Array[Double],
+                                 strings: Array[String])
       extends Serializable {
     def apply(v: Any): Long = {
       val i = v match {
@@ -34,6 +54,9 @@ private[sources] object GridPrep {
           java.util.Arrays.binarySearch(longs, l.longValue())
         case d: java.lang.Double =>
           java.util.Arrays.binarySearch(doubles, d.doubleValue())
+        case s: String =>
+          java.util.Arrays.binarySearch(strings.asInstanceOf[Array[AnyRef]],
+            s.asInstanceOf[AnyRef])
         case other => throw new IllegalStateException(s"coord $other")
       }
       require(i >= 0, s"coordinate $v not on its axis")
@@ -42,18 +65,21 @@ private[sources] object GridPrep {
   }
   object AxisIndex {
     /** `vs` must already be sorted (GridPrep sorts the axes). */
-    def of(vs: Array[Any], isFloat: Boolean): AxisIndex =
-      if (isFloat) new AxisIndex(null, vs.map(_.asInstanceOf[Double]))
-      else new AxisIndex(vs.map(_.asInstanceOf[Long]), null)
+    def of(vs: Array[Any], kind: ColKind): AxisIndex = kind match {
+      case F8  => new AxisIndex(null, vs.map(_.asInstanceOf[Double]), null)
+      case Str => new AxisIndex(null, null, vs.map(_.asInstanceOf[String]))
+      case _   => new AxisIndex(vs.map(_.asInstanceOf[Long]), null, null)
+    }
   }
 
   /** Prepared grid: `nd` is the persisted normalized frame with columns
-    * `dims ++ dataVars`, every column LongType or DoubleType. */
+    * `dims ++ dataVars`, every column one of the four [[ColKind]]s. */
   final case class Grid(nd: DataFrame, dataVars: Seq[String],
-                        isFloatCol: Map[String, Boolean],
+                        kinds: Map[String, ColKind],
                         coords: Seq[(String, Array[Any])],
                         idxMaps: Map[String, AxisIndex]) {
     def shape: Seq[Int] = coords.map(_._2.length)
+    def isFloatCol(c: String): Boolean = kinds(c) == F8
   }
 
   /** Both sinks interpolate names into JSON metadata and (zarr) use
@@ -82,9 +108,9 @@ private[sources] object GridPrep {
     b.toString
   }
 
-  /** Normalize `df` to i8/f8, extract sorted coordinate axes (driver-
-    * side, bounded: these ARE the store's dimensions), and run `body`
-    * with the normalized frame persisted. Null coordinates are
+  /** Normalize `df` to the four kinds, extract sorted coordinate axes
+    * (driver-side, bounded: these ARE the store's dimensions), and run
+    * `body` with the normalized frame persisted. Null coordinates are
     * rejected up front — dims must be total for EVERY row, regardless
     * of which data variables that row carries (both sinks then
     * re-assert per-row at assembly time, where the requirement is
@@ -96,31 +122,49 @@ private[sources] object GridPrep {
     require(dataVars.nonEmpty, "no data-variable columns besides dims")
     (dims ++ dataVars).foreach(validateName)
 
-    def norm(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
-      case LongType | DoubleType              => col(c)
-      case ByteType | ShortType | IntegerType => col(c).cast(LongType).as(c)
-      case FloatType                          => col(c).cast(DoubleType).as(c)
-      case BooleanType                        => col(c).cast(LongType).as(c)
-      case t => throw new IllegalArgumentException(
-        s"column '$c': unsupported type $t (numeric/boolean only)")
+    def norm(c: String): org.apache.spark.sql.Column = {
+      val isDim = dims.contains(c)
+      df.schema(c).dataType match {
+        case LongType | DoubleType              => col(c)
+        case ByteType | ShortType | IntegerType => col(c).cast(LongType).as(c)
+        case FloatType                          => col(c).cast(DoubleType).as(c)
+        case BooleanType =>
+          if (isDim) col(c).cast(LongType).as(c) else col(c)
+        case StringType if isDim                => col(c)
+        case StringType => throw new IllegalArgumentException(
+          s"column '$c': string DATA variables not supported " +
+            "(string coordinate axes are — make it a dim, or encode it)")
+        case t => throw new IllegalArgumentException(
+          s"column '$c': unsupported type $t (numeric/boolean/string-dim only)")
+      }
     }
 
     graft.Materialize.withReuse(df.select((dims ++ dataVars).map(norm): _*)) { nd =>
-      val isFloatCol: Map[String, Boolean] =
-        (dims ++ dataVars).map(c => c -> (nd.schema(c).dataType == DoubleType)).toMap
+      val kinds: Map[String, ColKind] =
+        (dims ++ dataVars).map { c =>
+          c -> (nd.schema(c).dataType match {
+            case DoubleType  => F8
+            case BooleanType => Bool
+            case StringType  => Str
+            case _           => I8
+          })
+        }.toMap
       val coords: Seq[(String, Array[Any])] = dims.map { d =>
         val vs = nd.select(d).distinct().collect().map(_.get(0))
         require(!vs.contains(null),
           s"null coordinate in dim '$d' (dims must be total)")
         require(vs.nonEmpty, s"dim '$d' has no values")
-        d -> (if (isFloatCol(d)) vs.map(_.asInstanceOf[Double]).sorted.toArray[Any]
-              else vs.map(_.asInstanceOf[Long]).sorted.toArray[Any])
+        d -> (kinds(d) match {
+          case F8  => vs.map(_.asInstanceOf[Double]).sorted.toArray[Any]
+          case Str => vs.map(_.asInstanceOf[String]).sorted.toArray[Any]
+          case _   => vs.map(_.asInstanceOf[Long]).sorted.toArray[Any]
+        })
       }
       val idxMaps: Map[String, AxisIndex] =
         coords.map { case (d, vs) =>
-          d -> AxisIndex.of(vs, isFloatCol(d))
+          d -> AxisIndex.of(vs, kinds(d))
         }.toMap
-      body(Grid(nd, dataVars, isFloatCol, coords, idxMaps))
+      body(Grid(nd, dataVars, kinds, coords, idxMaps))
     }
   }
 }

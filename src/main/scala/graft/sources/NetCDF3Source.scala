@@ -33,8 +33,9 @@ import java.nio.ByteBuffer
   *
   * Scope: classic format only (netCDF-4 IS HDF5 — migrate those with
   * scripts/migrate_xyzpy.py); numeric types byte/short/int/float/
-  * double (NC_CHAR attributes are skipped with the rest of the
-  * attribute lists).
+  * double, plus 2-D NC_CHAR matrices named after their first dim,
+  * which read as STRING coordinate axes (the classic string-axis
+  * encoding; other char vars and NC_CHAR attributes are skipped).
   */
 object NetCDF3Source {
 
@@ -213,9 +214,14 @@ object NetCDF3Source {
     */
   def readDataset(spark: SparkSession, file: String): DataFrame = {
     val hdr = readHeader(spark, file)
-    val (coordVars, dataVars) = hdr.vars
-      .filter(_.ncType != 2)
-      .partition(m => m.dims == Seq(m.name))
+    val (charVars, rest) = hdr.vars.partition(_.ncType == 2)
+    // a 2-D NC_CHAR matrix named after its FIRST dim is that dim's
+    // STRING coordinate axis (classic-format string encoding — the
+    // second dim is the fixed string length); other char vars are
+    // skipped as before
+    val strCoords = charVars.filter(m =>
+      m.dims.length == 2 && m.dims.head == m.name)
+    val (coordVars, dataVars) = rest.partition(m => m.dims == Seq(m.name))
     require(dataVars.nonEmpty, s"no data variables in $file")
     val base = dataVars.sortBy(-_.shape.length)
     var df = readArray(spark, file, base.head.name, base.head.name)
@@ -231,7 +237,36 @@ object NetCDF3Source {
         .drop(m.name)
         .withColumnRenamed(s"__c_${m.name}", m.name)
     }
+    for (m <- strCoords if df.columns.contains(m.name)) {
+      val coords = readCharCoord(spark, file, m)
+      df = df.join(broadcast(coords), Seq(m.name), "left_outer")
+        .drop(m.name)
+        .withColumnRenamed(s"__c_${m.name}", m.name)
+    }
     df
+  }
+
+  /** String coordinate axis from a 2-D NC_CHAR matrix: one driver-side
+    * positional read (bounded — coordinate axes ARE the store's
+    * dimensions), rows NUL/space-trimmed per netCDF convention. */
+  private def readCharCoord(spark: SparkSession, file: String,
+                            m: VarMeta): DataFrame = {
+    val Seq(len, strlen) = m.shape
+    val buf = new Array[Byte](len * strlen)
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try in.readFully(m.begin, buf) finally in.close()
+    val rows = (0 until len).map { i =>
+      var end = (i + 1) * strlen
+      while (end > i * strlen &&
+        (buf(end - 1) == 0 || buf(end - 1) == ' ')) end -= 1
+      Row(i.toLong, new String(buf, i * strlen, end - i * strlen,
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField(m.name, LongType, nullable = false),
+        StructField(s"__c_${m.name}", StringType, nullable = false))))
   }
 }
 

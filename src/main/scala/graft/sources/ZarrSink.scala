@@ -128,20 +128,37 @@ object ZarrSink {
         metaFile(".zattrs", "{}")
       }
 
-      // coordinate arrays: tiny, single-chunk, driver-written
+      // coordinate arrays: tiny, single-chunk, driver-written. String
+      // axes write as numpy fixed-width `<U<n>` (n = longest value in
+      // code points) — zarr v2 only: v3 core has no fixed-width string
+      // type (its strings are variable-length), so a string axis under
+      // zarrFormat = 3 fails loudly rather than writing a store other
+      // readers reject.
       for ((d, vs) <- g.coords) {
-        val float = g.isFloatCol(d)
+        val kind = g.kinds(d)
+        val dt = kind match {
+          case GridPrep.ColKind.F8  => "<f8"
+          case GridPrep.ColKind.Str =>
+            require(zarrFormat == 2, s"string axis '$d': zarr v3 has no " +
+              "fixed-width string type — write string axes with zarrFormat = 2")
+            val n = vs.map { v =>
+              val s = v.asInstanceOf[String]
+              s.codePointCount(0, s.length)
+            }.max
+            s"<U${math.max(1, n)}"
+          case _                    => "<i8"
+        }
         fs.mkdirs(new Path(path, d))
         if (zarrFormat == 2) {
           metaFile(s"$d/.zarray",
-            zarrayJson(Seq(vs.length), Seq(vs.length), float, compress))
+            zarrayJson(Seq(vs.length), Seq(vs.length), dt, compress))
           metaFile(s"$d/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${GridPrep.jsonString(d)}]}""")
         } else {
-          v3MetaFile(d, v3ArrayJson(Seq(vs.length), vs.length, 0, float,
+          v3MetaFile(d, v3ArrayJson(Seq(vs.length), vs.length, 0, dt,
             compress, Seq(d)))
         }
-        writeCoordPayload(fs, new Path(path, d), vs, compress, zarrFormat)
+        writeCoordPayload(fs, new Path(path, d), vs, dt, compress, zarrFormat)
       }
 
       val dimsArr = dims.toArray
@@ -151,16 +168,26 @@ object ZarrSink {
       val shapeTail = shape.drop(1).map(_.toLong).toArray
 
       val varsArr = g.dataVars.toArray
-      val floatArr = varsArr.map(g.isFloatCol)
+      // per-var storage class: 0 = i8, 1 = f8, 2 = |b1 (bool)
+      val kindArr: Array[Byte] = varsArr.map(v => g.kinds(v) match {
+        case GridPrep.ColKind.F8   => 1: Byte
+        case GridPrep.ColKind.Bool => 2: Byte
+        case _                     => 0: Byte
+      })
+      def varDtype(vi: Int): String = kindArr(vi) match {
+        case 1 => "<f8"
+        case 2 => "|b1"
+        case _ => "<i8"
+      }
       for ((v, vi) <- varsArr.zipWithIndex) {
         fs.mkdirs(new Path(path, v))
         if (zarrFormat == 2) {
           metaFile(s"$v/.zarray",
-            zarrayJson(shape, c0 +: shape.drop(1), floatArr(vi), compress))
+            zarrayJson(shape, c0 +: shape.drop(1), varDtype(vi), compress))
           metaFile(s"$v/.zattrs",
             s"""{"_ARRAY_DIMENSIONS": [${dims.map(GridPrep.jsonString).mkString(", ")}]}""")
         } else {
-          v3MetaFile(v, v3ArrayJson(shape, c0, shardInnerRows, floatArr(vi),
+          v3MetaFile(v, v3ArrayJson(shape, c0, shardInnerRows, varDtype(vi),
             compress, dims))
         }
       }
@@ -197,19 +224,21 @@ object ZarrSink {
         val chunk = (i0 / c0).toInt
         (0 until nv).iterator.flatMap { vi =>
           if (r.isNullAt(ndim + vi)) {
-            require(floatArr(vi), s"integer variable '${varsArr(vi)}' has a " +
-              "null cell (no NaN fill exists for ints — fill or drop " +
+            require(kindArr(vi) == 1, s"variable '${varsArr(vi)}' has a " +
+              "null cell (no NaN fill exists for int/bool — fill or drop " +
               "before writing)")
             Iterator.empty
           } else {
-            val bits =
-              if (floatArr(vi)) java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
-              else r.getLong(ndim + vi)
+            val bits = kindArr(vi) match {
+              case 1 => java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
+              case 2 => if (r.getBoolean(ndim + vi)) 1L else 0L
+              case _ => r.getLong(ndim + vi)
+            }
             Iterator(((chunk, vi, off), bits))
           }
         }
       }
-      val enc = ChunkEnc(zarrFormat, varsArr, floatArr, compress, c0,
+      val enc = ChunkEnc(zarrFormat, varsArr, kindArr, compress, c0,
         shardInnerRows, chunkElems.toInt, innerElems, shape.head,
         dims.length)
       writeChunks(rows, path, enc, nChunks,
@@ -237,24 +266,29 @@ object ZarrSink {
     * naming and payload assembly, shipped to the reduce tasks
     * (primitives and small arrays only). */
   private final case class ChunkEnc(format: Int, vars: Array[String],
-                                    floats: Array[Boolean],
+                                    kinds: Array[Byte], // 0=i8 1=f8 2=|b1
                                     compress: Boolean, c0: Int,
                                     innerRows: Int, chunkElems: Int,
                                     innerElems: Long, dim0: Int, ndim: Int)
       extends Serializable {
+    def isFloat(vi: Int): Boolean = kinds(vi) == 1
     def fillBits(vi: Int): Long =
-      if (floats(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
+      if (isFloat(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
+    /** element width on disk: 1 byte for `|b1`, 8 for f8/i8 */
+    def elemBytes(vi: Int): Int = if (kinds(vi) == 2) 1 else 8
 
     def key(chunk: Int): String =
       if (format == 2) (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
       else ("c" +: chunk.toString +: Seq.fill(ndim - 1)("0")).mkString("/")
 
-    def payload(chunk: Int, buf: Array[Long]): Array[Byte] = {
-      val raw = toBytesLE(buf, chunkElems)
+    def payload(chunk: Int, vi: Int, buf: Array[Long]): Array[Byte] = {
+      val raw =
+        if (kinds(vi) == 2) toBytesBool(buf, chunkElems)
+        else toBytesLE(buf, chunkElems)
       if (innerRows == 0) {
         if (!compress) raw
         else if (format == 2) deflate(raw) else gzip1(raw)
-      } else shardPayload(chunk, raw)
+      } else shardPayload(chunk, vi, raw)
     }
 
     /** ZEP 2 shard: concatenated inner chunks (contiguous slices of
@@ -262,11 +296,12 @@ object ZarrSink {
       * (offset, nbytes) index in C-order + CRC32C, index at end.
       * Inner chunks wholly past the array's dim-0 extent are MISSING
       * (2⁶⁴−1 entries) per the spec. */
-    private def shardPayload(chunk: Int, raw: Array[Byte]): Array[Byte] = {
+    private def shardPayload(chunk: Int, vi: Int,
+                             raw: Array[Byte]): Array[Byte] = {
       val innerPerShard = c0 / innerRows
       val validRows = math.min(c0.toLong * (chunk + 1), dim0.toLong) -
         c0.toLong * chunk
-      val innerBytes = (innerRows * innerElems * 8L).toInt
+      val innerBytes = (innerRows * innerElems * elemBytes(vi)).toInt
       val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
       val index = ByteBuffer.allocate(innerPerShard * 16 + 4)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -333,15 +368,15 @@ object ZarrSink {
           val validElems =
             (math.min(enc.c0.toLong * (curChunk + 1), enc.dim0.toLong) -
               enc.c0.toLong * curChunk) * enc.innerElems
-          if (!enc.floats(curVar)) { // ints have no fill — must be complete
+          if (!enc.isFloat(curVar)) { // int/bool have no fill — must be complete
             require(cells == validElems,
-              s"integer variable '${enc.vars(curVar)}' chunk $curChunk: " +
-                s"$cells of $validElems cells present (ints cannot encode " +
-                "missing cells)")
+              s"variable '${enc.vars(curVar)}' chunk $curChunk: " +
+                s"$cells of $validElems cells present (int/bool cannot " +
+                "encode missing cells)")
           }
           val out = fsx.create(
             new Path(new Path(path, enc.vars(curVar)), enc.key(curChunk)), true)
-          try out.write(enc.payload(curChunk, buf)) finally out.close()
+          try out.write(enc.payload(curChunk, curVar, buf)) finally out.close()
         }
         while (it.hasNext) {
           val ((c, vi, off), bits) = it.next()
@@ -367,17 +402,37 @@ object ZarrSink {
   }
 
   /** Coordinate-array CHUNK bytes (metadata is the caller's — it owns
-    * the consolidated manifest). */
+    * the consolidated manifest). String axes encode numpy `<U<n>`:
+    * each value as UCS-4 little-endian, NUL-padded to n code points. */
   private def writeCoordPayload(fs: org.apache.hadoop.fs.FileSystem,
-                                arrPath: Path, vs: Array[Any],
+                                arrPath: Path, vs: Array[Any], dtype: String,
                                 compress: Boolean, zarrFormat: Int): Unit = {
-    val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    vs.foreach {
-      case d: Double => buf.putDouble(d)
-      case l: Long   => buf.putLong(l)
-      case other => throw new IllegalStateException(s"coord $other")
+    val raw = if (dtype.startsWith("<U")) {
+      val n = dtype.drop(2).toInt
+      val buf = ByteBuffer.allocate(vs.length * n * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach { v =>
+        val s = v.asInstanceOf[String]
+        var written = 0
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          buf.putInt(cp)
+          written += 1
+          i += Character.charCount(cp)
+        }
+        while (written < n) { buf.putInt(0); written += 1 }
+      }
+      buf.array()
+    } else {
+      val buf = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach {
+        case d: Double => buf.putDouble(d)
+        case l: Long   => buf.putLong(l)
+        case other => throw new IllegalStateException(s"coord $other")
+      }
+      buf.array()
     }
-    val raw = buf.array()
     val payload =
       if (!compress) raw
       else if (zarrFormat == 2) deflate(raw) else gzip1(raw)
@@ -386,26 +441,38 @@ object ZarrSink {
     try out.write(payload) finally out.close()
   }
 
+  /** v2 fill per dtype: NaN for floats, false for bool, 0 for ints;
+    * string axes are complete single-chunk arrays, so their fill is
+    * never consulted — null (undefined) keeps readers honest. */
+  private def fillJson(dtype: String): String = dtype match {
+    case "<f8"                        => "\"NaN\""
+    case "|b1"                        => "false"
+    case s if s.startsWith("<U")      => "null"
+    case _                            => "0"
+  }
+
   /** `.zarray` text matching zarr-python's own field set; key order is
     * alphabetical like `json.dumps(..., sort_keys=True)` so the golden
     * byte-compare spec can pin both writers to one canonical form. */
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int],
-                         float: Boolean, compress: Boolean): String = {
-    val dtype = if (float) "<f8" else "<i8"
+                         dtype: String, compress: Boolean): String = {
     val comp = if (compress) """{"id": "zlib", "level": 1}""" else "null"
-    val fill = if (float) "\"NaN\"" else "0"
     s"""{"chunks": [${chunks.mkString(", ")}], "compressor": $comp, """ +
-      s""""dtype": "$dtype", "fill_value": $fill, "filters": null, """ +
+      s""""dtype": "$dtype", "fill_value": ${fillJson(dtype)}, "filters": null, """ +
       s""""order": "C", "shape": [${shape.mkString(", ")}], "zarr_format": 2}"""
   }
 
   /** v3 `zarr.json` array text — alphabetical keys, `json.dumps`
     * spacing, same canonical-form discipline as [[zarrayJson]]. */
   private def v3ArrayJson(shape: Seq[Int], c0: Int, innerRows: Int,
-                          float: Boolean, compress: Boolean,
+                          dtype: String, compress: Boolean,
                           dims: Seq[String]): String = {
-    val dataType = if (float) "float64" else "int64"
-    val fill = if (float) "\"NaN\"" else "0"
+    val dataType = dtype match {
+      case "<f8" => "float64"
+      case "|b1" => "bool"
+      case _     => "int64"
+    }
+    val fill = fillJson(dtype)
     val chunkShape = (c0 +: shape.drop(1)).mkString(", ")
     val byteChain = {
       val bytes = """{"configuration": {"endian": "little"}, "name": "bytes"}"""
@@ -438,6 +505,14 @@ object ZarrSink {
     var i = 0
     while (i < n) { bb.putLong(buf(i)); i += 1 }
     bb.array()
+  }
+
+  /** `|b1` slab: one byte per element (bits are 0/1 by construction). */
+  private def toBytesBool(buf: Array[Long], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = buf(i).toByte; i += 1 }
+    out
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {

@@ -23,8 +23,14 @@ import scala.jdk.CollectionConverters._
   * directory of independent chunks, so this scales with the file
   * listing, not the array size; no driver materialization anywhere.
   *
-  * Scope: zarr_format 2 (.zarray) and 3 (zarr.json), C order,
-  * little-endian f8/f4/i8/i4. Byte streams: null | zlib | gzip |
+  * Scope: zarr_format 2 (.zarray) and 3 (zarr.json), C order.
+  * Dtypes: little-endian f8/f4/i8/i4, `|b1` → BOOLEAN, `<c16`
+  * (complex128) → struct(re, im), fixed-width strings `|S<n>` (bytes,
+  * UTF-8) and `<U<n>` (UCS-4) → STRING — the reference's canonical
+  * store shape (string coords, bool/complex vars,
+  * tests/test_manage.py:15-27) crosses whole. v3 adds bool and
+  * complex128 under their own names; v3 VARIABLE-length strings fail
+  * fast with the migration hint. Byte streams: null | zlib | gzip |
   * zstd | blosc with EVERY c-blosc-1 inner codec — blosclz, lz4,
   * lz4hc, snappy, zlib, zstd — and shuffle mode — none, byte, bit —
   * ([[BloscCodec]]/[[BloscLz]]: any numcodecs `Blosc(...)`
@@ -66,7 +72,36 @@ object ZarrSource {
       extends Serializable {
     def ndim: Int = shape.length
     def isFloat: Boolean = dtype.endsWith("f8") || dtype.endsWith("f4")
+    /** Bytes per element for every supported dtype (fixed-width only —
+      * zarr v2 strings are `|S<n>` bytes / `<U<n>` UCS-4). */
+    def elemSize: Int = dtype match {
+      case "<f8" | "<i8"           => 8
+      case "<f4" | "<i4"           => 4
+      case "|b1"                   => 1
+      case "<c16"                  => 16
+      case s if s.startsWith("|S") => s.drop(2).toInt
+      case s if s.startsWith("<U") => s.drop(2).toInt * 4
+    }
+    /** Spark-side value type: numerics widen to DOUBLE/LONG, `|b1` →
+      * BOOLEAN, fixed strings → STRING, `<c16` → struct(re, im) —
+      * the engine's complex encoding ([[graft.functions.ComplexFns]]). */
+    def valueType: DataType = dtype match {
+      case "<f8" | "<f4" => DoubleType
+      case "<i8" | "<i4" => LongType
+      case "|b1"         => BooleanType
+      case "<c16"        => StructType(Seq(
+        StructField("re", DoubleType, nullable = false),
+        StructField("im", DoubleType, nullable = false)))
+      case _             => StringType // |S* / <U*
+    }
   }
+
+  /** The v2 dtypes this bridge reads — the reference's canonical store
+    * shape (string coords, bool + complex128 variables,
+    * tests/test_manage.py:15-27) plus the numeric core. */
+  private def supportedV2Dtype(d: String): Boolean =
+    Set("<f8", "<f4", "<i8", "<i4", "|b1", "<c16").contains(d) ||
+      d.matches("\\|S[1-9][0-9]*") || d.matches("<U[1-9][0-9]*")
 
   private val migrateHint = "re-encode with zlib: scripts/migrate_xyzpy.py"
 
@@ -110,8 +145,8 @@ object ZarrSource {
       "zarr filters not supported")
     def ints(n: JsonNode): Seq[Int] = n.elements().asScala.map(_.asInt()).toSeq
     val dtype = za.get("dtype").asText()
-    require(Set("<f8", "<f4", "<i8", "<i4").contains(dtype),
-      s"unsupported dtype '$dtype' (little-endian f8/f4/i8/i4 only)")
+    require(supportedV2Dtype(dtype),
+      s"unsupported dtype '$dtype' (f8/f4/i8/i4/b1/c16/S*/U* only)")
     val comp = Option(za.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
       require(id == "zlib" || id == "gzip" || id == "zstd" || id == "blosc",
@@ -136,25 +171,60 @@ object ZarrSource {
       if (dims.nonEmpty) dims else shape.indices.map(i => s"dim_$i")
     require(finalDims.length == shape.length)
     ArrayMeta(shape, ints(za.get("chunks")), dtype, comp, finalDims,
-      fillValue = parseFill(za.get("fill_value"), dtype(1) == 'f'))
+      fillValue = parseFill(za.get("fill_value"), dtype))
   }
 
   /** `fill_value` → the typed fill for this dtype: Double for floats
     * (including the JSON-string spellings v2/v3 use for non-finite
-    * values), Long for ints. v2 `null` = undefined fill → None (absent
-    * chunks then stay absent rather than synthesizing cells). */
-  private def parseFill(node: JsonNode, isFloat: Boolean): Option[Any] =
+    * values), Long for ints, Boolean for `|b1`, a 2-element
+    * [real, imag] array → Row for `<c16`, and — per the v2 spec —
+    * base64-encoded raw scalar bytes for `|S`/`<U`. v2 `null` =
+    * undefined fill → None (absent chunks then stay absent rather
+    * than synthesizing cells). */
+  private def parseFill(node: JsonNode, dtype: String): Option[Any] =
     Option(node).filterNot(_.isNull).map { n =>
-      if (isFloat) {
-        if (n.isTextual) n.asText() match {
+      def fp(x: JsonNode): Double =
+        if (x.isTextual) x.asText() match {
           case "NaN"       => Double.NaN
           case "Infinity"  => Double.PositiveInfinity
           case "-Infinity" => Double.NegativeInfinity
           case other => throw new IllegalArgumentException(
             s"unsupported fill_value '$other'")
-        } else n.asDouble()
-      } else n.asLong()
+        } else x.asDouble()
+      dtype match {
+        case "<f8" | "<f4" => fp(n)
+        case "<i8" | "<i4" => n.asLong()
+        case "|b1" => if (n.isBoolean) n.asBoolean() else n.asLong() != 0L
+        case "<c16" =>
+          require(n.isArray && n.size() == 2,
+            s"complex fill_value must be [real, imag], got $n")
+          Row(fp(n.get(0)), fp(n.get(1)))
+        case s if s.startsWith("|S") =>
+          trimNul(new String(java.util.Base64.getDecoder.decode(n.asText()),
+            java.nio.charset.StandardCharsets.UTF_8))
+        case s if s.startsWith("<U") =>
+          val raw = java.util.Base64.getDecoder.decode(n.asText())
+          decodeUcs4(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN),
+            0, raw.length / 4)
+      }
     }
+
+  private def trimNul(s: String): String = {
+    var end = s.length
+    while (end > 0 && s.charAt(end - 1) == '\u0000') end -= 1
+    s.substring(0, end)
+  }
+
+  /** UCS-4 little-endian (numpy `<U`) → String; trailing NUL padding
+    * dropped. `off` is a byte offset, `n` a code-point count. */
+  private def decodeUcs4(bb: ByteBuffer, off: Int, n: Int): String = {
+    var end = n
+    while (end > 0 && bb.getInt(off + (end - 1) * 4) == 0) end -= 1
+    val sb = new java.lang.StringBuilder(end)
+    var i = 0
+    while (i < end) { sb.appendCodePoint(bb.getInt(off + i * 4)); i += 1 }
+    sb.toString
+  }
 
   /** Zarr v3 array metadata (public spec: zarr.json, regular chunk
     * grid, codecs chain of one array→bytes `bytes` codec plus at most
@@ -172,12 +242,18 @@ object ZarrSource {
       "not a zarr v3 array node")
     def ints(n: JsonNode): Seq[Int] = n.elements().asScala.map(_.asInt()).toSeq
     val dtype = zj.get("data_type").asText() match {
-      case "float64" => "<f8"
-      case "float32" => "<f4"
-      case "int64"   => "<i8"
-      case "int32"   => "<i4"
+      case "float64"    => "<f8"
+      case "float32"    => "<f4"
+      case "int64"      => "<i8"
+      case "int32"      => "<i4"
+      case "bool"       => "|b1"
+      case "complex128" => "<c16"
+      case "string" => throw new IllegalArgumentException(
+        "v3 variable-length strings not supported — export string axes " +
+          s"as zarr v2 fixed-width <U ($migrateHint)")
       case other => throw new IllegalArgumentException(
-        s"unsupported v3 data_type '$other' (float64/float32/int64/int32 only)")
+        s"unsupported v3 data_type '$other' " +
+          "(float64/float32/int64/int32/bool/complex128 only)")
     }
     val grid = zj.get("chunk_grid")
     require(grid != null && grid.get("name").asText() == "regular",
@@ -227,7 +303,7 @@ object ZarrSource {
     require(dims.length == shape.length)
     ArrayMeta(shape, chunks, dtype, comp, dims, version = 3,
       sharding = sharding,
-      fillValue = parseFill(zj.get("fill_value"), dtype(1) == 'f'))
+      fillValue = parseFill(zj.get("fill_value"), dtype))
   }
 
   /** Parse a v3 bytes-stream codec chain — one `bytes` (little-endian)
@@ -315,12 +391,11 @@ object ZarrSource {
                 valueCol: String = "value",
                 knownMeta: Option[ArrayMeta] = None): DataFrame = {
     val meta = knownMeta.getOrElse(readMeta(spark, arrayPath))
-    val elemSize = if (meta.dtype.endsWith("8")) 8 else 4
+    val elemSize = meta.elemSize
     val chunkElems = meta.chunks.product
     val schema = StructType(
       meta.dims.map(d => StructField(d, LongType, nullable = false)) :+
-        StructField(valueCol,
-          if (meta.isFloat) DoubleType else LongType, nullable = false))
+        StructField(valueCol, meta.valueType, nullable = false))
     // v2 chunk files are flat "i.j"; v3 default keys nest as "c/i/j"
     // (or flat "c.i.j") — recursive listing covers all encodings, and
     // the index parse below is encoding-agnostic
@@ -403,10 +478,26 @@ object ZarrSource {
   /** Element extractor for a decoded little-endian chunk buffer. */
   private def bufferValue(m: ArrayMeta, bb: ByteBuffer): Int => Any =
     m.dtype match {
-      case "<f8" => flat => bb.getDouble(flat * 8)
-      case "<f4" => flat => bb.getFloat(flat * 4).toDouble
-      case "<i8" => flat => bb.getLong(flat * 8)
-      case "<i4" => flat => bb.getInt(flat * 4).toLong
+      case "<f8"  => flat => bb.getDouble(flat * 8)
+      case "<f4"  => flat => bb.getFloat(flat * 4).toDouble
+      case "<i8"  => flat => bb.getLong(flat * 8)
+      case "<i4"  => flat => bb.getInt(flat * 4).toLong
+      case "|b1"  => flat => bb.get(flat) != 0
+      case "<c16" => flat =>
+        Row(bb.getDouble(flat * 16), bb.getDouble(flat * 16 + 8))
+      case s if s.startsWith("|S") =>
+        val n = m.elemSize
+        flat => {
+          val b = new Array[Byte](n)
+          var i = 0
+          while (i < n) { b(i) = bb.get(flat * n + i); i += 1 }
+          var end = n
+          while (end > 0 && b(end - 1) == 0) end -= 1
+          new String(b, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+        }
+      case s if s.startsWith("<U") =>
+        val n = s.drop(2).toInt
+        flat => decodeUcs4(bb, flat * n * 4, n)
     }
 
   /** Emit (global indices, value) rows for one chunk of shape `cshape`

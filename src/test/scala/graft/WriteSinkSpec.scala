@@ -260,16 +260,83 @@ class WriteSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq(5_000_000_000L, 6_000_000_000L))
   }
 
-  test("writers reject non-numeric columns with a clear error") {
+  test("writers reject string DATA variables with a clear error") {
     import spark.implicits._
     val s = Seq((1L, "txt")).toDF("a", "s")
     val e1 = intercept[IllegalArgumentException] {
       ZarrSink.writeDataset(s, Files.createTempDirectory("z").toString, Seq("a"))
     }
-    assert(e1.getMessage.contains("unsupported type"))
+    assert(e1.getMessage.contains("string DATA variables not supported"))
     val e2 = intercept[IllegalArgumentException] {
       NetCDF3Sink.writeDataset(s, Files.createTempFile("n", ".nc").toString, Seq("a"))
     }
-    assert(e2.getMessage.contains("unsupported type"))
+    assert(e2.getMessage.contains("string DATA variables not supported"))
+  }
+
+  test("zarr round-trip: string axis + bool variable (v2)") {
+    import spark.implicits._
+    // non-ASCII + multi-codepoint value exercises the UCS-4 encoding
+    val df = Seq(
+      ("alpha", 1L, true, 1.5), ("alpha", 2L, false, 2.5),
+      ("béta𝄞", 1L, false, -0.5), ("béta𝄞", 2L, true, Double.NaN),
+      ("c", 1L, true, 0.0), ("c", 2L, true, 7.25)
+    ).toDF("s", "k", "flag", "x")
+    val dir = Files.createTempDirectory("zstr").toString + "/st.zarr"
+    ZarrSink.writeDataset(df, dir, Seq("s", "k"))
+    val back = ZarrSource.readDataset(spark, dir)
+      .select("s", "k", "flag", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val want = Seq(
+      ("alpha", 1L, true, 1.5), ("alpha", 2L, false, 2.5),
+      ("béta𝄞", 1L, false, -0.5), ("béta𝄞", 2L, true, Double.NaN),
+      ("c", 1L, true, 0.0), ("c", 2L, true, 7.25))
+    assert(back.length == want.length)
+    back.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3)
+      assert(g._4 == w._4 || (g._4.isNaN && w._4.isNaN))
+    }
+    // the string axis really is numpy <U on disk
+    val metaTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "s", ".zarray")), "UTF-8")
+    assert(metaTxt.contains("\"<U"))
+  }
+
+  test("zarr v3 rejects string axes; bool vars write as v3 bool") {
+    import spark.implicits._
+    val sdf = Seq(("a", 1.0)).toDF("s", "x")
+    val e = intercept[IllegalArgumentException] {
+      ZarrSink.writeDataset(sdf,
+        Files.createTempDirectory("z3s").toString, Seq("s"), zarrFormat = 3)
+    }
+    assert(e.getMessage.contains("zarrFormat = 2"))
+    val bdf = Seq((1L, true), (2L, false), (3L, true)).toDF("k", "flag")
+    val dir = Files.createTempDirectory("z3b").toString + "/b.zarr"
+    ZarrSink.writeDataset(bdf, dir, Seq("k"), zarrFormat = 3)
+    val metaTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "flag", "zarr.json")), "UTF-8")
+    assert(metaTxt.contains("\"data_type\": \"bool\""))
+    val back = ZarrSource.readDataset(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("k")),
+        r.getBoolean(r.fieldIndex("flag")))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, true), (2L, false), (3L, true)))
+  }
+
+  test("netCDF round-trip: string axis (NC_CHAR) + bool variable (NC_BYTE)") {
+    import spark.implicits._
+    val df = Seq(
+      ("red", 1L, true, 1.0), ("red", 2L, false, 2.0),
+      ("green", 1L, false, 3.0), ("green", 2L, true, 4.0)
+    ).toDF("color", "k", "flag", "x")
+    val f = Files.createTempFile("ncstr", ".nc").toString
+    NetCDF3Sink.writeDataset(df, f, Seq("color", "k"))
+    // bool narrows to NC_BYTE 0/1 (classic has no boolean): LONG on read
+    val back = NetCDF3Source.readDataset(spark, f)
+      .select("color", "k", "flag", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(back.toSeq == Seq(
+      ("green", 1L, 0L, 3.0), ("green", 2L, 1L, 4.0),
+      ("red", 1L, 1L, 1.0), ("red", 2L, 0L, 2.0)))
   }
 }

@@ -478,4 +478,110 @@ class ZarrSpec extends SparkSpec {
     assert(ds.columns.toSet == Set("x", "y", "i", "sg", "sr"))
     assert(ds.count() == 42L * 10L)
   }
+
+  // ---- dtype bridge (round 10): the reference's canonical store
+  // shape — string coordinate, bool + complex128 variables
+  // (tests/test_manage.py:15-27). Fixtures from the stdlib generator
+  // scripts/gen_zarr_dtypes.py (json/struct/zlib only, no zarr lib);
+  // expected values are hand-computed here, not read back from the
+  // generator. FIXTURES.md has provenance.
+
+  private val dtypeStore = "src/test/resources/zarr_dtypes"
+
+  test("dtypes: <U3 string coord, |b1 bool, <c16 complex, |S4 bytes " +
+       "all decode; edge chunks and 2-byte UTF-8 chars included") {
+    // s axis: unicode incl. 'é'
+    val s = ZarrSource.readArray(spark, s"$dtypeStore/s", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s == Map(0L -> "ab", 1L -> "cdé", 2L -> "f"))
+    // flag: (i + j) even — 3x2 chunks pad both dims at the edges
+    val flag = ZarrSource.readArray(spark, s"$dtypeStore/flag", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(flag.size == 12)
+    for (i <- 0L until 4L; j <- 0L until 3L)
+      assert(flag((i, j)) == ((i + j) % 2 == 0), s"flag($i,$j)")
+    // tag: fixed |S4 bytes, NUL padding trimmed
+    val tag = ZarrSource.readArray(spark, s"$dtypeStore/tag", "tag")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tag == Map(0L -> "AA", 1L -> "BBBB", 2L -> "C", 3L -> "DD"))
+  }
+
+  test("dtypes: complex chunks decode to struct(re, im); an ABSENT " +
+       "complex chunk synthesizes the [0, NaN] fill") {
+    val z = ZarrSource.readArray(spark, s"$dtypeStore/z", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getStruct(2)).toMap
+    assert(z.size == 12)
+    for (i <- 0L until 2L; j <- 0L until 3L) {
+      val c = z((i, j))
+      assert(c.getDouble(0) == i + j / 10.0 && c.getDouble(1) == i * j,
+        s"z($i,$j) = $c")
+    }
+    for (i <- 2L until 4L; j <- 0L until 3L) {
+      val c = z((i, j))
+      assert(c.getDouble(0) == 0.0 && c.getDouble(1).isNaN, s"z($i,$j) = $c")
+    }
+  }
+
+  test("dtypes: an ABSENT bool chunk synthesizes fill_value true") {
+    val b2 = ZarrSource.readArray(spark, s"$dtypeStore/b2", "b2").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(b2 == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("dtypes: readDataset aligns the full canonical shape — string " +
+       "axis values replace indices, bool/complex/bytes vars ride along") {
+    val ds = ZarrSource.readDataset(spark, dtypeStore)
+    assert(ds.columns.toSet == Set("x", "s", "flag", "z", "tag", "b2"))
+    val rows = ds.collect().map { r =>
+      (r.getAs[Long]("x"), r.getAs[String]("s")) ->
+        ((r.getAs[Boolean]("flag"), r.getAs[org.apache.spark.sql.Row]("z"),
+          r.getAs[String]("tag"), r.getAs[Boolean]("b2")))
+    }.toMap
+    assert(rows.size == 12)
+    val sAxis = Seq("ab", "cdé", "f")
+    val tags = Seq("AA", "BBBB", "C", "DD")
+    for (i <- 0 until 4; j <- 0 until 3) {
+      val (flag, z, tag, b2) = rows(((i + 1) * 10L, sAxis(j)))
+      assert(flag == ((i + j) % 2 == 0))
+      assert(tag == tags(i))
+      assert(b2 == (i != 1))
+      if (i < 2) assert(z.getDouble(0) == i + j / 10.0 && z.getDouble(1) == i * j)
+      else assert(z.getDouble(0) == 0.0 && z.getDouble(1).isNaN)
+    }
+  }
+
+  private val v3DtypeStore = "src/test/resources/zarr_v3_dtypes"
+
+  test("v3 dtypes: bool (gzip) and complex128 (raw, absent chunk -> " +
+       "[NaN, 2.5] fill) read under their v3 names") {
+    val ds = ZarrSource.readDataset(spark, v3DtypeStore)
+    assert(ds.columns.toSet == Set("y", "fb", "cz"))
+    val rows = ds.collect().map { r =>
+      r.getAs[Long]("y") ->
+        ((r.getAs[Boolean]("fb"), r.getAs[org.apache.spark.sql.Row]("cz")))
+    }.toMap
+    val ys = Seq(1L, 2L, 3L, 5L, 8L)
+    val fbs = Seq(true, false, false, true, true)
+    for (k <- 0 until 5) {
+      val (fb, cz) = rows(ys(k))
+      assert(fb == fbs(k), s"fb($k)")
+      if (k < 3) assert(cz.getDouble(0) == k.toDouble && cz.getDouble(1) == -k.toDouble)
+      else assert(cz.getDouble(0).isNaN && cz.getDouble(1) == 2.5, s"cz($k) = $cz")
+    }
+  }
+
+  test("v3 dtypes: variable-length string data_type refuses with the " +
+       "migration hint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v3str")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[2],
+         "data_type":"string",
+         "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+         "codecs":[{"name":"bytes"}],"fill_value":""}""".getBytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e.getMessage.contains("variable-length strings"))
+  }
 }
