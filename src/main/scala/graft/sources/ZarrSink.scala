@@ -83,6 +83,47 @@ object ZarrSink {
     require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     require(shardInnerRows == 0 || zarrFormat == 3,
       "sharding is a zarr v3 feature (ZEP 2) — set zarrFormat = 3")
+    // Lease + stage-then-rename (same discipline as ParquetStore,
+    // Store.scala WriteLease/replaceWith): a second writer against the
+    // same destination throws ConcurrentWriteException instead of
+    // silently interleaving chunk files, and a killed write leaves the
+    // OLD store (or nothing) at `path`, never a mix — the store only
+    // changes via the final checked renames.
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    graft.store.WriteLease.withLease(fs, new Path(path + ".__lock"),
+      "zarr-write") {
+      val tmp = new Path(path + ".__tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      writeStore(df, tmp.toString, dims, chunkTargetBytes, compress,
+        zarrFormat, shardInnerRows)
+      val bak = new Path(path + ".__bak")
+      def renameOrAbort(from: Path, to: Path, keep: String): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"zarr store swap: rename $from -> $to failed; $keep")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(dest))
+        renameOrAbort(dest, bak, s"store left untouched at $dest")
+      renameOrAbort(tmp, dest,
+        s"previous store preserved at $bak (restore by renaming it back)")
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+  }
+
+  /** Remove a verified-stale write lease left by a crashed writer. */
+  def breakLease(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Unit = {
+    val lock = new Path(path + ".__lock")
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, true)
+  }
+
+  private def writeStore(df: DataFrame, path: String, dims: Seq[String],
+                         chunkTargetBytes: Long,
+                         compress: Boolean,
+                         zarrFormat: Int,
+                         shardInnerRows: Int): Unit = {
     GridPrep.withGrid(df, dims) { g =>
       val spark = df.sparkSession
       val shape = g.shape

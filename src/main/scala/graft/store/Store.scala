@@ -28,7 +28,7 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * store at a time; readers are never blocked (parquet reads are
   * immutable-file snapshots).
   */
-private[store] object WriteLease {
+private[graft] object WriteLease {
   def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
                    lock: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
     val payload = s"pid=${ProcessHandle.current().pid()} op=$op " +

@@ -322,6 +322,84 @@ class WriteSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, true), (2L, false), (3L, true)))
   }
 
+  test("netCDF data section costs ONE job regardless of variable count") {
+    import spark.implicits._
+    val one = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("a", "x")
+    val four = Seq((1L, 1.0, 10L, -1.0, 100L), (2L, 2.0, 20L, -2.0, 200L),
+      (3L, 3.0, 30L, -3.0, 300L)).toDF("a", "x", "n", "y", "m")
+    def countJobs(body: => Unit): Int = {
+      // statusTracker is synchronous with job submission (no listener
+      // race): jobs are registered on submit, so the delta is exact
+      val before = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(null).length
+      body
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    val f1 = Files.createTempFile("nc1v", ".nc").toString
+    val f4 = Files.createTempFile("nc4v", ".nc").toString
+    val j1 = countJobs(NetCDF3Sink.writeDataset(one, f1, Seq("a")))
+    val j4 = countJobs(NetCDF3Sink.writeDataset(four, f4, Seq("a")))
+    // same job count for 1 var and 4 vars: the data section is one
+    // sorted pass, not a job per variable
+    assert(j4 == j1, s"jobs: 1-var $j1 vs 4-var $j4")
+    val back = NetCDF3Source.readDataset(spark, f4)
+      .select("a", "x", "n", "y", "m").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, 1.0, 10L, -1.0, 100L),
+      (2L, 2.0, 20L, -2.0, 200L), (3L, 3.0, 30L, -3.0, 300L)))
+  }
+
+  test("sinks hold the write lease: a second writer throws " +
+       "ConcurrentWriteException; breakLease clears a stale one") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("a", "x")
+    val zdir = Files.createTempDirectory("zlease").toString + "/st.zarr"
+    // simulate a concurrent holder
+    Files.createDirectories(Paths.get(zdir).getParent)
+    Files.writeString(Paths.get(zdir + ".__lock"), "pid=999 op=zarr-write")
+    val e1 = intercept[graft.store.ConcurrentWriteException] {
+      ZarrSink.writeDataset(df, zdir, Seq("a"))
+    }
+    assert(e1.getMessage.contains("another process"))
+    ZarrSink.breakLease(spark, zdir)
+    ZarrSink.writeDataset(df, zdir, Seq("a")) // now succeeds
+    assert(!Files.exists(Paths.get(zdir + ".__lock"))) // released
+    val nf = Files.createTempDirectory("nclease").toString + "/f.nc"
+    Files.writeString(Paths.get(nf + ".__lock"), "pid=999 op=netcdf-write")
+    val e2 = intercept[graft.store.ConcurrentWriteException] {
+      NetCDF3Sink.writeDataset(df, nf, Seq("a"))
+    }
+    assert(e2.getMessage.contains("another process"))
+    NetCDF3Sink.breakLease(spark, nf)
+    NetCDF3Sink.writeDataset(df, nf, Seq("a"))
+    assert(!Files.exists(Paths.get(nf + ".__lock")))
+  }
+
+  test("a failed write leaves the OLD store intact, never a mix") {
+    import spark.implicits._
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("a", "n")
+    // int var with a missing cell: the write job itself fails mid-way
+    val bad = Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("a", "n")
+    val zdir = Files.createTempDirectory("zatomic").toString + "/st.zarr"
+    ZarrSink.writeDataset(v1, zdir, Seq("a"))
+    intercept[Exception] { ZarrSink.writeDataset(bad, zdir, Seq("a")) }
+    val back = ZarrSource.readDataset(spark, zdir).collect()
+      .map(r => r.getLong(r.fieldIndex("a")) ->
+        r.getLong(r.fieldIndex("n"))).toMap
+    assert(back == Map(1L -> 10L, 2L -> 20L)) // v1, untouched
+    assert(!Files.exists(Paths.get(zdir + ".__lock"))) // lease released
+    val nf = Files.createTempDirectory("natomic").toString + "/f.nc"
+    NetCDF3Sink.writeDataset(v1, nf, Seq("a"))
+    intercept[Exception] { NetCDF3Sink.writeDataset(bad, nf, Seq("a")) }
+    val nback = NetCDF3Source.readDataset(spark, nf).collect()
+      .map(r => r.getLong(r.fieldIndex("a")) ->
+        r.getLong(r.fieldIndex("n"))).toMap
+    assert(nback == Map(1L -> 10L, 2L -> 20L))
+    assert(!Files.exists(Paths.get(nf + ".__lock")))
+  }
+
   test("netCDF round-trip: string axis (NC_CHAR) + bool variable (NC_BYTE)") {
     import spark.implicits._
     val df = Seq(
