@@ -72,21 +72,46 @@ import scala.collection.mutable
   * MaterializeLifecycleSpec asserts the invariant the registry exists
   * for: after every registered query's action + releaseAll(), the
   * session's persistent-RDD set returns to its baseline.
+  *
+  * == Scoping (round-10) ==
+  *
+  * The registry is keyed by a SCOPE token carried in a
+  * `DynamicVariable` (thread-inherited). [[releaseAll]] drops only the
+  * stages registered under the CALLING pipeline's scope, so two
+  * pipelines interleaved on one driver — a streaming job and a batch
+  * harvest, two notebook cells — cannot release each other's caches
+  * (previously a silent perf cliff: the victim's plans recompute from
+  * source). Sequential runners (Verify/Bench/specs) never call
+  * [[inScope]] and keep the exact old behavior: everything registers
+  * under the root scope, and each releaseAll() drains what the
+  * just-finished query registered there. A concurrent pipeline wraps
+  * its build+run+release in `Materialize.inScope { ... }`.
   */
 object Materialize {
 
+  /** Opaque registry key; one per [[inScope]] activation. */
+  private final class Scope
+  private val rootScope = new Scope
+  private val currentScope = new scala.util.DynamicVariable[Scope](rootScope)
+
+  /** Run `body` under a fresh registry scope: stages registered inside
+    * belong to this pipeline alone, and only ITS releaseAll() (called
+    * inside the scope) drops them. Thread-inherited, so Spark actions
+    * launched from worker threads inside the scope register correctly. */
+  def inScope[A](body: => A): A = currentScope.withValue(new Scope)(body)
+
   /** DataFrame handles persisted via [[reuse]] (CacheManager-backed). */
-  private val persistedFrames = mutable.ArrayBuffer.empty[DataFrame]
+  private val persistedFrames = mutable.ArrayBuffer.empty[(Scope, DataFrame)]
 
   /** RDD ids pinned by [[truncate]]'s local fallback (BlockManager-
     * backed; no CacheManager entry exists for these). */
-  private val pinnedRddIds = mutable.ArrayBuffer.empty[(SparkContext, Int)]
+  private val pinnedRddIds = mutable.ArrayBuffer.empty[(Scope, SparkContext, Int)]
 
   /** Deterministic multi-consumer stage: persist with lineage kept,
     * registered for [[releaseAll]]. */
   def reuse(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persistedFrames += p
+    persistedFrames += ((currentScope.value, p))
     p
   }
 
@@ -107,31 +132,38 @@ object Materialize {
     else synchronized {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint() // eager: blocks register here
-      pinnedRddIds ++= (sc.getPersistentRDDs.keySet -- before).map((sc, _))
+      pinnedRddIds ++= (sc.getPersistentRDDs.keySet -- before)
+        .map((currentScope.value, sc, _))
       out
     }
   }
 
-  /** Release every stage registered since the last call. Runners call
-    * this after each pipeline's terminal action; non-blocking, so the
-    * cost is bookkeeping, not I/O. Call at a QUIESCE point — after the
-    * registered pipelines' outputs are written/collected: re-running a
-    * released [[reuse]] plan recomputes from source, but a released
-    * truncate-local frame has no lineage left to recompute (see class
-    * doc). */
+  /** Release every stage registered IN THE CALLING SCOPE since its last
+    * call (root scope when no [[inScope]] is active — the sequential-
+    * runner behavior). Runners call this after each pipeline's terminal
+    * action; non-blocking, so the cost is bookkeeping, not I/O. Call at
+    * a QUIESCE point — after the registered pipelines' outputs are
+    * written/collected: re-running a released [[reuse]] plan recomputes
+    * from source, but a released truncate-local frame has no lineage
+    * left to recompute (see class doc). */
   def releaseAll(): Unit = synchronized {
-    persistedFrames.foreach { df =>
+    val scope = currentScope.value
+    persistedFrames.filter(_._1 eq scope).foreach { case (_, df) =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
     }
-    persistedFrames.clear()
-    pinnedRddIds.foreach { case (sc, id) =>
+    persistedFrames.filterInPlace(_._1 ne scope)
+    pinnedRddIds.filter(_._1 eq scope).foreach { case (_, sc, id) =>
       try sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
     }
-    pinnedRddIds.clear()
+    pinnedRddIds.filterInPlace(_._1 ne scope)
   }
 
-  /** Count of registered-but-unreleased stages (spec/diagnostic use). */
-  def trackedCount: Int = synchronized { persistedFrames.size + pinnedRddIds.size }
+  /** Count of registered-but-unreleased stages in the calling scope
+    * (spec/diagnostic use). */
+  def trackedCount: Int = synchronized {
+    val scope = currentScope.value
+    persistedFrames.count(_._1 eq scope) + pinnedRddIds.count(_._1 eq scope)
+  }
 }

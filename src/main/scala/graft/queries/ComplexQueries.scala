@@ -38,5 +38,35 @@ object ComplexQueries {
       FROM (SELECT unnest([1,2,3]) AS k) k
       CROSS JOIN (SELECT unnest([0,1,2,3]) AS x) x"""))
 
-  val all: Seq[QueryDef] = Seq(cx1)
+  /** CX2: complex values through the STORE MERGE path (the reference
+    * harvests complex sweeps into its store and merges shards,
+    * test_case_runner.py:134-190). Two half-grids overlap at k = 2
+    * with IDENTICAL complex cells, so the NoConflicts in-plan guard
+    * evaluates struct(re,im) equality (equal → coalesce, not raise)
+    * and the full-outer merge coalesces struct cells from whichever
+    * side carries them. Oracle: the same trigonometry as cx1 over the
+    * union grid.
+    */
+  val cx2 = QueryDef(
+    "cx2_complex_store_merge",
+    (s, _) => {
+      def half(ks: Seq[Long]) = {
+        val combos = ComboSpec.of("k" -> ks, "x" -> Seq(0L, 1L, 2L, 3L))
+        Runner.ofColumns(
+          "z" -> mul(expi(col("k") * col("x")), complex(lit(2.0), col("k")))
+        ).runCombos(s, combos)
+      }
+      val merged = graft.store.Merge.merge(
+        half(Seq(1L, 2L)), half(Seq(2L, 3L)), Seq("k", "x"))
+      merged.select(col("k"), col("x"),
+        round(re(col("z")), 6).as("z_re"),
+        round(im(col("z")), 6).as("z_im"))
+    },
+    Some("""SELECT CAST(k.k AS BIGINT) AS k, CAST(x.x AS BIGINT) AS x,
+      ROUND(cos(k.k*x.x)*2 - sin(k.k*x.x)*k.k, 6) AS z_re,
+      ROUND(cos(k.k*x.x)*k.k + sin(k.k*x.x)*2, 6) AS z_im
+      FROM (SELECT unnest([1,2,3]) AS k) k
+      CROSS JOIN (SELECT unnest([0,1,2,3]) AS x) x"""))
+
+  val all: Seq[QueryDef] = Seq(cx1, cx2)
 }

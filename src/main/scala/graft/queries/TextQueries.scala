@@ -862,6 +862,61 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** N8: the PERSISTED-index ANN lifecycle — the offline-build /
+    * online-query split a 10¹¹-row deployment actually runs. Build
+    * side: fit IVF + residual-PQ (n7's IVFADC shape), save both
+    * codebooks ([[Similarity.IvfIndex.save]]/[[Similarity.PqIndex.save]])
+    * and the encoded corpus (centroid + code columns + raw vectors) as
+    * parquet. Query side: reload everything in a FRESH plan — the
+    * centroids from their KB-sized stores, the corpus from its
+    * partitioned table — and answer with
+    * [[Similarity.ivfAdcQueryBatch]]. The oracle is the same
+    * planted-perturbation gate as n4/n5/n7 (true top-1 at cosine
+    * ≈0.99, exact re-rank), so any loss in the save→load round trip —
+    * a reordered codebook row, a dropped subspace, a mangled code
+    * column — surfaces as a missing/mismatched row.
+    */
+  val n8Persisted = QueryDef(
+    "n8_persisted_index",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft-n8").toString
+      // ---- offline build: fit, persist index + encoded corpus ----
+      val ivf0 = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
+      val assigned0 = ivf0.assign(emb, "embedding")
+      val pq0 = Similarity.PqIndex.fitResiduals(assigned0, "embedding", ivf0,
+        m = 8, k = 16)
+      Similarity.IvfIndex.save(ivf0, s, s"$base/ivf")
+      Similarity.PqIndex.save(pq0, s, s"$base/pq")
+      pq0.encodeResiduals(assigned0, "embedding", ivf0)
+        .write.mode("overwrite").parquet(s"$base/corpus")
+      // ---- online query: reload in a fresh plan ----
+      val ivf = Similarity.IvfIndex.load(s, s"$base/ivf")
+      val pq = Similarity.PqIndex.load(s, s"$base/pq")
+      val corpus = s.read.parquet(s"$base/corpus")
+      val baseQ = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = baseQ.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"n8q:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      Similarity.ivfAdcQueryBatch(ivf, pq, corpus, "vec_id", "embedding",
+        queries, kOut = 1, nprobe = 4)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('n8q:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
+
   /** P1: the COMPOSED cleaning pipeline — the stages a production
     * training-data run chains, in order: quality gate (t2 score ≥
     * 0.65) → benchmark decontamination (t6 overlap < 0.2 vs the
@@ -1131,6 +1186,128 @@ object TextQueries {
         CAST(COUNT(*) AS BIGINT) AS n_windows
       FROM gi GROUP BY doc_id, grp"""))
 
+
+  /** D9S: the SCALE-PATH variant of d9 — winnowing-sampled census
+    * (Schleimer et al. 2003; `stride = 8` keeps an expected
+    * 2/(stride+1) ≈ 22% of window positions in the exchange, the shape
+    * you'd run at 100 TB). Selection is content-defined, so both
+    * copies of a duplicate pick the same interior windows regardless
+    * of byte offsets; spans are conservative by ≤ stride − 1 per end
+    * (merge gap w + stride − 1). The oracle replicates the ENTIRE
+    * pipeline in DuckDB — the Rabin-Karp codepoint rolling hash
+    * (base = FNV prime, mod 2⁶⁴, per-window direct evaluation against
+    * a recursive power table), the murmur3 fmix64 avalanche (unsigned
+    * 64-bit mul/xor/shift emulated over HUGEINT with signed-BIGINT
+    * xor round-trips), and the rightmost-minimum winnowing selection
+    * (windowed MIN + rightmost argmin join, with the short-document
+    * whole-sequence rule) — so the kernel's exact hash VALUES and
+    * selection are pinned cross-engine, not just equality structure.
+    */
+  val d9sWinnowed = QueryDef(
+    "d9s_winnowed_spans",
+    (s, dir) => Dedup.substringSpans(
+      table(s, dir, "documents"), "doc_id", "text", w = 40, stride = 8),
+    Some("""WITH RECURSIVE powr(k, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT k+1, (p * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+  FROM powr WHERE k < 39),
+pows AS (SELECT list(p ORDER BY k DESC) AS pw FROM powr),
+cp AS (SELECT doc_id,
+    list_transform(string_split(text, ''), c -> ord(c)::HUGEINT) AS cps,
+    length(text) AS n
+  FROM documents WHERE length(text) >= 40),
+w0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    list_sum(list_transform(range(1, 41), j ->
+      (cps[(i + j - 1)::INT] * pw[j::INT]) % 18446744073709551616::HUGEINT))
+      % 18446744073709551616::HUGEINT AS v
+  FROM cp, pows, LATERAL (SELECT unnest(generate_series(1, n - 39)) AS i)),
+s1 AS (SELECT doc_id, pos, 
+    (CASE WHEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT) < 0
+     THEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT + 18446744073709551616::HUGEINT
+     ELSE xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT END) AS v FROM w0),
+s2 AS (SELECT doc_id, pos, 
+    ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+     + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT)
+        % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+    % 18446744073709551616::HUGEINT AS v FROM s1),
+s3 AS (SELECT doc_id, pos, 
+    (CASE WHEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT) < 0
+     THEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT + 18446744073709551616::HUGEINT
+     ELSE xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT END) AS v FROM s2),
+s4 AS (SELECT doc_id, pos, 
+    ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+     + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT)
+        % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+    % 18446744073709551616::HUGEINT AS v FROM s3),
+wins AS (SELECT doc_id, pos, 
+    (CASE WHEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT) < 0
+     THEN xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT + 18446744073709551616::HUGEINT
+     ELSE xor(
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN (v - 18446744073709551616::HUGEINT) ELSE v END)::BIGINT,
+       (v // 8589934592::HUGEINT)::BIGINT)::HUGEINT END) AS hu FROM s4),
+nwt AS (SELECT doc_id, count(*) AS nw FROM wins GROUP BY doc_id),
+nbmin AS (SELECT doc_id, pos AS j,
+    MIN(hu) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+  FROM wins),
+sel_long AS (
+  SELECT w.doc_id, MAX(w.pos) AS pos
+  FROM wins w
+  JOIN nbmin nb ON w.doc_id = nb.doc_id
+    AND w.pos BETWEEN nb.j - 7 AND nb.j AND w.hu = nb.mh
+  JOIN nwt t ON t.doc_id = w.doc_id AND t.nw >= 8
+  WHERE nb.j >= 8
+  GROUP BY w.doc_id, nb.j),
+sel_short AS (
+  SELECT w.doc_id, MAX(w.pos) AS pos
+  FROM wins w
+  JOIN (SELECT doc_id, MIN(hu) AS mh FROM wins GROUP BY doc_id) m
+    ON w.doc_id = m.doc_id AND w.hu = m.mh
+  JOIN nwt t ON t.doc_id = w.doc_id AND t.nw < 8
+  GROUP BY w.doc_id),
+sel AS (SELECT DISTINCT doc_id, pos FROM
+  (SELECT * FROM sel_long UNION ALL SELECT * FROM sel_short)),
+selw AS (SELECT s.doc_id, s.pos, w.hu
+  FROM sel s JOIN wins w ON w.doc_id = s.doc_id AND w.pos = s.pos),
+dup AS (SELECT hu FROM selw GROUP BY hu HAVING count(*) > 1),
+dw AS (SELECT doc_id, pos FROM selw JOIN dup USING (hu)),
+g AS (SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 47
+      THEN 1 ELSE 0 END AS ns
+  FROM dw),
+gi AS (SELECT doc_id, pos,
+    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + 39 AS BIGINT) AS span_end,
+  CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM gi GROUP BY doc_id, grp"""))
+
   /** D10: span REMOVAL — d9's spans applied back to the corpus (Lee
     * et al.'s pipeline cuts the duplicated substrings; reporting them
     * is only half the operator). One left join of the aggregated span
@@ -1271,7 +1448,7 @@ object TextQueries {
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
-    d9Spans, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
-    n6TfIdfDedup, n7IvfPq,
+    d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
+    n6TfIdfDedup, n7IvfPq, n8Persisted,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

@@ -16,6 +16,42 @@ package graft
   */
 class MaterializeLifecycleSpec extends SparkSpec {
 
+  test("scoped registries: two interleaved pipelines cannot release " +
+       "each other's caches") {
+    import org.apache.spark.storage.StorageLevel
+    Materialize.releaseAll()
+    Materialize.inScope {
+      // pipeline A registers its stage...
+      val a = Materialize.reuse(spark.range(1000).toDF("a"))
+      a.count()
+      assert(a.storageLevel != StorageLevel.NONE)
+      // ...pipeline B starts, registers, finishes, and releases ITS OWN
+      Materialize.inScope {
+        val b = Materialize.reuse(spark.range(2000).toDF("b"))
+        b.count()
+        Materialize.releaseAll()
+        assert(b.storageLevel == StorageLevel.NONE, "B's own release")
+        assert(Materialize.trackedCount == 0, "B's scope drained")
+      }
+      // A's cache survived B's releaseAll
+      assert(a.storageLevel != StorageLevel.NONE,
+        "pipeline B's releaseAll must not drop pipeline A's cache")
+      assert(Materialize.trackedCount == 1, "A still tracked in its scope")
+      Materialize.releaseAll()
+      assert(a.storageLevel == StorageLevel.NONE)
+    }
+    // truncate-pinned RDDs are scope-keyed too (local fallback)
+    Materialize.inScope {
+      val t = Materialize.truncate(spark.range(100).toDF("t"))
+      t.count()
+      Materialize.inScope { Materialize.releaseAll() } // someone else's
+      assert(Materialize.trackedCount == 1,
+        "another scope's releaseAll must not unpin A's truncate")
+      Materialize.releaseAll()
+      assert(Materialize.trackedCount == 0)
+    }
+  }
+
   test("getPersistentRDDs returns to baseline after every registered query") {
     // clear anything earlier suites registered in the shared session
     Materialize.releaseAll()

@@ -32,6 +32,35 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("(2)"), e.getMessage)
   }
 
+  test("complex struct(re,im) cells merge: coalesce, NoConflicts guard, " +
+       "alignFill (test_case_runner.py:134-190 store flow)") {
+    // struct-valued variable with NULL cells on each side
+    val a = Seq((1L, Some((1.0, -1.0))), (2L, Some((2.0, 0.5))), (3L, None))
+      .toDF("k", "z")
+    val b = Seq((2L, Some((2.0, 0.5))), (3L, Some((3.0, 3.5))), (4L, None))
+      .toDF("k", "z")
+    // NoConflicts: k=2 overlaps with EQUAL structs -> coalesce, no raise
+    val m = Merge.orConflict(
+      Merge.merge(a, b, Seq("k")).collect()
+        .map(r => r.getLong(0) ->
+          Option(r.getStruct(1)).map(s => (s.getDouble(0), s.getDouble(1))))
+        .toMap)
+    assert(m == Map(1L -> Some((1.0, -1.0)), 2L -> Some((2.0, 0.5)),
+      3L -> Some((3.0, 3.5)), 4L -> None))
+    // differing structs at a shared key raise, naming column + key
+    val b2 = Seq((2L, Some((9.0, 9.0)))).toDF("k", "z")
+    val e = intercept[MergeConflictException](Merge.orConflict(
+      Merge.merge(a, b2, Seq("k")).collect()))
+    assert(e.getMessage.contains("'z'") && e.getMessage.contains("(2)"),
+      e.getMessage)
+    // M12 alignFill: base's null struct cells fill from the other side
+    val filled = Merge.alignFill(a, b, Seq("k")).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getDouble(0), s.getDouble(1))))
+      .toMap
+    assert(filled(3L) == Some((3.0, 3.5)))
+  }
+
   test("M1 NoConflicts: the conflict assert rides the single join pass (no probe job)") {
     var jobs = 0
     val l = new org.apache.spark.scheduler.SparkListener {

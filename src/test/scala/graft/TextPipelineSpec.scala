@@ -334,6 +334,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(cl.contains("#SBATCH --mem=16G"))
   }
 
+  test("sge and pbs wrappers embed the same submit body; all three " +
+       "schedulers' artifacts pass bash -n") {
+    val s = ClusterScripts.Submit(appJar = "/opt/my app/graft.jar",
+      numExecutors = 10, appArgs = Seq("--note", "two words"))
+    val sg = ClusterScripts.sge(s, jobName = "sweep", hours = 12)
+    assert(sg.contains("#$ -N sweep"))
+    assert(sg.contains("#$ -l h_rt=12:00:00"))
+    assert(sg.contains("#$ -cwd") && sg.contains("#$ -V"))
+    assert(sg.contains("--num-executors 10"))
+    val pb = ClusterScripts.pbs(s, jobName = "sweep", hours = 12)
+    assert(pb.contains("#PBS -N sweep"))
+    assert(pb.contains("#PBS -l walltime=12:00:00"))
+    assert(pb.contains("cd \"$PBS_O_WORKDIR\""))
+    assert(pb.contains("--num-executors 10"))
+    // client-mode sizes the reservation for the driver on all three
+    val c = s.copy(deployMode = "client", driverMemoryGb = 14)
+    assert(ClusterScripts.sge(c).contains("h_vmem=16G"))
+    assert(ClusterScripts.pbs(c).contains("mem=16gb"))
+    for (sh <- Seq(sg, pb, ClusterScripts.slurm(s),
+        ClusterScripts.sparkSubmit(s))) {
+      val p = java.nio.file.Files.createTempFile("graft-sched", ".sh")
+      java.nio.file.Files.writeString(p, sh)
+      val rc = new ProcessBuilder("bash", "-n", p.toString)
+        .inheritIO().start().waitFor()
+      assert(rc == 0, "generated script failed bash -n syntax check")
+    }
+  }
+
   test("conf values and app args with spaces/metachars are shell-quoted") {
     val s = ClusterScripts.Submit(appJar = "/opt/my app/graft.jar",
       appArgs = Seq("--note", "two words", "a'b"),

@@ -328,12 +328,13 @@ class WriteSinkSpec extends SparkSpec {
     val four = Seq((1L, 1.0, 10L, -1.0, 100L), (2L, 2.0, 20L, -2.0, 200L),
       (3L, 3.0, 30L, -3.0, 300L)).toDF("a", "x", "n", "y", "m")
     def countJobs(body: => Unit): Int = {
-      // statusTracker is synchronous with job submission (no listener
-      // race): jobs are registered on submit, so the delta is exact
-      val before = spark.sparkContext.statusTracker
-        .getJobIdsForGroup(null).length
+      // job ids are monotonic, so counting ids above the pre-body max
+      // is exact even when the status tracker rotates old entries out
+      // (a length delta goes negative mid-suite for that reason)
+      val t = spark.sparkContext.statusTracker
+      val maxBefore = t.getJobIdsForGroup(null).foldLeft(-1)(math.max)
       body
-      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+      t.getJobIdsForGroup(null).count(_ > maxBefore)
     }
     val f1 = Files.createTempFile("nc1v", ".nc").toString
     val f4 = Files.createTempFile("nc4v", ".nc").toString
