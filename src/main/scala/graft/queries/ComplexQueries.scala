@@ -68,5 +68,36 @@ object ComplexQueries {
       FROM (SELECT unnest([1,2,3]) AS k) k
       CROSS JOIN (SELECT unnest([0,1,2,3]) AS x) x"""))
 
-  val all: Seq[QueryDef] = Seq(cx1, cx2)
+  /** CX3: complex values through the LEGACY-STORE bridge both ways —
+    * the reference's canonical complex persistence
+    * (test_manage.py:15-27, 92-111: a complex128 variable saved and
+    * reloaded through zarr). The cx1 sweep writes to a zarr v2 store
+    * (struct cells → `<c16` chunks via [[graft.sources.ZarrSink]]),
+    * reads back via [[graft.sources.ZarrSource]], and must reproduce
+    * the same trigonometry — so encode layout, fill metadata, and the
+    * struct(re,im) read path are all on the compare path.
+    */
+  val cx3 = QueryDef(
+    "cx3_complex_zarr_roundtrip",
+    (s, _) => {
+      val combos = ComboSpec.of(
+        "k" -> Seq(1L, 2L, 3L), "x" -> Seq(0L, 1L, 2L, 3L))
+      val grid = Runner.ofColumns(
+        "z" -> mul(expi(col("k") * col("x")), complex(lit(2.0), col("k")))
+      ).runCombos(s, combos)
+      val d = java.nio.file.Files.createTempDirectory("graft-cx3").toString +
+        "/grid.zarr"
+      graft.sources.ZarrSink.writeDataset(grid, d, Seq("k", "x"))
+      graft.sources.ZarrSource.readDataset(s, d)
+        .select(col("k"), col("x"),
+          round(re(col("z")), 6).as("z_re"),
+          round(im(col("z")), 6).as("z_im"))
+    },
+    Some("""SELECT CAST(k.k AS BIGINT) AS k, CAST(x.x AS BIGINT) AS x,
+      ROUND(cos(k.k*x.x)*2 - sin(k.k*x.x)*k.k, 6) AS z_re,
+      ROUND(cos(k.k*x.x)*k.k + sin(k.k*x.x)*2, 6) AS z_im
+      FROM (SELECT unnest([1,2,3]) AS k) k
+      CROSS JOIN (SELECT unnest([0,1,2,3]) AS x) x"""))
+
+  val all: Seq[QueryDef] = Seq(cx1, cx2, cx3)
 }

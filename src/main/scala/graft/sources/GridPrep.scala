@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * semantics cannot drift between the two writers.
   *
   * Column kinds: every column normalizes to one of f8 (DOUBLE), i8
-  * (LONG), bool (BOOLEAN, data variables), or string (dims only — the
-  * reference's canonical store has a STRING coordinate axis,
-  * tests/test_manage.py:15-27; string DATA variables stay out of scope
-  * and fail loudly). Bool dims fold to i8 (a 2-value axis); bool data
-  * variables keep their type so the store round-trips bool-for-bool.
+  * (LONG), bool (BOOLEAN, data variables), complex128 (a 2-double
+  * struct data variable, fields positional (re, im)), or string (dims
+  * only — the reference's canonical store has a STRING coordinate
+  * axis plus bool/complex variables, tests/test_manage.py:15-27;
+  * string DATA variables stay out of scope and fail loudly). Bool
+  * dims fold to i8 (a 2-value axis); bool data variables keep their
+  * type so the store round-trips bool-for-bool.
   *
   * The normalized frame is persisted for the scope of `body`: writing a
   * dataset runs one Spark job per dim (axis distinct) plus one per data
@@ -25,13 +27,17 @@ import org.apache.spark.sql.types._
   */
 private[sources] object GridPrep {
 
-  /** Normalized column kind — the bridge's four storable types. */
+  /** Normalized column kind — the bridge's five storable types. */
   sealed trait ColKind extends Serializable
   object ColKind {
     case object F8   extends ColKind
     case object I8   extends ColKind
     case object Bool extends ColKind
     case object Str  extends ColKind
+    /** complex128: a 2-double struct data variable (fields read
+      * positionally as (re, im) — the engine's complex encoding,
+      * [[graft.functions.ComplexFns]]). */
+    case object C16  extends ColKind
   }
   import ColKind._
 
@@ -73,7 +79,7 @@ private[sources] object GridPrep {
   }
 
   /** Prepared grid: `nd` is the persisted normalized frame with columns
-    * `dims ++ dataVars`, every column one of the four [[ColKind]]s. */
+    * `dims ++ dataVars`, every column one of the five [[ColKind]]s. */
   final case class Grid(nd: DataFrame, dataVars: Seq[String],
                         kinds: Map[String, ColKind],
                         coords: Seq[(String, Array[Any])],
@@ -108,7 +114,7 @@ private[sources] object GridPrep {
     b.toString
   }
 
-  /** Normalize `df` to the four kinds, extract sorted coordinate axes
+  /** Normalize `df` to the five kinds, extract sorted coordinate axes
     * (driver-side, bounded: these ARE the store's dimensions), and run
     * `body` with the normalized frame persisted. Null coordinates are
     * rejected up front — dims must be total for EVERY row, regardless
@@ -134,8 +140,21 @@ private[sources] object GridPrep {
         case StringType => throw new IllegalArgumentException(
           s"column '$c': string DATA variables not supported " +
             "(string coordinate axes are — make it a dim, or encode it)")
+        case st: StructType if !isDim && st.fields.length == 2 &&
+            st.fields.forall(f => f.dataType == DoubleType ||
+              f.dataType == FloatType) =>
+          // complex128 data variable: normalize both components to f8.
+          // A NULL cell must STAY null (struct(getField, getField) of a
+          // null struct would otherwise yield a non-null struct of
+          // nulls, turning a missing cell into a broken one).
+          when(col(c).isNull, lit(null))
+            .otherwise(struct(
+              col(c).getField(st.fields(0).name).cast(DoubleType).as("re"),
+              col(c).getField(st.fields(1).name).cast(DoubleType).as("im")))
+            .as(c)
         case t => throw new IllegalArgumentException(
-          s"column '$c': unsupported type $t (numeric/boolean/string-dim only)")
+          s"column '$c': unsupported type $t " +
+            "(numeric/boolean/complex-struct/string-dim only)")
       }
     }
 
@@ -143,10 +162,11 @@ private[sources] object GridPrep {
       val kinds: Map[String, ColKind] =
         (dims ++ dataVars).map { c =>
           c -> (nd.schema(c).dataType match {
-            case DoubleType  => F8
-            case BooleanType => Bool
-            case StringType  => Str
-            case _           => I8
+            case DoubleType     => F8
+            case BooleanType    => Bool
+            case StringType     => Str
+            case _: StructType  => C16
+            case _              => I8
           })
         }.toMap
       val coords: Seq[(String, Array[Any])] = dims.map { d =>

@@ -42,9 +42,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * [[graft.store.ParquetStore]]'s key handling).
   *
   * Long-form in, dense out: input columns = `dims` (the coordinate
-  * axes, numeric) + data-variable columns (numeric). Cells absent
-  * from the long form become `fill_value` (NaN for floats — xyzpy's
-  * own missing-cell encoding, farming.py:975-1008); integer variables
+  * axes — numeric or string) + data-variable columns (numeric, bool,
+  * or complex128 structs; complex cells ride the same shuffle as two
+  * f8 component records and assemble straight into the `<c16` layout).
+  * Cells absent from the long form become `fill_value` (NaN for
+  * floats and complex components — xyzpy's own missing-cell encoding,
+  * farming.py:975-1008); int/bool variables
   * have no NaN, so absent/null cells there fail loudly instead of
   * inventing a sentinel. EVERY chunk in the grid is written, even
   * all-fill ones (a seed row per chunk rides the shuffle): the store
@@ -209,17 +212,24 @@ object ZarrSink {
       val shapeTail = shape.drop(1).map(_.toLong).toArray
 
       val varsArr = g.dataVars.toArray
-      // per-var storage class: 0 = i8, 1 = f8, 2 = |b1 (bool)
+      // per-var storage class: 0 = i8, 1 = f8, 2 = |b1 (bool),
+      // 3 = <c16 (complex128: two f8 components per cell)
       val kindArr: Array[Byte] = varsArr.map(v => g.kinds(v) match {
         case GridPrep.ColKind.F8   => 1: Byte
         case GridPrep.ColKind.Bool => 2: Byte
+        case GridPrep.ColKind.C16  => 3: Byte
         case _                     => 0: Byte
       })
       def varDtype(vi: Int): String = kindArr(vi) match {
         case 1 => "<f8"
         case 2 => "|b1"
+        case 3 => "<c16"
         case _ => "<i8"
       }
+      if (kindArr.contains(3: Byte))
+        require(chunkElems <= (Int.MaxValue - 16L) / 16L,
+          s"complex chunk of $chunkElems elems exceeds the 2 GiB " +
+            "single-buffer bound (16 B/cell) — lower chunkTargetBytes")
       for ((v, vi) <- varsArr.zipWithIndex) {
         fs.mkdirs(new Path(path, v))
         if (zarrFormat == 2) {
@@ -265,17 +275,32 @@ object ZarrSink {
         val chunk = (i0 / c0).toInt
         (0 until nv).iterator.flatMap { vi =>
           if (r.isNullAt(ndim + vi)) {
-            require(kindArr(vi) == 1, s"variable '${varsArr(vi)}' has a " +
+            require(kindArr(vi) == 1 || kindArr(vi) == 3,
+              s"variable '${varsArr(vi)}' has a " +
               "null cell (no NaN fill exists for int/bool — fill or drop " +
               "before writing)")
             Iterator.empty
-          } else {
-            val bits = kindArr(vi) match {
-              case 1 => java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
-              case 2 => if (r.getBoolean(ndim + vi)) 1L else 0L
-              case _ => r.getLong(ndim + vi)
-            }
-            Iterator(((chunk, vi, off), bits))
+          } else kindArr(vi) match {
+            case 3 =>
+              // complex cell = two consecutive f8 components in the
+              // <c16 layout; both ride the same shuffle as two records
+              val c = r.getStruct(ndim + vi)
+              require(!c.isNullAt(0) && !c.isNullAt(1),
+                s"variable '${varsArr(vi)}' has a complex cell with a " +
+                  "null component (cells are all-or-nothing: null the " +
+                  "whole struct for a missing cell)")
+              Iterator(
+                ((chunk, vi, off * 2),
+                  java.lang.Double.doubleToRawLongBits(c.getDouble(0))),
+                ((chunk, vi, off * 2 + 1),
+                  java.lang.Double.doubleToRawLongBits(c.getDouble(1))))
+            case k =>
+              val bits = k match {
+                case 1 => java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
+                case 2 => if (r.getBoolean(ndim + vi)) 1L else 0L
+                case _ => r.getLong(ndim + vi)
+              }
+              Iterator(((chunk, vi, off), bits))
           }
         }
       }
@@ -307,16 +332,26 @@ object ZarrSink {
     * naming and payload assembly, shipped to the reduce tasks
     * (primitives and small arrays only). */
   private final case class ChunkEnc(format: Int, vars: Array[String],
-                                    kinds: Array[Byte], // 0=i8 1=f8 2=|b1
+                                    kinds: Array[Byte], // 0=i8 1=f8 2=|b1 3=<c16
                                     compress: Boolean, c0: Int,
                                     innerRows: Int, chunkElems: Int,
                                     innerElems: Long, dim0: Int, ndim: Int)
       extends Serializable {
-    def isFloat(vi: Int): Boolean = kinds(vi) == 1
+    /** NaN-fillable kinds (f8 and c16 — complex fills NaN+NaN). */
+    def isFloat(vi: Int): Boolean = kinds(vi) == 1 || kinds(vi) == 3
     def fillBits(vi: Int): Long =
       if (isFloat(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
-    /** element width on disk: 1 byte for `|b1`, 8 for f8/i8 */
-    def elemBytes(vi: Int): Int = if (kinds(vi) == 2) 1 else 8
+    /** element width on disk: 1 byte for `|b1`, 16 for `<c16`, 8 else */
+    def elemBytes(vi: Int): Int = kinds(vi) match {
+      case 2 => 1
+      case 3 => 16
+      case _ => 8
+    }
+    /** Long slots in the assembly buffer (c16 carries 2 per cell). */
+    def bufLen(vi: Int): Int =
+      if (kinds(vi) == 3) chunkElems * 2 else chunkElems
+    def maxBufLen: Int =
+      if (kinds.contains(3: Byte)) chunkElems * 2 else chunkElems
 
     def key(chunk: Int): String =
       if (format == 2) (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
@@ -325,7 +360,7 @@ object ZarrSink {
     def payload(chunk: Int, vi: Int, buf: Array[Long]): Array[Byte] = {
       val raw =
         if (kinds(vi) == 2) toBytesBool(buf, chunkElems)
-        else toBytesLE(buf, chunkElems)
+        else toBytesLE(buf, bufLen(vi))
       if (innerRows == 0) {
         if (!compress) raw
         else if (format == 2) deflate(raw) else gzip1(raw)
@@ -425,8 +460,8 @@ object ZarrSink {
             flush()
             curChunk = c
             curVar = vi
-            if (buf == null) buf = new Array[Long](enc.chunkElems)
-            java.util.Arrays.fill(buf, enc.fillBits(vi))
+            if (buf == null) buf = new Array[Long](enc.maxBufLen)
+            java.util.Arrays.fill(buf, 0, enc.bufLen(vi), enc.fillBits(vi))
             lastOff = -1L
             cells = 0L
           }
@@ -487,6 +522,7 @@ object ZarrSink {
     * never consulted — null (undefined) keeps readers honest. */
   private def fillJson(dtype: String): String = dtype match {
     case "<f8"                        => "\"NaN\""
+    case "<c16"                       => "[\"NaN\", \"NaN\"]"
     case "|b1"                        => "false"
     case s if s.startsWith("<U")      => "null"
     case _                            => "0"
@@ -509,9 +545,10 @@ object ZarrSink {
                           dtype: String, compress: Boolean,
                           dims: Seq[String]): String = {
     val dataType = dtype match {
-      case "<f8" => "float64"
-      case "|b1" => "bool"
-      case _     => "int64"
+      case "<f8"  => "float64"
+      case "<c16" => "complex128"
+      case "|b1"  => "bool"
+      case _      => "int64"
     }
     val fill = fillJson(dtype)
     val chunkShape = (c0 +: shape.drop(1)).mkString(", ")

@@ -401,6 +401,42 @@ class WriteSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(nf + ".__lock")))
   }
 
+  test("zarr round-trip: complex128 variable (struct -> <c16 -> struct), " +
+       "missing cells fill NaN+NaN; netCDF rejects complex loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val df = Seq(
+      (1L, Some((1.5, -2.5))), (2L, Some((0.0, 3.25))), (3L, None)
+    ).toDF("a", "zv")
+      .select(col("a"), when(col("zv").isNotNull,
+        graft.functions.ComplexFns.complex(col("zv._1"), col("zv._2")))
+        .as("zc"))
+    val dir = Files.createTempDirectory("zc16").toString + "/st.zarr"
+    ZarrSink.writeDataset(df, dir, Seq("a"))
+    val metaTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "zc", ".zarray")), "UTF-8")
+    assert(metaTxt.contains("\"<c16\""))
+    val back = ZarrSource.readDataset(spark, dir).collect()
+      .map { r =>
+        val z = r.getStruct(r.fieldIndex("zc"))
+        r.getLong(r.fieldIndex("a")) -> ((z.getDouble(0), z.getDouble(1)))
+      }.toMap
+    assert(back(1L) == ((1.5, -2.5)) && back(2L) == ((0.0, 3.25)))
+    assert(back(3L)._1.isNaN && back(3L)._2.isNaN) // missing cell -> NaN fill
+    // v3 writes data_type complex128
+    val dir3 = Files.createTempDirectory("zc16v3").toString + "/st.zarr"
+    ZarrSink.writeDataset(df.filter(col("zc").isNotNull), dir3, Seq("a"),
+      zarrFormat = 3)
+    val m3 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir3, "zc", "zarr.json")), "UTF-8")
+    assert(m3.contains("\"data_type\": \"complex128\""))
+    val e = intercept[IllegalArgumentException] {
+      NetCDF3Sink.writeDataset(df,
+        Files.createTempFile("ncc", ".nc").toString, Seq("a"))
+    }
+    assert(e.getMessage.contains("no complex type"))
+  }
+
   test("netCDF round-trip: string axis (NC_CHAR) + bool variable (NC_BYTE)") {
     import spark.implicits._
     val df = Seq(
