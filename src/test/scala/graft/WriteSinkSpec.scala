@@ -401,6 +401,51 @@ class WriteSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(nf + ".__lock")))
   }
 
+  /** Canonical DTYPE dataset (round 10) matching the generator header
+    * in scripts/gen_write_golden_dtypes.py: string axis s, i8 axis k,
+    * f8 x (one missing cell), bool f (total), complex zc (one missing
+    * cell — zarr only). */
+  private def dtypeCanonical = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    Seq[(String, Long, Option[Double], Boolean, Option[(Double, Double)])](
+      ("A", 1L, Some(1.25), false, Some((0.1, 0.0))),
+      ("A", 2L, Some(2.25), true, Some((0.2, 0.0))),
+      ("BB", 1L, Some(11.25), true, Some((1.1, 1.0))),
+      ("BB", 2L, Some(12.25), false, Some((1.2, 2.0))),
+      ("C", 1L, Some(21.25), false, None),
+      ("C", 2L, None, true, Some((2.2, 4.0))))
+      .toDF("s", "k", "x", "f", "zv")
+      .select(col("s"), col("k"), col("x"), col("f"),
+        when(col("zv").isNotNull, graft.functions.ComplexFns.complex(
+          col("zv._1"), col("zv._2"))).as("zc"))
+  }
+
+  test("DTYPE store (string axis + bool + complex) is byte-identical to " +
+       "the independent python writer — zarr v2") {
+    val dir = Files.createTempDirectory("zarrdtw").toString + "/st"
+    ZarrSink.writeDataset(dtypeCanonical, dir, Seq("s", "k"),
+      compress = false)
+    assertTreesEqual(s"$golden/zarr_dtypes_w", dir)
+  }
+
+  test("DTYPE netCDF (NC_CHAR axis + NC_BYTE bool) is byte-identical to " +
+       "the independent python writer — CDF-1") {
+    val f = Files.createTempDirectory("ncdtw").toString + "/st.nc"
+    NetCDF3Sink.writeDataset(dtypeCanonical.drop("zc"), f, Seq("s", "k"))
+    val got = Files.readAllBytes(Paths.get(f))
+    val want = Files.readAllBytes(Paths.get(s"$golden/golden_dtypes.nc"))
+    assert(java.util.Arrays.equals(got, want),
+      s"differs: golden ${want.length}B vs written ${got.length}B")
+    // and the independent bytes read back through our own reader
+    val back = NetCDF3Source.readDataset(spark,
+      s"$golden/golden_dtypes.nc").select("s", "k", "x", "f").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(back.head == (("A", 1L, 1.25, 0L)))
+    assert(back.last._3.isNaN && back.last._4 == 1L) // (C,2) missing x
+  }
+
   test("zarr round-trip: complex128 variable (struct -> <c16 -> struct), " +
        "missing cells fill NaN+NaN; netCDF rejects complex loudly") {
     import spark.implicits._
