@@ -15,7 +15,8 @@ Canonical dtype dataset (C-order over (s, k); s sorted):
   vars  x(s,k)  f8   [1.25, 2.25, 11.25, 12.25, 21.25, MISSING->NaN]
         f(s,k)  bool [F, T, T, F, F, T]
         zc(s,k) c16  [(.1,0),(.2,0),(1.1,1),(1.2,2),MISSING->(NaN,NaN),(2.2,4)]
-        (zc is zarr-only: netCDF classic has no complex type)
+        tg(s,k) <U3  ["abc", "d", "ef", "ghi", "j", "kl"] (total)
+        (zc and tg are zarr-only: netCDF classic has neither type)
 
 Outputs: src/test/resources/write_golden/zarr_dtypes_w/ (uncompressed
 zarr v2) and src/test/resources/write_golden/golden_dtypes.nc (CDF-1).
@@ -30,6 +31,7 @@ K_AXIS = [1, 2]
 X = [1.25, 2.25, 11.25, 12.25, 21.25, NAN]
 F = [0, 1, 1, 0, 0, 1]
 Z = [(0.1, 0.0), (0.2, 0.0), (1.1, 1.0), (1.2, 2.0), (NAN, NAN), (2.2, 4.0)]
+TG = ["abc", "d", "ef", "ghi", "j", "kl"]
 
 
 def ucs4(s, n):
@@ -79,6 +81,9 @@ def zarr():
     arr("zc", [3, 2], [3, 2], "<c16", ["NaN", "NaN"], ["s", "k"])
     with open(f"{root}/zc/0.0", "wb") as fh:
         fh.write(b"".join(struct.pack("<2d", re, im) for re, im in Z))
+    arr("tg", [3, 2], [3, 2], "<U3", None, ["s", "k"])
+    with open(f"{root}/tg/0.0", "wb") as fh:
+        fh.write(b"".join(ucs4(v, 3) for v in TG))
 
     # consolidated manifest, keys sorted, same spacing as the sink
     entries = ", ".join(f'"{k}": {meta[k]}' for k in sorted(meta))

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   *
   * Column kinds: every column normalizes to one of f8 (DOUBLE), i8
   * (LONG), bool (BOOLEAN, data variables), complex128 (a 2-double
-  * struct data variable, fields positional (re, im)), or string (dims
-  * only — the reference's canonical store has a STRING coordinate
-  * axis plus bool/complex variables, tests/test_manage.py:15-27;
-  * string DATA variables stay out of scope and fail loudly). Bool
-  * dims fold to i8 (a 2-value axis); bool data variables keep their
-  * type so the store round-trips bool-for-bool.
+  * struct data variable, fields positional (re, im)), or string
+  * (coordinate axes AND — zarr only — fixed-width data variables; the
+  * reference's canonical store has a STRING coordinate axis plus
+  * bool/complex variables, tests/test_manage.py:15-27). Bool dims
+  * fold to i8 (a 2-value axis); bool data variables keep their type
+  * so the store round-trips bool-for-bool. Sinks that cannot
+  * represent a kind reject it loudly at their own gate (netCDF:
+  * complex, string data vars).
   *
   * The normalized frame is persisted for the scope of `body`: writing a
   * dataset runs one Spark job per dim (axis distinct) plus one per data
@@ -136,10 +138,7 @@ private[sources] object GridPrep {
         case FloatType                          => col(c).cast(DoubleType).as(c)
         case BooleanType =>
           if (isDim) col(c).cast(LongType).as(c) else col(c)
-        case StringType if isDim                => col(c)
-        case StringType => throw new IllegalArgumentException(
-          s"column '$c': string DATA variables not supported " +
-            "(string coordinate axes are — make it a dim, or encode it)")
+        case StringType                         => col(c)
         case st: StructType if !isDim && st.fields.length == 2 &&
             st.fields.forall(f => f.dataType == DoubleType ||
               f.dataType == FloatType) =>
@@ -154,7 +153,7 @@ private[sources] object GridPrep {
             .as(c)
         case t => throw new IllegalArgumentException(
           s"column '$c': unsupported type $t " +
-            "(numeric/boolean/complex-struct/string-dim only)")
+            "(numeric/boolean/complex-struct/string only)")
       }
     }
 

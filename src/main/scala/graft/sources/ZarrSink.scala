@@ -213,23 +213,48 @@ object ZarrSink {
 
       val varsArr = g.dataVars.toArray
       // per-var storage class: 0 = i8, 1 = f8, 2 = |b1 (bool),
-      // 3 = <c16 (complex128: two f8 components per cell)
+      // 3 = <c16 (complex128: two f8 components per cell),
+      // 4 = <U<w> (fixed-width string data variable)
       val kindArr: Array[Byte] = varsArr.map(v => g.kinds(v) match {
         case GridPrep.ColKind.F8   => 1: Byte
         case GridPrep.ColKind.Bool => 2: Byte
         case GridPrep.ColKind.C16  => 3: Byte
+        case GridPrep.ColKind.Str  => 4: Byte
         case _                     => 0: Byte
       })
+      // fixed widths for string data vars (numpy <U semantics: width =
+      // longest value in CODEPOINTS) — ONE agg job over the persisted
+      // frame for all of them together. length() counts codepoints,
+      // matching the reader's decode.
+      val widthArr: Array[Int] =
+        if (!kindArr.contains(4: Byte)) varsArr.map(_ => 0)
+        else {
+          require(zarrFormat == 2, "string data variables: zarr v3 has " +
+            "no fixed-width string type — write them with zarrFormat = 2")
+          val strVars = varsArr.zip(kindArr).collect { case (v, 4) => v }
+          val row = g.nd.agg(
+            max(length(col(strVars.head))).as(strVars.head),
+            strVars.tail.map(v => max(length(col(v))).as(v)): _*).head()
+          val widths = strVars.zipWithIndex.map { case (v, i) =>
+            v -> math.max(1, if (row.isNullAt(i)) 1 else row.getInt(i))
+          }.toMap
+          varsArr.map(widths.getOrElse(_, 0))
+        }
       def varDtype(vi: Int): String = kindArr(vi) match {
         case 1 => "<f8"
         case 2 => "|b1"
         case 3 => "<c16"
+        case 4 => s"<U${widthArr(vi)}"
         case _ => "<i8"
       }
-      if (kindArr.contains(3: Byte))
-        require(chunkElems <= (Int.MaxValue - 16L) / 16L,
-          s"complex chunk of $chunkElems elems exceeds the 2 GiB " +
-            "single-buffer bound (16 B/cell) — lower chunkTargetBytes")
+      val maxCellBytes = (kindArr.zip(widthArr).map {
+        case (3, _) => 16L
+        case (4, w) => w.toLong * 4L
+        case _      => 8L
+      } :+ 8L).max
+      require(chunkElems <= (Int.MaxValue - 16L) / maxCellBytes,
+        s"chunk of $chunkElems cells x $maxCellBytes B exceeds the 2 GiB " +
+          "single-buffer bound — lower chunkTargetBytes")
       for ((v, vi) <- varsArr.zipWithIndex) {
         fs.mkdirs(new Path(path, v))
         if (zarrFormat == 2) {
@@ -277,8 +302,8 @@ object ZarrSink {
           if (r.isNullAt(ndim + vi)) {
             require(kindArr(vi) == 1 || kindArr(vi) == 3,
               s"variable '${varsArr(vi)}' has a " +
-              "null cell (no NaN fill exists for int/bool — fill or drop " +
-              "before writing)")
+              "null cell (no NaN fill exists for int/bool/string — fill " +
+              "or drop before writing)")
             Iterator.empty
           } else kindArr(vi) match {
             case 3 =>
@@ -294,6 +319,27 @@ object ZarrSink {
                   java.lang.Double.doubleToRawLongBits(c.getDouble(0))),
                 ((chunk, vi, off * 2 + 1),
                   java.lang.Double.doubleToRawLongBits(c.getDouble(1))))
+            case 4 =>
+              // fixed-width string cell: pack UCS-4 codepoints two per
+              // long (LE halves) — `slots` records per cell riding the
+              // same shuffle, assembled into the <U<w> layout
+              val w = widthArr(vi)
+              val slots = (w + 1) / 2
+              val str = r.getString(ndim + vi)
+              val cps = new Array[Int](w)
+              var n = 0
+              var ci = 0
+              while (ci < str.length) {
+                val cp = str.codePointAt(ci)
+                cps(n) = cp; n += 1
+                ci += Character.charCount(cp)
+              }
+              (0 until slots).iterator.map { t =>
+                val lo = cps(2 * t).toLong & 0xFFFFFFFFL
+                val hi = if (2 * t + 1 < w) cps(2 * t + 1).toLong & 0xFFFFFFFFL
+                         else 0L
+                ((chunk, vi, off * slots + t), lo | (hi << 32))
+              }
             case k =>
               val bits = k match {
                 case 1 => java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
@@ -304,8 +350,8 @@ object ZarrSink {
           }
         }
       }
-      val enc = ChunkEnc(zarrFormat, varsArr, kindArr, compress, c0,
-        shardInnerRows, chunkElems.toInt, innerElems, shape.head,
+      val enc = ChunkEnc(zarrFormat, varsArr, kindArr, widthArr, compress,
+        c0, shardInnerRows, chunkElems.toInt, innerElems, shape.head,
         dims.length)
       writeChunks(rows, path, enc, nChunks,
         spark.sparkContext.hadoopConfiguration)
@@ -332,7 +378,8 @@ object ZarrSink {
     * naming and payload assembly, shipped to the reduce tasks
     * (primitives and small arrays only). */
   private final case class ChunkEnc(format: Int, vars: Array[String],
-                                    kinds: Array[Byte], // 0=i8 1=f8 2=|b1 3=<c16
+                                    kinds: Array[Byte], // 0=i8 1=f8 2=|b1 3=<c16 4=<U
+                                    widths: Array[Int], // <U width per var, else 0
                                     compress: Boolean, c0: Int,
                                     innerRows: Int, chunkElems: Int,
                                     innerElems: Long, dim0: Int, ndim: Int)
@@ -341,26 +388,35 @@ object ZarrSink {
     def isFloat(vi: Int): Boolean = kinds(vi) == 1 || kinds(vi) == 3
     def fillBits(vi: Int): Long =
       if (isFloat(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
-    /** element width on disk: 1 byte for `|b1`, 16 for `<c16`, 8 else */
+    /** element width on disk: 1 byte for `|b1`, 16 for `<c16`,
+      * 4·width for `<U`, 8 else */
     def elemBytes(vi: Int): Int = kinds(vi) match {
       case 2 => 1
       case 3 => 16
+      case 4 => widths(vi) * 4
       case _ => 8
     }
-    /** Long slots in the assembly buffer (c16 carries 2 per cell). */
-    def bufLen(vi: Int): Int =
-      if (kinds(vi) == 3) chunkElems * 2 else chunkElems
-    def maxBufLen: Int =
-      if (kinds.contains(3: Byte)) chunkElems * 2 else chunkElems
+    /** Long records per CELL riding the shuffle (c16: 2; <U: one per
+      * codepoint pair). */
+    def slots(vi: Int): Int = kinds(vi) match {
+      case 3 => 2
+      case 4 => (widths(vi) + 1) / 2
+      case _ => 1
+    }
+    /** Long slots in the assembly buffer for this var's chunk. */
+    def bufLen(vi: Int): Int = chunkElems * slots(vi)
+    def maxBufLen: Int = chunkElems * kinds.indices.map(slots).max
 
     def key(chunk: Int): String =
       if (format == 2) (chunk.toString +: Seq.fill(ndim - 1)("0")).mkString(".")
       else ("c" +: chunk.toString +: Seq.fill(ndim - 1)("0")).mkString("/")
 
     def payload(chunk: Int, vi: Int, buf: Array[Long]): Array[Byte] = {
-      val raw =
-        if (kinds(vi) == 2) toBytesBool(buf, chunkElems)
-        else toBytesLE(buf, bufLen(vi))
+      val raw = kinds(vi) match {
+        case 2 => toBytesBool(buf, chunkElems)
+        case 4 => toBytesU(buf, chunkElems, widths(vi))
+        case _ => toBytesLE(buf, bufLen(vi))
+      }
       if (innerRows == 0) {
         if (!compress) raw
         else if (format == 2) deflate(raw) else gzip1(raw)
@@ -444,11 +500,12 @@ object ZarrSink {
           val validElems =
             (math.min(enc.c0.toLong * (curChunk + 1), enc.dim0.toLong) -
               enc.c0.toLong * curChunk) * enc.innerElems
-          if (!enc.isFloat(curVar)) { // int/bool have no fill — must be complete
-            require(cells == validElems,
+          if (!enc.isFloat(curVar)) { // int/bool/string: no fill — total
+            val validRecords = validElems * enc.slots(curVar)
+            require(cells == validRecords,
               s"variable '${enc.vars(curVar)}' chunk $curChunk: " +
-                s"$cells of $validElems cells present (int/bool cannot " +
-                "encode missing cells)")
+                s"$cells of $validRecords cell records present " +
+                "(int/bool/string cannot encode missing cells)")
           }
           val out = fsx.create(
             new Path(new Path(path, enc.vars(curVar)), enc.key(curChunk)), true)
@@ -591,6 +648,26 @@ object ZarrSink {
     var i = 0
     while (i < n) { out(i) = buf(i).toByte; i += 1 }
     out
+  }
+
+  /** `<U<w>` slab: unpack each cell's codepoint-pair longs into `w`
+    * UCS-4 LE ints — exact width, no per-cell alignment padding (the
+    * buffer rounds odd widths up to whole longs; the payload does not). */
+  private def toBytesU(buf: Array[Long], cells: Int, w: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(cells * w * 4).order(ByteOrder.LITTLE_ENDIAN)
+    val slots = (w + 1) / 2
+    var i = 0
+    while (i < cells) {
+      var j = 0
+      while (j < w) {
+        val l = buf(i * slots + j / 2)
+        bb.putInt(if (j % 2 == 0) (l & 0xFFFFFFFFL).toInt
+                  else (l >>> 32).toInt)
+        j += 1
+      }
+      i += 1
+    }
+    bb.array()
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {

@@ -213,8 +213,9 @@ class WriteSinkSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       ZarrSink.writeDataset(bad, dir, Seq("a", "t"), compress = false)
     }
-    assert(e.getMessage.contains("cells present") ||
-      Option(e.getCause).exists(_.getMessage.contains("cells present")))
+    assert(e.getMessage.contains("cannot encode missing cells") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("cannot encode missing cells")))
   }
 
   test("NetCDF3Sink CDF-1 and CDF-5 output is byte-identical to the independent python writer") {
@@ -260,15 +261,31 @@ class WriteSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq(5_000_000_000L, 6_000_000_000L))
   }
 
-  test("writers reject string DATA variables with a clear error") {
+  test("zarr round-trip: string DATA variable (<U, odd width, " +
+       "supplementary-plane char); netCDF rejects it loudly") {
     import spark.implicits._
-    val s = Seq((1L, "txt")).toDF("a", "s")
-    val e1 = intercept[IllegalArgumentException] {
-      ZarrSink.writeDataset(s, Files.createTempDirectory("z").toString, Seq("a"))
+    val df = Seq(
+      (1L, "abc", 1.0), (2L, "𝄞", 2.0), (3L, "xy", 3.0)
+    ).toDF("a", "tag", "v")
+    val dir = Files.createTempDirectory("zstrv").toString + "/st.zarr"
+    ZarrSink.writeDataset(df, dir, Seq("a"))
+    // width = longest value in CODEPOINTS (abc = 3, odd) — <U3
+    val metaTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tag", ".zarray")), "UTF-8")
+    assert(metaTxt.contains("\"<U3\""), metaTxt)
+    val back = ZarrSource.readDataset(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("a")) ->
+        r.getString(r.fieldIndex("tag"))).toMap
+    assert(back == Map(1L -> "abc", 2L -> "𝄞", 3L -> "xy"))
+    // a NULL string cell fails loudly (strings, like ints, are total)
+    val bad = Seq((1L, Some("x")), (2L, None)).toDF("a", "tag")
+    intercept[Exception] {
+      ZarrSink.writeDataset(bad,
+        Files.createTempDirectory("zstrn").toString + "/st.zarr", Seq("a"))
     }
-    assert(e1.getMessage.contains("string DATA variables not supported"))
     val e2 = intercept[IllegalArgumentException] {
-      NetCDF3Sink.writeDataset(s, Files.createTempFile("n", ".nc").toString, Seq("a"))
+      NetCDF3Sink.writeDataset(df,
+        Files.createTempFile("n", ".nc").toString, Seq("a"))
     }
     assert(e2.getMessage.contains("string DATA variables not supported"))
   }
@@ -408,21 +425,21 @@ class WriteSinkSpec extends SparkSpec {
   private def dtypeCanonical = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when}
-    Seq[(String, Long, Option[Double], Boolean, Option[(Double, Double)])](
-      ("A", 1L, Some(1.25), false, Some((0.1, 0.0))),
-      ("A", 2L, Some(2.25), true, Some((0.2, 0.0))),
-      ("BB", 1L, Some(11.25), true, Some((1.1, 1.0))),
-      ("BB", 2L, Some(12.25), false, Some((1.2, 2.0))),
-      ("C", 1L, Some(21.25), false, None),
-      ("C", 2L, None, true, Some((2.2, 4.0))))
-      .toDF("s", "k", "x", "f", "zv")
+    Seq[(String, Long, Option[Double], Boolean, Option[(Double, Double)], String)](
+      ("A", 1L, Some(1.25), false, Some((0.1, 0.0)), "abc"),
+      ("A", 2L, Some(2.25), true, Some((0.2, 0.0)), "d"),
+      ("BB", 1L, Some(11.25), true, Some((1.1, 1.0)), "ef"),
+      ("BB", 2L, Some(12.25), false, Some((1.2, 2.0)), "ghi"),
+      ("C", 1L, Some(21.25), false, None, "j"),
+      ("C", 2L, None, true, Some((2.2, 4.0)), "kl"))
+      .toDF("s", "k", "x", "f", "zv", "tg")
       .select(col("s"), col("k"), col("x"), col("f"),
         when(col("zv").isNotNull, graft.functions.ComplexFns.complex(
-          col("zv._1"), col("zv._2"))).as("zc"))
+          col("zv._1"), col("zv._2"))).as("zc"), col("tg"))
   }
 
-  test("DTYPE store (string axis + bool + complex) is byte-identical to " +
-       "the independent python writer — zarr v2") {
+  test("DTYPE store (string axis + bool + complex + string data var) is " +
+       "byte-identical to the independent python writer — zarr v2") {
     val dir = Files.createTempDirectory("zarrdtw").toString + "/st"
     ZarrSink.writeDataset(dtypeCanonical, dir, Seq("s", "k"),
       compress = false)
@@ -432,7 +449,8 @@ class WriteSinkSpec extends SparkSpec {
   test("DTYPE netCDF (NC_CHAR axis + NC_BYTE bool) is byte-identical to " +
        "the independent python writer — CDF-1") {
     val f = Files.createTempDirectory("ncdtw").toString + "/st.nc"
-    NetCDF3Sink.writeDataset(dtypeCanonical.drop("zc"), f, Seq("s", "k"))
+    NetCDF3Sink.writeDataset(dtypeCanonical.drop("zc").drop("tg"), f,
+      Seq("s", "k"))
     val got = Files.readAllBytes(Paths.get(f))
     val want = Files.readAllBytes(Paths.get(s"$golden/golden_dtypes.nc"))
     assert(java.util.Arrays.equals(got, want),
