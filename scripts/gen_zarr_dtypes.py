@@ -20,6 +20,13 @@ v3 store (src/test/resources/zarr_v3_dtypes):
   - y (int64 coord); fb(y) bool gzip; cz(y) complex128 raw with one
     absent chunk, fill ["NaN", 2.5].
 
+vlen store (src/test/resources/zarr_vlen) — xarray's DEFAULT string
+encoding (object dtype + numcodecs VLenUTF8 filter):
+  - x: |O vlen-utf8 raw COORD ["né", "b", "ccc"] (2-byte UTF-8 char);
+  - v(x): <f8 zlib [1.5, 2.5, 3.5];
+  - names(x): |O vlen-utf8 + zlib, chunks of 2 -> the edge chunk
+    stores a full 2-item vlen stream with empty-string padding.
+
 Values are deterministic; the EXPECTED values are asserted in
 ZarrSpec (hand-computed there, not read from this generator).
 """
@@ -146,7 +153,40 @@ def main():
         f.write(b"".join(struct.pack("<2d", float(k), -float(k))
                          for k in range(3)))
 
-    print("wrote", R2, "and", R3)
+    # ---------------- vlen store ----------------
+    RV = "src/test/resources/zarr_vlen"
+    clean(RV)
+    jput(f"{RV}/.zgroup", {"zarr_format": 2})
+
+    def vlen_stream(items):
+        out = struct.pack("<i", len(items))
+        for it in items:
+            b = it.encode("utf-8")
+            out += struct.pack("<i", len(b)) + b
+        return out
+
+    def v2_meta_f(root, name, shape, chunks, dtype, comp, dims, fill,
+                  filters):
+        os.makedirs(f"{root}/{name}", exist_ok=True)
+        jput(f"{root}/{name}/.zarray", {
+            "zarr_format": 2, "shape": shape, "chunks": chunks,
+            "dtype": dtype, "order": "C", "filters": filters,
+            "compressor": ({"id": "zlib", "level": 1}
+                           if comp == "zlib" else None),
+            "fill_value": fill,
+        })
+        jput(f"{root}/{name}/.zattrs", {"_ARRAY_DIMENSIONS": dims})
+
+    vl = [{"id": "vlen-utf8"}]
+    v2_meta_f(RV, "x", [3], [3], "|O", None, ["x"], None, vl)
+    chunk(RV, "x", "0", vlen_stream(["n\u00e9", "b", "ccc"]), None)
+    v2_meta(RV, "v", [3], [3], "<f8", "zlib", ["x"], "NaN")
+    chunk(RV, "v", "0", struct.pack("<3d", 1.5, 2.5, 3.5), "zlib")
+    v2_meta_f(RV, "names", [3], [2], "|O", "zlib", ["x"], None, vl)
+    chunk(RV, "names", "0", vlen_stream(["alpha", "b\u00e9ta"]), "zlib")
+    chunk(RV, "names", "1", vlen_stream(["gamma", ""]), "zlib")
+
+    print("wrote", R2, "and", R3, "and", RV)
 
 
 if __name__ == "__main__":

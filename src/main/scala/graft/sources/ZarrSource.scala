@@ -28,9 +28,12 @@ import scala.jdk.CollectionConverters._
   * (complex128) → struct(re, im), fixed-width strings `|S<n>` (bytes,
   * UTF-8) and `<U<n>` (UCS-4) → STRING — the reference's canonical
   * store shape (string coords, bool/complex vars,
-  * tests/test_manage.py:15-27) crosses whole. v3 adds bool and
-  * complex128 under their own names; v3 VARIABLE-length strings fail
-  * fast with the migration hint. Byte streams: null | zlib | gzip |
+  * tests/test_manage.py:15-27) crosses whole. v2 object dtype `|O`
+  * with the numcodecs vlen-utf8 filter — xarray `to_zarr`'s DEFAULT
+  * encoding for python-str variables and coordinates — reads as
+  * STRING too (the one supported filter; any other chain refuses).
+  * v3 adds bool and complex128 under their own names; v3
+  * VARIABLE-length strings fail fast with the migration hint. Byte streams: null | zlib | gzip |
   * zstd | blosc with EVERY c-blosc-1 inner codec — blosclz, lz4,
   * lz4hc, snappy, zlib, zstd — and shuffle mode — none, byte, bit —
   * ([[BloscCodec]]/[[BloscLz]]: any numcodecs `Blosc(...)`
@@ -79,9 +82,12 @@ object ZarrSource {
       case "<f4" | "<i4"           => 4
       case "|b1"                   => 1
       case "<c16"                  => 16
+      case "|O"                    => 0 // variable-length (vlen path)
       case s if s.startsWith("|S") => s.drop(2).toInt
       case s if s.startsWith("<U") => s.drop(2).toInt * 4
     }
+    /** Object dtype carrying numcodecs VLenUTF8 strings. */
+    def isVlen: Boolean = dtype == "|O"
     /** Spark-side value type: numerics widen to DOUBLE/LONG, `|b1` →
       * BOOLEAN, fixed strings → STRING, `<c16` → struct(re, im) —
       * the engine's complex encoding ([[graft.functions.ComplexFns]]). */
@@ -92,7 +98,7 @@ object ZarrSource {
       case "<c16"        => StructType(Seq(
         StructField("re", DoubleType, nullable = false),
         StructField("im", DoubleType, nullable = false)))
-      case _             => StringType // |S* / <U*
+      case _             => StringType // |S* / <U* / |O (vlen-utf8)
     }
   }
 
@@ -141,12 +147,25 @@ object ZarrSource {
   private def metaV2(za: JsonNode, attrs: Option[JsonNode]): ArrayMeta = {
     require(za.get("zarr_format").asInt() == 2, "only zarr v2 supported")
     require(za.get("order").asText() == "C", "only C-order zarr arrays supported")
-    require(za.get("filters") == null || za.get("filters").isNull,
-      "zarr filters not supported")
     def ints(n: JsonNode): Seq[Int] = n.elements().asScala.map(_.asInt()).toSeq
     val dtype = za.get("dtype").asText()
-    require(supportedV2Dtype(dtype),
-      s"unsupported dtype '$dtype' (f8/f4/i8/i4/b1/c16/S*/U* only)")
+    // the ONE supported filter chain: object dtype + vlen-utf8 — what
+    // xarray's `to_zarr` emits by DEFAULT for python-str variables and
+    // coordinates (numcodecs VLenUTF8). Anything else fails fast.
+    val filters = Option(za.get("filters")).filterNot(_.isNull)
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    if (dtype == "|O") {
+      require(filters.length == 1 &&
+        filters.head.get("id").asText() == "vlen-utf8",
+        s"object dtype requires the vlen-utf8 filter (found " +
+          s"${filters.map(_.get("id").asText()).mkString(",")})")
+    } else {
+      require(filters.isEmpty,
+        s"zarr filters not supported (found " +
+          s"${filters.map(_.get("id").asText()).mkString(",")})")
+      require(supportedV2Dtype(dtype),
+        s"unsupported dtype '$dtype' (f8/f4/i8/i4/b1/c16/S*/U*/O-vlen only)")
+    }
     val comp = Option(za.get("compressor")).filterNot(_.isNull).map { c =>
       val id = c.get("id").asText()
       require(id == "zlib" || id == "gzip" || id == "zstd" || id == "blosc",
@@ -199,6 +218,7 @@ object ZarrSource {
           require(n.isArray && n.size() == 2,
             s"complex fill_value must be [real, imag], got $n")
           Row(fp(n.get(0)), fp(n.get(1)))
+        case "|O" => n.asText()
         case s if s.startsWith("|S") =>
           trimNul(new String(java.util.Base64.getDecoder.decode(n.asText()),
             java.nio.charset.StandardCharsets.UTF_8))
@@ -391,6 +411,8 @@ object ZarrSource {
                 valueCol: String = "value",
                 knownMeta: Option[ArrayMeta] = None): DataFrame = {
     val meta = knownMeta.getOrElse(readMeta(spark, arrayPath))
+    require(!(meta.isVlen && meta.sharding.isDefined),
+      "vlen-utf8 inside sharding_indexed not supported")
     val elemSize = meta.elemSize
     val chunkElems = meta.chunks.product
     val schema = StructType(
@@ -427,10 +449,13 @@ object ZarrSource {
         case None => Iterator.empty
         case Some(chunkIdx) =>
           val content = r.getAs[Array[Byte]](1)
+          val base = Array.tabulate(m.ndim)(i => chunkIdx(i).toLong * m.chunks(i))
           m.sharding match {
+            case None if m.isVlen =>
+              val items = decodeVlenChunk(content, m.compressor, chunkElems)
+              emitElems(m, m.chunks, base, items(_))
             case None =>
               val raw = decompress(content, m.compressor, chunkElems * elemSize)
-              val base = Array.tabulate(m.ndim)(i => chunkIdx(i).toLong * m.chunks(i))
               val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
               emitElems(m, m.chunks, base, bufferValue(m, bb))
             case Some(sh) =>
@@ -499,6 +524,66 @@ object ZarrSource {
         val n = s.drop(2).toInt
         flat => decodeUcs4(bb, flat * n * 4, n)
     }
+
+  /** numcodecs VLenUTF8 chunk: uint32-LE item count, then per item a
+    * uint32-LE byte length + UTF-8 bytes; the whole stream optionally
+    * wrapped in the array's compressor. Decoded size is unknown ahead,
+    * so compressed streams inflate into a growing buffer (blosc/zstd
+    * frames carry their own size). Returns exactly `chunkElems`
+    * strings (numcodecs encodes full chunks, edge padding included). */
+  private def decodeVlenChunk(content: Array[Byte], comp: Option[String],
+                              chunkElems: Int): Array[String] = {
+    val raw = inflateAll(content, comp)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val count = bb.getInt()
+    require(count == chunkElems,
+      s"vlen chunk stores $count items, chunk shape implies $chunkElems")
+    Array.fill(count) {
+      val n = bb.getInt()
+      val b = new Array[Byte](n)
+      bb.get(b)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Decompress a stream of UNKNOWN decoded size (vlen chunks). */
+  private def inflateAll(content: Array[Byte],
+                         comp: Option[String]): Array[Byte] = comp match {
+    case None => content
+    case Some("zlib") =>
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(content)
+      val out = new java.io.ByteArrayOutputStream(content.length * 4 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n > 0) out.write(tmp, 0, n)
+        else if (inf.needsInput() && !inf.finished())
+          throw new IllegalArgumentException("truncated zlib vlen chunk")
+      }
+      inf.end()
+      out.toByteArray
+    case Some("gzip") =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try in.readAllBytes() finally in.close()
+    case Some("zstd") =>
+      val sz = com.github.luben.zstd.Zstd.getFrameContentSize(content)
+      require(sz > 0 && sz <= Int.MaxValue, s"zstd frame size $sz")
+      val out = new Array[Byte](sz.toInt)
+      val n = com.github.luben.zstd.Zstd.decompressByteArray(
+        out, 0, sz.toInt, content, 0, content.length)
+      require(n == sz, s"zstd vlen chunk decoded $n of $sz bytes")
+      out
+    case Some("blosc") =>
+      // the c-blosc header carries the decompressed size (nbytes,
+      // LE uint32 at offset 4)
+      require(content.length >= 16, "truncated blosc header")
+      val nbytes = ByteBuffer.wrap(content, 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      BloscCodec.decode(content, nbytes)
+    case Some(other) => throw new IllegalArgumentException(other)
+  }
 
   /** Emit (global indices, value) rows for one chunk of shape `cshape`
     * whose element [0,…,0] sits at global `base`; C-order flat

@@ -571,6 +571,33 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("vlen-utf8 object strings (xarray's DEFAULT str encoding) read: " +
+       "vlen COORD, zlib-wrapped vlen var, edge-chunk empty padding") {
+    val store = "src/test/resources/zarr_vlen"
+    val ds = ZarrSource.readDataset(spark, store)
+    assert(ds.columns.toSet == Set("x", "v", "names"))
+    val rows = ds.collect().map { r =>
+      r.getAs[String]("x") ->
+        ((r.getAs[Double]("v"), r.getAs[String]("names")))
+    }.toMap
+    // coord x is itself vlen-utf8: indices replaced by string values
+    assert(rows == Map(
+      "né" -> ((1.5, "alpha")), "b" -> ((2.5, "béta")),
+      "ccc" -> ((3.5, "gamma"))))
+  }
+
+  test("vlen-utf8 with any OTHER filter chain refuses loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badfilter")
+    val arr = tmp.resolve("a"); java.nio.file.Files.createDirectory(arr)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      """{"zarr_format":2,"order":"C","dtype":"<f8","shape":[2],
+         "chunks":[2],"compressor":null,"fill_value":null,
+         "filters":[{"id":"delta"}]}""".getBytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource.readMeta(spark, arr.toString))
+    assert(e.getMessage.contains("filters"), e.getMessage)
+  }
+
   test("v3 dtypes: variable-length string data_type refuses with the " +
        "migration hint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-v3str")
