@@ -14,6 +14,12 @@ the same deps xyzpy itself required; graft needs none of them):
 
     python3 scripts/migrate_xyzpy.py old_store.h5 new_store.zarr
 
+Every dtype in xyzpy's canonical store shape survives the crossing
+(reference tests/test_manage.py:15-27): float/int, bool (|b1),
+complex128 (<c16 -> struct(re,im)), fixed-width strings (|S/<U), and
+the object-dtype strings xarray's to_zarr emits by default for str
+coordinates/variables (vlen-utf8 filter) — no casting needed here.
+
 Then on the Spark side:
 
     val ds = graft.sources.ZarrSource.readDataset(spark, "new_store.zarr")
