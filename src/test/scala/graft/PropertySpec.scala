@@ -410,6 +410,52 @@ class BlackBoxEvalSpec extends SparkSpec {
     }
   }
 
+  test("property: dtype bridge round-trips random string axes + " +
+       "string/bool/complex variables exactly (zarr v2)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260814)
+    // alphabet spans 1-byte, 2-byte, 3-byte UTF-8 and a supplementary
+    // (2-char) code point — every UCS-4 packing shape
+    val alphabet = Seq("a", "Z", "é", "ж", "中", new String(Character.toChars(0x1D11E)))
+    def randStr(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 4) {
+      val sAxis = (0 until 2 + rnd.nextInt(3))
+        .map(i => s"k$i" + randStr(3)).distinct
+      val nk = 1 + rnd.nextInt(3)
+      // total grid: string/bool vars have no fill
+      val cells = for (s <- sAxis; k <- 0 until nk) yield {
+        val tg = randStr(4)
+        val fl = rnd.nextBoolean()
+        val z = (rnd.nextInt(100) / 4.0, rnd.nextInt(100) / 8.0)
+        (s, k.toLong, tg, fl, z._1, z._2)
+      }
+      val df = spark.createDataFrame(cells)
+        .toDF("s", "k", "tg", "fl", "zre", "zim")
+        .select(col("s"), col("k"), col("tg"), col("fl"),
+          graft.functions.ComplexFns.complex(col("zre"), col("zim")).as("z"))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"zdtprop$trial").toString + "/st.zarr"
+      graft.sources.ZarrSink.writeDataset(df, dir, Seq("s", "k"),
+        compress = trial % 2 == 0)
+      val back = graft.sources.ZarrSource.readDataset(spark, dir)
+        .collect().map { r =>
+          val z = r.getStruct(r.fieldIndex("z"))
+          (r.getString(r.fieldIndex("s")), r.getLong(r.fieldIndex("k"))) ->
+            ((r.getString(r.fieldIndex("tg")),
+              r.getBoolean(r.fieldIndex("fl")),
+              z.getDouble(0), z.getDouble(1)))
+        }.toMap
+      val expect = cells.map { case (s, k, tg, fl, re, im) =>
+        (s, k) -> ((tg, fl, re, im))
+      }.toMap
+      assert(back.size == expect.size, s"trial $trial: ${back.size} cells")
+      for ((key, want) <- expect)
+        assert(back(key) == want, s"trial $trial $key: ${back(key)} != $want")
+    }
+  }
+
   test("Dataset-returning fn via typed flatMap (inner dims become rows)") {
     val g = Grid.expand(spark, ComboSpec.of("a" -> (1L to 3L)))
     val out = g.as[Long].flatMap { a =>
