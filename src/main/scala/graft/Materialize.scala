@@ -76,16 +76,19 @@ import scala.collection.mutable
   * == Scoping (round-10) ==
   *
   * The registry is keyed by a SCOPE token carried in a
-  * `DynamicVariable` (thread-inherited). [[releaseAll]] drops only the
-  * stages registered under the CALLING pipeline's scope, so two
-  * pipelines interleaved on one driver — a streaming job and a batch
-  * harvest, two notebook cells — cannot release each other's caches
-  * (previously a silent perf cliff: the victim's plans recompute from
-  * source). Sequential runners (Verify/Bench/specs) never call
-  * [[inScope]] and keep the exact old behavior: everything registers
-  * under the root scope, and each releaseAll() drains what the
-  * just-finished query registered there. A concurrent pipeline wraps
-  * its build+run+release in `Materialize.inScope { ... }`.
+  * `DynamicVariable` (thread-inherited at thread creation; see the
+  * [[inScope]] caveat for pre-existing pooled threads). [[releaseAll]]
+  * drops only the stages registered under the CALLING pipeline's
+  * scope, so two pipelines interleaved on one driver — a streaming job
+  * and a batch harvest, two notebook cells — cannot release each
+  * other's caches (previously a silent perf cliff: the victim's plans
+  * recompute from source). [[inScope]] drains its scope on exit, so an
+  * abandoned scope cannot leak caches. Sequential runners
+  * (Verify/Bench/specs) never call [[inScope]] and keep the exact old
+  * behavior: everything registers under the root scope, and each
+  * releaseAll() drains what the just-finished query registered there.
+  * A concurrent pipeline wraps its build+run+release in
+  * `Materialize.inScope { ... }`.
   */
 object Materialize {
 
@@ -96,9 +99,21 @@ object Materialize {
 
   /** Run `body` under a fresh registry scope: stages registered inside
     * belong to this pipeline alone, and only ITS releaseAll() (called
-    * inside the scope) drops them. Thread-inherited, so Spark actions
-    * launched from worker threads inside the scope register correctly. */
-  def inScope[A](body: => A): A = currentScope.withValue(new Scope)(body)
+    * inside the scope) drops them. On exit the scope is DRAINED
+    * unconditionally — a pipeline that throws (or forgets releaseAll)
+    * cannot leak its caches for the driver's lifetime, because its
+    * scope token would otherwise be unreachable by any later call.
+    *
+    * Thread caveat: the scope rides a `DynamicVariable`
+    * (InheritableThreadLocal) — threads CREATED inside the scope
+    * inherit it; pre-existing pooled threads do NOT, and registrations
+    * from such threads land in the pool-creating thread's scope
+    * (usually root — the pre-scoping behavior, no worse). Build plans
+    * and call reuse/truncate from the pipeline's own thread. */
+  def inScope[A](body: => A): A = currentScope.withValue(new Scope) {
+    try body
+    finally releaseAll() // drains THIS scope only (releaseAll is scoped)
+  }
 
   /** DataFrame handles persisted via [[reuse]] (CacheManager-backed). */
   private val persistedFrames = mutable.ArrayBuffer.empty[(Scope, DataFrame)]

@@ -17,6 +17,12 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // compatibility, not semantics: TIMESTAMP(NANOS) parquet columns
+      // (older exports) are otherwise REJECTED by the reader; with the
+      // flag they arrive as Long nanos, which TimeFns' schema-adaptive
+      // accessors convert. Plain TIMESTAMP (micros) columns — the
+      // current events encoding — are unaffected by this flag.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // catalog tables (BucketedStore) land under /tmp, not the repo;

@@ -27,12 +27,12 @@ object Verify {
       finally Materialize.releaseAll()
     }
     // a throwing query must be visible as FAILED in the round record,
-    // not mistaken for an unregistered one: leave a failed-query
-    // manifest next to the dumps (exit stays 0 so the driver still
-    // compares every query that did produce output)
-    if (failed.nonEmpty)
-      Files.writeString(Paths.get(s"$outDir/FAILED.json"),
-        failed.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    // not mistaken for an unregistered one: the failed-query manifest
+    // is rewritten UNCONDITIONALLY (a clean rerun into the same outDir
+    // must not inherit a stale failure list; exit stays 0 so the
+    // driver still compares every query that did produce output)
+    Files.writeString(Paths.get(s"$outDir/FAILED.json"),
+      failed.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

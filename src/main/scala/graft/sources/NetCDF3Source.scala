@@ -248,7 +248,11 @@ object NetCDF3Source {
 
   /** String coordinate axis from a 2-D NC_CHAR matrix: one driver-side
     * positional read (bounded — coordinate axes ARE the store's
-    * dimensions), rows NUL/space-trimmed per netCDF convention. */
+    * dimensions). Rows trim trailing NULs ONLY — the C-string padding
+    * [[NetCDF3Sink]] writes. Trimming spaces too would corrupt values
+    * that legitimately end in a space (two axis labels differing only
+    * in trailing whitespace would collapse), so Fortran-style
+    * space-padded external files keep their pad spaces. */
   private def readCharCoord(spark: SparkSession, file: String,
                             m: VarMeta): DataFrame = {
     val Seq(len, strlen) = m.shape
@@ -259,8 +263,7 @@ object NetCDF3Source {
     try in.readFully(m.begin, buf) finally in.close()
     val rows = (0 until len).map { i =>
       var end = (i + 1) * strlen
-      while (end > i * strlen &&
-        (buf(end - 1) == 0 || buf(end - 1) == ' ')) end -= 1
+      while (end > i * strlen && buf(end - 1) == 0) end -= 1
       Row(i.toLong, new String(buf, i * strlen, end - i * strlen,
         java.nio.charset.StandardCharsets.UTF_8))
     }

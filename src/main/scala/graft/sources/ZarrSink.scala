@@ -86,31 +86,17 @@ object ZarrSink {
     require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     require(shardInnerRows == 0 || zarrFormat == 3,
       "sharding is a zarr v3 feature (ZEP 2) — set zarrFormat = 3")
-    // Lease + stage-then-rename (same discipline as ParquetStore,
-    // Store.scala WriteLease/replaceWith): a second writer against the
-    // same destination throws ConcurrentWriteException instead of
-    // silently interleaving chunk files, and a killed write leaves the
-    // OLD store (or nothing) at `path`, never a mix — the store only
-    // changes via the final checked renames.
+    // Lease + stage-then-rename (the ParquetStore discipline, shared
+    // via WriteLease.stageAndSwap): a second writer against the same
+    // destination throws ConcurrentWriteException instead of silently
+    // interleaving chunk files, and a killed write leaves the OLD
+    // store (or nothing) at `path`, never a mix.
     val dest = new Path(path)
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    graft.store.WriteLease.withLease(fs, new Path(path + ".__lock"),
-      "zarr-write") {
-      val tmp = new Path(path + ".__tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+    graft.store.WriteLease.stageAndSwap(fs, dest, "zarr-write",
+      "zarr store") { tmp =>
       writeStore(df, tmp.toString, dims, chunkTargetBytes, compress,
         zarrFormat, shardInnerRows)
-      val bak = new Path(path + ".__bak")
-      def renameOrAbort(from: Path, to: Path, keep: String): Unit =
-        if (!fs.rename(from, to))
-          throw new java.io.IOException(
-            s"zarr store swap: rename $from -> $to failed; $keep")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(dest))
-        renameOrAbort(dest, bak, s"store left untouched at $dest")
-      renameOrAbort(tmp, dest,
-        s"previous store preserved at $bak (restore by renaming it back)")
-      if (fs.exists(bak)) fs.delete(bak, true)
     }
   }
 

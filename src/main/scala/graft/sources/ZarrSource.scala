@@ -558,8 +558,12 @@ object ZarrSource {
       while (!inf.finished()) {
         val n = inf.inflate(tmp)
         if (n > 0) out.write(tmp, 0, n)
-        else if (inf.needsInput() && !inf.finished())
-          throw new IllegalArgumentException("truncated zlib vlen chunk")
+        // ANY zero-progress state that isn't completion (truncated
+        // input, preset-dictionary stream, malformed data) must throw,
+        // not spin — needsInput()/needsDictionary() both land here
+        else if (!inf.finished())
+          throw new IllegalArgumentException(
+            "truncated or malformed zlib vlen chunk")
       }
       inf.end()
       out.toByteArray

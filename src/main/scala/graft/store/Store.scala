@@ -75,6 +75,33 @@ private[graft] object WriteLease {
       body
     } finally fs.delete(lock, true)
   }
+
+  /** Lease `dest`, produce the new store at `<dest>.__tmp` via `write`,
+    * then swap it in with CHECKED renames (dest → `.__bak`, tmp → dest,
+    * drop bak) — the save-side sinks' shared discipline: a second
+    * writer throws [[ConcurrentWriteException]], and a killed write
+    * leaves the old store (or none) at `dest`, never a mix. `what`
+    * names the artifact in error messages. */
+  def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem,
+                   dest: org.apache.hadoop.fs.Path, op: String,
+                   what: String)(write: org.apache.hadoop.fs.Path => Unit): Unit =
+    withLease(fs, new org.apache.hadoop.fs.Path(dest.toString + ".__lock"), op) {
+      val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".__tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      write(tmp)
+      val bak = new org.apache.hadoop.fs.Path(dest.toString + ".__bak")
+      def renameOrAbort(from: org.apache.hadoop.fs.Path,
+                        to: org.apache.hadoop.fs.Path, keep: String): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"$what swap: rename $from -> $to failed; $keep")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(dest))
+        renameOrAbort(dest, bak, s"$what left untouched at $dest")
+      renameOrAbort(tmp, dest,
+        s"previous $what preserved at $bak (restore by renaming it back)")
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
 }
 
 /** Harvest-store merge family (SURVEY §2.4, M1-M12).
