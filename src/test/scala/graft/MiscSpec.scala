@@ -222,3 +222,60 @@ class IOFacetSpec extends SparkSpec {
     assert(panels.map(_._2.count()).sum == 3)
   }
 }
+
+/** Event-time encoding dispatch ([[graft.functions.TimeFns]]): the
+  * events table now ships native parquet TIMESTAMP (micros), but the
+  * engine also reads older exports whose `ts` is nanos-since-epoch as
+  * a plain Long (and TIMESTAMP(NANOS) files, which the pinned
+  * `nanosAsLong` session flag surfaces as Long too). Both branches of
+  * the schema-adaptive accessors must agree on the same instants.
+  */
+class TimeFnsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.TimeFns
+
+  test("asTimestamp/asMicros: native TIMESTAMP and legacy Long-nanos " +
+       "columns resolve to the same instants") {
+    import spark.implicits._
+    val us = Seq(0L, 1_700_000_000_123_456L, 86_400_000_000L)
+    val tsDf = us.toDF("n")
+      .select(timestamp_micros(col("n")).as("ts"))
+    val nanosDf = us.map(_ * 1000L).toDF("ts") // Long nanos column
+    val a = tsDf.select(TimeFns.asMicros(tsDf, "ts").as("us"))
+      .as[Long].collect().sorted.toSeq
+    val b = nanosDf.select(TimeFns.asMicros(nanosDf, "ts").as("us"))
+      .as[Long].collect().sorted.toSeq
+    assert(a == us.sorted && b == us.sorted)
+    val ta = tsDf.select(TimeFns.asTimestamp(tsDf, "ts").cast("string"))
+      .as[String].collect().sorted.toSeq
+    val tb = nanosDf.select(TimeFns.asTimestamp(nanosDf, "ts").cast("string"))
+      .as[String].collect().sorted.toSeq
+    assert(ta == tb, s"$ta != $tb")
+  }
+
+  test("ev2's session-gap arithmetic is encoding-independent") {
+    import spark.implicits._
+    // two users; user 1 has a 31-minute gap -> 2 sessions
+    val base = 1_700_000_000_000_000L
+    val rows = Seq(
+      (1L, base), (1L, base + 60L * 1000000L),
+      (1L, base + (60L + 31 * 60) * 1000000L),
+      (2L, base))
+    def sessions(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      df.withColumn("__us", TimeFns.asMicros(df, "ts"))
+        .withColumn("prev_us", lag(col("__us"), 1).over(w))
+        .withColumn("ns", when(col("prev_us").isNull ||
+          (col("__us") - col("prev_us")) > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id").agg(sum("ns").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val tsDf = rows.toDF("user_id", "n")
+      .select(col("user_id"), timestamp_micros(col("n")).as("ts"))
+    val nanosDf = rows.map { case (u, t) => (u, t * 1000L) }
+      .toDF("user_id", "ts")
+    assert(sessions(tsDf) == Map(1L -> 2L, 2L -> 1L))
+    assert(sessions(nanosDf) == Map(1L -> 2L, 2L -> 1L))
+  }
+}
