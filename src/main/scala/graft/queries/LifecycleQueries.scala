@@ -466,6 +466,32 @@ object LifecycleQueries {
         (COUNT(*) % 2 = 0) AS even_rows
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** IO9: netCDF dtype round-trip — the classic-format half of io8.
+    * The string axis crosses as an NC_CHAR matrix over a `rflag_strlen`
+    * dimension; the bool variable narrows to NC_BYTE 0/1 (classic has
+    * no boolean type), so the oracle compares it as BIGINT — the
+    * documented, deliberate narrowing, pinned here so it cannot drift
+    * silently.
+    */
+  val io9NetcdfDtypes = QueryDef(
+    "io9_netcdf_dtype_roundtrip",
+    (s, dir) => {
+      val grid = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"),
+          col("l_linenumber").as("linenum"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          (count(lit(1)) % 2 === 0).as("even_rows"))
+      val f = freshDir("io9") + "/grid.nc"
+      graft.sources.NetCDF3Sink.writeDataset(grid, f, Seq("rflag", "linenum"))
+      graft.sources.NetCDF3Source.readDataset(s, f)
+        .select("rflag", "linenum", "sum_qty", "even_rows")
+    },
+    Some("""SELECT l_returnflag AS rflag,
+        CAST(l_linenumber AS BIGINT) AS linenum,
+        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        CAST(COUNT(*) % 2 = 0 AS BIGINT) AS even_rows
+      FROM lineitem GROUP BY 1, 2"""))
+
   /** RJ1: range join — lineitem prices against per-size price bands
     * ([size·500, size·500+2000]); the binned equi-join plan replaces
     * the BroadcastNestedLoopJoin Spark gives a raw BETWEEN join.
@@ -509,6 +535,6 @@ object LifecycleQueries {
       ROUND(sum(l_quantity)/count(l_quantity), 4) AS mean
       FROM lineitem GROUP BY l_returnflag"""))
 
-  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, io8Dtypes, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
+  val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, io8Dtypes, io9NetcdfDtypes, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
     ev3Json, sk1Salted)
 }
