@@ -339,6 +339,35 @@ class WriteSinkSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, true), (2L, false), (3L, true)))
   }
 
+  test("CDF-2 (64-bit-offset) output round-trips and differs from " +
+       "CDF-1 only in the version byte and 8-byte begins") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5, 10L), (2L, 2.5, 20L), (3L, 3.5, 30L))
+      .toDF("a", "x", "n")
+    val f1 = Files.createTempFile("cdf1", ".nc").toString
+    val f2 = Files.createTempFile("cdf2", ".nc").toString
+    NetCDF3Sink.writeDataset(df, f1, Seq("a"), version = 1)
+    NetCDF3Sink.writeDataset(df, f2, Seq("a"), version = 2)
+    val b2 = Files.readAllBytes(Paths.get(f2))
+    assert(b2(3) == 2, "version byte")
+    // 3 vars with 8-byte begins instead of 4 -> header grows by 12
+    assert(b2.length == Files.readAllBytes(Paths.get(f1)).length + 12)
+    val back = NetCDF3Source.readDataset(spark, f2)
+      .select("a", "x", "n").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, 1.5, 10L), (2L, 2.5, 20L), (3L, 3.5, 30L)))
+    // CDF-2 keeps CDF-1's NC_INT: 64-bit values still refuse loudly
+    val big = Seq((1L, 5_000_000_000L)).toDF("a", "big")
+    val e = intercept[Exception] {
+      NetCDF3Sink.writeDataset(big,
+        Files.createTempFile("cdf2big", ".nc").toString, Seq("a"),
+        version = 2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("NC_INT range")))
+  }
+
   test("netCDF data section costs ONE job regardless of variable count") {
     import spark.implicits._
     val one = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("a", "x")
