@@ -147,7 +147,7 @@ object Materialize {
     else synchronized {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint() // eager: blocks register here
-      pinnedRddIds ++= (sc.getPersistentRDDs.keySet -- before)
+      pinnedRddIds ++= sc.getPersistentRDDs.keySet.toSet.diff(before.toSet)
         .map((currentScope.value, sc, _))
       out
     }
