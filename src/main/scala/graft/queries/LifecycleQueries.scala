@@ -240,6 +240,57 @@ object LifecycleQueries {
             FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
         ON l.user_id = r.user_id AND l.ts >= r.ts"""))
 
+  /** EV5: hopping (sliding) window — 1-hour windows every 30 minutes
+    * via Spark's built-in `window()` generator (each event lands in
+    * windowDuration/slide = 2 windows; the expansion is a map-side
+    * generate, the aggregation one partial-combined shuffle keyed by
+    * window start). min/max are exact element picks, so the compare
+    * has no summation-order surface at all. Both engines align
+    * 30-minute buckets on the epoch grid (Spark: unix epoch; DuckDB
+    * time_bucket: 2000-01-01 — the same 30-minute phase).
+    */
+  val ev5Sliding = QueryDef(
+    "ev5_sliding_window",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.withColumn("__t", TimeFns.asTimestamp(ev, "ts"))
+        .groupBy(window(col("__t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("min_value"), col("max_value"))
+    },
+    Some("""SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+          - o.o * INTERVAL 30 MINUTE AS ws,
+        event_type, count(*) AS n,
+        min(value) AS min_value, max(value) AS max_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
+      GROUP BY 1, 2"""))
+
+  /** EV6: top-k per window — the 3 most frequent event types per
+    * tumbling hour (rank by count desc, type asc — the explicit
+    * tiebreak keeps both engines' row_number deterministic). The rank
+    * window partitions by hour AFTER the count aggregation, so the
+    * ranked exchange carries one row per (hour, type), not per event.
+    */
+  val ev6TopK = QueryDef(
+    "ev6_topk_per_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      ev.withColumn("hour", date_trunc("hour", TimeFns.asTimestamp(ev, "ts")))
+        .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("hour").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") <= 3)
+    },
+    Some("""SELECT hour, event_type, n, rk FROM (
+        SELECT hour, event_type, n, CAST(row_number() OVER (
+            PARTITION BY hour ORDER BY n DESC, event_type) AS INT) AS rk
+        FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n FROM events GROUP BY 1, 2) c) r
+      WHERE rk <= 3"""))
+
   /** H2: the BUCKETED harvest lifecycle — same two-pass harvest as h1
     * but accumulated through a bucketBy+sortBy catalog table, whose
     * merges stream the store side with no exchange. Same oracle as the
@@ -536,5 +587,5 @@ object LifecycleQueries {
       FROM lineitem GROUP BY l_returnflag"""))
 
   val all: Seq[QueryDef] = Seq(h1Harvest, h2Bucketed, h3Loop, h4Mutations, m6MergeAll, io2Csv, io5Netcdf, io6Zarr, io7ZarrV3, io8Dtypes, io9NetcdfDtypes, b4Crop, ev1Window, ev2Sessions, ev4Asof, rj1Range,
-    ev3Json, sk1Salted)
+    ev3Json, ev5Sliding, ev6TopK, sk1Salted)
 }
