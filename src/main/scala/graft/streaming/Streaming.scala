@@ -31,6 +31,22 @@ object Streaming {
       .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("mean"),
         stddev_samp(col(valueCol)).as("std"))
 
+  /** Watermarked HOPPING-window aggregate — streaming form of
+    * LifecycleQueries.ev5. The `window()` generator expands each event
+    * into windowDuration/slide rows map-side before the stateful
+    * aggregation, so state is keyed per (window, key) exactly like the
+    * tumbling form — only the window multiplicity differs.
+    */
+  def hoppingStats(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, window: String, slide: String,
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_value"), max(col(valueCol)).as("max_value"))
+
   /** Session windows (gap-based) per key — streaming form of ev2. */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes",

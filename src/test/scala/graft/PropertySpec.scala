@@ -132,6 +132,46 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(merged.m2 - whole.m2) < 1e-6 * math.max(1.0, whole.m2))
     }
   }
+  test("property: each Lloyd pass never increases within-cluster SSE") {
+    import graft.similarity.Clustering
+    val vecGen = Gen.listOfN(3, Gen.choose(-10.0, 10.0))
+    forAll(Gen.listOfN(24, vecGen), n = 3) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      def sse(cents: Array[Array[Double]]): Double =
+        vs.map { v =>
+          cents.map(c => c.zip(v).map { case (a, b) =>
+            (a - b) * (a - b) }.sum).min
+        }.sum
+      val seeds = Clustering.spacedSeeds(df, "id", "v", k = 3)
+      // roundDecimals high enough that rounding can't mask a real
+      // SSE increase (1e-9 vs coordinate scale 10)
+      val one = Clustering.lloyd(df, "v", seeds, iters = 1, roundDecimals = 9)
+      val two = Clustering.lloyd(df, "v", one, iters = 1, roundDecimals = 9)
+      assert(sse(one) <= sse(seeds) + 1e-6)
+      assert(sse(two) <= sse(one) + 1e-6)
+    }
+  }
+
+  test("property: distributed assign matches driver-side argmin") {
+    import graft.similarity.Clustering
+    val vecGen = Gen.listOfN(4, Gen.choose(-5.0, 5.0))
+    forAll(Gen.listOfN(12, vecGen), Gen.listOfN(3, vecGen)) { (vs, cs) =>
+      val cents = cs.map(_.toArray).toArray
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = Clustering.assign(df, "v", cents)
+        .select("id", "centroid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val want = cents.zipWithIndex.map { case (c, ci) =>
+          (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, ci)
+        }.minBy(t => (t._1, t._2))._2
+        assert(got(i.toLong) == want)
+      }
+    }
+  }
+
   test("property: pruned partitioned mergeIn ≡ full unpartitioned merge") {
     // the partition-pruned write path must be semantically invisible:
     // same keys+values as merging the same deltas into a flat store

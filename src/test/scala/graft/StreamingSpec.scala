@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingStats: each event lands in duration/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.hoppingStats(
+      input.toDF().toDF("ts", "k", "v"), "ts", "k", "v",
+      window = "10 minutes", slide = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(7), "a", 2.0), (ts(8), "a", 6.0), (ts(12), "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping")
+        .select(col("window.start"), col("k"), col("n"),
+          col("min_value"), col("max_value"))
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      // events at 7,8 -> windows [0,10) and [5,15); event at 12 ->
+      // [5,15) and [10,20): the hop doubles membership, exactly
+      assert(rows == Set(
+        (0L, 2L, 2.0, 6.0),   // [0,10): 7,8
+        (5L, 3L, 2.0, 6.0),   // [5,15): 7,8,12
+        (10L, 1L, 4.0, 4.0))) // [10,20): 12
+    } finally q.stop()
+  }
+
   test("runningStats: Welford state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
