@@ -41,12 +41,17 @@ object Clustering {
     */
   def spacedSeeds(df: DataFrame, idCol: String, vecCol: String,
                   k: Int): Array[Array[Double]] = {
-    val n = df.count()
-    val stride = math.max(n / k, 1L)
+    // n via a second window over the same single-partition spec — no
+    // separate count() scan, no extra exchange
+    val w = Window.orderBy(col(idCol))
     val ranked = df.select(col(idCol))
-      .withColumn("rn", row_number().over(Window.orderBy(col(idCol))) - 1)
-      .filter(col("rn") % stride === 0 && col("rn") / stride < k)
-      .select(col(idCol), (col("rn") / stride).cast("int").as("cid"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("stride", greatest(
+        (count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)) / k)
+          .cast("long"), lit(1L)))
+      .filter(col("rn") % col("stride") === 0 && col("rn") / col("stride") < k)
+      .select(col(idCol), (col("rn") / col("stride")).cast("int").as("cid"))
     df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .join(broadcast(ranked), idCol)
       .select("cid", "v")
