@@ -324,6 +324,47 @@ object TextFns {
         transform(col("embedding"), x => x / 1e6)).as("embedding"))
   }
 
+  /** Unigram language-model quality score — the CCNet-style
+    * "perplexity filter" primitive (Wenzek et al. 2020 filter CommonCrawl
+    * by LM perplexity; the unigram model is its exactly-reproducible
+    * core): fit token probabilities on the corpus itself, score each
+    * document by its mean token log-probability (= negative
+    * cross-entropy; higher = more typical text, boilerplate and
+    * gibberish score low).
+    *
+    * Determinism contract: per-token log-probs are quantized to
+    * integer MICRO-units (`round(1e6·ln(cnt/total))` — cnt and total
+    * are exact integers, the division and `ln` are the same IEEE ops
+    * in any engine, and the quantization absorbs the ≤1-ulp `ln`
+    * divergence), so the per-doc sum is order-independent integer
+    * math; the mean is ONE final double division of identical
+    * integers — bit-identical everywhere.
+    *
+    * Shape for scale: ONE tokenize pass (materialized (id, token)
+    * stage feeds both the count aggregation and the scoring join —
+    * the t13 discipline); the vocab count table is token-keyed and a
+    * tiny fraction of the corpus; total is a 1-row broadcast; the
+    * scoring join is a token-key equi-join of counters — text never
+    * shuffles.
+    */
+  def unigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = graft.Materialize.reuse(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__t")))
+    val cnts = tok.groupBy("__t").agg(count(lit(1)).as("__cnt"))
+    val tot = cnts.agg(sum("__cnt").as("__tot"))
+    val lp = cnts.crossJoin(broadcast(tot))
+      .select(col("__t"),
+        round(lit(1e6) * log(col("__cnt") / col("__tot")))
+          .cast("long").as("__lp"))
+    tok.join(lp, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lp").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_tokens")))
+          .as("lm_score"))
+  }
+
   /** BM25 relevance of every document against a fixed term set
     * (Robertson/Spärck Jones idf in the Lucene-style non-negative
     * form `ln(1 + (N−df+0.5)/(df+0.5))`) — the retrieval primitive

@@ -698,6 +698,27 @@ object TextQueries {
           AS BIGINT) AS w_micro
       FROM w, n GROUP BY 1, 2"""))
 
+  /** T14: unigram language-model quality score (CCNet-style
+    * perplexity filtering, exactly-reproducible unigram core) — fit
+    * token probabilities on the corpus, score each doc by mean token
+    * log-probability. Log-probs quantized to integer micro-units
+    * before summing (order-independent integer math); the mean is one
+    * final double division of identical integers on both engines.
+    */
+  val t14UnigramLm = QueryDef(
+    "t14_unigram_lm",
+    (s, dir) => TextFns.unigramLmScore(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      cnts AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnts),
+      lp AS (SELECT t, CAST(round(1000000 * ln(cnt / tot.tot)) AS BIGINT) AS lp
+             FROM cnts, tot)
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS lm_score
+      FROM tok JOIN lp USING (t) GROUP BY tok.doc_id"""))
+
   /** N6: text near-dup pairs via hashed TF-IDF cosine — the
     * COMPOSITION t13 → assembleVectors → n2's md5-plane LSH →
     * exact-cosine verify, proving the text→embedding bridge end to
@@ -1446,7 +1467,7 @@ FROM gi GROUP BY doc_id, grp"""))
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
-    t11Bm25, t12Stratified, t13TfIdf, d1Exact, d2Jaccard,
+    t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted,
