@@ -58,6 +58,7 @@ object Clustering {
       .collect() // bounded: k rows
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
+      .ensuring(_.nonEmpty, "spacedSeeds on an empty corpus")
   }
 
   /** One distributed Lloyd refinement pass per iteration. Empty
@@ -68,6 +69,7 @@ object Clustering {
     */
   def lloyd(df: DataFrame, vecCol: String, init: Array[Array[Double]],
             iters: Int, roundDecimals: Int = 6): Array[Array[Double]] = {
+    require(init.nonEmpty, "lloyd needs at least one initial centroid")
     var centroids = init
     val v = col(vecCol).cast("array<double>")
     for (_ <- 0 until iters) {

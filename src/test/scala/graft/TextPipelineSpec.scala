@@ -224,6 +224,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(a == run())              // pure function of (salt, id)
   }
 
+  test("unigramLmScore: exact mean log-prob on planted counts") {
+    import graft.functions.TextFns
+    // corpus: "a a a b" + "b c" -> counts a=3, b=2, c=1, total=6
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextFns.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lpMicro(c: Long) = math.round(1e6 * math.log(c / 6.0))
+    val d1 = (3 * lpMicro(3) + lpMicro(2)).toDouble / (1e6 * 4)
+    val d2 = (lpMicro(2) + lpMicro(1)).toDouble / (1e6 * 2)
+    assert(got(1L)._1 == 4L && got(1L)._2 == d1)
+    assert(got(2L)._1 == 2L && got(2L)._2 == d2)
+    // frequent-token doc scores higher than rare-token doc
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("bm25: zero for term-free docs, exact formula on planted counts") {
     val docs = Seq((1L, "data data join"), (2L, "other words here"),
       (3L, "data")).toDF("doc_id", "text")
