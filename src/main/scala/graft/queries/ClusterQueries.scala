@@ -58,5 +58,80 @@ object ClusterQueries {
       SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NOT NULL) AS dup
       FROM a2 a LEFT JOIN dup d ON a.vec_id = d.vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(sd1SemDedup)
+  /** tc1: text clustering — the COMPOSITION t13 hashed-TF-IDF →
+    * dense integer-micro vectors (exact doubles, normalize=false so
+    * both engines cluster the SAME bits) → k=5 spaced seeds → two
+    * distributed Lloyd passes → final assignment. Proves the
+    * text→embedding→clustering bridge end to end; the oracle
+    * recomputes every hash, idf floor, bucket sum, dense fill, seed
+    * pick, rounded centroid mean, and argmin in DuckDB. Distance
+    * margins between best and runner-up centroid are ≥1e9 absolute
+    * (≥9e-6 relative) at every SF — eight orders above double
+    * rounding noise, so assignment cannot flip cross-engine.
+    */
+  val tc1TextClusters = QueryDef(
+    "tc1_text_clusters",
+    (s, dir) => {
+      val vecs = graft.Materialize.reuse(
+        graft.functions.TextFns.assembleVectors(
+          graft.functions.TextFns.hashedTfIdf(
+            table(s, dir, "documents"), "doc_id", "text", dim = 64),
+          "doc_id", dim = 64, normalize = false))
+      val seeds = Clustering.spacedSeeds(vecs, "doc_id", "embedding", k = 5)
+      val cents = Clustering.lloyd(vecs, "embedding", seeds, iters = 2)
+      Clustering.assign(
+        vecs.select(col("doc_id"), col("embedding").as("v")), "v", cents)
+        .select(col("doc_id"), col("centroid").as("cluster"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      w AS (SELECT tf.doc_id,
+          CAST('0x' || substr(md5('tfidf:' || tf.t), 1, 15) AS BIGINT) AS hv,
+          tf.tf, dfq.df FROM tf JOIN dfq USING (t)),
+      lf AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+        CAST(SUM((1 - 2 * ((hv // 64) % 2)) * tf *
+          CAST(FLOOR(1000000 * (ln((n.n + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT))
+          AS BIGINT) AS w_micro
+        FROM w, n GROUP BY 1, 2),
+      vec AS (SELECT g.doc_id,
+          list(CAST(COALESCE(lf.w_micro, 0) AS DOUBLE) ORDER BY g.b) AS v
+        FROM (SELECT d.doc_id, b.b
+              FROM (SELECT DISTINCT doc_id FROM lf) d
+              CROSS JOIN (SELECT unnest(range(64)) AS b) b) g
+        LEFT JOIN lf ON lf.doc_id = g.doc_id AND lf.bucket = g.b
+        GROUP BY g.doc_id),
+      st AS (SELECT count(*) // 5 AS stride FROM vec),
+      sd AS (SELECT v, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM vec),
+      c0 AS (SELECT CAST(rn // (SELECT stride FROM st) AS INT) AS cid, v FROM sd
+             WHERE rn % (SELECT stride FROM st) = 0
+               AND rn // (SELECT stride FROM st) < 5),
+      a0 AS (SELECT doc_id, v, cid FROM (
+              SELECT e.doc_id, e.v, c.cid,
+                     row_number() OVER (PARTITION BY e.doc_id
+                       ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+              FROM vec e CROSS JOIN c0 c) q WHERE rk = 1),
+      c1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM (
+              SELECT cid, pos, round(avg(val), 6) AS m FROM (
+                SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                FROM a0) u GROUP BY cid, pos) g GROUP BY cid),
+      a1 AS (SELECT doc_id, v, cid FROM (
+              SELECT e.doc_id, e.v, c.cid,
+                     row_number() OVER (PARTITION BY e.doc_id
+                       ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+              FROM vec e CROSS JOIN c1 c) q WHERE rk = 1),
+      c2 AS (SELECT cid, list(m ORDER BY pos) AS v FROM (
+              SELECT cid, pos, round(avg(val), 6) AS m FROM (
+                SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                FROM a1) u GROUP BY cid, pos) g GROUP BY cid)
+      SELECT doc_id, cid AS cluster FROM (
+        SELECT e.doc_id, c.cid,
+               row_number() OVER (PARTITION BY e.doc_id
+                 ORDER BY list_distance(e.v, c.v), c.cid) AS rk
+        FROM vec e CROSS JOIN c2 c) q WHERE rk = 1"""))
+
+  val all: Seq[QueryDef] = Seq(sd1SemDedup, tc1TextClusters)
 }
