@@ -351,7 +351,10 @@ object TextFns {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = graft.Materialize.reuse(
       docs.select(col(idCol), explode(tokens(col(textCol))).as("__t")))
-    val cnts = tok.groupBy("__t").agg(count(lit(1)).as("__cnt"))
+    // materialized: the vocab aggregation feeds both the total row and
+    // the scoring join — one corpus-wide exchange, not two
+    val cnts = graft.Materialize.reuse(
+      tok.groupBy("__t").agg(count(lit(1)).as("__cnt")))
     val tot = cnts.agg(sum("__cnt").as("__tot"))
     val lp = cnts.crossJoin(broadcast(tot))
       .select(col("__t"),
@@ -402,6 +405,122 @@ object TextFns {
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col(idCol), round(score, 4).as("bm25"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution (here: the sub-corpus selected by `targetFlag`,
+    * e.g. one language or one trusted source) than under the RAW
+    * corpus distribution — `weight = mean_t [ln p̂_tgt(t) − ln
+    * p̂_raw(t)]`, add-one smoothed over the shared vocabulary so
+    * target-unseen tokens stay finite. Resampling then keeps the
+    * top-weighted (or Gumbel-perturbed) docs; the weight itself is
+    * the deterministic, oracle-checkable core. DSIR's hashed-n-gram
+    * bucketing (their §3.2) is a drop-in swap of the token key for
+    * `pmod(hash, buckets)` — [[hashedTfIdf]] holds that machinery —
+    * exact unigram features keep this registration engine-portable.
+    *
+    * Determinism contract (the [[unigramLmScore]] discipline): both
+    * log-probs are quantized to integer micro-units per token —
+    * `round(1e6·ln((cnt+1)/(tot+V)))` of exact integer counts — so
+    * the per-doc sum is order-independent integer math and the mean
+    * is one final IEEE division of identical integers.
+    *
+    * Shape for scale: ONE tokenize pass (the materialized (id, flag,
+    * token) stage feeds both sides); raw and target counts come from
+    * the SAME map-combined aggregation (`count` + `count_if` in one
+    * pass — the target sub-corpus is never re-scanned); totals and
+    * vocab size are a 1-row broadcast; scoring is a token-key
+    * equi-join of counters. Text reaches the cache once and never an
+    * exchange.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetFlag: Column): DataFrame = {
+    val tok = graft.Materialize.reuse(
+      docs.select(col(idCol), targetFlag.as("__tgt"),
+        explode(tokens(col(textCol))).as("__t")))
+    // the counts table feeds BOTH the totals row and the per-token
+    // log-ratios — materialized so the corpus-wide token aggregation
+    // (the expensive exchange) runs once, not once per consumer
+    val cnts = graft.Materialize.reuse(tok.groupBy("__t").agg(
+      count(lit(1)).as("__raw"),
+      count_if(col("__tgt")).as("__tcnt")))
+    val tot = cnts.agg(sum("__raw").as("__rawTot"),
+      sum("__tcnt").as("__tgtTot"), count(lit(1)).as("__v"))
+    def lpMicro(cnt: Column, total: Column): Column =
+      round(lit(1e6) * log((cnt + lit(1)) / (total + col("__v"))))
+        .cast("long")
+    val lr = cnts.crossJoin(broadcast(tot)).select(col("__t"),
+      (lpMicro(col("__tcnt"), col("__tgtTot")) -
+        lpMicro(col("__raw"), col("__rawTot"))).as("__lr"))
+    tok.join(lr, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lr").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_tokens")))
+          .as("dsir_weight"))
+  }
+
+  /** Fixed-length token-window chunking with overlap — the
+    * context-window preprocessing step of an LLM training pipeline
+    * (long documents become `chunk`-token windows starting every
+    * `stride` tokens; `stride < chunk` gives overlap so no boundary
+    * context is lost). Chunk starts are the multiples of `stride`
+    * below the token count, so every token lands in ≥1 chunk and the
+    * final chunk may run short — the standard sliding-window rule.
+    *
+    * Shape for scale: map-only — tokenize once, explode the
+    * per-document start-offset range, `slice` the already-split
+    * array. No exchange at all; output is partition-local and
+    * streams straight to the sink.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0),
+          expr(s"(size(__w) - 1) div $stride").cast("int"))).as("__i"))
+      .select(col(idCol), col("__i").cast("long").as("chunk_id"),
+        slice(col("__w"), col("__i") * lit(stride) + 1, lit(chunk)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Concat-and-split sequence packing — assign every document a
+    * byte-exact position in the virtual token stream its shard forms
+    * (docs concatenated in id order), then report which fixed-size
+    * training sequences (`budget` tokens each) the document spans.
+    * This is GPT-style "pack then split at sequence boundaries":
+    * `start_offset` = tokens before the doc in its shard,
+    * `seq_first/seq_last` = the budget-sized blocks the doc touches.
+    *
+    * Shape for scale: the prefix sum is a window over EACH SHARD
+    * independently (`pmod(id, shards)`), so the packing parallelism
+    * is chosen by the caller, not bound to one global ordering — at
+    * corpus scale every shard is an independent pack stream and the
+    * single exchange is the shard hash partition. All arithmetic is
+    * integer-exact (`DIV`, no doubles).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shards: Int, budget: Int): DataFrame = {
+    require(shards > 0 && budget > 0,
+      s"need positive shards/budget, got shards=$shards budget=$budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("__cum") - col("n_tokens")).as("start_offset"),
+        expr(s"CAST((__cum - n_tokens) DIV $budget AS BIGINT)")
+          .as("seq_first"),
+        expr(s"CAST((__cum - 1) DIV $budget AS BIGINT)").as("seq_last"))
   }
 }
 

@@ -1464,10 +1464,76 @@ FROM gi GROUP BY doc_id, grp"""))
         FROM documents d JOIN r USING (lang))
       SELECT doc_id, lang FROM k WHERE rk <= CEIL(rate * n_g)"""))
 
+  /** T15: DSIR importance weights — target distribution = English
+    * sub-corpus, raw = whole corpus. `dsir_weight > 0` ⇔ the doc's
+    * tokens are more typical of the target than of the raw mix — the
+    * selection score a data-mixture pipeline resamples on.
+    */
+  val t15Dsir = QueryDef(
+    "t15_dsir_weights",
+    (s, dir) => TextFns.dsirWeights(
+      table(s, dir, "documents"), "doc_id", "text",
+      targetFlag = col("lang") === "en"),
+    Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      cnts AS (SELECT t, CAST(count(*) AS BIGINT) AS raw,
+          CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS tcnt
+        FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(raw) AS BIGINT) AS rawtot,
+          CAST(sum(tcnt) AS BIGINT) AS tgttot,
+          CAST(count(*) AS BIGINT) AS v FROM cnts),
+      lr AS (SELECT t,
+          CAST(round(1000000 * ln((tcnt + 1) / (tgttot + v))) AS BIGINT)
+          - CAST(round(1000000 * ln((raw + 1) / (rawtot + v))) AS BIGINT)
+            AS lr
+        FROM cnts, tot)
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(lr.lr) AS DOUBLE) / (1000000.0 * count(*)) AS dsir_weight
+      FROM tok JOIN lr USING (t) GROUP BY tok.doc_id"""))
+
+  /** T16: sliding-window token chunking (64-token windows every 48
+    * tokens — 16-token overlap), the context-window splitter. Map-only
+    * plan: no exchange.
+    */
+  val t16Chunks = QueryDef(
+    "t16_chunk_documents",
+    (s, dir) => TextFns.chunkTokens(
+      table(s, dir, "documents"), "doc_id", "text",
+      chunk = 64, stride = 48),
+    Some("""WITH p AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          w[(i*48+1)::INT : (i*48+64)::INT] AS ck
+        FROM p, LATERAL (SELECT
+          unnest(generate_series(0, (len(w)-1)//48)) AS i))
+      SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(ck, ' ') AS chunk_text FROM c"""))
+
+  /** T17: concat-and-split sequence packing — 8 independent pack
+    * shards, 256-token training sequences. One hash exchange (the
+    * shard partition), integer-exact offsets.
+    */
+  val t17Pack = QueryDef(
+    "t17_pack_sequences",
+    (s, dir) => TextFns.packSequences(
+      table(s, dir, "documents"), "doc_id", "text",
+      shards = 8, budget = 256),
+    Some("""WITH p AS (SELECT doc_id, doc_id % 8 AS shard,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS n_tokens FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM p)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        CAST(cum - n_tokens AS BIGINT) AS start_offset,
+        CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+        CAST((cum - 1) // 256 AS BIGINT) AS seq_last
+      FROM c"""))
+
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
-    t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm, d1Exact, d2Jaccard,
+    t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
+    t15Dsir, t16Chunks, t17Pack, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted,

@@ -239,6 +239,55 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("dsirWeights: exact smoothed log-ratio on planted counts") {
+    // corpus: doc1 (target) "a a b", doc2 "b c"
+    // counts: a raw=2/tgt=2, b raw=2/tgt=1, c raw=1/tgt=0
+    // rawTot=5, tgtTot=3, V=3
+    val docs = Seq((1L, "a a b", "en"), (2L, "b c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextFns.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(c: Long, tot: Long) = math.round(1e6 * math.log((c + 1.0) / (tot + 3.0)))
+    val (lrA, lrB, lrC) =
+      (lp(2, 3) - lp(2, 5), lp(1, 3) - lp(2, 5), lp(0, 3) - lp(1, 5))
+    assert(got(1L) == ((3L, (2 * lrA + lrB).toDouble / 3e6)))
+    assert(got(2L) == ((2L, (lrB + lrC).toDouble / 2e6)))
+    // the target-language doc outranks the off-target doc
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("chunkTokens: sliding windows cover every token, overlap kept") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = TextFns.chunkTokens(docs, "doc_id", "text", chunk = 10, stride = 8)
+      .orderBy("chunk_id").collect()
+    // starts 0,8,...,96 -> 13 chunks; last holds tokens 97..100
+    assert(rows.length == 13)
+    assert(rows.head.getAs[String]("chunk_text") ==
+      (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(rows(1).getAs[String]("chunk_text").startsWith("w9 w10 w11"))
+    assert(rows.last.getAs[Long]("n_chunk_tokens") == 4L)
+    assert(rows.last.getAs[String]("chunk_text") == "w97 w98 w99 w100")
+    assert(rows.map(_.getAs[Long]("n_chunk_tokens")).sum == 12 * 10 + 4)
+  }
+
+  test("packSequences: shard-local offsets and spanned sequence ids") {
+    val docs = Seq(
+      (0L, ("x " * 3).trim), (1L, ("x " * 6).trim),
+      (2L, ("x " * 4).trim), (3L, ("x " * 2).trim)).toDF("doc_id", "text")
+    val got = TextFns.packSequences(docs, "doc_id", "text",
+        shards = 2, budget = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // shard 0: doc0 (3 tok) then doc2 (4 tok); shard 1: doc1 (6) then doc3 (2)
+    assert(got(0L) == ((0L, 3L, 0L, 0L, 0L)))
+    assert(got(2L) == ((0L, 4L, 3L, 0L, 1L))) // spans seq boundary at 5
+    assert(got(1L) == ((1L, 6L, 0L, 0L, 1L)))
+    assert(got(3L) == ((1L, 2L, 6L, 1L, 1L)))
+  }
+
   test("bm25: zero for term-free docs, exact formula on planted counts") {
     val docs = Seq((1L, "data data join"), (2L, "other words here"),
       (3L, "data")).toDF("doc_id", "text")
