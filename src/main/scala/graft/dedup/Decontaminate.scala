@@ -54,4 +54,64 @@ object Decontaminate {
         count(col("__hit")).as("n_contaminated"))
       .withColumn("contamination", frac(col("n_contaminated"), col("n_shingles")))
   }
+
+  /** Bloom-prefiltered decontamination — the shape for when the
+    * benchmark set has outgrown executor memory (so [[ngramOverlap]]'s
+    * broadcast is off the table) but the corpus-side exchange into a
+    * shuffled semi-join would still be O(corpus n-grams). A Bloom
+    * filter over the benchmark n-gram hashes (built by Spark's own
+    * `bloom_filter_agg`, delivered as a scalar subquery so the probe
+    * — Catalyst's codegen'd `BloomFilterMightContain` — stays inside
+    * the corpus scan's codegen span) drops every n-gram that cannot
+    * match BEFORE the join exchange; the exact equi-join then removes
+    * the filter's false positives, so the result is IDENTICAL to
+    * [[ngramOverlap]] — the Bloom pass changes the exchange volume
+    * (expected: fpp of the clean corpus stream), never the answer.
+    *
+    * Exchanges at scale: benchmark grams aggregate once (materialized
+    * — the set feeds both the filter build and the exact verify);
+    * the corpus-side join exchange carries ONLY Bloom survivors; hit
+    * counts and the final totals join are (id)-keyed rows. The
+    * tokenize+shingle pass over corpus text runs once (materialized),
+    * and corpus text itself never enters any exchange.
+    */
+  def ngramOverlapBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3,
+                        expectedItems: Long = 1L << 20,
+                        numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchGrams = graft.Materialize.reuse(bench
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__g"))
+      .distinct())
+    // bloom_filter_agg exists in Catalyst but is not SQL-registered —
+    // build the aggregate expression directly
+    val bloom = benchGrams
+      .select(GraftSqlShims.column(new BloomFilterAggregate(
+          GraftSqlShims.expression(xxhash64(col("__g"))),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("__bf"))
+      .scalar()
+    def mightContain(g: Column): Column =
+      GraftSqlShims.column(BloomFilterMightContain(
+        GraftSqlShims.expression(bloom),
+        GraftSqlShims.expression(xxhash64(g))))
+    val base = graft.Materialize.reuse(docs.select(col(idCol),
+      TextFns.shingles(col(textCol), n).as("__sh")))
+    val survivors = base
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .where(mightContain(col("__g")))
+    val hits = survivors
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__hits"))
+    def frac(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
+    base.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__hits"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination", frac(col("n_contaminated"), col("n_shingles")))
+  }
 }

@@ -140,6 +140,25 @@ object TextQueries {
           GREATEST(len(t.s), 1), 4) AS contamination
       FROM train t LEFT JOIN hit h USING (doc_id)"""))
 
+  /** T6B: the SCALE-PATH decontamination — same answer as t6, but
+    * the benchmark set is NOT broadcast: a Bloom filter over the
+    * benchmark n-gram hashes (scalar subquery + Catalyst's codegen'd
+    * `BloomFilterMightContain`) prunes the corpus n-gram stream
+    * BEFORE the shuffled exact-verify join, so the corpus-side join
+    * exchange carries only Bloom survivors. Bloom false positives
+    * are removed by the exact join — the oracle is t6's, unchanged.
+    */
+  val t6bDecontamBloom = QueryDef(
+    "t6b_decontaminate_bloom",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Decontaminate.ngramOverlapBloom(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        "doc_id", "text", n = 3)
+    },
+    t6Decontam.oracle)
+
   /** T7: Gopher-style repetition quality rules — duplicate-word,
     * duplicate-bigram, and top-token fractions per document
     * ([[TextFns.repetitionStats]]; Rae et al. 2021 §A1.1).
@@ -1531,7 +1550,7 @@ FROM gi GROUP BY doc_id, grp"""))
 
   val all: Seq[QueryDef] = Seq(
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
+    t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,

@@ -188,6 +188,23 @@ class PlanGuardSpec extends SparkSpec {
       s"strided census added exchanges: ${nx(p)} vs ${nx(exact)}")
   }
 
+  test("t16_chunk_documents is MAP-ONLY: zero exchanges, one generate") {
+    val p = plan("t16_chunk_documents")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges:\n" +
+      p.linesIterator.take(25).mkString("\n"))
+    assert("""\(\d+\) Generate""".r.findAllIn(p).length == 1,
+      "chunking should be one explode of the start-offset range")
+  }
+
+  test("t6b bloom decontamination: might_contain probes the corpus stream") {
+    val p = plan("t6b_decontaminate_bloom")
+    // the Bloom probe must be present (scalar-subquery filter build)
+    // and the exact verify must be a semi-join — FPs die there
+    assert(p.contains("might_contain"), "bloom probe missing from plan")
+    assert(p.contains("LeftSemi"), "exact verify should be a semi-join")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

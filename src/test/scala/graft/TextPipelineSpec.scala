@@ -239,6 +239,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("ngramOverlapBloom: identical to the exact broadcast path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely clean text with no overlap at all"),
+      (3L, "short doc"), // zero shingles — must survive with 0/0
+      (4L, "the quick brown fox sat still")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val exact = sortRows(Decontaminate.ngramOverlap(
+      docs, bench, "doc_id", "text", n = 3))
+    val bloom = sortRows(Decontaminate.ngramOverlapBloom(
+      docs, bench, "doc_id", "text", n = 3))
+    assert(bloom == exact)
+    // sanity: the planted overlap is actually nonzero
+    assert(exact.head.getAs[Long]("n_contaminated") > 0)
+    assert(exact(2).getAs[Long]("n_shingles") == 0L &&
+      exact(2).getAs[Double]("contamination") == 0.0)
+  }
+
   test("dsirWeights: exact smoothed log-ratio on planted counts") {
     // corpus: doc1 (target) "a a b", doc2 "b c"
     // counts: a raw=2/tgt=2, b raw=2/tgt=1, c raw=1/tgt=0
