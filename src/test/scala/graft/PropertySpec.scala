@@ -377,6 +377,57 @@ class PropertySpec extends SparkSpec {
       assert(java.util.Arrays.equals(out, data), s"typesize $typesize n ${data.length}")
     }
   }
+
+  test("property: chunkTokens covers every token; stride-strided heads rebuild the doc") {
+    import graft.functions.TextFns
+    val cfg = for {
+      nTok <- Gen.choose(1, 120)
+      chunk <- Gen.choose(2, 16)
+      stride <- Gen.choose(1, chunk)
+    } yield (nTok, chunk, stride)
+    forAll[(Int, Int, Int)](cfg, n = 6) { case (nTok, chunk, stride) =>
+      val toks = (1 to nTok).map(i => s"w$i")
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val rows = TextFns.chunkTokens(docs, "doc_id", "text", chunk, stride)
+        .orderBy("chunk_id").collect()
+      // chunk count = #multiples of stride below nTok
+      assert(rows.length == (nTok - 1) / stride + 1)
+      // chunk i = tokens [i*stride, i*stride+chunk)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val want = toks.slice(i * stride, i * stride + chunk)
+        assert(r.getAs[String]("chunk_text") == want.mkString(" "))
+        assert(r.getAs[Long]("n_chunk_tokens") == want.length.toLong)
+      }
+      // taking the first `stride` tokens of every chunk rebuilds the doc
+      val rebuilt = rows.flatMap(
+        _.getAs[String]("chunk_text").split(" ").take(stride)).toSeq
+      assert(rebuilt == toks)
+    }
+  }
+
+  test("property: packSequences offsets are contiguous per shard, seq ids consistent") {
+    import graft.functions.TextFns
+    val docGen = Gen.listOfN(20, Gen.choose(1, 40))
+    forAll(docGen, Gen.choose(1, 4)) { (lens, shards) =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, ("x " * len).trim) }.toDF("doc_id", "text")
+      val budget = 16
+      val rows = TextFns.packSequences(docs, "doc_id", "text", shards, budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        // in id order: each doc starts where the previous one ended
+        var expect = 0L
+        rs.sortBy(_._1).foreach { case (_, _, n, start, sFirst, sLast) =>
+          assert(start == expect)
+          assert(sFirst == start / budget)
+          assert(sLast == (start + n - 1) / budget)
+          expect = start + n
+        }
+      }
+      assert(rows.map(_._3).sum == lens.map(_.toLong).sum)
+    }
+  }
 }
 
 /** Black-box Scala-closure evaluation — the reference's arbitrary-fn
@@ -505,4 +556,5 @@ class BlackBoxEvalSpec extends SparkSpec {
     assert(out.filter($"a" === 3L).select("t").as[Int].collect().sorted.toSeq
       == Seq(0, 1, 2))
   }
+
 }
