@@ -11,7 +11,15 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object TextFns {
 
-  /** Whitespace tokenization (split on runs of whitespace). */
+  /** Whitespace tokenization (split on runs of whitespace).
+    *
+    * Invariant both engines share (Spark `split` and DuckDB
+    * `string_split_regex`): empty/whitespace-only text yields `[""]`
+    * — size ≥ 1 ALWAYS. Downstream integer arithmetic
+    * (`chunkTokens`'s `(n−1) div stride`, `packSequences`'s
+    * `(cum−1) DIV budget`) relies on n ≥ 1 per doc; a zero-token doc
+    * is unreachable through this function (spec-pinned).
+    */
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 

@@ -239,6 +239,14 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("tokens: empty/whitespace text yields one empty token (n >= 1 invariant)") {
+    // chunkTokens/packSequences integer arithmetic relies on every doc
+    // having >= 1 token; DuckDB's string_split_regex agrees on ['']
+    val r = Seq("", "   ", "a b").toDF("t")
+      .select(size(TextFns.tokens(col("t")))).as[Int].collect().toSeq
+    assert(r == Seq(1, 1, 2))
+  }
+
   test("ngramOverlapBloom: identical to the exact broadcast path") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
