@@ -39,6 +39,49 @@ object Mixture {
       .drop("__rate")
   }
 
+  /** Temperature-scaled mixture rates (the multilingual re-balancing
+    * rule of Conneau & Lample 2019 / XLM-R, α ∈ (0,1]): sampling
+    * probability p_g ∝ c_g^α over per-stratum token counts c_g —
+    * α = 1 keeps natural proportions, α → 0 flattens toward uniform,
+    * up-weighting low-resource strata. Rates are per-row keep
+    * probabilities against a token budget of `targetFraction` of the
+    * corpus: `rate_g = min(1, frac·Σc·p_g / c_g)`, so the expected
+    * kept token mass is the budget (up to the cap). Compose with
+    * [[sampleByRate]]'s hash coin for the deterministic subsample.
+    *
+    * Determinism contract: c_g^α is quantized to integer micro-units
+    * before the normalizing sum, so Z is order-independent integer
+    * math; the rate is then a fixed chain of IEEE ops over exact
+    * integers, rounded to `dp` decimals. For α = 0.5 the power is
+    * evaluated as `sqrt` — correctly rounded per IEEE 754 in every
+    * engine, so the registered oracle query is bit-exact by
+    * construction (general α rides `pow`, within 1 ulp, absorbed by
+    * the micro-quantization in practice).
+    *
+    * Shape for scale: `profile` is stratum-cardinality rows (the
+    * cp1 output, not the corpus); everything here is arithmetic over
+    * a handful of rows plus one 1-row broadcast.
+    */
+  def temperatureRates(profile: DataFrame, keyCols: Seq[String],
+                       countCol: String, alpha: Double,
+                       targetFraction: Double, dp: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(targetFraction > 0, s"positive targetFraction, got $targetFraction")
+    val g = keyCols.map(col)
+    val c = col(countCol).cast("double")
+    val powC = if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val base = graft.Materialize.reuse(profile.select(
+      g :+ col(countCol).cast("long").as("__c")
+        :+ round(lit(1e6) * powC).cast("long").as("__zq"): _*))
+    val tot = base.agg(sum("__c").as("__tot"), sum("__zq").as("__Z"))
+    base.crossJoin(broadcast(tot))
+      .select(g :+ round(least(lit(1.0),
+        lit(targetFraction) *
+          ((col("__tot").cast("double") * col("__zq").cast("double")) /
+           (col("__Z").cast("double") * col("__c").cast("double")))),
+        dp).as("rate"): _*)
+  }
+
   /** EXACT stratified sampling: per stratum (`keyCol` value) keep
     * exactly `ceil(rate · n_g)` rows, chosen deterministically by
     * md5-hash order of (salt, id) — the exact-allocation companion to

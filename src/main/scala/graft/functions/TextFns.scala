@@ -498,6 +498,40 @@ object TextFns {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Corpus profile — the per-(stratum) "corpus card" a training-data
+    * pipeline reports before mixing: document count, total chars,
+    * total tokens, and vocabulary size (distinct tokens) per group.
+    *
+    * Shape for scale: ONE text pass (the (group, chars, tokens)
+    * projection is materialized and feeds both aggregates); the vocab
+    * exchange carries per-DOC-distinct tokens (`array_distinct`
+    * before the explode — group-level distinctness is unaffected,
+    * repeated-token volume never shuffles). `approx = true` swaps the
+    * exact distinct for HyperLogLog++ (`approx_count_distinct`,
+    * `rsd` relative error) — the 100 TB path, where an exact
+    * per-group distinct over billions of tokens is a needless
+    * full-vocab exchange; the registered oracle query runs exact.
+    */
+  def corpusProfile(docs: DataFrame, groupCols: Seq[String],
+                    textCol: String, approx: Boolean = false,
+                    rsd: Double = 0.02): DataFrame = {
+    val g = groupCols.map(col)
+    val base = graft.Materialize.reuse(docs.select(
+      g :+ length(col(textCol)).cast("long").as("__chars")
+        :+ tokens(col(textCol)).as("__w"): _*))
+    val docStats = base.groupBy(g: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum("__chars").as("total_chars"),
+      sum(size(col("__w"))).cast("long").as("total_tokens"))
+    val vocabAgg =
+      if (approx) approx_count_distinct(col("__t"), rsd).as("vocab")
+      else count_distinct(col("__t")).as("vocab")
+    val vocab = base
+      .select(g :+ explode(array_distinct(col("__w"))).as("__t"): _*)
+      .groupBy(g: _*).agg(vocabAgg)
+    docStats.join(vocab, groupCols)
+  }
+
   /** Concat-and-split sequence packing — assign every document a
     * byte-exact position in the virtual token stream its shard forms
     * (docs concatenated in id order), then report which fixed-size

@@ -1548,7 +1548,64 @@ FROM gi GROUP BY doc_id, grp"""))
         CAST((cum - 1) // 256 AS BIGINT) AS seq_last
       FROM c"""))
 
+  /** CP1: per-(lang, source) corpus card — docs, chars, tokens,
+    * vocabulary. Registered exact; the HLL++ approx flavor is the
+    * 100 TB path (spec-checked within its error bound).
+    */
+  val cp1Profile = QueryDef(
+    "cp1_corpus_profile",
+    (s, dir) => TextFns.corpusProfile(
+      table(s, dir, "documents"), Seq("lang", "source"), "text"),
+    Some("""WITH d AS (SELECT lang, source, length(text) AS chars,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      ds AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(chars) AS BIGINT) AS total_chars,
+          CAST(sum(len(w)) AS BIGINT) AS total_tokens
+        FROM d GROUP BY 1, 2),
+      v AS (SELECT lang, source, CAST(count(DISTINCT t) AS BIGINT) AS vocab
+        FROM (SELECT lang, source, unnest(list_distinct(w)) AS t FROM d)
+        GROUP BY 1, 2)
+      SELECT ds.*, v.vocab FROM ds JOIN v USING (lang, source)"""))
+
+  /** CP2: temperature-scaled mixture (α = 0.5, 40% token budget) —
+    * per-lang token counts → temperature rates → deterministic
+    * hash-coin subsample. The oracle recomputes counts, the
+    * sqrt-exact micro-quantized weights, every rate, and every coin.
+    */
+  val cp2Temperature = QueryDef(
+    "cp2_temperature_mixture",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val prof = docs
+        .select(col("lang"), TextFns.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("total_tokens"))
+      val rates = graft.functions.Mixture.temperatureRates(
+        prof, Seq("lang"), "total_tokens", alpha = 0.5, targetFraction = 0.4)
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(graft.functions.Mixture.hashFraction(col("doc_id"), "cp2")
+          < col("rate"))
+        .select("doc_id", "lang", "rate")
+    },
+    Some("""WITH d AS (SELECT lang,
+        len(string_split_regex(trim(text), '\s+')) AS nt FROM documents),
+      c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS c FROM d GROUP BY 1),
+      z AS (SELECT lang, c,
+          CAST(round(1000000 * sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS zq
+        FROM c),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+          CAST(sum(zq) AS BIGINT) AS zz FROM z),
+      r AS (SELECT z.lang, round(least(1.0,
+          0.4 * ((CAST(t.tot AS DOUBLE) * CAST(z.zq AS DOUBLE)) /
+                 (CAST(t.zz AS DOUBLE) * CAST(z.c AS DOUBLE)))), 6) AS rate
+        FROM z, t)
+      SELECT d2.doc_id, d2.lang, r.rate
+      FROM documents d2 JOIN r USING (lang)
+      WHERE (CAST('0x' || substr(md5('cp2:' || d2.doc_id), 1, 15) AS BIGINT)::DOUBLE
+             / 1152921504606846976.0) < r.rate"""))
+
   val all: Seq[QueryDef] = Seq(
+    cp1Profile, cp2Temperature,
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,

@@ -268,6 +268,39 @@ class TextPipelineSpec extends SparkSpec {
       exact(2).getAs[Double]("contamination") == 0.0)
   }
 
+  test("corpusProfile: exact counts on planted groups; approx within rsd bound") {
+    val docs = Seq(
+      (1L, "en", "a b b c"), (2L, "en", "b c d"),
+      (3L, "de", "x y")).toDF("doc_id", "lang", "text")
+    val exact = TextFns.corpusProfile(docs, Seq("lang"), "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 2 docs, 7+5 chars, 4+3 tokens, vocab {a,b,c,d}=4
+    assert(exact("en") == ((2L, 12L, 7L, 4L)))
+    assert(exact("de") == ((1L, 3L, 2L, 2L)))
+    // HLL++ scale path: tiny cardinalities are exact at any rsd
+    val approx = TextFns.corpusProfile(docs, Seq("lang"), "text",
+        approx = true, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(math.abs(approx("en") - 4L) <= 1)
+    assert(math.abs(approx("de") - 2L) <= 1)
+  }
+
+  test("temperatureRates: exact alpha=0.5 rates, cap at 1, budget hit") {
+    import graft.functions.Mixture
+    val prof = Seq(("en", 900L), ("de", 100L)).toDF("lang", "total_tokens")
+    val r = Mixture.temperatureRates(prof, Seq("lang"), "total_tokens",
+        alpha = 0.5, targetFraction = 0.4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // zq: en=30e6, de=10e6; Z=40e6, tot=1000
+    // en: 0.4*(1000*30e6)/(40e6*900) = 0.333333…; de: 0.4*2.5 = 1.0 (cap)
+    assert(r("de") == 1.0)
+    assert(r("en") == BigDecimal(0.4 * ((1000.0 * 30e6) / (40e6 * 900.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // expected kept token mass = full budget (low-resource stratum capped)
+    assert(math.abs(r("en") * 900 + r("de") * 100 - 400.0) < 1e-3)
+  }
+
   test("dsirWeights: exact smoothed log-ratio on planted counts") {
     // corpus: doc1 (target) "a a b", doc2 "b c"
     // counts: a raw=2/tgt=2, b raw=2/tgt=1, c raw=1/tgt=0
