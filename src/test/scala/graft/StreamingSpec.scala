@@ -211,4 +211,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && batch.nonEmpty && batch.size < 200)
     } finally q.stop()
   }
+
+  test("chunkTokens is stateless-streaming-safe and batch-identical") {
+    // map-only (tokenize -> explode offsets -> slice): no state, no
+    // watermark — context-window chunking runs unchanged on a stream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i =>
+      (i, (1 to (i % 7 + 3).toInt).map(j => s"d${i}w$j").mkString(" ")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = key(graft.functions.TextFns.chunkTokens(
+      rows.toDF("doc_id", "text"), "doc_id", "text", chunk = 4, stride = 2))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.functions.TextFns.chunkTokens(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunk = 4, stride = 2)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(20): _*)
+      input.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      assert(key(spark.table("chunk_stream")) == batch && batch.size > 40)
+    } finally q.stop()
+  }
 }
