@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Contamination ratio: hits / max(shingles, 1), 4 dp — ONE
+    * definition so the exact and Bloom paths can never diverge. */
+  private def frac(num: Column, den: Column): Column =
+    round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
+
   /** @return one row per `docs` row: id, n_shingles (distinct n-grams),
     *         n_contaminated (of those, how many occur in `bench`),
     *         contamination (their ratio, 0 for shingle-less docs).
@@ -42,8 +47,6 @@ object Decontaminate {
       .distinct()
       .withColumn("__hit", lit(1))
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
-    def frac(num: Column, den: Column): Column =
-      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
     docs
       .select(col(idCol), TextFns.shingles(col(textCol), n).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
@@ -106,8 +109,6 @@ object Decontaminate {
       .join(benchGrams, Seq("__g"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("__hits"))
-    def frac(num: Column, den: Column): Column =
-      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 4)
     base.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_shingles"),

@@ -109,9 +109,12 @@ object Clustering {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Double]],
                     tau: Double): DataFrame = {
-    val a = assign(
+    // assignment feeds three consumers (both self-join sides + the
+    // final cluster projection) — materialize so the corpus scan and
+    // nearest-centroid kernel run once, not per consumer
+    val a = graft.Materialize.reuse(assign(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v")),
-      "v", centroids)
+      "v", centroids))
     val l = a.select(col(idCol).as("lid"), col("v").as("lv"), col("centroid"))
     val r = a.select(col(idCol).as("rid"), col("v").as("rv"), col("centroid"))
     val dups = l.join(r, Seq("centroid"))
@@ -129,8 +132,11 @@ object Clustering {
     */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int = 2, tau: Double = 0.4): DataFrame = {
-    val seeds = spacedSeeds(df, idCol, vecCol, k)
-    val fitted = lloyd(df, vecCol, seeds, iters)
-    semanticDedup(df, idCol, vecCol, fitted, tau)
+    // seeds + each Lloyd pass + the dedup assignment all scan the
+    // corpus — one materialized (id, vec) projection feeds them all
+    val cached = graft.Materialize.reuse(df.select(col(idCol), col(vecCol)))
+    val seeds = spacedSeeds(cached, idCol, vecCol, k)
+    val fitted = lloyd(cached, vecCol, seeds, iters)
+    semanticDedup(cached, idCol, vecCol, fitted, tau)
   }
 }

@@ -87,7 +87,6 @@ private[sources] object GridPrep {
                         coords: Seq[(String, Array[Any])],
                         idxMaps: Map[String, AxisIndex]) {
     def shape: Seq[Int] = coords.map(_._2.length)
-    def isFloatCol(c: String): Boolean = kinds(c) == F8
   }
 
   /** Both sinks interpolate names into JSON metadata and (zarr) use

@@ -102,11 +102,8 @@ object ZarrSink {
 
   /** Remove a verified-stale write lease left by a crashed writer. */
   def breakLease(spark: org.apache.spark.sql.SparkSession,
-                 path: String): Unit = {
-    val lock = new Path(path + ".__lock")
-    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(lock, true)
-  }
+                 path: String): Unit =
+    graft.store.WriteLease.breakLease(spark, path)
 
   private def writeStore(df: DataFrame, path: String, dims: Seq[String],
                          chunkTargetBytes: Long,

@@ -29,6 +29,20 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * immutable-file snapshots).
   */
 private[graft] object WriteLease {
+  /** THE lock-path convention for every leased artifact (store dirs,
+    * zarr stores, netCDF files) — single definition so writers and
+    * breakLease helpers can never disagree on the path. */
+  def lockPathFor(dest: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dest + ".__lock")
+
+  /** Remove a verified-stale write lease left by a crashed writer. */
+  def breakLease(spark: org.apache.spark.sql.SparkSession,
+                 dest: String): Unit = {
+    val lock = lockPathFor(dest)
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lock, true)
+  }
+
   def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
                    lock: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
     val payload = s"pid=${ProcessHandle.current().pid()} op=$op " +
@@ -85,7 +99,7 @@ private[graft] object WriteLease {
   def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem,
                    dest: org.apache.hadoop.fs.Path, op: String,
                    what: String)(write: org.apache.hadoop.fs.Path => Unit): Unit =
-    withLease(fs, new org.apache.hadoop.fs.Path(dest.toString + ".__lock"), op) {
+    withLease(fs, lockPathFor(dest.toString), op) {
       val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".__tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       write(tmp)
@@ -227,7 +241,7 @@ final class ParquetStore(val spark: SparkSession, val path: String,
   private def hadoopFs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val lockPath = new org.apache.hadoop.fs.Path(path + ".__lock")
+  private val lockPath = WriteLease.lockPathFor(path)
 
   /** Every mutating op runs under the single-writer lease (see
     * [[WriteLease]]); a concurrent writer gets a typed loud failure. */
