@@ -301,6 +301,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(r("en") * 900 + r("de") * 100 - 400.0) < 1e-3)
   }
 
+  test("dsirWeights: empty target subset stays finite (pure smoothing)") {
+    val docs = Seq((1L, "a a b", "de"), (2L, "b c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextFns.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en") // no doc matches
+      .collect().map(r => r.getDouble(2))
+    assert(got.length == 2 && got.forall(w => !w.isNaN && !w.isInfinite))
+    // with tgtTot=0 every target prob is 1/V — weights are defined and
+    // differ only through the raw side (docs here have distinct
+    // raw-frequency profiles, so the weights must differ)
+    assert(got.toSet.size == 2)
+  }
+
+  test("temperatureRates: single stratum gets min(1, targetFraction)") {
+    import graft.functions.Mixture
+    val one = Seq(("en", 1234L)).toDF("lang", "total_tokens")
+    def rate(frac: Double) = Mixture.temperatureRates(
+      one, Seq("lang"), "total_tokens", alpha = 0.5, targetFraction = frac)
+      .collect()(0).getDouble(1)
+    assert(rate(0.4) == 0.4) // zq=Z, c=Σc → rate = frac exactly
+    assert(rate(1.5) == 1.0) // cap
+  }
+
   test("dsirWeights: exact smoothed log-ratio on planted counts") {
     // corpus: doc1 (target) "a a b", doc2 "b c"
     // counts: a raw=2/tgt=2, b raw=2/tgt=1, c raw=1/tgt=0
