@@ -1604,8 +1604,37 @@ FROM gi GROUP BY doc_id, grp"""))
       WHERE (CAST('0x' || substr(md5('cp2:' || d2.doc_id), 1, 15) AS BIGINT)::DOUBLE
              / 1152921504606846976.0) < r.rate"""))
 
+  /** CP3: top-5 terms per language by corpus frequency (count desc,
+    * token asc tie-break) — the "top terms" row of a corpus card.
+    * Rank runs AFTER the (lang, token) count aggregation, so the rank
+    * exchange carries counter rows, not tokens; Spark's
+    * WindowGroupLimit pushes the k≤5 cut into the partial sort (the
+    * ev6 discipline).
+    */
+  val cp3TopTerms = QueryDef(
+    "cp3_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = table(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("__t"))
+        .groupBy("lang", "__t").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("__t"))
+      cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("__t").as("term"), col("n"))
+    },
+    Some("""WITH tok AS (SELECT lang,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2),
+      r AS (SELECT lang, t, n, row_number() OVER (PARTITION BY lang
+          ORDER BY n DESC, t) AS rk FROM c)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, t AS term, n
+      FROM r WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(
-    cp1Profile, cp2Temperature,
+    cp1Profile, cp2Temperature, cp3TopTerms,
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,

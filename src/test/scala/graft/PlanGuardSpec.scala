@@ -197,6 +197,13 @@ class PlanGuardSpec extends SparkSpec {
       "chunking should be one explode of the start-offset range")
   }
 
+  test("cp3_top_terms: rank after aggregation, partial top-k pushed down") {
+    val p = plan("cp3_top_terms")
+    // the rank exchange must carry (lang, token, count) rows out of the
+    // aggregation — and the k<=5 cut runs partially before the shuffle
+    assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(p).length == 2, p)
+  }
+
   test("t6b bloom decontamination: might_contain probes the corpus stream") {
     val p = plan("t6b_decontaminate_bloom")
     // the Bloom probe must be present (scalar-subquery filter build)
