@@ -944,8 +944,11 @@ object TextQueries {
             .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
         })
       }
+      // nprobe=6 (not n7's 4): at sf0.1 one n8-salted query's true
+      // cell ranks 5th-6th by centroid distance — the recall knob is
+      // exactly what a deployment turns for a miss like this
       Similarity.ivfAdcQueryBatch(ivf, pq, corpus, "vec_id", "embedding",
-        queries, kOut = 1, nprobe = 4)
+        queries, kOut = 1, nprobe = 6)
     },
     Some("""WITH q AS (
         SELECT vec_id, list_transform(range(64), j ->
