@@ -498,6 +498,60 @@ object TextFns {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Bigram language-model quality score — one rung up the CCNet
+    * perplexity ladder from [[unigramLmScore]] (Wenzek et al. 2020 use
+    * 5-gram KenLM; the add-one-smoothed bigram is the exactly
+    * reproducible core of conditional scoring): fit P(cur | prev) =
+    * (c₂(prev,cur)+1)/(c₁(prev)+V) on the corpus itself, score each
+    * document by its mean bigram log-probability. Word-salad scores
+    * low even when its unigrams are common — the failure mode t14
+    * cannot see.
+    *
+    * Determinism contract (the t14 discipline): per-bigram log-probs
+    * are micro-quantized integers of exact count ratios; the per-doc
+    * sum is order-independent integer math; the mean is one IEEE
+    * division. Docs with <2 tokens have no bigrams and drop out
+    * identically in both engines.
+    *
+    * Shape for scale: ONE tokenize pass emits the cached (id, cur,
+    * next) stream (`next` null at doc end); unigram and bigram counts
+    * are two map-combined aggs over that cache; V is a 1-row
+    * broadcast; scoring joins the bigram-keyed counters back to the
+    * stream. Text reaches the cache once and never an exchange.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // (cur, next) per position; next = null for the last token
+    val zipped = arrays_zip(w.as("cur"),
+      concat(slice(w, lit(2), greatest(n - 1, lit(0))),
+        array(lit(null).cast("string"))).as("next"))
+    val tok = graft.Materialize.reuse(
+      docs.select(col(idCol), explode(zipped).as("__z"))
+        .select(col(idCol), col("__z.cur").as("__cur"),
+          col("__z.next").as("__next")))
+    val uni = graft.Materialize.reuse(
+      tok.groupBy("__cur").agg(count(lit(1)).as("__c1")))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = tok.filter(col("__next").isNotNull)
+      .groupBy(col("__cur").as("__prev"), col("__next").as("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val lp = bi
+      .join(uni.withColumnRenamed("__cur", "__prev"), Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__prev"), col("__w2"),
+        round(lit(1e6) * log((col("__c2") + lit(1)) / (col("__c1") + col("__v"))))
+          .cast("long").as("__lp"))
+    tok.filter(col("__next").isNotNull)
+      .join(lp, col("__cur") === col("__prev") && col("__next") === col("__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_bigrams")))
+          .as("lm2_score"))
+  }
+
   /** Corpus profile — the per-(stratum) "corpus card" a training-data
     * pipeline reports before mixing: document count, total chars,
     * total tokens, and vocabulary size (distinct tokens) per group.

@@ -738,6 +738,33 @@ object TextQueries {
         CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS lm_score
       FROM tok JOIN lp USING (t) GROUP BY tok.doc_id"""))
 
+  /** T18: bigram LM scoring — conditional P(cur|prev), add-one
+    * smoothed over the shared vocabulary; the quality signal t14's
+    * unigram model cannot see (word salad with common words). c₁ is
+    * the token's TOTAL occurrence count (both engines agree on the
+    * convention; the quantized ratio pins the exact values).
+    */
+  val t18BigramLm = QueryDef(
+    "t18_bigram_lm",
+    (s, dir) => TextFns.bigramLmScore(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      tok AS (SELECT doc_id, w[i::INT] AS cur,
+          CASE WHEN i < len(w) THEN w[(i+1)::INT] END AS nxt
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+      uni AS (SELECT cur, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      bi AS (SELECT cur AS prev, nxt AS w2, CAST(count(*) AS BIGINT) AS c2
+        FROM tok WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      lp AS (SELECT bi.prev, bi.w2,
+          CAST(round(1000000 * ln((bi.c2 + 1) / (uni.c1 + v.v))) AS BIGINT) AS lp
+        FROM bi JOIN uni ON uni.cur = bi.prev, v)
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS lm2_score
+      FROM tok JOIN lp ON tok.cur = lp.prev AND tok.nxt = lp.w2
+      GROUP BY tok.doc_id"""))
+
   /** N6: text near-dup pairs via hashed TF-IDF cosine — the
     * COMPOSITION t13 → assembleVectors → n2's md5-plane LSH →
     * exact-cosine verify, proving the text→embedding bridge end to
@@ -1641,7 +1668,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, d1Exact, d2Jaccard,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted,

@@ -373,6 +373,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3L) == ((1L, 2L, 6L, 1L, 1L)))
   }
 
+  test("bigramLmScore: exact conditional log-probs on planted counts") {
+    import graft.functions.TextFns
+    // corpus: "a b a b" + "a b" -> bigrams: (a,b)x3, (b,a)x1
+    // unigrams: a=3, b=3; V=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextFns.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def lp(c2: Long, c1: Long) = math.round(1e6 * math.log((c2 + 1.0) / (c1 + 2.0)))
+    val (lpAB, lpBA) = (lp(3, 3), lp(1, 3))
+    assert(got(1L) == ((3L, (2 * lpAB + lpBA).toDouble / 3e6)))
+    assert(got(2L) == ((1L, lpAB.toDouble / 1e6)))
+    // the common bigram scores higher than the rare one
+    assert(lpAB > lpBA)
+  }
+
+  test("bigramLmScore: word salad of common tokens scores below real text") {
+    import graft.functions.TextFns
+    // same unigram bag, different order: t14 cannot separate these,
+    // the bigram model must
+    val real = "the cat sat on the mat " * 4
+    val salad = "the on cat mat sat the " * 4
+    val docs = Seq((1L, real.trim), (2L, salad.trim),
+      (3L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val got = TextFns.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L))
+  }
+
   test("bm25: zero for term-free docs, exact formula on planted counts") {
     val docs = Seq((1L, "data data join"), (2L, "other words here"),
       (3L, "data")).toDF("doc_id", "text")
