@@ -93,6 +93,72 @@ def zarr():
     print("wrote", root)
 
 
+def vlen_payload(items):
+    """numcodecs VLenUTF8 chunk: uint32-LE item count, then per item a
+    uint32-LE byte length + UTF-8 bytes."""
+    out = struct.pack("<I", len(items))
+    for s in items:
+        b = s.encode("utf-8")
+        out += struct.pack("<I", len(b)) + b
+    return out
+
+
+def zarr_vlen():
+    """Same canonical dataset as zarr(), but strings (the s axis and
+    the tg data var) as object dtype + vlen-utf8 filter — xarray
+    to_zarr's DEFAULT string encoding (round 11: the write-side
+    counterpart of the vlen READ path)."""
+    root = f"{GOLD}/zarr_vlen_w"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    meta = {}
+
+    def metafile(key, obj):
+        text = json.dumps(obj, sort_keys=True)
+        meta[key] = text
+        path = f"{root}/{key}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(text)
+
+    def arr(name, shape, chunks, dtype, fill, dims, filters=None):
+        metafile(f"{name}/.zarray", {
+            "chunks": chunks, "compressor": None, "dtype": dtype,
+            "fill_value": fill, "filters": filters, "order": "C",
+            "shape": shape, "zarr_format": 2})
+        metafile(f"{name}/.zattrs", {"_ARRAY_DIMENSIONS": dims})
+
+    metafile(".zgroup", {"zarr_format": 2})
+    metafile(".zattrs", {})
+
+    VL = [{"id": "vlen-utf8"}]
+    arr("s", [3], [3], "|O", None, ["s"], VL)
+    with open(f"{root}/s/0", "wb") as fh:
+        fh.write(vlen_payload(S_AXIS))
+    arr("k", [2], [2], "<i8", 0, ["k"])
+    with open(f"{root}/k/0", "wb") as fh:
+        fh.write(struct.pack("<2q", *K_AXIS))
+
+    arr("x", [3, 2], [3, 2], "<f8", "NaN", ["s", "k"])
+    with open(f"{root}/x/0.0", "wb") as fh:
+        fh.write(struct.pack("<6d", *X))
+    arr("f", [3, 2], [3, 2], "|b1", False, ["s", "k"])
+    with open(f"{root}/f/0.0", "wb") as fh:
+        fh.write(bytes(F))
+    arr("zc", [3, 2], [3, 2], "<c16", ["NaN", "NaN"], ["s", "k"])
+    with open(f"{root}/zc/0.0", "wb") as fh:
+        fh.write(b"".join(struct.pack("<2d", re, im) for re, im in Z))
+    arr("tg", [3, 2], [3, 2], "|O", None, ["s", "k"], VL)
+    with open(f"{root}/tg/0.0", "wb") as fh:
+        fh.write(vlen_payload(TG))
+
+    entries = ", ".join(f'"{k}": {meta[k]}' for k in sorted(meta))
+    with open(f"{root}/.zmetadata", "w") as fh:
+        fh.write('{"metadata": {' + entries +
+                 '}, "zarr_consolidated_format": 1}')
+    print("wrote", root)
+
+
 def netcdf():
     # CDF-1: dims (s=3, k=2, s_strlen=2); vars s(char s,s_strlen),
     # k(int k), x(double s,k), f(byte s,k)
@@ -155,4 +221,5 @@ def netcdf():
 
 if __name__ == "__main__":
     zarr()
+    zarr_vlen()
     netcdf()

@@ -39,8 +39,32 @@ object Bench {
 
   private val SteadyN = 5
   private val ScalingN = 3
+  private val AdjudicateN = 3
+
+  /** Controlled-protocol verdict on a scaling-flag candidate: min-of-K
+    * at both SFs (the BenchN statistic — the MIN of K warm passes in
+    * ONE process is robust to noisy-neighbor contention that medians
+    * across separately-scheduled passes are not), flag only if the
+    * controlled ratio still exceeds `threshold ×` the data-size ratio
+    * on a non-trivial runtime. Round 10's q1_agg false positive
+    * (driver median 4.55 s under box load vs controlled 0.57 s — a
+    * plain scan+groupBy flagged as superlinear) is the artifact this
+    * makes impossible: a flag now ships only after the controlled
+    * re-measure agrees. Pure function — spec-covered with injected
+    * slow passes.
+    */
+  private[graft] def adjudicateFlag(mainTimes: Seq[Double],
+                                    smallTimes: Seq[Double],
+                                    dataRatio: Double,
+                                    threshold: Double = 2.0): Boolean = {
+    require(mainTimes.nonEmpty && smallTimes.nonEmpty)
+    val mMin = mainTimes.min
+    val sMin = smallTimes.min
+    sMin > 0 && mMin > 0.3 && mMin / sMin > threshold * dataRatio
+  }
   private val scalingExclude =
-    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters", "n3_cosine_pairs",
+    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters",
+      "d5b_dup_clusters_dist", "n3_cosine_pairs",
       "d8_quality_keeper") // d5's pipeline + join: same SF-skewed candidates
 
   private def once(spark: SparkSession, name: String,
@@ -119,10 +143,25 @@ object Bench {
           }
         }
     // overhead-dominated sub-0.3s queries ratio ~1 regardless of scale;
-    // flag only genuinely heavy queries growing >2x the byte ratio
-    val flags = scaling.collect { case (name, r)
+    // candidates are heavy queries growing >2x the byte ratio — each
+    // candidate is then SELF-ADJUDICATED with the min-of-K controlled
+    // protocol before the flag is emitted (see adjudicateFlag)
+    val candidates = scaling.collect { case (name, r)
       if r > 2 * dataRatio &&
         results.find(_._1 == name).exists(x => x._6 && x._2 > 0.3) => name }
+    val flags = candidates.filter { name =>
+      val fn = SparkEntry.queries(name)
+      val mainRuns = Seq.fill(AdjudicateN)(once(spark, name, fn, sfDir))
+      val smallRuns = Seq.fill(AdjudicateN)(once(spark, name, fn, scaleDir))
+      // a failure during adjudication cannot EXONERATE the flag
+      val stands = !(mainRuns ++ smallRuns).forall(_._2) ||
+        adjudicateFlag(mainRuns.map(_._1), smallRuns.map(_._1), dataRatio)
+      System.err.println(
+        f"[bench] scaling flag on $name: controlled re-measure min " +
+          f"${mainRuns.map(_._1).min}%.2f s / ${smallRuns.map(_._1).min}%.2f s -> " +
+          (if (stands) "CONFIRMED" else "withdrawn (contention artifact)"))
+      stands
+    }
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // a failed query must not masquerade as a fast success: its slot

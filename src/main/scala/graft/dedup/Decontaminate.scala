@@ -77,11 +77,21 @@ object Decontaminate {
     * counts and the final totals join are (id)-keyed rows. The
     * tokenize+shingle pass over corpus text runs once (materialized),
     * and corpus text itself never enters any exchange.
+    *
+    * Sizing contract: `numBits` defaults to 12·`expectedItems`
+    * (~12 bits/item ≈ 0.3% false-positive rate at the expected load) —
+    * size `expectedItems` to the BENCHMARK's distinct n-gram count.
+    * Undersizing never changes the answer (the exact verify join
+    * removes false positives) but silently erases the exchange-volume
+    * reduction that is this function's whole purpose: at 8 bits/item
+    * the fpp is ~2%, at 4 bits/item ~15% of the clean corpus stream
+    * leaks through to the join.
     */
   def ngramOverlapBloom(docs: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
                         expectedItems: Long = 1L << 20,
-                        numBits: Long = 1L << 23): DataFrame = {
+                        numBits: Long = -1L): DataFrame = {
+    val bits = if (numBits > 0) numBits else 12L * expectedItems
     import org.apache.spark.sql.GraftSqlShims
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -93,7 +103,7 @@ object Decontaminate {
     val bloom = benchGrams
       .select(GraftSqlShims.column(new BloomFilterAggregate(
           GraftSqlShims.expression(xxhash64(col("__g"))),
-          Literal(expectedItems), Literal(numBits))
+          Literal(expectedItems), Literal(bits))
         .toAggregateExpression()).as("__bf"))
       .scalar()
     def mightContain(g: Column): Column =

@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** High 60 bits of md5(salt:key) as a non-negative BIGINT — the
+    * integer form behind [[hashFraction]]; reproducible in any engine
+    * with md5 + hex parsing (DuckDB:
+    * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)`). */
+  def hashLong60(key: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
   /** Uniform [0,1) hash fraction of (salt, key) — engine-reproducible. */
   def hashFraction(key: Column, salt: String): Column =
-    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
-      16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    hashLong60(key, salt).cast("double") / lit(1.152921504606846976e18)
 
   /** Keep each row iff hashFraction < the rate of its `keyCol` value;
     * rows whose key has no configured rate are dropped. The rate
@@ -38,6 +45,21 @@ object Mixture {
       .filter(hashFraction(col(idCol), salt) < col("__rate"))
       .drop("__rate")
   }
+
+  /** [[sampleByRate]] with the rate table as a DATAFRAME (`keyCols` +
+    * a `rate` column) — the form that composes directly with
+    * [[temperatureRates]]' output and with STREAM-static joins
+    * ([[graft.streaming.Streaming.temperatureMixtureStream]]): the
+    * rates side broadcasts, the corpus side streams map-only, and the
+    * keep decision is the same stateless (salt, id) hash coin — so a
+    * batch run and a streaming run over the same rows keep IDENTICAL
+    * subsets by construction. Rows whose key has no rate row drop;
+    * the `rate` column rides along in the output (cp2's shape).
+    */
+  def sampleByRates(df: DataFrame, idCol: String, keyCols: Seq[String],
+                    rates: DataFrame, salt: String): DataFrame =
+    df.join(broadcast(rates), keyCols)
+      .filter(hashFraction(col(idCol), salt) < col("rate"))
 
   /** Temperature-scaled mixture rates (the multilingual re-balancing
     * rule of Conneau & Lample 2019 / XLM-R, α ∈ (0,1]): sampling
@@ -70,10 +92,27 @@ object Mixture {
     val g = keyCols.map(col)
     val c = col(countCol).cast("double")
     val powC = if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    // in-plan guards (the store's M1 raise discipline): a zero/negative
+    // count would put 0/0 = NaN into its rate — and least(1.0, NaN)
+    // treats NaN as largest, silently granting the empty stratum rate
+    // 1.0; a count past ~9.2e12 (at alpha→1) overflows the micro-unit
+    // long and corrupts Z. Both are malformed-profile states that must
+    // fail loudly, not sample wrong.
+    val cChecked = when(col(countCol).isNull || col(countCol) <= 0,
+        raise_error(concat(lit("temperatureRates: non-positive count for stratum "),
+          concat_ws("/", g.map(_.cast("string")): _*))))
+      .when(lit(1e6) * powC >= lit(Long.MaxValue.toDouble),
+        raise_error(concat(lit("temperatureRates: count overflows micro-units for stratum "),
+          concat_ws("/", g.map(_.cast("string")): _*))))
+      .otherwise(col(countCol).cast("long"))
     val base = graft.Materialize.reuse(profile.select(
-      g :+ col(countCol).cast("long").as("__c")
+      g :+ cChecked.as("__c")
         :+ round(lit(1e6) * powC).cast("long").as("__zq"): _*))
-    val tot = base.agg(sum("__c").as("__tot"), sum("__zq").as("__Z"))
+    // decimal(38,0) sums: exact integer math immune to Long overflow
+    // when Σ c_g or Σ c_g^α micro-units exceed 2⁶³ across strata
+    val tot = base.agg(
+      sum(col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__tot"),
+      sum(col("__zq").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__Z"))
     base.crossJoin(broadcast(tot))
       .select(g :+ round(least(lit(1.0),
         lit(targetFraction) *

@@ -583,7 +583,18 @@ object TextFns {
     val vocab = base
       .select(g :+ explode(array_distinct(col("__w"))).as("__t"): _*)
       .groupBy(g: _*).agg(vocabAgg)
-    docStats.join(vocab, groupCols)
+    // null-safe group join (<=>): a NULL group key is a legitimate
+    // stratum ("language unknown") and must keep its corpus-card row —
+    // a plain equi-join drops it silently (nulls never equi-join).
+    // Oracle equivalents must join with IS NOT DISTINCT FROM.
+    if (groupCols.isEmpty) docStats.crossJoin(vocab)
+    else {
+      val vocabR = groupCols.foldLeft(vocab)(
+        (d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      docStats.join(vocabR,
+        groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _))
+        .drop(groupCols.map(c => s"__r_$c"): _*)
+    }
   }
 
   /** Concat-and-split sequence packing — assign every document a
@@ -608,7 +619,16 @@ object TextFns {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol),
+    // `idCol` must be numeric and NON-NEGATIVE: the shard key is
+    // pmod(id, shards), which diverges from sign-preserving `%` for
+    // negative ids (a t17-oracle mismatch waiting to happen) — fail
+    // loudly in-plan rather than shard differently than the caller's
+    // `%`-based bookkeeping expects
+    val idChecked = when(col(idCol) < 0, raise_error(
+      concat(lit(s"packSequences: negative $idCol "), col(idCol).cast("string"),
+        lit(" — shard = pmod(id, shards) requires non-negative ids"))))
+      .otherwise(col(idCol))
+    docs.select(idChecked.as(idCol),
         pmod(col(idCol), lit(shards)).cast("long").as("shard"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__cum", sum("n_tokens").over(w))

@@ -372,9 +372,67 @@ object TextQueries {
         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                  c.vec_id) <= 5"""))
 
+  /** Shared oracle fragment for the near-dup cluster family
+    * (d5/d5b/d8): exact pairwise 3-gram Jaccard ≥ 0.8 `pairs`, then
+    * SIX unrolled min-label + pointer-jump propagation rounds with an
+    * in-SQL convergence check. Replaces the recursive reachability CTE
+    * — which enumerates all reachable PAIRS, quadratic in clique size
+    * (>1 h oracle-side at sf0.1 and the reason d5/d8 were the sweep's
+    * only exclusions) — with O(rounds · (nodes + edges)) work.
+    *
+    * Correctness: labels are member ids, start at the own id, and only
+    * ever DECREASE (min over self + neighbor labels + label-of-label);
+    * a round with no change is a fixpoint (the update is a
+    * deterministic function of the previous labels), a fixpoint is
+    * constant per component (every edge forces l(u) ≤ l(v) both ways),
+    * and the component minimum can never carry a label above itself —
+    * so the constant IS the min id. The pointer-jump term l(l(u))
+    * doubles propagation reach per round (6 rounds cover chain
+    * diameters no near-dup graph approaches); if a 7th round would
+    * still change a label, `chg` trips DuckDB's error() — loud, never
+    * wrong.
+    */
+  private val ccLabelCtes: String =
+    // every CTE is MATERIALIZED: each round references the previous
+    // one three times, so inlined CTEs would expand the plan 3^6-fold
+    // (and re-open the parquet scan in every copy — DuckDB inlines
+    // single-reference CTEs by default)
+    """sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      l0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e)),
+      """ +
+      (1 to 6).map { i =>
+        "l" + i + """ AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
+        SELECT u, l FROM """ + "l" + (i - 1) + """
+        UNION ALL SELECT e.u, c.l FROM e JOIN """ + "l" + (i - 1) +
+          """ c ON e.v = c.u
+        UNION ALL SELECT c.u, j.l FROM """ + "l" + (i - 1) + " c JOIN l" +
+          (i - 1) + """ j ON c.l = j.u
+      ) GROUP BY u)"""
+      }.mkString(",\n      ") +
+      """,
+      chg AS (SELECT count(*) AS c FROM l6 a JOIN l5 b
+              ON a.u = b.u AND a.l <> b.l),
+      cl AS (SELECT u AS doc_id,
+        CASE WHEN (SELECT c FROM chg) > 0
+             THEN error('cc label propagation not converged in 6 rounds')
+             ELSE l END AS cluster FROM l6)"""
+
   /** D5: duplicate clusters — connected components over the MinHash
     * near-dup pairs, (doc_id, cluster=min reachable id). Oracle:
-    * recursive-CTE reachability over the exact pairwise ≥0.8 graph.
+    * bounded label propagation over the exact pairwise ≥0.8 graph
+    * ([[ccLabelCtes]] — sweep-feasible at sf0.1, unlike the recursive
+    * reachability it replaces).
     */
   val d5Clusters = QueryDef(
     "d5_dup_clusters",
@@ -382,22 +440,24 @@ object TextQueries {
       Dedup.minHashCandidates(table(s, dir, "documents"),
         "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8))
       .withColumnRenamed("id", "doc_id"),
-    Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
-        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+2])) AS s
-      FROM documents),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
-      SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u"""))
+    Some("WITH " + ccLabelCtes + "\n      SELECT doc_id, cluster FROM cl"))
+
+  /** D5b: the DISTRIBUTED connected-components path under the same
+    * oracle as d5 — `driverMaxEdges = 0` forces the alternating
+    * large-star/small-star contraction loop (Kiveris et al. SoCC'14)
+    * that actually runs at 100 TB edge counts, where the driver
+    * union-find every other registered query exercises is gated off.
+    * Identical labels by contract; this row proves it against DuckDB,
+    * not just the spec's planted graphs.
+    */
+  val d5bClustersDist = QueryDef(
+    "d5b_dup_clusters_dist",
+    (s, dir) => Dedup.connectedComponents(
+      Dedup.minHashCandidates(table(s, dir, "documents"),
+        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8),
+      driverMaxEdges = 0L)
+      .withColumnRenamed("id", "doc_id"),
+    Some("WITH " + ccLabelCtes + "\n      SELECT doc_id, cluster FROM cl"))
 
   /** T9: deterministic mixture sampling — domain-weighted subsample
     * where each keep/drop is a pure function of (salt, doc_id), so the
@@ -458,8 +518,8 @@ object TextQueries {
     * an arbitrary one. MinHash near-dup clusters (d3/d5 pipeline) join
     * the t2 quality score; the keeper per cluster is argmax(quality),
     * doc_id tiebreak, via a rank-1 window over the (small) clusters.
-    * Oracle: d5's recursive reachability + t2's quality formula + the
-    * same window — every keep/drop decision is checked.
+    * Oracle: d5's bounded label propagation + t2's quality formula +
+    * the same window — every keep/drop decision is checked.
     */
   val d8Keeper = QueryDef(
     "d8_quality_keeper",
@@ -478,22 +538,7 @@ object TextQueries {
         .withColumn("keep", row_number().over(w) === 1)
         .select("doc_id", "cluster", "quality", "keep")
     },
-    Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
-        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+2])) AS s
-      FROM documents),
-      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      members AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges),
-      cl AS (SELECT u AS doc_id, MIN(v) AS cluster FROM members GROUP BY u),
+    Some("WITH " + ccLabelCtes + """,
       q AS (SELECT doc_id, ROUND((
         LEAST(len(string_split_regex(trim(text), '\s+')) / 32.0, 1.0)
         + LEAST(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -981,6 +1026,61 @@ object TextQueries {
         SELECT vec_id, list_transform(range(64), j ->
           embedding[(j+1)::INT]::DOUBLE + 0.1 *
           ((CAST('0x' || substr(md5('n8q:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
+
+  /** N9: INCREMENTAL persisted-index maintenance — the operational
+    * step beyond n8's save→load→query lifecycle: build the IVFADC
+    * index on 3/4 of the corpus, persist, APPEND the remaining quarter
+    * through [[Similarity.PersistedIndex.append]] (assign-to-existing
+    * centroids + residual-encode with the frozen codebooks — one
+    * map-only pass over the delta, the existing corpus is never read
+    * or rewritten), check the drift counter stayed under the refit
+    * threshold, then query planted probes against the reloaded
+    * composite index. Probes perturb BOTH base and delta source
+    * vectors (ids 0..19 split 15/5 by the pmod-4 rule), so a delta row
+    * that failed to land in the store or encoded against wrong
+    * centroids surfaces as a missing/mismatched top-1. Oracle: the
+    * exact cosine top-1 of each probe IS its source vector (the n8
+    * construction, salt n9q).
+    */
+  val n9Incremental = QueryDef(
+    "n9_incremental_index",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
+      val delta = emb.filter(pmod(col("vec_id"), lit(4L)) === 0L)
+      val root = java.nio.file.Files.createTempDirectory("graft-n9").toString
+      Similarity.PersistedIndex.build(base, "vec_id", "embedding",
+        root, kLists = 16, m = 8, kCodes = 16)
+      val res = Similarity.PersistedIndex.append(
+        delta, "vec_id", "embedding", root)
+      // a 25% delta must not trip the 50% drift default — and a
+      // tripped counter here would mean the meta bookkeeping is wrong
+      require(!res.needsRefit && res.drift > 0.2 && res.drift < 0.5,
+        s"drift counter out of contract: $res")
+      val h = Similarity.PersistedIndex.load(s, root)
+      val corpus = Similarity.PersistedIndex.corpus(s, root)
+      val baseQ = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = baseQ.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"n9q:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      Similarity.ivfAdcQueryBatch(h.ivf, h.pq, corpus, "vec_id", "embedding",
+        queries, kOut = 1, nprobe = 6)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('n9q:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
             / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
         FROM embeddings WHERE vec_id < 20)
       SELECT q.vec_id + 1000000 AS query_id, q.vec_id AS neighbor_id,
@@ -1595,7 +1695,10 @@ FROM gi GROUP BY doc_id, grp"""))
       v AS (SELECT lang, source, CAST(count(DISTINCT t) AS BIGINT) AS vocab
         FROM (SELECT lang, source, unnest(list_distinct(w)) AS t FROM d)
         GROUP BY 1, 2)
-      SELECT ds.*, v.vocab FROM ds JOIN v USING (lang, source)"""))
+      SELECT ds.lang, ds.source, ds.n_docs, ds.total_chars, ds.total_tokens,
+        v.vocab
+      FROM ds JOIN v ON ds.lang IS NOT DISTINCT FROM v.lang
+        AND ds.source IS NOT DISTINCT FROM v.source"""))
 
   /** CP2: temperature-scaled mixture (α = 0.5, 40% token budget) —
     * per-lang token counts → temperature rates → deterministic
@@ -1669,8 +1772,9 @@ FROM gi GROUP BY doc_id, grp"""))
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, d1Exact, d2Jaccard,
-    d3MinHash, d4SimHash, d5Clusters, d6EmbDedup, d7LshDedup, d8Keeper,
+    d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
+    d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
-    n6TfIdfDedup, n7IvfPq, n8Persisted,
+    n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
 }

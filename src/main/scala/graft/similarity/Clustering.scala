@@ -34,10 +34,11 @@ object Clustering {
     * 0, stride, 2*stride, … with stride = n/k (floor). The rank pass
     * runs on the ids-only projection (narrow columns through the one
     * single-partition window exchange), and only the k winners join
-    * back (broadcast) to fetch their vectors. For corpora where even
-    * an ids-only sort is too hot, fit on a sample via
-    * [[Similarity.IvfIndex.fit]] instead — spaced seeding is the
-    * oracle-replicable flavor, not the only one.
+    * back (broadcast) to fetch their vectors. This is the
+    * ORACLE-replicable flavor for corpora where a global ids-only
+    * window is acceptable; the production default is [[sampledSeeds]]
+    * (bounded top-`sampleSize` pick, no global window — equally
+    * oracle-replicable via its md5 hash order).
     */
   def spacedSeeds(df: DataFrame, idCol: String, vecCol: String,
                   k: Int): Array[Array[Double]] = {
@@ -98,6 +99,45 @@ object Clustering {
              centroids: Array[Array[Double]]): DataFrame =
     new IvfIndex(centroids).assign(df, vecCol)
 
+  /** k seed vectors fitted by spaced picks over a bounded DETERMINISTIC
+    * sample — the PRODUCTION seeding path. [[spacedSeeds]] (the
+    * oracle flavor sd1/tc1 keep) ranks the whole corpus through one
+    * single-partition window: ids-only, but at 10¹¹ rows that is still
+    * one task swallowing the corpus's id stream. Here the global order
+    * is replaced by a top-`sampleSize` under the md5 hash fraction of
+    * the id ([[graft.functions.Mixture.hashLong60]]) — Spark plans it
+    * as TakeOrderedAndProject (per-partition heaps, one bounded merge,
+    * nothing unbounded in any task), and [[spacedSeeds]]' window then
+    * runs over ≤ `sampleSize` rows. The hash order is
+    * engine-reproducible, so the sd2/tc2 DuckDB oracles replay the
+    * exact sample, seeds, and Lloyd iterations — the sampled path gets
+    * the same bit-exact gate as the spaced one.
+    */
+  def sampledSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   sampleSize: Int, salt: String = "seed"): Array[Array[Double]] = {
+    require(sampleSize >= k, s"sampleSize $sampleSize < k $k")
+    val sample = df
+      .orderBy(graft.functions.Mixture.hashLong60(col(idCol), salt), col(idCol))
+      .limit(sampleSize)
+    spacedSeeds(sample, idCol, vecCol, k)
+  }
+
+  /** (id, v, centroid, bucket) with clusters larger than `cap` salted
+    * into ceil(n_c/cap) md5-hash sub-buckets — the bounding stage
+    * [[semanticDedupCapped]] and its spec share. The sizes table is
+    * ≤ k rows (broadcast); the bucket key is a pure function of
+    * (salt, id), so both engines and any re-run bucket identically.
+    */
+  private[graft] def saltedBuckets(assigned: DataFrame, idCol: String,
+                                   cap: Int, salt: String): DataFrame = {
+    val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("__n"))
+    val nb = ceil(col("__n").cast("double") / cap).cast("long")
+    assigned.join(broadcast(sizes), Seq("centroid"))
+      .withColumn("bucket", when(nb <= 1, lit(0L)).otherwise(
+        pmod(graft.functions.Mixture.hashLong60(col(idCol), salt), nb)))
+      .drop("__n")
+  }
+
   /** SemDeDup: flag every row that has a same-cluster neighbor with
     * strictly lower id and cosine >= tau (keep-lowest-id rule).
     * Output: (idCol, cluster, dup). The pairwise stage self-joins on
@@ -127,11 +167,68 @@ object Clustering {
       .na.fill(false, Seq("dup"))
   }
 
-  /** The full sd1 pipeline: spaced seeds -> `iters` distributed Lloyd
-    * passes -> within-cluster cosine dedup.
+  /** [[semanticDedup]] with an ENFORCED per-cluster candidate cap —
+    * the skew guard the uncapped form lacks: a pathological corpus
+    * (one giant near-dup cluster) re-creates the quadratic self-join
+    * no matter how well k was chosen. Clusters larger than `cap` are
+    * salted into ceil(n_c/cap) deterministic md5 sub-buckets
+    * ([[saltedBuckets]]) and pairs compare within (cluster, bucket)
+    * only, so no join task sees more than ~cap²/2 candidate pairs —
+    * the SimHash `bucketCap` discipline (`Dedup.simHashPairsFromSigs`)
+    * applied to the semantic path. The recall trade is explicit:
+    * cross-bucket pairs inside an OVERSIZED cluster are skipped — the
+    * same kind of approximation SemDeDup already makes by never
+    * comparing across clusters, and it engages only past the working
+    * size the caller declared healthy. Output contract identical to
+    * [[semanticDedup]]: (idCol, cluster, dup).
+    */
+  def semanticDedupCapped(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[Array[Double]], tau: Double,
+                          cap: Int, salt: String = "sddb"): DataFrame = {
+    require(cap > 1, s"cap must be > 1, got $cap")
+    val a = graft.Materialize.reuse(assign(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("v")),
+      "v", centroids))
+    val b = saltedBuckets(a, idCol, cap, salt)
+    val l = b.select(col(idCol).as("lid"), col("v").as("lv"),
+      col("centroid"), col("bucket"))
+    val r = b.select(col(idCol).as("rid"), col("v").as("rv"),
+      col("centroid"), col("bucket"))
+    val dups = l.join(r, Seq("centroid", "bucket"))
+      .filter(col("rid") < col("lid") &&
+        Similarity.cosine(col("lv"), col("rv")) >= tau)
+      .select(col("lid").as(idCol)).distinct()
+      .withColumn("dup", lit(true))
+    a.select(col(idCol), col("centroid").as("cluster"))
+      .join(dups, Seq(idCol), "left")
+      .na.fill(false, Seq("dup"))
+  }
+
+  /** The PRODUCTION SemDeDup pipeline (sd2): seeds fitted on a bounded
+    * deterministic sample ([[sampledSeeds]] — no global window),
+    * `iters` distributed Lloyd passes, then CAPPED within-cluster
+    * dedup ([[semanticDedupCapped]]). This is the default entry; the
+    * spaced-seeding uncapped flavor lives on as [[semDeDupSpaced]]
+    * (sd1's oracle variant).
     */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               iters: Int = 2, tau: Double = 0.4): DataFrame = {
+               iters: Int = 2, tau: Double = 0.4,
+               sampleSize: Int = 100000, cap: Int = 100000,
+               salt: String = "sdd"): DataFrame = {
+    val cached = graft.Materialize.reuse(df.select(col(idCol), col(vecCol)))
+    val seeds = sampledSeeds(cached, idCol, vecCol, k, sampleSize, salt)
+    val fitted = lloyd(cached, vecCol, seeds, iters)
+    semanticDedupCapped(cached, idCol, vecCol, fitted, tau, cap, salt + "b")
+  }
+
+  /** The oracle-replicable sd1 flavor: spaced seeds over the FULL id
+    * order -> `iters` distributed Lloyd passes -> uncapped
+    * within-cluster cosine dedup. Keep for corpora small enough that
+    * a global ids-only window and unsalted clusters are fine;
+    * [[semDeDup]] is the scale default.
+    */
+  def semDeDupSpaced(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int = 2, tau: Double = 0.4): DataFrame = {
     // seeds + each Lloyd pass + the dedup assignment all scan the
     // corpus — one materialized (id, vec) projection feeds them all
     val cached = graft.Materialize.reuse(df.select(col(idCol), col(vecCol)))

@@ -75,17 +75,29 @@ object ZarrSink {
     *                       arrays whose inner chunks are this many
     *                       dim-0 rows (inner dims whole); 0 = plain
     *                       chunked arrays
+    * @param stringEncoding "fixed" writes numpy `<U<n>` fixed-width
+    *                       strings (xarray reads them fine); "vlen"
+    *                       writes object dtype + the numcodecs
+    *                       `vlen-utf8` filter — xarray `to_zarr`'s
+    *                       DEFAULT string encoding, so a graft-written
+    *                       store diffs clean against an xarray-written
+    *                       one. v2 only (v3 has neither layout);
+    *                       applies to string axes AND string data
+    *                       variables.
     */
   def writeDataset(df: DataFrame, path: String, dims: Seq[String],
                    chunkTargetBytes: Long = 16L << 20,
                    compress: Boolean = true,
                    zarrFormat: Int = 2,
-                   shardInnerRows: Int = 0): Unit = {
+                   shardInnerRows: Int = 0,
+                   stringEncoding: String = "fixed"): Unit = {
     require(zarrFormat == 2 || zarrFormat == 3,
       s"zarrFormat $zarrFormat (want 2 or 3)")
     require(shardInnerRows >= 0, s"shardInnerRows $shardInnerRows")
     require(shardInnerRows == 0 || zarrFormat == 3,
       "sharding is a zarr v3 feature (ZEP 2) — set zarrFormat = 3")
+    require(stringEncoding == "fixed" || stringEncoding == "vlen",
+      s"stringEncoding '$stringEncoding' (want fixed or vlen)")
     // Lease + stage-then-rename (the ParquetStore discipline, shared
     // via WriteLease.stageAndSwap): a second writer against the same
     // destination throws ConcurrentWriteException instead of silently
@@ -96,7 +108,7 @@ object ZarrSink {
     graft.store.WriteLease.stageAndSwap(fs, dest, "zarr-write",
       "zarr store") { tmp =>
       writeStore(df, tmp.toString, dims, chunkTargetBytes, compress,
-        zarrFormat, shardInnerRows)
+        zarrFormat, shardInnerRows, stringEncoding == "vlen")
     }
   }
 
@@ -109,7 +121,8 @@ object ZarrSink {
                          chunkTargetBytes: Long,
                          compress: Boolean,
                          zarrFormat: Int,
-                         shardInnerRows: Int): Unit = {
+                         shardInnerRows: Int,
+                         vlenStrings: Boolean): Unit = {
     GridPrep.withGrid(df, dims) { g =>
       val spark = df.sparkSession
       val shape = g.shape
@@ -157,22 +170,26 @@ object ZarrSink {
 
       // coordinate arrays: tiny, single-chunk, driver-written. String
       // axes write as numpy fixed-width `<U<n>` (n = longest value in
-      // code points) — zarr v2 only: v3 core has no fixed-width string
-      // type (its strings are variable-length), so a string axis under
-      // zarrFormat = 3 fails loudly rather than writing a store other
-      // readers reject.
+      // code points) or, with stringEncoding = "vlen", as object dtype
+      // behind the numcodecs vlen-utf8 filter (xarray's default) —
+      // zarr v2 only either way: v3 core has neither layout, so a
+      // string axis under zarrFormat = 3 fails loudly rather than
+      // writing a store other readers reject.
       for ((d, vs) <- g.coords) {
         val kind = g.kinds(d)
         val dt = kind match {
           case GridPrep.ColKind.F8  => "<f8"
           case GridPrep.ColKind.Str =>
             require(zarrFormat == 2, s"string axis '$d': zarr v3 has no " +
-              "fixed-width string type — write string axes with zarrFormat = 2")
-            val n = vs.map { v =>
-              val s = v.asInstanceOf[String]
-              s.codePointCount(0, s.length)
-            }.max
-            s"<U${math.max(1, n)}"
+              "string type here — write string axes with zarrFormat = 2")
+            if (vlenStrings) "|O"
+            else {
+              val n = vs.map { v =>
+                val s = v.asInstanceOf[String]
+                s.codePointCount(0, s.length)
+              }.max
+              s"<U${math.max(1, n)}"
+            }
           case _                    => "<i8"
         }
         fs.mkdirs(new Path(path, d))
@@ -197,27 +214,35 @@ object ZarrSink {
       val varsArr = g.dataVars.toArray
       // per-var storage class: 0 = i8, 1 = f8, 2 = |b1 (bool),
       // 3 = <c16 (complex128: two f8 components per cell),
-      // 4 = <U<w> (fixed-width string data variable)
+      // 4 = <U<w> (fixed-width string data variable),
+      // 5 = |O + vlen-utf8 (variable-length string data variable)
+      val strKind: Byte = if (vlenStrings) 5 else 4
       val kindArr: Array[Byte] = varsArr.map(v => g.kinds(v) match {
         case GridPrep.ColKind.F8   => 1: Byte
         case GridPrep.ColKind.Bool => 2: Byte
         case GridPrep.ColKind.C16  => 3: Byte
-        case GridPrep.ColKind.Str  => 4: Byte
+        case GridPrep.ColKind.Str  => strKind
         case _                     => 0: Byte
       })
-      // fixed widths for string data vars (numpy <U semantics: width =
-      // longest value in CODEPOINTS) — ONE agg job over the persisted
-      // frame for all of them together. length() counts codepoints,
-      // matching the reader's decode.
+      // per-var string budget — ONE agg job over the persisted frame
+      // for all string vars together. kind 4 (numpy <U semantics):
+      // width = longest value in CODEPOINTS (length(), matching the
+      // reader's decode). kind 5 (vlen): width = longest value in
+      // UTF-8 BYTES (octet_length()) — it sizes the per-cell record
+      // slots, not an on-disk dtype (the vlen payload stores each
+      // cell's true byte length).
       val widthArr: Array[Int] =
-        if (!kindArr.contains(4: Byte)) varsArr.map(_ => 0)
+        if (!kindArr.contains(strKind)) varsArr.map(_ => 0)
         else {
           require(zarrFormat == 2, "string data variables: zarr v3 has " +
-            "no fixed-width string type — write them with zarrFormat = 2")
-          val strVars = varsArr.zip(kindArr).collect { case (v, 4) => v }
+            "no string layout here — write them with zarrFormat = 2")
+          val strVars = varsArr.zip(kindArr).collect {
+            case (v, k) if k == strKind => v }
+          def widthOf(v: String) =
+            if (vlenStrings) max(octet_length(col(v))) else max(length(col(v)))
           val row = g.nd.agg(
-            max(length(col(strVars.head))).as(strVars.head),
-            strVars.tail.map(v => max(length(col(v))).as(v)): _*).head()
+            widthOf(strVars.head).as(strVars.head),
+            strVars.tail.map(v => widthOf(v).as(v)): _*).head()
           val widths = strVars.zipWithIndex.map { case (v, i) =>
             v -> math.max(1, if (row.isNullAt(i)) 1 else row.getInt(i))
           }.toMap
@@ -228,11 +253,13 @@ object ZarrSink {
         case 2 => "|b1"
         case 3 => "<c16"
         case 4 => s"<U${widthArr(vi)}"
+        case 5 => "|O"
         case _ => "<i8"
       }
       val maxCellBytes = (kindArr.zip(widthArr).map {
         case (3, _) => 16L
         case (4, w) => w.toLong * 4L
+        case (5, w) => w.toLong + 8L // length slot + packed utf8 bytes
         case _      => 8L
       } :+ 8L).max
       require(chunkElems <= (Int.MaxValue - 16L) / maxCellBytes,
@@ -323,6 +350,26 @@ object ZarrSink {
                          else 0L
                 ((chunk, vi, off * slots + t), lo | (hi << 32))
               }
+            case 5 =>
+              // vlen string cell: slot 0 carries the UTF-8 byte
+              // length, the remaining slots the bytes packed 8 per
+              // long (LE) — all slots ride the shuffle (trailing zeros
+              // included) so the flush total-ness check keeps working;
+              // assembly re-emits only the true `len` bytes per cell
+              val bytes = r.getString(ndim + vi)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val dataSlots = (widthArr(vi) + 7) / 8
+              val slots = 1 + dataSlots
+              Iterator(((chunk, vi, off * slots), bytes.length.toLong)) ++
+                (0 until dataSlots).iterator.map { t =>
+                  var l = 0L
+                  var b = 0
+                  while (b < 8 && t * 8 + b < bytes.length) {
+                    l |= (bytes(t * 8 + b).toLong & 0xFFL) << (8 * b)
+                    b += 1
+                  }
+                  ((chunk, vi, off * slots + 1 + t), l)
+                }
             case k =>
               val bits = k match {
                 case 1 => java.lang.Double.doubleToRawLongBits(r.getDouble(ndim + vi))
@@ -372,18 +419,22 @@ object ZarrSink {
     def fillBits(vi: Int): Long =
       if (isFloat(vi)) java.lang.Double.doubleToRawLongBits(Double.NaN) else 0L
     /** element width on disk: 1 byte for `|b1`, 16 for `<c16`,
-      * 4·width for `<U`, 8 else */
+      * 4·width for `<U`, 8 else. Undefined for vlen (kind 5) — only
+      * the v3 shard path consults it, and vlen is v2-only. */
     def elemBytes(vi: Int): Int = kinds(vi) match {
       case 2 => 1
       case 3 => 16
       case 4 => widths(vi) * 4
+      case 5 => throw new IllegalStateException(
+        "vlen strings have no fixed element width (v2-only, never sharded)")
       case _ => 8
     }
     /** Long records per CELL riding the shuffle (c16: 2; <U: one per
-      * codepoint pair). */
+      * codepoint pair; vlen: a length slot + one per byte octet). */
     def slots(vi: Int): Int = kinds(vi) match {
       case 3 => 2
       case 4 => (widths(vi) + 1) / 2
+      case 5 => 1 + (widths(vi) + 7) / 8
       case _ => 1
     }
     /** Long slots in the assembly buffer for this var's chunk. */
@@ -398,6 +449,7 @@ object ZarrSink {
       val raw = kinds(vi) match {
         case 2 => toBytesBool(buf, chunkElems)
         case 4 => toBytesU(buf, chunkElems, widths(vi))
+        case 5 => toBytesVlen(buf, chunkElems, slots(vi))
         case _ => toBytesLE(buf, bufLen(vi))
       }
       if (innerRows == 0) {
@@ -523,7 +575,24 @@ object ZarrSink {
   private def writeCoordPayload(fs: org.apache.hadoop.fs.FileSystem,
                                 arrPath: Path, vs: Array[Any], dtype: String,
                                 compress: Boolean, zarrFormat: Int): Unit = {
-    val raw = if (dtype.startsWith("<U")) {
+    val raw = if (dtype == "|O") {
+      // numcodecs VLenUTF8: uint32-LE item count, then per item a
+      // uint32-LE byte length + UTF-8 bytes (the exact layout
+      // ZarrSource.decodeVlenChunk reads back)
+      val out = new java.io.ByteArrayOutputStream(64)
+      def putInt(v: Int): Unit = {
+        out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+        out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+      }
+      putInt(vs.length)
+      vs.foreach { v =>
+        val b = v.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        putInt(b.length)
+        out.write(b)
+      }
+      out.toByteArray
+    } else if (dtype.startsWith("<U")) {
       val n = dtype.drop(2).toInt
       val buf = ByteBuffer.allocate(vs.length * n * 4)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -564,18 +633,22 @@ object ZarrSink {
     case "<f8"                        => "\"NaN\""
     case "<c16"                       => "[\"NaN\", \"NaN\"]"
     case "|b1"                        => "false"
+    case "|O"                         => "null"
     case s if s.startsWith("<U")      => "null"
     case _                            => "0"
   }
 
   /** `.zarray` text matching zarr-python's own field set; key order is
     * alphabetical like `json.dumps(..., sort_keys=True)` so the golden
-    * byte-compare spec can pin both writers to one canonical form. */
+    * byte-compare spec can pin both writers to one canonical form.
+    * Object dtype carries the numcodecs vlen-utf8 filter — the one
+    * filter chain [[ZarrSource]] accepts for `|O`. */
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int],
                          dtype: String, compress: Boolean): String = {
     val comp = if (compress) """{"id": "zlib", "level": 1}""" else "null"
+    val filters = if (dtype == "|O") """[{"id": "vlen-utf8"}]""" else "null"
     s"""{"chunks": [${chunks.mkString(", ")}], "compressor": $comp, """ +
-      s""""dtype": "$dtype", "fill_value": ${fillJson(dtype)}, "filters": null, """ +
+      s""""dtype": "$dtype", "fill_value": ${fillJson(dtype)}, "filters": $filters, """ +
       s""""order": "C", "shape": [${shape.mkString(", ")}], "zarr_format": 2}"""
   }
 
@@ -651,6 +724,35 @@ object ZarrSink {
       i += 1
     }
     bb.array()
+  }
+
+  /** numcodecs VLenUTF8 slab from the shuffled slot records: uint32-LE
+    * item count, then per cell its true byte length (slot 0) + that
+    * many UTF-8 bytes unpacked from the packed longs. Cells never
+    * written (edge padding past the array's dim-0 extent) have
+    * all-zero slots and emit as empty strings — numcodecs encodes
+    * full chunks the same way. */
+  private def toBytesVlen(buf: Array[Long], cells: Int,
+                          slots: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(cells * 12)
+    def putInt(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    putInt(cells)
+    var i = 0
+    while (i < cells) {
+      val len = buf(i * slots).toInt
+      putInt(len)
+      var b = 0
+      while (b < len) {
+        val l = buf(i * slots + 1 + b / 8)
+        out.write(((l >>> ((b % 8) * 8)) & 0xFFL).toInt)
+        b += 1
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {

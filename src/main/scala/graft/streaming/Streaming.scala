@@ -103,6 +103,22 @@ object Streaming {
     else graft.functions.Mixture.sampleByRate(deduped, idCol, keyCol, rates, salt)
   }
 
+  /** Streaming temperature-scaled mixture sampling — cp2's
+    * α-sampling on a continuously-arriving corpus. The rate table is
+    * an OFFLINE artifact ([[graft.functions.Mixture.temperatureRates]]
+    * over a batch corpus profile — rates are corpus-level statistics a
+    * stream cannot know mid-flight; production refreshes them
+    * periodically like any model artifact) and broadcasts into a
+    * stream-static join; the per-row keep decision is the stateless
+    * deterministic (salt, id) hash coin. Streamed output over the same
+    * documents is therefore IDENTICAL to the batch cp2 sample — parity
+    * is by construction and pinned by StreamingFileSpec.
+    */
+  def temperatureMixtureStream(docs: DataFrame, idCol: String,
+                               keyCol: String, rates: DataFrame,
+                               salt: String): DataFrame =
+    graft.functions.Mixture.sampleByRates(docs, idCol, Seq(keyCol), rates, salt)
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

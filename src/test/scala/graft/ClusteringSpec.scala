@@ -68,4 +68,71 @@ class ClusteringSpec extends SparkSpec {
     val dup = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(!dup(4L) && dup(5L) && dup(6L) && dup(7L)) // 4 is the keeper
   }
+
+  test("sampledSeeds: full-sample pick equals spacedSeeds; sub-sample is deterministic") {
+    // sampleSize >= n: every row sampled, spacedSeeds' id-ranking takes
+    // over -> bit-identical to the spaced flavor
+    val full = Clustering.sampledSeeds(blobs, "id", "v", k = 2, sampleSize = 100)
+    val spaced = Clustering.spacedSeeds(blobs, "id", "v", k = 2)
+    assert(full.map(_.toSeq).toSeq == spaced.map(_.toSeq).toSeq)
+    // sub-sample: deterministic across runs (md5 order is a pure
+    // function of the ids), right count, and every seed is a real row
+    val s1 = Clustering.sampledSeeds(blobs, "id", "v", k = 2, sampleSize = 4)
+    val s2 = Clustering.sampledSeeds(blobs, "id", "v", k = 2, sampleSize = 4)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.length == 2)
+    val rows = blobs.collect().map(_.getSeq[Double](1).toSeq).toSet
+    assert(s1.forall(s => rows.contains(s.toSeq)))
+  }
+
+  test("semanticDedupCapped: cap >= cluster size reproduces the uncapped answer") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.001)),
+      (1L, Seq(0.0, 1.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(-10.0, 10.0))).toDF("id", "v")
+    val uncapped = Clustering.semanticDedup(df, "id", "v", cents, tau = 0.9)
+      .orderBy("id").collect().toSeq
+    val capped = Clustering.semanticDedupCapped(df, "id", "v", cents,
+      tau = 0.9, cap = 100).orderBy("id").collect().toSeq
+    assert(capped == uncapped)
+  }
+
+  test("semanticDedupCapped: planted giant cluster keeps candidate pairs bounded") {
+    // one 600-row near-duplicate cluster (the SemDeDup pathology: a
+    // single crowded centroid) + a 5-row healthy cluster
+    val giant = (0L until 600L).map(i => (i, Seq(1.0, 1e-6 * i)))
+    val small = (1000L until 1005L).map(i => (i, Seq(-1.0, 5.0)))
+    val df = (giant ++ small).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 5.0))
+    val cap = 50
+    // bucket stage: ceil(600/50) = 12 salted buckets for the giant
+    // cluster, single bucket for the small one
+    val a = Clustering.assign(
+      df.select(col("id"), col("v").cast("array<double>").as("v")), "v", cents)
+    val b = Clustering.saltedBuckets(a, "id", cap, "t")
+    val bs = b.groupBy("centroid", "bucket").count().collect()
+    assert(bs.count(_.getInt(0) == 0) == 12) // giant cluster split 12 ways
+    assert(bs.count(_.getInt(0) == 1) == 1)  // healthy cluster untouched
+    // candidate-pair volume: Σ C(n_b, 2) — must sit far below the
+    // uncapped C(600, 2) = 179_700 and near the ideal 12·C(50, 2) =
+    // 14_700 (md5 split is uniform-ish, not exact; 2x headroom)
+    val pairs = bs.filter(_.getInt(0) == 0)
+      .map(r => { val n = r.getLong(2); n * (n - 1) / 2 }).sum
+    assert(pairs < 2 * 12 * (cap.toLong * (cap - 1) / 2),
+      s"pair volume $pairs not bounded by the cap")
+    assert(pairs > 0)
+    // end to end: every giant-cluster row except per-bucket minima is
+    // flagged (vectors are all cosine ~1), output covers every row
+    val out = Clustering.semanticDedupCapped(df, "id", "v", cents,
+      tau = 0.99, cap = cap, salt = "t")
+    assert(out.count() == 605)
+    val minPerBucket = b.filter(col("centroid") === 0)
+      .groupBy("bucket").agg(min("id")).collect().map(_.getLong(1)).toSet
+    val dups = out.filter(col("dup")).select("id").collect()
+      .map(_.getLong(0)).toSet
+    // small cluster: identical vectors, single bucket -> 1000 keeps
+    assert(dups ==
+      ((0L until 600L).toSet -- minPerBucket) ++ (1001L until 1005L))
+  }
 }

@@ -383,6 +383,59 @@ class BucketedStoreSpec extends SparkSpec {
       bs.mergeIn(Seq((2L, 1L, -5.0)).toDF("p", "k", "v")))
   }
 
+  test("property: string-axis + bool/string-var merges through BucketedStore " +
+       "match the map model in every mode") {
+    // dtype bridge at the STORE-MERGE level (round 11): cx2 proved
+    // complex merge on ParquetStore; this pins STRING keys with BOOL
+    // and STRING variables through the bucketed flavor — the
+    // exchange-free merge that is the 100 TB store path — against an
+    // in-memory map model, for NewWins/OldWins and the NoConflicts
+    // conflict contract, over deterministic pseudo-random stores.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyPool = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val storeGen: Gen[Map[String, (Boolean, String)]] = for {
+      n <- Gen.choose(1, 5)
+      ks <- Gen.pick(n, keyPool)
+      bs <- Gen.listOfN(n, Gen.oneOf(true, false))
+      ss <- Gen.listOfN(n, Gen.oneOf("x", "y", "zz"))
+    } yield ks.toSeq.zip(bs.zip(ss)).toMap
+    val params = Gen.Parameters.default.withSize(6)
+    def rowsDF(m: Map[String, (Boolean, String)]) =
+      m.toSeq.map { case (k, (b, s)) => (k, b, s) }.toDF("k", "flag", "tag")
+    def loadMap(bs: BucketedStore) =
+      bs.load().as[(String, Boolean, String)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    for (i <- 0 until 4) {
+      val oldM = storeGen.pureApply(params, Seed(7L + i))
+      val newM = storeGen.pureApply(params, Seed(507L + i))
+      // NewWins: delta wins on overlap, union elsewhere
+      val bsNew = fresh(s"bs_prop_new_$i")
+      bsNew.mergeIn(rowsDF(oldM))
+      bsNew.mergeIn(rowsDF(newM), Merge.NewWins)
+      assert(loadMap(bsNew) == oldM ++ newM, s"NewWins trial $i")
+      // OldWins: store wins on overlap
+      val bsOld = fresh(s"bs_prop_old_$i")
+      bsOld.mergeIn(rowsDF(oldM))
+      bsOld.mergeIn(rowsDF(newM), Merge.OldWins)
+      assert(loadMap(bsOld) == newM ++ oldM, s"OldWins trial $i")
+      // NoConflicts: identical overlap coalesces (idempotence);
+      // a genuinely differing overlap must throw
+      val bsNc = fresh(s"bs_prop_nc_$i")
+      bsNc.mergeIn(rowsDF(oldM))
+      bsNc.mergeIn(rowsDF(oldM)) // re-merge self: no-op by contract
+      assert(loadMap(bsNc) == oldM, s"NoConflicts idempotence trial $i")
+      val conflicts = oldM.keySet.intersect(newM.keySet)
+        .exists(k => oldM(k) != newM(k))
+      if (conflicts)
+        assertThrows[MergeConflictException](bsNc.mergeIn(rowsDF(newM)))
+      else {
+        bsNc.mergeIn(rowsDF(newM))
+        assert(loadMap(bsNc) == oldM ++ newM, s"NoConflicts union trial $i")
+      }
+    }
+  }
+
   test("store-side merge join needs no exchange (bucket co-location)") {
     val bs = fresh("bs_plan")
     bs.mergeIn((1L to 100L).map(i => (i, i.toDouble)).toDF("k", "v"))

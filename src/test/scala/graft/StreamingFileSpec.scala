@@ -111,6 +111,58 @@ class StreamingFileSpec extends SparkSpec {
     assert(got.values.toSet == batch, "stream and batch stages disagree")
   }
 
+  test("temperature-mixture stream ≡ batch cp2 on the same files") {
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING")
+    def writeDocs(ids: Range): Unit =
+      ids.map { i =>
+        val lang = Seq("en", "de", "fr")(i % 3)
+        // token counts vary by id so the per-lang totals are uneven
+        (i.toLong, lang, ("tok " * (5 + i % 7)).trim)
+      }.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    writeDocs(0 until 60)
+    // offline rate fit: the cp2 batch profile -> temperature rates,
+    // FROZEN by collecting to a literal table — the artifact contract
+    // (a lazy plan over the growing input dir would silently re-fit on
+    // every restart; rates are a model artifact, not a live view)
+    val docs0 = spark.read.parquet(in)
+    val prof = docs0.select(col("lang"),
+      graft.functions.TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("total_tokens"))
+    val rateRows = graft.functions.Mixture.temperatureRates(
+      prof, Seq("lang"), "total_tokens", alpha = 0.5, targetFraction = 0.4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rateRows.size == 3)
+    val rates = rateRows.toDF("lang", "rate")
+
+    def runOnce(): Unit = {
+      val q = Streaming.temperatureMixtureStream(
+        spark.readStream.schema(schema).parquet(in),
+        "doc_id", "lang", rates, salt = "cp2s")
+        .select("doc_id", "lang", "rate")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    writeDocs(60 until 90) // corpus grows while the stream is down
+    runOnce()              // restart: exactly-once over the delta
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // batch cp2 over the SAME files with the SAME frozen rates
+    val batch = graft.functions.Mixture.sampleByRates(
+      spark.read.parquet(in), "doc_id", Seq("lang"), rates, "cp2s")
+      .select("doc_id", "lang", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "streamed mixture diverged from batch cp2")
+    assert(streamed.nonEmpty && streamed.size < 90) // the coin actually bit
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime

@@ -324,6 +324,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(rate(1.5) == 1.0) // cap
   }
 
+  test("temperatureRates: malformed profiles fail loudly, never sample wrong") {
+    import graft.functions.Mixture
+    // zero-count stratum: 0/0 = NaN would silently get rate 1.0 under
+    // least(1.0, NaN) — must raise instead (advisor r10)
+    val zero = Seq(("en", 900L), ("de", 0L)).toDF("lang", "total_tokens")
+    val e1 = intercept[Exception](Mixture.temperatureRates(
+      zero, Seq("lang"), "total_tokens", 0.5, 0.4).collect())
+    assert(e1.getMessage.contains("non-positive count"))
+    // micro-unit Long overflow at alpha -> 1 on a >9.2e12-token
+    // stratum: would corrupt Z silently — must raise (advisor r10)
+    val huge = Seq(("en", 4_000_000_000_000_000_000L))
+      .toDF("lang", "total_tokens")
+    val e2 = intercept[Exception](Mixture.temperatureRates(
+      huge, Seq("lang"), "total_tokens", 1.0, 0.4).collect())
+    assert(e2.getMessage.contains("overflows micro-units"))
+    // well inside range at alpha=0.5: sqrt(9e12)*1e6 ~ 3e12 — fine,
+    // and the decimal Z keeps multi-stratum sums exact
+    val big = Seq(("en", 9_000_000_000_000L), ("de", 1_000_000_000_000L))
+      .toDF("lang", "total_tokens")
+    val r = Mixture.temperatureRates(big, Seq("lang"), "total_tokens",
+      0.5, 0.4).collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(v => v > 0 && v <= 1.0))
+  }
+
+  test("packSequences: negative ids fail loudly (pmod-shard contract)") {
+    val docs = Seq((-1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      TextFns.packSequences(docs, "doc_id", "text", shards = 4,
+        budget = 8).collect())
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("dsirWeights: exact smoothed log-ratio on planted counts") {
     // corpus: doc1 (target) "a a b", doc2 "b c"
     // counts: a raw=2/tgt=2, b raw=2/tgt=1, c raw=1/tgt=0

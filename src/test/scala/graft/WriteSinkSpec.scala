@@ -475,6 +475,28 @@ class WriteSinkSpec extends SparkSpec {
     assertTreesEqual(s"$golden/zarr_dtypes_w", dir)
   }
 
+  test("VLEN string store (|O + vlen-utf8, xarray's default encoding) is " +
+       "byte-identical to the independent python writer and round-trips") {
+    val dir = Files.createTempDirectory("zarrvlw").toString + "/st"
+    ZarrSink.writeDataset(dtypeCanonical, dir, Seq("s", "k"),
+      compress = false, stringEncoding = "vlen")
+    assertTreesEqual(s"$golden/zarr_vlen_w", dir)
+    // round-trip through our own vlen READ path: same rows back
+    val back = ZarrSource.readDataset(spark, dir)
+      .select("s", "k", "tg").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(back == Map(("A", 1L) -> "abc", ("A", 2L) -> "d",
+      ("BB", 1L) -> "ef", ("BB", 2L) -> "ghi",
+      ("C", 1L) -> "j", ("C", 2L) -> "kl"))
+    // and the COMPRESSED flavor round-trips too (zlib-wrapped vlen)
+    val dirC = Files.createTempDirectory("zarrvlwc").toString + "/st"
+    ZarrSink.writeDataset(dtypeCanonical, dirC, Seq("s", "k"),
+      compress = true, stringEncoding = "vlen")
+    val backC = ZarrSource.readDataset(spark, dirC)
+      .select("s", "tg").collect().map(r => r.getString(1)).sorted
+    assert(backC.toSeq == Seq("abc", "d", "ef", "ghi", "j", "kl"))
+  }
+
   test("DTYPE netCDF (NC_CHAR axis + NC_BYTE bool) is byte-identical to " +
        "the independent python writer — CDF-1") {
     val f = Files.createTempDirectory("ncdtw").toString + "/st.nc"
