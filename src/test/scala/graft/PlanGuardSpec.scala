@@ -212,6 +212,36 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "exact verify should be a semi-join")
   }
 
+  test("sd2 capped pairs: equi-join on (centroid, bucket) with the codegen " +
+       "assign kernel — never a cartesian, sizes broadcast") {
+    val p = plan("sd2_semantic_dedup_capped")
+    // within-cluster pairing must be a shuffled equi-join keyed by the
+    // (cluster, salted bucket) pair — a cartesian/BNLJ here is the
+    // quadratic blowup the cap exists to prevent
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "pair stage degenerated:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "equi-join missing")
+    assert(p.contains("nearest_centroid"), "assign kernel missing")
+    assert(p.contains("vec_cosine"), "verify kernel missing")
+    // the k-row cluster-sizes table must broadcast onto the assignment
+    assert(p.contains("BroadcastExchange"), "sizes join should broadcast")
+  }
+
+  test("n9 incremental index: probe rows broadcast against the appended " +
+       "corpus, residual ADC + exact re-rank kernels in-plan") {
+    val p = plan("n9_incremental_index")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "probe rows should broadcast")
+    assert(p.contains("vec_cosine"), "exact re-rank kernel missing")
+    // the corpus side reads the PERSISTED store (centroid + codes
+    // pre-computed by build/append) — no assign/encode kernels may
+    // re-run at query time
+    assert(!p.contains("nearest_centroid"),
+      "query path re-encodes the corpus — should read stored codes")
+  }
+
   test("native kernels present in an un-checkpointed similarity plan") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
