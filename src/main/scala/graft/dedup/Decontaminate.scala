@@ -80,7 +80,11 @@ object Decontaminate {
     *
     * Sizing contract: `numBits` defaults to 12·`expectedItems`
     * (~12 bits/item ≈ 0.3% false-positive rate at the expected load) —
-    * size `expectedItems` to the BENCHMARK's distinct n-gram count.
+    * size `expectedItems` to the BENCHMARK's distinct n-gram count, or
+    * pass `expectedItems <= 0` to MEASURE it (one count over the
+    * already-materialized benchmark gram set — the benchmark side is
+    * tiny by this function's own premise, so the extra job is
+    * negligible and the filter can never be silently undersized).
     * Undersizing never changes the answer (the exact verify join
     * removes false positives) but silently erases the exchange-volume
     * reduction that is this function's whole purpose: at 8 bits/item
@@ -89,21 +93,24 @@ object Decontaminate {
     */
   def ngramOverlapBloom(docs: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
-                        expectedItems: Long = 1L << 20,
+                        expectedItems: Long = -1L,
                         numBits: Long = -1L): DataFrame = {
-    val bits = if (numBits > 0) numBits else 12L * expectedItems
     import org.apache.spark.sql.GraftSqlShims
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val benchGrams = graft.Materialize.reuse(bench
       .select(explode(TextFns.shingles(col(textCol), n)).as("__g"))
       .distinct())
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(benchGrams.count(), 1L)
+    val bits = if (numBits > 0) numBits else 12L * items
     // bloom_filter_agg exists in Catalyst but is not SQL-registered —
     // build the aggregate expression directly
     val bloom = benchGrams
       .select(GraftSqlShims.column(new BloomFilterAggregate(
           GraftSqlShims.expression(xxhash64(col("__g"))),
-          Literal(expectedItems), Literal(bits))
+          Literal(items), Literal(bits))
         .toAggregateExpression()).as("__bf"))
       .scalar()
     def mightContain(g: Column): Column =

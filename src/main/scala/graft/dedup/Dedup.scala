@@ -188,6 +188,46 @@ object Dedup {
   def minHashSignature(shingleCol: Column, k: Int): Column =
     minHashSignatureFromHashes(transform(shingleCol, s => xxhash64(s)), k)
 
+  /** Banded candidate self-join over `(id, band, bucket)` rows with
+    * the SimHash `bucketCap` discipline applied to ANY LSH family:
+    * buckets larger than `bucketCap` are NOT self-joined directly —
+    * their rows salt into ceil(n/cap) deterministic sub-buckets
+    * (xxhash of (id, band): a DIFFERENT split per band, so two rows
+    * separated in one flooded band can still meet in another), and
+    * pairs form within (band, bucket, sub) only. No join task ever
+    * sees more than ~cap²/2 candidate pairs regardless of corpus
+    * shape. The bucket-size census reuses the same (band, bucket)
+    * exchange the join needs.
+    *
+    * Recall trade, stated plainly: a qualifying pair whose ONLY
+    * collision was inside a flooded bucket where the salt separated
+    * them is lost — for MinHash at j ≥ threshold the other
+    * bands re-find it with p ≈ 1-(1-j^rows)^(bands-1) (≥ 0.999 at the
+    * registered 16×4 / j ≥ 0.8 operating point), per-band salts
+    * decorrelate the splits, and downstream connected components
+    * re-joins flood cliques through their dense intra-bucket edges.
+    * `bucketCap <= 0` disables the guard (the exact pre-cap plan).
+    */
+  private[graft] def bandedPairs(banded: DataFrame,
+                                 bucketCap: Int): DataFrame = {
+    val l = if (bucketCap <= 0) banded else {
+      val counts = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn"))
+      val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
+      banded.join(counts, Seq("band", "bucket"))
+        .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(
+          pmod(xxhash64(col("id"), col("band")), nb)))
+        .drop("__bn")
+    }
+    val keys = if (bucketCap <= 0) Seq("band", "bucket")
+               else Seq("band", "bucket", "__sub")
+    l.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_a")
+      .join(l.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_b"),
+        keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands
     * of `rows` hashes; docs sharing any band bucket become candidates.
     * Collision probability ≈ 1-(1-j^rows)^bands (s-curve). Output has
@@ -196,12 +236,15 @@ object Dedup {
     *
     * Scale shape: explode(bands) → shuffle on (band, bucket) →
     * within-bucket self-join. Exact-duplicate floods (many docs in one
-    * bucket) are the skew risk — AQE skew-join handles moderate cases;
-    * run [[exact]] first so identical docs never reach LSH.
+    * bucket) are the skew risk: run [[exact]] first so identical docs
+    * never reach LSH, and the [[bandedPairs]] `bucketCap` guard bounds
+    * any remaining near-dup flood (default 100k — inert at sane bucket
+    * sizes, engaged only under pathology).
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 16, rows: Int = 4,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8,
+                        bucketCap: Int = 100000): DataFrame = {
     // one materialized (id, hashed shingles) stage — shared by the
     // signature pipeline AND the verification joins
     val sh = hashedShingles(df, idCol, textCol, n, Nil)
@@ -214,11 +257,7 @@ object Dedup {
       posexplode(array((0 until bands).map(
         b => xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "bucket")))) // tiny; feeds both join sides
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = bandedPairs(banded, bucketCap)
     // exact-Jaccard verification only for the (few) candidates
     val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
     val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter

@@ -103,7 +103,8 @@ object Similarity {
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         nbits: Int = 32, bands: Int = 4,
-                        planes: Option[Array[Double]] = None): DataFrame = {
+                        planes: Option[Array[Double]] = None,
+                        bucketCap: Int = 100000): DataFrame = {
     // default 8-bit bands = 256 buckets/band: at high thresholds
     // (≥0.9) recall stays ~0.9 while candidate volume drops ~100×
     // versus 4-bit bands (16 buckets flood with collisions)
@@ -121,11 +122,9 @@ object Similarity {
       posexplode(array((0 until bands).map(
         b => shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1))): _*))
         .as(Seq("band", "bucket")))) // tiny; feeds both sides of the self-join
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // flooded-bucket salting shared with MinHash (the SimHash
+    // bucketCap discipline — see Dedup.bandedPairs)
+    val pairs = graft.dedup.Dedup.bandedPairs(banded, bucketCap)
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

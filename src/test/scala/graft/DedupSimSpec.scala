@@ -95,6 +95,63 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash bucketCap: planted flood keeps candidate volume bounded, " +
+       "non-flood pairs and cap-disabled parity intact") {
+    // 300 near-identical docs (one shared 60-token text with a single
+    // token varying) — every band bucket floods; plus the regular
+    // corpus with its planted pairs
+    val floodBase = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val flood = (1000L until 1300L).map(i =>
+      (i, floodBase + s" extra${i % 3}")).toDF("doc_id", "text")
+    val df = corpus.union(flood)
+    // cap engaged: the flood's per-(band,bucket) groups split into
+    // ceil(n/cap) sub-buckets -> pair volume per bucket collapses from
+    // ~C(300,2)=44850 to ~ceil(300/40)=8 groups of ~C(40,2)
+    val capped = Dedup.minHashCandidates(df, "doc_id", "text",
+      n = 3, bands = 16, rows = 4, threshold = 0.5, bucketCap = 40)
+    val cappedPairs = capped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. the regular planted pairs survive untouched (their buckets
+    //    are nowhere near the cap)
+    assert(cappedPairs.contains((3L, 100L)) && cappedPairs.contains((7L, 101L)) &&
+      cappedPairs.contains((5L, 200L)))
+    // 2. RECALL is preserved by the 16 decorrelated per-band salts:
+    //    each band re-samples ~1/nb of the flood's pairs with a
+    //    DIFFERENT split, so the union recovers the vast majority of
+    //    all C(300,2)=44850 pairs (expected ≈ 1-(1-1/8)^16 ≈ 88%) —
+    //    what the cap bounds is per-TASK join volume, not the answer
+    val floodPairs = cappedPairs.count { case (a, b) => a >= 1000L && b >= 1000L }
+    assert(floodPairs > 30000, s"flood pair recall collapsed: $floodPairs")
+    // 3. cap disabled reproduces the pre-guard behavior: all flood
+    //    pairs (identical signatures collide in every band)
+    val uncapped = Dedup.minHashCandidates(df, "doc_id", "text",
+      n = 3, bands = 16, rows = 4, threshold = 0.5, bucketCap = 0)
+    val un = uncapped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.count { case (a, b) => a >= 1000L && b >= 1000L } > 40000)
+    assert(cappedPairs.subsetOf(un), "capped found pairs uncapped did not")
+    // 4. flood stays ONE cluster through connected components — the
+    //    dense intra-sub-bucket edges re-join what the salt split
+    val clusters = Dedup.connectedComponents(
+      capped.select("id_a", "id_b"))
+      .filter(org.apache.spark.sql.functions.col("id") >= 1000L)
+      .select("cluster").distinct().collect()
+    assert(clusters.length == 1 && clusters(0).getLong(0) == 1000L,
+      s"flood fragmented into ${clusters.length} clusters")
+  }
+
+  test("bandedPairs: a single flooded bucket's join volume is cap-bounded") {
+    // one band, one bucket, 300 rows — the per-task bound in isolation
+    val banded = (0L until 300L).map(i => (i, 0, 7L)).toDF("id", "band", "bucket")
+    val capped = Dedup.bandedPairs(banded, 40).count()
+    val uncapped = Dedup.bandedPairs(banded, 0).count()
+    assert(uncapped == 44850L) // C(300,2): the quadratic blowup
+    // ceil(300/40)=8 sub-buckets of ~37 rows: Σ C(n_s,2) ≈ 5600, and
+    // even with md5 imbalance it must stay an order below quadratic
+    assert(capped > 0 && capped < 12000L,
+      s"capped single-bucket volume $capped not bounded")
+  }
+
   test("connected components: chains merge transitively, keepers are min ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("id_a", "id_b")
