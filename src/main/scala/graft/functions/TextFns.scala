@@ -498,6 +498,39 @@ object TextFns {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** CCNet-style paragraph-level dedup (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §3.1 — duplicated paragraphs are dropped by comparing
+    * hashes across the corpus; the single most-used preprocessing
+    * step for web corpora, sitting between document-level d1 and
+    * substring-level d9): among all paragraphs with IDENTICAL
+    * content, only the first occurrence in (doc, position) order
+    * survives; every other copy — across documents AND within one —
+    * is flagged. Keep-first is DETERMINISTIC (lowest (id, ord)), not
+    * CCNet's processing-order first-seen, so reruns, partitionings,
+    * and engines agree bit-for-bit.
+    *
+    * Shape for scale: each paragraph hashes map-side to 16 bytes
+    * (md5) whatever its length; the census exchanges (hash,
+    * min-(id, ord) struct, count) out of ONE map-combined
+    * aggregation; the verdict is a hash-keyed equi-join of counters —
+    * paragraph TEXT never shuffles. Compose with [[chunkTokens]]
+    * (stride = chunk) to derive paragraphs from flat token streams,
+    * or feed real newline-split paragraphs with their ordinals.
+    */
+  def dedupParagraphs(paras: DataFrame, idCol: String, ordCol: String,
+                      textCol: String): DataFrame = {
+    val withH = paras.select(col(idCol), col(ordCol),
+      md5(col(textCol)).as("__h"))
+    val census = withH.groupBy("__h").agg(
+      min(struct(col(idCol), col(ordCol))).as("__k"),
+      count(lit(1)).as("n_copies"))
+    withH.join(census, Seq("__h"))
+      .select(col(idCol), col(ordCol),
+        (struct(col(idCol), col(ordCol)) === col("__k")).as("keep"),
+        col("n_copies"))
+  }
+
   /** Bigram language-model quality score — one rung up the CCNet
     * perplexity ladder from [[unigramLmScore]] (Wenzek et al. 2020 use
     * 5-gram KenLM; the add-one-smoothed bigram is the exactly

@@ -1658,6 +1658,36 @@ FROM gi GROUP BY doc_id, grp"""))
       SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
         array_to_string(ck, ' ') AS chunk_text FROM c"""))
 
+  /** T19: CCNet paragraph-level dedup — the chunkTokens(8,8)
+    * composition derives non-overlapping 8-token "paragraphs" from
+    * the flat token streams, then [[TextFns.dedupParagraphs]] keeps
+    * only the first (doc, position) occurrence of each distinct
+    * content. The oracle recomputes the chunks and replays the
+    * keep-first rule with a window; every keep/drop verdict and copy
+    * count is hash-checked. Exact-dup documents make every one of
+    * their paragraphs a duplicate, near-dups share most — both
+    * populations exist in the corpus, so the verdict column is
+    * non-trivial at every SF.
+    */
+  val t19ParaDedup = QueryDef(
+    "t19_paragraph_dedup",
+    (s, dir) => {
+      val paras = TextFns.chunkTokens(table(s, dir, "documents"),
+        "doc_id", "text", chunk = 8, stride = 8)
+      TextFns.dedupParagraphs(paras, "doc_id", "chunk_id", "chunk_text")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          array_to_string(w[(i*8+1)::INT : (i*8+8)::INT], ' ') AS t
+        FROM p, LATERAL (SELECT
+          unnest(generate_series(0, (len(w)-1)//8)) AS i))
+      SELECT doc_id, chunk_id,
+        (row_number() OVER (PARTITION BY t ORDER BY doc_id, chunk_id) = 1)
+          AS keep,
+        count(*) OVER (PARTITION BY t) AS n_copies
+      FROM c"""))
+
   /** T17: concat-and-split sequence packing — 8 independent pack
     * shards, 256-token training sequences. One hash exchange (the
     * shard partition), integer-exact offsets.
@@ -1771,7 +1801,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, t18BigramLm, d1Exact, d2Jaccard,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, d1Exact, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,

@@ -348,6 +348,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.values.forall(v => v > 0 && v <= 1.0))
   }
 
+  test("dedupParagraphs: keep-first by (doc, position) across and within docs") {
+    val paras = Seq(
+      (1L, 0L, "shared boilerplate"), (1L, 1L, "unique a"),
+      (2L, 0L, "shared boilerplate"), (2L, 1L, "unique b"),
+      (3L, 0L, "self repeat"), (3L, 1L, "self repeat"),
+      (3L, 2L, "shared boilerplate")
+    ).toDF("doc_id", "ord", "t")
+    val got = TextFns.dedupParagraphs(paras, "doc_id", "ord", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (true, 3L),  // first of 3 boilerplate copies
+      (1L, 1L) -> (true, 1L),
+      (2L, 0L) -> (false, 3L),
+      (2L, 1L) -> (true, 1L),
+      (3L, 0L) -> (true, 2L),  // within-doc repeat: first position wins
+      (3L, 1L) -> (false, 2L),
+      (3L, 2L) -> (false, 3L)))
+  }
+
   test("packSequences: negative ids fail loudly (pmod-shard contract)") {
     val docs = Seq((-1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
     val e = intercept[Exception](
