@@ -520,8 +520,12 @@ object TextFns {
     */
   def dedupParagraphs(paras: DataFrame, idCol: String, ordCol: String,
                       textCol: String): DataFrame = {
-    val withH = paras.select(col(idCol), col(ordCol),
-      md5(col(textCol)).as("__h"))
+    // (id, ord, 16-byte hash) feeds BOTH the census and the verdict
+    // join — materialized so the upstream tokenize/chunk/hash pass
+    // runs once, not once per consumer (the d3 hashed-shingle
+    // discipline; the stage is a sliver of the text it replaces)
+    val withH = graft.Materialize.reuse(paras.select(col(idCol), col(ordCol),
+      md5(col(textCol)).as("__h")))
     val census = withH.groupBy("__h").agg(
       min(struct(col(idCol), col(ordCol))).as("__k"),
       count(lit(1)).as("n_copies"))
