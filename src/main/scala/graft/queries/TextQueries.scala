@@ -1170,6 +1170,134 @@ object TextQueries {
       WHERE (CAST('0x' || substr(md5('p1:' || k.doc_id), 1, 15) AS BIGINT)::DOUBLE
              / 1152921504606846976.0) < r.rate"""))
 
+  /** P2: the FULL corpus BUILD — the end-to-end composition a
+    * training-data run actually executes, bookending p1's cleaning
+    * with document SURGERY at the front and training-sequence
+    * assembly at the back:
+    * (1) CCNet paragraph dedup REWRITES each document to its kept
+    * paragraphs (t19's verdicts applied — repeated boilerplate is cut
+    * out of the text, not just flagged; docs whose every paragraph
+    * was seen before vanish);
+    * (2) quality gate ≥ 0.65 on the REBUILT text;
+    * (3) benchmark decontamination (< 0.2 3-gram overlap vs the
+    * held-out doc_id % 97 slice) on the rebuilt text;
+    * (4) temperature-scaled mixture (α = 0.5, 60% token budget)
+    * fitted on the SURVIVORS' per-lang token counts;
+    * (5) sequence packing of the final corpus into 4 shards of
+    * 128-token sequences.
+    * Each stage is individually oracled elsewhere
+    * (t19/t2/t6/cp2/t17); this row proves the COMPOSITION: the oracle
+    * chains the same five formulas in one CTE pipeline and the final
+    * packing table — every surviving doc's shard, token count, and
+    * sequence span — must hash-match.
+    */
+  val p2CorpusBuild = QueryDef(
+    "p2_corpus_build",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // 1. paragraph dedup + rebuild (8-token paragraphs; one chunk
+      // pass feeds both the verdict census and the reassembly)
+      val paras = graft.Materialize.reuse(TextFns.chunkTokens(
+        docs, "doc_id", "text", chunk = 8, stride = 8)
+        .select("doc_id", "chunk_id", "chunk_text"))
+      val kept = TextFns.dedupParagraphs(paras, "doc_id", "chunk_id",
+        "chunk_text").filter(col("keep")).select("doc_id", "chunk_id")
+      val rebuilt = paras.join(kept, Seq("doc_id", "chunk_id"))
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("text"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      // 2. quality gate on the rebuilt text
+      val q = rebuilt.filter(TextFns.qualityScore(
+        col("text"), TextFns.langMarkers("en")) >= 0.65)
+      // 3. decontamination vs the held-out slice (bench keeps its
+      // ORIGINAL text — the eval set is what it is)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      val train = q.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      val clean = graft.Materialize.reuse(train.join(
+        Decontaminate.ngramOverlap(train, bench, "doc_id", "text", n = 3)
+          .filter(col("contamination") < 0.2).select("doc_id"),
+        Seq("doc_id"))) // feeds the profile AND the sampled corpus
+      // 4. temperature mixture fitted on the survivors
+      val prof = clean.select(col("lang"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("total_tokens"))
+      val rates = graft.functions.Mixture.temperatureRates(
+        prof, Seq("lang"), "total_tokens", alpha = 0.5, targetFraction = 0.6)
+      val mixed = graft.functions.Mixture.sampleByRates(
+        clean, "doc_id", Seq("lang"), rates, salt = "p2")
+      // 5. pack the final corpus
+      TextFns.packSequences(mixed.select("doc_id", "text"),
+        "doc_id", "text", shards = 4, budget = 128)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          array_to_string(w[(i*8+1)::INT : (i*8+8)::INT], ' ') AS t
+        FROM p, LATERAL (SELECT
+          unnest(generate_series(0, (len(w)-1)//8)) AS i)),
+      kept AS (SELECT doc_id, chunk_id, t FROM c
+        QUALIFY row_number() OVER (PARTITION BY t ORDER BY doc_id, chunk_id) = 1),
+      rb AS (SELECT doc_id, string_agg(t, ' ' ORDER BY chunk_id) AS text
+        FROM kept GROUP BY doc_id),
+      rl AS (SELECT rb.doc_id, rb.text, d.lang
+        FROM rb JOIN documents d USING (doc_id)),
+      q AS (SELECT doc_id, text, lang FROM rl WHERE ROUND((
+          LEAST(len(string_split_regex(trim(text), '\s+')) / 32.0, 1.0)
+          + LEAST(4.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(['the','a','and','of','to','is','in','that'], t)))
+              / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 1.0)
+          + 1.0 - LEAST(4.0 * (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+              / GREATEST(length(text), 1), 1.0)
+          ) / 3.0, 4) >= 0.65),
+      shb AS (SELECT list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM documents WHERE doc_id % 97 = 0),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM shb),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM q WHERE doc_id % 97 <> 0),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      hit AS (SELECT doc_id, count(*) AS nc FROM ex JOIN bench USING (g)
+              GROUP BY doc_id),
+      clean AS (SELECT q.doc_id, q.text, q.lang FROM q
+        JOIN (SELECT sh.doc_id, ROUND(COALESCE(h.nc, 0)::DOUBLE /
+            GREATEST(len(sh.s), 1), 4) AS contamination
+          FROM sh LEFT JOIN hit h USING (doc_id)) cont USING (doc_id)
+        WHERE contamination < 0.2),
+      cc AS (SELECT lang, CAST(sum(len(string_split_regex(trim(text), '\s+')))
+          AS BIGINT) AS c FROM clean GROUP BY lang),
+      z AS (SELECT lang, c,
+          CAST(round(1000000 * sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS zq
+        FROM cc),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+          CAST(sum(zq) AS BIGINT) AS zz FROM z),
+      r AS (SELECT z.lang, round(least(1.0,
+          0.6 * ((CAST(tt.tot AS DOUBLE) * CAST(z.zq AS DOUBLE)) /
+                 (CAST(tt.zz AS DOUBLE) * CAST(z.c AS DOUBLE)))), 6) AS rate
+        FROM z, tt),
+      mixed AS (SELECT clean.doc_id, clean.text
+        FROM clean JOIN r USING (lang)
+        WHERE (CAST('0x' || substr(md5('p2:' || clean.doc_id), 1, 15) AS BIGINT)::DOUBLE
+               / 1152921504606846976.0) < r.rate),
+      pk AS (SELECT doc_id, doc_id % 4 AS shard,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens FROM mixed),
+      cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cm FROM pk)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        CAST(cm - n_tokens AS BIGINT) AS start_offset,
+        CAST((cm - n_tokens) // 128 AS BIGINT) AS seq_first,
+        CAST((cm - 1) // 128 AS BIGINT) AS seq_last
+      FROM cum"""))
+
   /** MM1: multimodal decode end-to-end with a REAL image codec —
     * document bytes are rendered into genuine PNGs (zlib IDAT,
     * CRC-checked chunks) in one distributed pass, then a second
@@ -1806,5 +1934,5 @@ FROM gi GROUP BY doc_id, grp"""))
     d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental,
-    mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline)
+    mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline, p2CorpusBuild)
 }
