@@ -623,46 +623,54 @@ object Similarity {
       * `refitAt` — the caller schedules [[refit]]; appends stay
       * correct either way (quantizers only affect recall/compression,
       * never the exact re-ranked scores).
+      *
+      * Leased on the index root (the store discipline): two concurrent
+      * appenders would each read the drift meta and overwrite the
+      * other's increment — the second writer throws
+      * [[graft.store.ConcurrentWriteException]] instead, and [[refit]]
+      * contends on the SAME lock, so an append can never interleave
+      * with a quantizer swap.
       */
     def append(delta: DataFrame, idCol: String, vecCol: String,
                path: String, refitAt: Double = 0.5): AppendResult = {
       val spark = delta.sparkSession
-      val h = load(spark, path)
-      h.pq.encodeResiduals(h.ivf.assign(delta, vecCol), vecCol, h.ivf)
-        .write.mode("append").parquet(s"$path/corpus")
-      val (nBase, nApp) = readMeta(spark, path)
-      val nApp2 = nApp + delta.count()
-      writeMeta(spark, path, nBase, nApp2)
-      val drift = nApp2.toDouble / math.max(nBase, 1L)
-      AppendResult(drift, needsRefit = drift >= refitAt)
+      val lock = graft.store.WriteLease.lockPathFor(path)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.store.WriteLease.withLease(fs, lock, "index-append") {
+        val h = load(spark, path)
+        h.pq.encodeResiduals(h.ivf.assign(delta, vecCol), vecCol, h.ivf)
+          .write.mode("append").parquet(s"$path/corpus")
+        val (nBase, nApp) = readMeta(spark, path)
+        val nApp2 = nApp + delta.count()
+        writeMeta(spark, path, nBase, nApp2)
+        val drift = nApp2.toDouble / math.max(nBase, 1L)
+        AppendResult(drift, needsRefit = drift >= refitAt)
+      }
     }
 
     /** Full re-train on the CURRENT stored corpus (what a tripped
       * drift counter asks for): read the raw vectors back, rebuild
-      * quantizers, re-encode, reset the counter. The corpus rewrite is
-      * leased + staged ([[graft.store.WriteLease.stageAndSwap]] — the
-      * store discipline): the new encoding writes to a `.__tmp`
-      * sibling and swaps in atomically, so the encode pipeline never
-      * reads the files it is overwriting and a crashed refit leaves
-      * the old index intact.
+      * quantizers, re-encode, reset the counter. The WHOLE index —
+      * quantizers, encoded corpus, AND meta — rebuilds into a `.__tmp`
+      * sibling and swaps in atomically under the index-root lease
+      * ([[graft.store.WriteLease.stageAndSwap]]): a crashed refit
+      * leaves the old index fully intact, and there is no window
+      * where new codes sit beside old codebooks (a corpus-only swap
+      * would have exactly that window — codes and codebooks must
+      * change together or ADC ranks garbage). All reads of the old
+      * index complete inside the staging callback, before any rename.
       */
     def refit(spark: SparkSession, path: String, idCol: String,
               vecCol: String, kLists: Int, m: Int, kCodes: Int): Handle = {
-      val raw = corpus(spark, path).select(col(idCol), col(vecCol))
-      val ivf = IvfIndex.fit(raw, vecCol, kLists)
-      val assigned = ivf.assign(raw, vecCol)
-      val pq = PqIndex.fitResiduals(assigned, vecCol, ivf, m, kCodes)
-      val dest = new org.apache.hadoop.fs.Path(s"$path/corpus")
+      val dest = new org.apache.hadoop.fs.Path(path)
       val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var rebuilt: Handle = null
       graft.store.WriteLease.stageAndSwap(fs, dest, "index-refit",
-        "encoded corpus") { tmp =>
-        pq.encodeResiduals(assigned, vecCol, ivf)
-          .write.mode("overwrite").parquet(tmp.toString)
+        "ANN index") { tmp =>
+        val raw = corpus(spark, path).select(col(idCol), col(vecCol))
+        rebuilt = build(raw, idCol, vecCol, tmp.toString, kLists, m, kCodes)
       }
-      IvfIndex.save(ivf, spark, s"$path/ivf")
-      PqIndex.save(pq, spark, s"$path/pq")
-      writeMeta(spark, path, spark.read.parquet(s"$path/corpus").count(), 0L)
-      Handle(ivf, pq, path)
+      Handle(rebuilt.ivf, rebuilt.pq, path)
     }
   }
 

@@ -72,6 +72,30 @@ class PersistedIndexSpec extends SparkSpec {
     assert(math.abs(r3.drift - 8.0 / 160.0) < 1e-12 && !r3.needsRefit)
   }
 
+  test("append is leased: a concurrent holder fails loudly, breakLease recovers") {
+    val all = corpus(60)
+    val root = tmp()
+    PersistedIndex.build(all.filter(col("vec_id") < 40), "vec_id", "embedding",
+      root, kLists = 4, m = 4, kCodes = 8)
+    // simulate a concurrent writer: plant the index-root lease
+    val lock = graft.store.WriteLease.lockPathFor(root)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("pid=other op=index-append".getBytes); out.close()
+    val e = intercept[graft.store.ConcurrentWriteException] {
+      PersistedIndex.append(all.filter(col("vec_id") >= 40),
+        "vec_id", "embedding", root)
+    }
+    assert(e.getMessage.contains("breakLease"))
+    // nothing was appended under contention
+    assert(PersistedIndex.corpus(spark, root).count() == 40)
+    fs.delete(lock, true)
+    val r = PersistedIndex.append(all.filter(col("vec_id") >= 40),
+      "vec_id", "embedding", root)
+    assert(PersistedIndex.corpus(spark, root).count() == 60)
+    assert(math.abs(r.drift - 0.5) < 1e-12 && r.needsRefit)
+  }
+
   test("incrementally-appended index answers match a from-scratch rebuild") {
     val all = corpus(200)
     val base = all.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
