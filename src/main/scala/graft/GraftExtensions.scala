@@ -29,6 +29,11 @@ import graft.functions.{CharWindowHashes, GramRunStats, RhpSig, ShingleHash, Vec
   *    of a gram array, in-row (the map-only repetition-stats kernel)
   *  - `char_window_hashes(text, w)` — rolling hashes of every w-char
   *    window, one O(len) pass (w literal; substring-dedup census)
+  *  - `winnowed_window_hashes(text, w, stride)` — the winnowing-
+  *    selected census sample (Schleimer 2003; d9s's scale path)
+  *  - `minhash_sig(hashes, k)` — k-minima MinHash signature with the
+  *    same fixed-seed Carter-Wegman permutations as the Column API
+  *  - `simhash64(tokens[, bits])` — FNV-1a SimHash (d4's kernel)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
@@ -102,6 +107,40 @@ object GraftFunctions {
       args => {
         arity("char_window_hashes", args, 2)
         CharWindowHashes(args(0), litInt(args(1), "char_window_hashes", "w"))
+      }),
+    ("winnowed_window_hashes",
+      info("winnowed_window_hashes",
+        "winnowed_window_hashes(text, w, stride) - winnowing-selected " +
+          "(pos, hash) structs of w-char windows (Schleimer 2003)"),
+      args => {
+        arity("winnowed_window_hashes", args, 3)
+        graft.functions.WinnowedWindowHashes(args(0),
+          litInt(args(1), "winnowed_window_hashes", "w"),
+          litInt(args(2), "winnowed_window_hashes", "stride"))
+      }),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(hashes, k) - k-minima MinHash signature over " +
+          "pre-hashed shingles (same fixed-seed permutations as the " +
+          "Column API, so signatures are interchangeable)"),
+      args => {
+        arity("minhash_sig", args, 2)
+        val k = litInt(args(1), "minhash_sig", "k")
+        require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
+        val (as, bs) = graft.dedup.Dedup.permConstants(k)
+        graft.functions.MinHashSig(args(0), as, bs)
+      }),
+    ("simhash64",
+      info("simhash64",
+        "simhash64(tokens[, bits]) - FNV-1a SimHash over a token " +
+          "array; bits <= 64 (60 keeps the unsigned value inside a " +
+          "signed BIGINT cross-engine)"),
+      args => {
+        arity("simhash64", args, 1, 2)
+        val bits = if (args.length == 2) litInt(args(1), "simhash64", "bits")
+                   else 64
+        require(bits >= 8 && bits <= 64, s"bits must be in [8,64], got $bits")
+        graft.functions.SimHash64(args(0), bits)
       }))
 
   /** Register every graft SQL function on a live session. */

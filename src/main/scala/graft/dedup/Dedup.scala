@@ -152,7 +152,7 @@ object Dedup {
     * across runs and cheap (one multiply-add per element instead of a
     * fresh xxhash per (shingle, i)).
     */
-  private def permConstants(k: Int): (Array[Long], Array[Long]) = {
+  private[graft] def permConstants(k: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(0x9E3779B97F4A7CL)
     // 30-bit constants keep (32-bit hash)·a + b < 2^63: no overflow
     // under ANSI arithmetic

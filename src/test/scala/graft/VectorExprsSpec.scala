@@ -139,6 +139,29 @@ class VectorExprsSpec extends SparkSpec {
       .select(graft.functions.TextExprs.gramRunStats(col("gs")).as("s"),
         graft.functions.TextExprs.charWindowHashes(col("t"), 3).as("h")).collect()
     assert(gr1.map(_.toString).toSeq == gr2.map(_.toString).toSeq)
+    // round-11 kernels: winnowed_window_hashes, minhash_sig, simhash64
+    Seq((1L, "abcabcabcabc", Seq(11L, 22L, 33L), Seq("tok", "tok", "other")))
+      .toDF("id", "t", "hs", "ws").createOrReplaceTempView("r11_sql")
+    val r11sql = spark.sql(
+      """SELECT winnowed_window_hashes(t, 3, 2) AS w,
+                minhash_sig(hs, 8) AS m,
+                simhash64(ws) AS s64, simhash64(ws, 60) AS s60
+         FROM r11_sql""").collect()
+    val r11col = Seq((1L, "abcabcabcabc", Seq(11L, 22L, 33L)))
+      .toDF("id", "t", "hs")
+      .select(
+        graft.functions.TextExprs.winnowedWindowHashes(col("t"), 3, 2).as("w"),
+        graft.dedup.Dedup.minHashSignatureFromHashes(col("hs"), 8).as("m"))
+      .collect()
+    assert(r11sql.head.getSeq[org.apache.spark.sql.Row](0) ==
+      r11col.head.getSeq[org.apache.spark.sql.Row](0))
+    assert(r11sql.head.getSeq[Long](1) == r11col.head.getSeq[Long](1))
+    // simhash64 SQL matches the Dedup column route on the same tokens
+    val s64col = Seq((1L, "tok tok other")).toDF("id", "txt")
+      .select(graft.dedup.Dedup.simHash(col("txt")).as("s64"),
+        graft.dedup.Dedup.simHashFnv60(col("txt")).as("s60")).head
+    assert(r11sql.head.getLong(2) == s64col.getLong(0))
+    assert(r11sql.head.getLong(3) == s64col.getLong(1))
     // literal-argument guard: a column where a literal is required fails
     intercept[Exception] {
       spark.sql("SELECT rhp_sig(a, 3, CAST(id AS INT)) FROM vecs_sql").collect()
