@@ -11,7 +11,11 @@ object Explain {
       else Seq("q1_agg", "e3_cross_expand", "m9_missing_cases",
         "m1_merge_outer", "n1_knn_cosine", "ev2_sessionization",
         "a1_median_agg", "a8_topk_per_group", "ev4_asof_join",
-        "rj1_range_join")
+        "rj1_range_join",
+        // round 11: production SemDeDup, incremental index, paragraph
+        // dedup, distributed CC, full corpus build
+        "sd2_semantic_dedup_capped", "n9_incremental_index",
+        "t19_paragraph_dedup", "d5b_dup_clusters_dist", "p2_corpus_build")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
