@@ -214,10 +214,13 @@ object Dedup {
       val counts = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("__bn"))
       val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
-      banded.join(counts, Seq("band", "bucket"))
+      // tagged rows feed BOTH self-join sides — materialized so the
+      // census aggregation and its join back run once, not per side
+      // (the stage is (id, band, bucket, sub) longs, a sliver)
+      graft.Materialize.reuse(banded.join(counts, Seq("band", "bucket"))
         .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(
           pmod(xxhash64(col("id"), col("band")), nb)))
-        .drop("__bn")
+        .drop("__bn"))
     }
     val keys = if (bucketCap <= 0) Seq("band", "bucket")
                else Seq("band", "bucket", "__sub")
