@@ -120,6 +120,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dedupParagraphs == first-(doc,ord)-per-content map model") {
+    val paraGen: Gen[Seq[(Long, Long, String)]] = for {
+      n <- Gen.choose(3, 14)
+      rows <- Gen.listOfN(n, for {
+        d <- Gen.choose(1L, 4L)
+        o <- Gen.choose(0L, 3L)
+        c <- Gen.oneOf("aa", "bb", "cc")
+      } yield (d, o, c))
+      // (doc, ord) is a position — it holds exactly one content
+    } yield rows.distinctBy(r => (r._1, r._2))
+    forAll(paraGen) { rows =>
+      val got = graft.functions.TextFns.dedupParagraphs(
+        rows.toDF("doc_id", "ord", "t"), "doc_id", "ord", "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getBoolean(2), r.getLong(3))).toMap
+      val byContent = rows.groupBy(_._3)
+      val model = rows.map { case (d, o, c) =>
+        val copies = byContent(c)
+        (d, o) -> (copies.map(x => (x._1, x._2)).min == ((d, o)),
+          copies.size.toLong)
+      }.toMap
+      assert(got == model, s"rows: $rows")
+    }
+  }
+
+  test("property: capped bandedPairs never invents pairs and covers every sub-bucket pair") {
+    val bandedGen: Gen[Seq[(Long, Int, Long)]] = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 30L)
+        b <- Gen.choose(0, 2)
+        bk <- Gen.choose(0L, 1L)
+      } yield (id, b, bk))
+    } yield rows.distinct
+    forAll(bandedGen, Gen.choose(2, 6)) { (rows, cap) =>
+      val banded = rows.toDF("id", "band", "bucket")
+      def pairs(c: Int) = graft.dedup.Dedup.bandedPairs(banded, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pairs(cap)
+      val uncapped = pairs(0)
+      // soundness: salting can only DROP candidate pairs, never add
+      assert(capped.subsetOf(uncapped),
+        s"invented pairs: ${capped -- uncapped} (cap=$cap rows=$rows)")
+      // small buckets are untouched: pairs whose every shared bucket
+      // is under the cap must all survive
+      val byBucket = rows.groupBy(r => (r._2, r._3))
+      val smallPairs = (for {
+        ((_, _), g) <- byBucket if g.size <= cap
+        a <- g; b <- g if a._1 < b._1
+      } yield (a._1, b._1)).toSet
+      assert(smallPairs.subsetOf(capped),
+        s"dropped small-bucket pairs: ${smallPairs -- capped}")
+    }
+  }
+
   test("property: Welford merge associativity across random splits") {
     import graft.stats.WelfordState
     forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)), Gen.choose(0, 20)) {
