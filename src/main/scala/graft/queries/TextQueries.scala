@@ -253,6 +253,23 @@ object TextQueries {
       min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1"""))
 
+  /** D1b: the SURVIVOR side of exact dedup — the rows a pipeline
+    * actually keeps (first doc_id per normalized fingerprint), the
+    * window-rank form of d1's census. Round 11: previously spec-only;
+    * now its own oracle row so the keep decision itself is
+    * hash-checked, not just the census counts.
+    */
+  val d1bSurvivors = QueryDef(
+    "d1b_exact_survivors",
+    (s, dir) => Dedup.exactSurvivors(
+      table(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "lang"),
+    Some("""SELECT doc_id, lang FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' '))
+        ORDER BY doc_id) = 1"""))
+
   /** D2: exact 3-gram Jaccard near-dup pairs (threshold 0.8), blocked
     * by language — the correctness baseline the LSH path approximates.
     */
@@ -1929,7 +1946,8 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, d1Exact, d2Jaccard,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, d1Exact,
+    d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,

@@ -103,6 +103,26 @@ object Streaming {
     else graft.functions.Mixture.sampleByRate(deduped, idCol, keyCol, rates, salt)
   }
 
+  /** Streaming paragraph-level dedup —
+    * [[graft.functions.TextFns.dedupParagraphs]]' CCNet contract on a
+    * continuously-arriving corpus: a paragraph survives iff its
+    * content hash was not already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keyed on the 16-byte md5 —
+    * state is bounded by arrival-rate × horizon, never corpus size).
+    * Keep-first here is ARRIVAL order (the only order a stream has),
+    * not the batch pass's deterministic (doc, position) — like
+    * [[dedupStream]] vs `Dedup.exact`, the batch pass stays the
+    * authority across horizons; the streamed KEPT CONTENT SET over
+    * one horizon matches the batch pass exactly (spec-pinned).
+    */
+  def dedupParagraphStream(paras: DataFrame, tsCol: String,
+                           textCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    paras.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Streaming temperature-scaled mixture sampling — cp2's
     * α-sampling on a continuously-arriving corpus. The rate table is
     * an OFFLINE artifact ([[graft.functions.Mixture.temperatureRates]]

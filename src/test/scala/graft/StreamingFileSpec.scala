@@ -163,6 +163,45 @@ class StreamingFileSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < 90) // the coin actually bit
   }
 
+  test("paragraph-dedup stream keeps one copy per content ≡ batch kept set") {
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, ord BIGINT, ts TIMESTAMP, t STRING")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val batch1 = Seq(
+      (1L, 0L, "shared boilerplate"), (1L, 1L, "unique a"),
+      (2L, 0L, "shared boilerplate"), (2L, 1L, "unique b"))
+    val batch2 = Seq( // arrives later: cross-batch dups within horizon
+      (3L, 0L, "shared boilerplate"), (3L, 1L, "unique c"),
+      (4L, 0L, "unique b"))
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (d, o, t) => (d, o, base, t) }
+        .toDF("doc_id", "ord", "ts", "t")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = Streaming.dedupParagraphStream(
+        spark.readStream.schema(schema).parquet(in), "ts", "t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    write(batch1); runOnce()
+    write(batch2); runOnce() // restart: state survives the checkpoint
+    val kept = spark.read.parquet(out).select("t").collect()
+      .map(_.getString(0)).toSeq
+    // exactly one copy per distinct content, even across batches and
+    // a restart (dedup state rides the checkpoint)
+    assert(kept.sorted == kept.distinct.sorted, s"stream kept dups: $kept")
+    // the kept CONTENT SET equals the batch pass's (keeper identity
+    // legitimately differs: arrival order vs (doc, position) order)
+    val batchKept = graft.functions.TextFns.dedupParagraphs(
+      (batch1 ++ batch2).toDF("doc_id", "ord", "t"), "doc_id", "ord", "t")
+      .filter(col("keep")).count()
+    assert(kept.size.toLong == batchKept)
+    assert(kept.toSet == (batch1 ++ batch2).map(_._3).toSet)
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
