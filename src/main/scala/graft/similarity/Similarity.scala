@@ -638,11 +638,15 @@ object Similarity {
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.store.WriteLease.withLease(fs, lock, "index-append") {
         val h = load(spark, path)
-        h.pq.encodeResiduals(h.ivf.assign(delta, vecCol), vecCol, h.ivf)
-          .write.mode("append").parquet(s"$path/corpus")
+        // drift counter FIRST, corpus append second: a crash between
+        // the two then OVER-counts drift (an early refit — harmless),
+        // never under-counts it (a silently delayed refit would leave
+        // quantizer staleness unbounded)
         val (nBase, nApp) = readMeta(spark, path)
         val nApp2 = nApp + delta.count()
         writeMeta(spark, path, nBase, nApp2)
+        h.pq.encodeResiduals(h.ivf.assign(delta, vecCol), vecCol, h.ivf)
+          .write.mode("append").parquet(s"$path/corpus")
         val drift = nApp2.toDouble / math.max(nBase, 1L)
         AppendResult(drift, needsRefit = drift >= refitAt)
       }
