@@ -85,8 +85,7 @@ object ComplexQueries {
       val grid = Runner.ofColumns(
         "z" -> mul(expi(col("k") * col("x")), complex(lit(2.0), col("k")))
       ).runCombos(s, combos)
-      val d = java.nio.file.Files.createTempDirectory("graft-cx3").toString +
-        "/grid.zarr"
+      val d = graft.TempDirs.scratch("cx3") + "/grid.zarr"
       graft.sources.ZarrSink.writeDataset(grid, d, Seq("k", "x"))
       graft.sources.ZarrSource.readDataset(s, d)
         .select(col("k"), col("x"),

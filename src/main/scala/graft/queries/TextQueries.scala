@@ -300,8 +300,16 @@ object TextQueries {
     */
   val d3MinHash = QueryDef(
     "d3_minhash_lsh",
+    // bucketCap = 0 (advisor r11): the DuckDB oracles of this family
+    // brute-force the exact pair set and do NOT model the flooded-
+    // bucket salt split, so the oracled registrations run the exact
+    // pre-cap plan — a naturally flooded bucket at a larger gate SF
+    // would otherwise surface as an oracle mismatch instead of being
+    // replayed. The production default keeps the cap (sd2's oracle is
+    // the one that models its salting explicitly).
     (s, dir) => Dedup.minHashCandidates(table(s, dir, "documents"),
-      "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8),
+      "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8,
+      bucketCap = 0),
     Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
         range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
         i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
@@ -404,10 +412,13 @@ object TextQueries {
     * constant per component (every edge forces l(u) ≤ l(v) both ways),
     * and the component minimum can never carry a label above itself —
     * so the constant IS the min id. The pointer-jump term l(l(u))
-    * doubles propagation reach per round (6 rounds cover chain
-    * diameters no near-dup graph approaches); if a 7th round would
-    * still change a label, `chg` trips DuckDB's error() — loud, never
-    * wrong.
+    * doubles propagation reach per round; SEVEN rounds are unrolled
+    * and the convergence check compares l7 vs l6, so the certified
+    * propagation capacity is 6 doubling rounds (advisor r11: with 6
+    * unrolled rounds the l6-vs-l5 check could not distinguish
+    * "converged exactly at round 6" from "not converged" — capacity
+    * was effectively 5). If the 7th round still changes a label,
+    * `chg` trips DuckDB's error() — loud, never wrong.
     */
   private val ccLabelCtes: String =
     // every CTE is MATERIALIZED: each round references the previous
@@ -428,7 +439,7 @@ object TextQueries {
         UNION ALL SELECT id_b, id_a FROM pairs),
       l0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e)),
       """ +
-      (1 to 6).map { i =>
+      (1 to 7).map { i =>
         "l" + i + """ AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
         SELECT u, l FROM """ + "l" + (i - 1) + """
         UNION ALL SELECT e.u, c.l FROM e JOIN """ + "l" + (i - 1) +
@@ -438,12 +449,12 @@ object TextQueries {
       ) GROUP BY u)"""
       }.mkString(",\n      ") +
       """,
-      chg AS (SELECT count(*) AS c FROM l6 a JOIN l5 b
+      chg AS (SELECT count(*) AS c FROM l7 a JOIN l6 b
               ON a.u = b.u AND a.l <> b.l),
       cl AS (SELECT u AS doc_id,
         CASE WHEN (SELECT c FROM chg) > 0
              THEN error('cc label propagation not converged in 6 rounds')
-             ELSE l END AS cluster FROM l6)"""
+             ELSE l END AS cluster FROM l7)"""
 
   /** D5: duplicate clusters — connected components over the MinHash
     * near-dup pairs, (doc_id, cluster=min reachable id). Oracle:
@@ -455,7 +466,8 @@ object TextQueries {
     "d5_dup_clusters",
     (s, dir) => Dedup.connectedComponents(
       Dedup.minHashCandidates(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8))
+        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0)) // oracle doesn't model the salt split (see d3)
       .withColumnRenamed("id", "doc_id"),
     Some("WITH " + ccLabelCtes + "\n      SELECT doc_id, cluster FROM cl"))
 
@@ -471,7 +483,8 @@ object TextQueries {
     "d5b_dup_clusters_dist",
     (s, dir) => Dedup.connectedComponents(
       Dedup.minHashCandidates(table(s, dir, "documents"),
-        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8),
+        "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0), // oracle doesn't model the salt split (see d3)
       driverMaxEdges = 0L)
       .withColumnRenamed("id", "doc_id"),
     Some("WITH " + ccLabelCtes + "\n      SELECT doc_id, cluster FROM cl"))
@@ -545,7 +558,8 @@ object TextQueries {
       val docs = table(s, dir, "documents")
       val clusters = Dedup.connectedComponents(
         Dedup.minHashCandidates(docs, "doc_id", "text",
-          n = 3, bands = 16, rows = 4, threshold = 0.8))
+          n = 3, bands = 16, rows = 4, threshold = 0.8,
+          bucketCap = 0)) // oracle doesn't model the salt split (see d3)
         .withColumnRenamed("id", "doc_id")
       val quality = docs.select(col("doc_id"),
         TextFns.qualityScore(col("text"), TextFns.langMarkers("en")).as("quality"))
@@ -612,7 +626,8 @@ object TextQueries {
       Similarity.lshCandidatePairs(
         table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.30, nbits = 60, bands = 6,
-        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)))
+        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)),
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
         .select("id_a", "id_b"))
       .withColumnRenamed("id", "vec_id"),
     Some("""WITH RECURSIVE planes AS (
@@ -680,7 +695,8 @@ object TextQueries {
     (s, dir) => Similarity.lshCandidatePairs(
       table(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.30, nbits = 60, bands = 6,
-      planes = Some(Similarity.md5Planes(nbits = 60, dim = 64))),
+      planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)),
+      bucketCap = 0), // oracle doesn't model the salt split (see d3)
     Some("""WITH planes AS (
         SELECT p, list_transform(range(64), j ->
           (CAST('0x' || substr(md5('rhp:' || p || ':' || j), 1, 15) AS BIGINT)::DOUBLE
@@ -855,7 +871,8 @@ object TextQueries {
       val vecs = TextFns.assembleVectors(lf, "doc_id", 64, normalize = false)
       Similarity.lshCandidatePairs(vecs, "doc_id", "embedding",
         dim = 64, threshold = 0.95, nbits = 60, bands = 6,
-        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)))
+        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)),
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
     },
     Some("""WITH tok AS (SELECT doc_id,
         unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
@@ -1009,7 +1026,7 @@ object TextQueries {
     "n8_persisted_index",
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val base = java.nio.file.Files.createTempDirectory("graft-n8").toString
+      val base = graft.TempDirs.scratch("n8") // session-scoped, removed at JVM exit
       // ---- offline build: fit, persist index + encoded corpus ----
       val ivf0 = Similarity.IvfIndex.fit(emb, "embedding", k = 16)
       val assigned0 = ivf0.assign(emb, "embedding")
@@ -1070,7 +1087,7 @@ object TextQueries {
       val emb = table(s, dir, "embeddings")
       val base = emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
       val delta = emb.filter(pmod(col("vec_id"), lit(4L)) === 0L)
-      val root = java.nio.file.Files.createTempDirectory("graft-n9").toString
+      val root = graft.TempDirs.scratch("n9") // session-scoped, removed at JVM exit
       Similarity.PersistedIndex.build(base, "vec_id", "embedding",
         root, kLists = 16, m = 8, kCodes = 16)
       val res = Similarity.PersistedIndex.append(

@@ -630,6 +630,16 @@ object Similarity {
       * [[graft.store.ConcurrentWriteException]] instead, and [[refit]]
       * contends on the SAME lock, so an append can never interleave
       * with a quantizer swap.
+      *
+      * IDEMPOTENT BY ID (advisor r11): the delta is deduplicated on
+      * `idCol` and anti-joined against the stored corpus's id column
+      * before anything is written, so duplicate ids within a delta,
+      * and a RETRIED append after a crash between the meta write and
+      * the corpus write, can never land a row twice (duplicated rows
+      * would surface as repeated ids in top-k results). The anti-join
+      * reads one id column of the store — pruned-scan cost, no
+      * shuffle of the store (AQE broadcasts the small delta). Drift
+      * counts only rows actually appended.
       */
     def append(delta: DataFrame, idCol: String, vecCol: String,
                path: String, refitAt: Double = 0.5): AppendResult = {
@@ -638,14 +648,23 @@ object Similarity {
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.store.WriteLease.withLease(fs, lock, "index-append") {
         val h = load(spark, path)
+        // fresh = delta minus ids already stored; lineage TRUNCATED
+        // (not just persisted) because it reads the same corpus dir
+        // the append below writes to — a lineage recompute during the
+        // write would re-scan the dir mid-append and could see the
+        // partially appended files
+        val fresh = graft.Materialize.truncate(
+          delta.dropDuplicates(idCol)
+            .join(corpus(spark, path).select(col(idCol)),
+              Seq(idCol), "left_anti"))
         // drift counter FIRST, corpus append second: a crash between
         // the two then OVER-counts drift (an early refit — harmless),
         // never under-counts it (a silently delayed refit would leave
         // quantizer staleness unbounded)
         val (nBase, nApp) = readMeta(spark, path)
-        val nApp2 = nApp + delta.count()
+        val nApp2 = nApp + fresh.count()
         writeMeta(spark, path, nBase, nApp2)
-        h.pq.encodeResiduals(h.ivf.assign(delta, vecCol), vecCol, h.ivf)
+        h.pq.encodeResiduals(h.ivf.assign(fresh, vecCol), vecCol, h.ivf)
           .write.mode("append").parquet(s"$path/corpus")
         val drift = nApp2.toDouble / math.max(nBase, 1L)
         AppendResult(drift, needsRefit = drift >= refitAt)
