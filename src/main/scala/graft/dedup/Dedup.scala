@@ -77,9 +77,9 @@ object Dedup {
     * the lineage, so a lost executor recomputes its partitions instead
     * of killing the job; the stage is ~1% the corpus size.
     */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-                             n: Int, extraCols: Seq[String],
-                             sorted: Boolean = false): DataFrame = {
+  private[graft] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                                    n: Int, extraCols: Seq[String],
+                                    sorted: Boolean = false): DataFrame = {
     // native one-pass window-hash kernel — no shingle string is ever
     // built (the string route was n−1 interpreted zip_with concats);
     // dedupe AFTER hashing: same set structure, longs instead of strings
@@ -251,17 +251,37 @@ object Dedup {
     // one materialized (id, hashed shingles) stage — shared by the
     // signature pipeline AND the verification joins
     val sh = hashedShingles(df, idCol, textCol, n, Nil)
-    val sig = sh.select(col("id"),
-      minHashSignatureFromHashes(col("h"), bands * rows).as("sig"))
     // band buckets only — the shuffle carries (id, band, bucket) longs,
     // never the shingle arrays (a naive banded join would amplify the
     // arrays ×bands through the exchange)
-    val banded = graft.Materialize.reuse(sig.select(col("id"),
-      posexplode(array((0 until bands).map(
-        b => xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
-        .as(Seq("band", "bucket")))) // tiny; feeds both join sides
+    val banded = graft.Materialize.reuse(
+      minHashBanded(sh, bands, rows)) // tiny; feeds both join sides
     val pairs = bandedPairs(banded, bucketCap)
-    // exact-Jaccard verification only for the (few) candidates
+    verifyJaccard(pairs, sh, threshold)
+  }
+
+  /** (id, band, bucket) rows from a hashed-shingle projection: the
+    * MinHash signature split into `bands` bands of `rows` hashes, each
+    * band xxhash'd to one 64-bit bucket key. The exchange currency of
+    * every LSH join in this family — and the SHAPE persisted by
+    * [[DedupSnapshot]] so a later crawl delta bands against the stored
+    * corpus without re-shingling it.
+    */
+  private[graft] def minHashBanded(sh: DataFrame, bands: Int,
+                                   rows: Int): DataFrame =
+    sh.select(col("id"),
+        minHashSignatureFromHashes(col("h"), bands * rows).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(
+          b => xxhash64(slice(col("sig"), b * rows + 1, rows))): _*))
+          .as(Seq("band", "bucket")))
+
+  /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs
+    * against a hashed-shingle projection `sh` — only the (few)
+    * candidates pay the intersection; LSH recall is probabilistic but
+    * precision is exact. */
+  private[graft] def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                                   threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
     val uni = (size(col("h_a")) + size(col("h_b"))).cast("double") - inter
     pairs

@@ -1,0 +1,208 @@
+package graft.dedup
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental cross-snapshot deduplication: dedup a NEW crawl delta
+  * against an EXISTING harvested corpus without re-scanning all pairs
+  * — the monthly-crawl-refresh shape every production pipeline runs
+  * (the reference's harvesting loop merges new runs into an on-disk
+  * store the same way, `manage.py` merge/sync; here the store carries
+  * the dedup side-indexes a 100 TB refresh needs).
+  *
+  * Four catalog tables, all written ONCE at corpus build and reused by
+  * every delta (the BucketedStore discipline, `store/Store.scala` —
+  * bucketed+sorted tables join/aggregate store-side with NO exchange):
+  *
+  *  - `<prefix>_corpus`  (doc_id, <keep cols>, fp): the surviving
+  *    corpus rows, bucketed by fp.
+  *  - `<prefix>_seen`    (id, fp), bucketed by fp: the exact-dedup
+  *    census over every doc the pipeline has ACCEPTED INTO THE EXACT
+  *    STAGE so far (exact survivors — includes docs later dropped as
+  *    near-dups; a delta doc equal to either must still drop).
+  *  - `<prefix>_sigs`    (id, band, bucket), bucketed by (band,
+  *    bucket): MinHash band buckets of the same population — the
+  *    delta's banded join probes these without touching corpus text.
+  *  - `<prefix>_shingles` (id, h array<long>), bucketed by id: hashed
+  *    shingle sets for exact-Jaccard verification of cross pairs.
+  *    ~1% the corpus size (the d2/d3 materialization argument).
+  *
+  * [[ingestDelta]] touches ONLY the three side tables — the stored
+  * corpus is never re-read, re-tokenized, or re-shingled (spec-pinned:
+  * dropping the corpus table does not affect delta dedup). Per-delta
+  * cost is O(|delta| + matched buckets), not O(|store|).
+  *
+  * Survivor-set contract (the d11 oracle): with store ids < delta ids
+  * (crawl ids are monotone across snapshots), `ingestDelta` returns
+  * EXACTLY the delta rows a from-scratch run of the same pipeline
+  * (exact keep-first per fingerprint, then near-dup connected
+  * components keeping each cluster's min id) over store ∪ delta would
+  * keep. Sketch: a delta doc is dropped from-scratch iff its CC
+  * cluster contains a smaller id; every delta→store path's first
+  * store contact is a cross edge the incremental graph also has, so
+  * the two graphs agree on "cluster contains a store id", and
+  * delta-only clusters have identical edges. Store-internal edges only
+  * merge clusters that already drop their delta members.
+  */
+final class DedupSnapshot(val spark: SparkSession, val prefix: String,
+                          val nBuckets: Int = 8, val n: Int = 3,
+                          val bands: Int = 16, val rows: Int = 4,
+                          val threshold: Double = 0.8,
+                          val bucketCap: Int = 100000) {
+  private val corpusT = s"${prefix}_corpus"
+  private val seenT = s"${prefix}_seen"
+  private val sigsT = s"${prefix}_sigs"
+  private val shinglesT = s"${prefix}_shingles"
+
+  private def lockPath = graft.store.WriteLease.lockPathFor(
+    spark.conf.get("spark.sql.warehouse.dir") + s"/graft-snap-$prefix")
+
+  /** Single-writer lease over all four tables (the store contract): a
+    * concurrent build/commit fails loudly, never silently interleaves. */
+  private def locked[T](op: String)(body: => T): T = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.WriteLease.withLease(fs, lockPath, op)(body)
+  }
+
+  private def writeBucketed(df: DataFrame, tbl: String,
+                            keys: Seq[String], mode: SaveMode): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(tbl)
+
+  def corpus(): DataFrame = spark.table(corpusT)
+
+  /** Full (re)build: run the complete dedup pipeline over `docs` and
+    * persist corpus + side tables. One shingle pass: the (id, h) stage
+    * feeds the signature banding, the pair verification, AND the
+    * persisted shingle table.
+    */
+  def writeCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  keepCols: Seq[String] = Nil): Unit = locked("snapshot-build") {
+    Seq(corpusT, seenT, sigsT, shinglesT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a FRESH session's catalog doesn't know a previous session's
+      // managed table, so DROP alone leaves the location behind and
+      // the create fails with LOCATION_ALREADY_EXISTS (the h2 pattern)
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val fp = TextFns.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    val exact = graft.Materialize.reuse(
+      docs.withColumn("fp", fp)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+    val sh = Dedup.hashedShingles(exact, idCol, textCol, n, Nil)
+    val banded = graft.Materialize.reuse(Dedup.minHashBanded(sh, bands, rows))
+    val drops = Dedup.nearDupDrops(
+      Dedup.verifyJaccard(Dedup.bandedPairs(banded, bucketCap), sh, threshold))
+    val surv = exact.join(
+      drops.select(col("drop_id").as(idCol)), Seq(idCol), "left_anti")
+    writeBucketed(surv.select((idCol +: keepCols :+ "fp").map(col): _*),
+      corpusT, Seq("fp"), SaveMode.ErrorIfExists)
+    writeBucketed(exact.select(col(idCol).as("id"), col("fp")),
+      seenT, Seq("fp"), SaveMode.ErrorIfExists)
+    writeBucketed(banded, sigsT, Seq("band", "bucket"), SaveMode.ErrorIfExists)
+    writeBucketed(sh, shinglesT, Seq("id"), SaveMode.ErrorIfExists)
+  }
+
+  /** Banded candidate pairs DELTA-vs-(STORE ∪ DELTA): the left side is
+    * always a delta row, so no store-internal pair is ever generated
+    * (a plain self-join over the union would spend its time re-pairing
+    * the store against itself). Under the [[Dedup.bandedPairs]]
+    * `bucketCap` discipline: the (band, bucket) census runs over the
+    * union — exchange-free on the store side, the sigs table is
+    * bucketed on exactly these keys — and rows of flooded buckets salt
+    * into deterministic xxhash(id, band) sub-buckets on BOTH sides, so
+    * no join task sees more than ~cap² candidates whatever the delta
+    * floods with. Same recall trade as bandedPairs, same re-find math
+    * (the other bands, CC transitivity).
+    */
+  private def deltaPairs(deltaBanded: DataFrame,
+                         storeBanded: DataFrame): DataFrame = {
+    val all = storeBanded.unionByName(deltaBanded)
+    val (l, r, keys) =
+      if (bucketCap <= 0) (deltaBanded, all, Seq("band", "bucket"))
+      else {
+        val counts = all.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+        val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
+        def tag(df: DataFrame) = df.join(counts, Seq("band", "bucket"))
+          .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(
+            pmod(xxhash64(col("id"), col("band")), nb)))
+          .drop("__bn")
+        (tag(deltaBanded), graft.Materialize.reuse(tag(all)),
+          Seq("band", "bucket", "__sub"))
+      }
+    l.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_l")
+      .join(r.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_r"),
+        keys)
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+  }
+
+  /** Dedup `delta` against the snapshot (and against itself) and
+    * return the surviving delta rows. Reads ONLY the seen/sigs/
+    * shingles side tables — never the stored corpus. With
+    * `commit = true` the snapshot is advanced under the lease: the
+    * survivors append to the corpus and the delta's exact survivors
+    * append to all three side tables (each append is delta-sized,
+    * bucketed to match — the store is never rewritten).
+    */
+  def ingestDelta(delta: DataFrame, idCol: String, textCol: String,
+                  keepCols: Seq[String] = Nil,
+                  commit: Boolean = false): DataFrame = {
+    val fp = TextFns.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    // exact stage: keep-first per fingerprint WITHIN the delta, then
+    // anti-join the seen-fp census (bucketed on fp: store side reads
+    // with no exchange; the delta side shuffles to match — the
+    // asymmetric cost a refresh actually wants)
+    // commit path: lineage TRUNCATED, not just persisted — appending to
+    // the seen/sigs/shingles tables below makes Spark's CacheManager
+    // RECACHE (= recompute) every cached plan that references them, and
+    // a recomputed anti-join against the just-updated census would
+    // erase the survivors it is about to return
+    val matz: DataFrame => DataFrame =
+      if (commit) graft.Materialize.truncate else graft.Materialize.reuse
+    val dNew = matz(
+      delta.withColumn("fp", fp)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .join(spark.table(seenT).select("fp"), Seq("fp"), "left_anti"))
+    val dsh = Dedup.hashedShingles(dNew, idCol, textCol, n, Nil)
+    val dBanded = graft.Materialize.reuse(Dedup.minHashBanded(dsh, bands, rows))
+    val pairs = deltaPairs(dBanded, spark.table(sigsT))
+    // verification shingles: store side from the persisted table
+    // (the corpus is NOT re-shingled), delta side from this pass
+    val allSh = spark.table(shinglesT).unionByName(dsh)
+    val verified = Dedup.verifyJaccard(pairs, allSh, threshold)
+    // CC over delta-touching pairs only; a cluster's min is a store id
+    // whenever any store doc is reachable (store ids < delta ids), so
+    // "id != cluster" is exactly the from-scratch drop rule
+    val drops = Dedup.connectedComponents(verified.select("id_a", "id_b"))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val surv = dNew.join(drops, Seq(idCol), "left_anti")
+    if (!commit) surv.select((idCol +: keepCols).map(col): _*)
+    else locked("snapshot-commit") {
+      // truncated for the same recache reason as dNew: surv's lineage
+      // reads sigs/shingles, which the appends below update
+      val kept = graft.Materialize.truncate(
+        surv.select((idCol +: keepCols :+ "fp").map(col): _*))
+      writeBucketed(kept, corpusT, Seq("fp"), SaveMode.Append)
+      writeBucketed(dNew.select(col(idCol).as("id"), col("fp")),
+        seenT, Seq("fp"), SaveMode.Append)
+      writeBucketed(dBanded, sigsT, Seq("band", "bucket"), SaveMode.Append)
+      writeBucketed(dsh, shinglesT, Seq("id"), SaveMode.Append)
+      kept.drop("fp")
+    }
+  }
+}

@@ -398,12 +398,13 @@ object TextQueries {
                  c.vec_id) <= 5"""))
 
   /** Shared oracle fragment for the near-dup cluster family
-    * (d5/d5b/d8): exact pairwise 3-gram Jaccard ≥ 0.8 `pairs`, then
-    * SIX unrolled min-label + pointer-jump propagation rounds with an
-    * in-SQL convergence check. Replaces the recursive reachability CTE
-    * — which enumerates all reachable PAIRS, quadratic in clique size
-    * (>1 h oracle-side at sf0.1 and the reason d5/d8 were the sweep's
-    * only exclusions) — with O(rounds · (nodes + edges)) work.
+    * (d5/d5b/d8, and via [[ccPropagationCtes]] d11/mm5): a candidate
+    * `pairs` CTE, then SEVEN unrolled min-label + pointer-jump
+    * propagation rounds with an in-SQL convergence check. Replaces the
+    * recursive reachability CTE — which enumerates all reachable
+    * PAIRS, quadratic in clique size (>1 h oracle-side at sf0.1 and
+    * the reason d5/d8 were the sweep's only exclusions) — with
+    * O(rounds · (nodes + edges)) work.
     *
     * Correctness: labels are member ids, start at the own id, and only
     * ever DECREASE (min over self + neighbor labels + label-of-label);
@@ -420,22 +421,12 @@ object TextQueries {
     * was effectively 5). If the 7th round still changes a label,
     * `chg` trips DuckDB's error() — loud, never wrong.
     */
-  private val ccLabelCtes: String =
-    // every CTE is MATERIALIZED: each round references the previous
-    // one three times, so inlined CTEs would expand the plan 3^6-fold
-    // (and re-open the parquet scan in every copy — DuckDB inlines
-    // single-reference CTEs by default)
-    """sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
-        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
-        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
-             string_split_regex(trim(text),'\s+')[i+2])) AS s
-      FROM documents),
-      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-      e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+  /** The propagation tail alone (e/l0..l7/chg/cl), for oracles that
+    * build their own `pairs` CTE (mm5's perceptual pairs, d11's
+    * exact-survivor pairs) — assumes a CTE named `pairs(id_a, id_b)`
+    * is already defined. */
+  private[queries] val ccPropagationCtes: String =
+    """e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
       l0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e)),
       """ +
@@ -455,6 +446,25 @@ object TextQueries {
         CASE WHEN (SELECT c FROM chg) > 0
              THEN error('cc label propagation not converged in 6 rounds')
              ELSE l END AS cluster FROM l7)"""
+
+  /** The full d5-family oracle fragment: exact pairwise 3-gram Jaccard
+    * ≥ 0.8 over `documents` feeding [[ccPropagationCtes]].
+    * Every CTE is MATERIALIZED: each propagation round references the
+    * previous one three times, so inlined CTEs would expand the plan
+    * 3^7-fold (and re-open the parquet scan in every copy — DuckDB
+    * inlines single-reference CTEs by default). */
+  private val ccLabelCtes: String =
+    """sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtes
 
   /** D5: duplicate clusters — connected components over the MinHash
     * near-dup pairs, (doc_id, cluster=min reachable id). Oracle:
@@ -488,6 +498,58 @@ object TextQueries {
       driverMaxEdges = 0L)
       .withColumnRenamed("id", "doc_id"),
     Some("WITH " + ccLabelCtes + "\n      SELECT doc_id, cluster FROM cl"))
+
+  /** D11: INCREMENTAL cross-snapshot dedup — the monthly-crawl-refresh
+    * shape: the first 60% of the corpus (by id — crawl ids are
+    * monotone across snapshots) is harvested into a [[DedupSnapshot]]
+    * (bucketed corpus + seen-fingerprint census + persisted MinHash
+    * band table + hashed-shingle table, all written once at corpus
+    * build), then the remaining 40% arrives as a delta and is deduped
+    * against the store AND itself WITHOUT re-scanning store pairs:
+    * exact via fp anti-join on the bucketed census (exchange-free on
+    * the store side), near-dup via the delta's bands probing the
+    * persisted signature table (store text is never re-read or
+    * re-shingled — spec-pinned). Oracle: a FROM-SCRATCH run of the
+    * same pipeline over the union (exact keep-first per fingerprint,
+    * exact pairwise ≥0.8 Jaccard among exact survivors, CC keeping
+    * each cluster's min id), restricted to delta ids — the survivor
+    * sets must hash-match (see [[DedupSnapshot]] for the equivalence
+    * argument; MinHash-vs-exact recall is the d3 soundness argument).
+    */
+  val d11Incremental = QueryDef(
+    "d11_incremental_dedup",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // one-row bounded agg: the snapshot/delta boundary
+      val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+      val snap = new graft.dedup.DedupSnapshot(s, "graft_d11",
+        nBuckets = 8, n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+      snap.writeCorpus(docs.filter(col("doc_id") <= cut),
+        "doc_id", "text", keepCols = Seq("lang"))
+      snap.ingestDelta(docs.filter(col("doc_id") > cut),
+        "doc_id", "text", keepCols = Seq("lang"))
+    },
+    Some("""WITH ex AS MATERIALIZED (
+        SELECT doc_id, lang, text FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' '))
+          ORDER BY doc_id) = 1),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM ex),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtes + """
+      SELECT ex.doc_id, ex.lang FROM ex
+      LEFT JOIN cl ON cl.doc_id = ex.doc_id
+      WHERE ex.doc_id > (SELECT max(doc_id) * 3 // 5 FROM documents)
+        AND (cl.cluster IS NULL OR cl.cluster = ex.doc_id)"""))
 
   /** T9: deterministic mixture sampling — domain-weighted subsample
     * where each keep/drop is a pure function of (salt, doc_id), so the
@@ -1966,7 +2028,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, d1Exact,
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
-    d7LshDedup, d8Keeper,
+    d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline, p2CorpusBuild)
