@@ -245,6 +245,95 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Box-filter a decoded grayscale image down to a `gw`×`gh` grid of
+    * block means — the [[resizeTo]] arithmetic (floor block
+    * boundaries, floor(sum/count), empty block = 0) without the PNG
+    * re-encode, row-major ints. Exact integer semantics: every value
+    * is SQL-reproducible. */
+  private def boxGrid(px: Array[Byte], w: Int, h: Int,
+                      gw: Int, gh: Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var yy = 0
+    while (yy < gh) {
+      val ry0 = (yy.toLong * h / gh).toInt
+      val ry1 = ((yy + 1).toLong * h / gh).toInt
+      var xx = 0
+      while (xx < gw) {
+        val rx0 = (xx.toLong * w / gw).toInt
+        val rx1 = ((xx + 1).toLong * w / gw).toInt
+        var s = 0L; var cnt = 0
+        var y = ry0
+        while (y < ry1) {
+          var x = rx0
+          while (x < rx1) { s += px(y * w + x) & 0xff; cnt += 1; x += 1 }
+          y += 1
+        }
+        out(yy * gw + xx) = if (cnt > 0) (s / cnt).toInt else 0
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  /** Perceptual image hashes for near-dup detection (the LAION-style
+    * image dedup primitive), one `mapPartitions` decode pass:
+    *
+    *  - `dhash`: difference hash at 60-bit width — box-resize to 7×10,
+    *    bit y·6+x set iff grid[y][x+1] > grid[y][x]. 60 bits so the
+    *    signature stays inside a signed BIGINT on both engines (the
+    *    [[graft.dedup.Dedup.simHashFnv60]] discipline) and feeds the
+    *    existing Hamming chunk-banding machinery directly.
+    *  - `ahash`: average hash — box-resize to 8×8, bit y·8+x set iff
+    *    grid[y][x] > floor(Σgrid/64). The classic 64-bit width: bit 63
+    *    makes the value negative two's-complement, which the oracle
+    *    reproduces by adding −2⁶³ for that bit (DuckDB raises on
+    *    `1::BIGINT << 63`).
+    *
+    * pHash (DCT low-frequency signs) is deliberately absent: its float
+    * cosine transform is not cross-engine bit-reproducible, which
+    * would leave it outside the oracle gate; dhash/ahash carry the
+    * same near-dup banding role with exact integer arithmetic.
+    * All resize/compare arithmetic is integer-exact and recomputable
+    * in SQL from the source pixels.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val (w, h, px) = PngCodec.decode(internal.getBinary(cIdx))
+        val dg = boxGrid(px, w, h, 7, 10)
+        var dhash = 0L
+        var y = 0
+        while (y < 10) {
+          var x = 0
+          while (x < 6) {
+            if (dg(y * 7 + x + 1) > dg(y * 7 + x)) dhash |= 1L << (y * 6 + x)
+            x += 1
+          }
+          y += 1
+        }
+        val ag = boxGrid(px, w, h, 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += ag(i); i += 1 }
+        val mean = sum / 64
+        var ahash = 0L
+        i = 0
+        while (i < 64) { if (ag(i) > mean) ahash |= 1L << i; i += 1 }
+        Row(id, dhash, ahash)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode PNG payloads and fingerprint every pixel: md5 over the
     * comma-joined unsigned pixel values (row-major) — the byte-exact
     * gate for resize/codec round trips, reproducible in any SQL

@@ -413,24 +413,29 @@ object TextQueries {
     * constant per component (every edge forces l(u) ≤ l(v) both ways),
     * and the component minimum can never carry a label above itself —
     * so the constant IS the min id. The pointer-jump term l(l(u))
-    * doubles propagation reach per round; SEVEN rounds are unrolled
-    * and the convergence check compares l7 vs l6, so the certified
-    * propagation capacity is 6 doubling rounds (advisor r11: with 6
-    * unrolled rounds the l6-vs-l5 check could not distinguish
-    * "converged exactly at round 6" from "not converged" — capacity
-    * was effectively 5). If the 7th round still changes a label,
-    * `chg` trips DuckDB's error() — loud, never wrong.
+    * doubles propagation reach per round; `ccRounds` rounds are
+    * unrolled and the convergence check compares the last two, so the
+    * certified propagation capacity is ccRounds − 1 doubling rounds
+    * (advisor r11: comparing round N to N−1 cannot distinguish
+    * "converged exactly at N" from "not converged", so the last round
+    * is check-only). 12 rounds ⇒ 2¹¹ = 2048 reach — mm5's perceptual
+    * chains over short-doc hashes exceeded the old 2⁶ comfortably,
+    * and each extra round is O(nodes + edges), noise next to the
+    * pairwise-join CTEs these oracles all carry. If the final round
+    * still changes a label, `chg` trips DuckDB's error() — loud,
+    * never wrong.
     */
-  /** The propagation tail alone (e/l0..l7/chg/cl), for oracles that
+  /** The propagation tail alone (e/l0../chg/cl), for oracles that
     * build their own `pairs` CTE (mm5's perceptual pairs, d11's
     * exact-survivor pairs) — assumes a CTE named `pairs(id_a, id_b)`
     * is already defined. */
+  private val ccRounds = 12
   private[queries] val ccPropagationCtes: String =
     """e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
       l0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e)),
       """ +
-      (1 to 7).map { i =>
+      (1 to ccRounds).map { i =>
         "l" + i + """ AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
         SELECT u, l FROM """ + "l" + (i - 1) + """
         UNION ALL SELECT e.u, c.l FROM e JOIN """ + "l" + (i - 1) +
@@ -439,13 +444,13 @@ object TextQueries {
           (i - 1) + """ j ON c.l = j.u
       ) GROUP BY u)"""
       }.mkString(",\n      ") +
-      """,
-      chg AS (SELECT count(*) AS c FROM l7 a JOIN l6 b
+      s""",
+      chg AS (SELECT count(*) AS c FROM l$ccRounds a JOIN l${ccRounds - 1} b
               ON a.u = b.u AND a.l <> b.l),
       cl AS (SELECT u AS doc_id,
         CASE WHEN (SELECT c FROM chg) > 0
-             THEN error('cc label propagation not converged in 6 rounds')
-             ELSE l END AS cluster FROM l7)"""
+             THEN error('cc label propagation not converged in ${ccRounds - 1} rounds')
+             ELSE l END AS cluster FROM l$ccRounds)"""
 
   /** The full d5-family oracle fragment: exact pairwise 3-gram Jaccard
     * ≥ 0.8 over `documents` feeding [[ccPropagationCtes]].
@@ -1534,6 +1539,86 @@ object TextQueries {
             ELSE 0 END), ',')) AS sig
       FROM px"""))
 
+  /** MM5: perceptual image dedup — the LAION-style multimodal pipeline
+    * op: REAL PNGs (documents rendered at width 64, the mm1/mm4
+    * construction) are decoded once and perceptually hashed
+    * ([[Multimodal.perceptualHash]]: 60-bit dHash over a 7×10
+    * box-resize + 64-bit aHash over 8×8, all integer arithmetic), then
+    * near-dup pairs form through the EXISTING SimHash Hamming
+    * chunk-banding ([[Dedup.simHashPairsFromSigs]], exact recall at
+    * maxDist ≤ 3 by pigeonhole) and connected components label each
+    * image with its cluster's min id. Oracle: DuckDB rebuilds every
+    * grid cell from the source text with the same floor arithmetic,
+    * reassembles both hashes bit by bit (dHash by shifts; aHash's bit
+    * 63 as a −2⁶³ addend — BIGINT shift by 63 overflows), brute-forces
+    * the Hamming-≤3 graph over all pairs, and label-propagates — hash
+    * values AND clustering both gate-checked.
+    */
+  val mm5Perceptual = QueryDef(
+    "mm5_perceptual_dedup",
+    (s, dir) => {
+      val media = graft.Materialize.truncate( // real PNGs; decode reads them back
+        graft.multimodal.Multimodal.encodeAsPng(
+          table(s, dir, "documents"), "doc_id", "text", width = 64))
+      val sigs = graft.Materialize.reuse( // feeds banding AND the output join
+        graft.multimodal.Multimodal.perceptualHash(media))
+      val pairs = Dedup.simHashPairsFromSigs(
+        sigs.select(col("media_id").as("id"), col("dhash").as("sig")),
+        maxDist = 3, bits = 60)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "media_id")
+      sigs.join(cc, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("dhash"), col("ahash"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"))
+    },
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS nb,
+          GREATEST((length(text) + 63) // 64, 1) AS h
+        FROM documents),
+      px AS MATERIALIZED (SELECT doc_id, h,
+        list_transform(range(0, 64 * h), i ->
+          CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) ELSE 0 END) AS p
+        FROM m),
+      dg AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 70), k ->
+          CASE WHEN ((k // 7) + 1) * h // 10 > (k // 7) * h // 10 THEN
+            list_sum(flatten(list_transform(
+              range((k // 7) * h // 10, ((k // 7) + 1) * h // 10), y ->
+                list_transform(range((k % 7) * 64 // 7, ((k % 7) + 1) * 64 // 7), x ->
+                  p[(y * 64 + x + 1)::INT]))))
+            // ((((k // 7) + 1) * h // 10 - (k // 7) * h // 10)
+               * (((k % 7) + 1) * 64 // 7 - (k % 7) * 64 // 7))
+          ELSE 0 END) AS g
+        FROM px),
+      dh AS MATERIALIZED (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN g[((b // 6) * 7 + (b % 6) + 2)::INT] >
+                      g[((b // 6) * 7 + (b % 6) + 1)::INT]
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+        FROM dg),
+      ag AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), k ->
+          CASE WHEN ((k // 8) + 1) * h // 8 > (k // 8) * h // 8 THEN
+            list_sum(flatten(list_transform(
+              range((k // 8) * h // 8, ((k // 8) + 1) * h // 8), y ->
+                list_transform(range((k % 8) * 8, ((k % 8) + 1) * 8), x ->
+                  p[(y * 64 + x + 1)::INT]))))
+            // ((((k // 8) + 1) * h // 8 - (k // 8) * h // 8) * 8)
+          ELSE 0 END) AS g
+        FROM px),
+      ah AS MATERIALIZED (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 63), b ->
+            CASE WHEN g[(b + 1)::INT] > list_sum(g) // 64
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT)
+          + CASE WHEN g[64] > list_sum(g) // 64
+              THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END AS ahash
+        FROM ag),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+      """ + ccPropagationCtes + """
+      SELECT dh.doc_id AS media_id, dh.dhash, ah.ahash,
+        COALESCE(cl.cluster, dh.doc_id) AS cluster
+      FROM dh JOIN ah USING (doc_id)
+      LEFT JOIN cl ON cl.doc_id = dh.doc_id"""))
+
   /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the fixed-window
     * form of its suffix-array dedup): every 40-char window (stride 1)
@@ -2031,5 +2116,6 @@ FROM gi GROUP BY doc_id, grp"""))
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental,
-    mm1Decode, mm2Audio, mm3Frames, mm4Resize, p1Pipeline, p2CorpusBuild)
+    mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
+    p1Pipeline, p2CorpusBuild)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.{Multimodal, PngCodec}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Planted-image contract for [[Multimodal.perceptualHash]] + Hamming
+  * banding (mm5's machinery): a slightly perturbed copy of an image
+  * must land within dHash distance 3 and cluster with its source; an
+  * unrelated image must not. The oracle row (mm5) pins the arithmetic
+  * against DuckDB; this pins the OPERATOR SEMANTICS on a case where
+  * ground truth is known by construction.
+  */
+class PerceptualDedupSpec extends SparkSpec {
+
+  private val w = 64
+  private val h = 32
+
+  private def mediaDF(imgs: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        imgs.map { case (id, px) => Row(id, PngCodec.encode(px, w, h)) }, 2),
+      schema)
+  }
+
+  test("near-dup image clusters with its source; unrelated image does not") {
+    val base = Array.tabulate(w * h)(i => (((i % w) * 3 + (i / w) * 11) % 251).toByte)
+    // small local perturbation: a handful of pixels nudged by ±2 —
+    // block means move by <1 in a couple of grid cells, so at most a
+    // few dHash comparisons can flip
+    val near = base.clone()
+    Seq(5, 200, 900, 1500).foreach(i => near(i) = (near(i) + 2).toByte)
+    // unrelated content: different gradient structure entirely
+    val far = Array.tabulate(w * h)(i => (((i % w) * 13 + (i / w) * (i / w)) % 249).toByte)
+    val sigs = Multimodal.perceptualHash(mediaDF(Seq(1L -> base, 2L -> near, 3L -> far)))
+    val rows = sigs.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(1L)._1, rows(2L)._1) <= 3,
+      s"planted near-dup dHash distance ${ham(rows(1L)._1, rows(2L)._1)}")
+    assert(ham(rows(1L)._1, rows(3L)._1) > 3)
+    val pairs = Dedup.simHashPairsFromSigs(
+      sigs.select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxDist = 3, bits = 60)
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.get(1L).contains(1L) && cc.get(2L).contains(1L))
+    assert(!cc.contains(3L)) // no pair touches the unrelated image
+    // aHash agrees on the planted pair too (coarser: mean-threshold)
+    assert(ham(rows(1L)._2, rows(2L)._2) <= 3)
+  }
+
+  test("identical payloads hash identically regardless of partitioning") {
+    val img = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
+    val sigs = Multimodal.perceptualHash(
+      mediaDF(Seq(10L -> img, 11L -> img.clone())))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sigs.size == 1)
+  }
+}
