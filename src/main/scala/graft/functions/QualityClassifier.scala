@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained discriminative quality filter — the GPT-3/CCNet classifier
+  * (Brown et al. 2020 §A; Wenzek et al. 2020): logistic regression
+  * separating a REFERENCE class (curated sources — wiki/books in
+  * production, a declared source list here) from the web crawl,
+  * scored over every document. Complements the generative LM scores
+  * (t14 unigram / t18 bigram): the discriminative signal is what the
+  * GPT-3 pipeline actually gated on.
+  *
+  * == Determinism contract (the Lloyd/t14 discipline) ==
+  *
+  * Training is full-batch gradient ascent with FIXED iterations and
+  * micro-quantized integer weights, so a DuckDB oracle replays it to
+  * the bit:
+  *
+  *  - features: hashed term frequencies, `x(i,j) = (c(i,j)·10⁴) div
+  *    nᵢ` — exact positive-integer floor division on both engines —
+  *    plus a constant feature x = 10⁴ at index `dim` (the bias rides
+  *    the feature vector, no special casing anywhere).
+  *  - margin: `z = Σⱼ w(j)·x(i,j)` is an exact BIGINT dot product
+  *    (micro-unit weights × 10⁻⁴-unit features); the only float ops
+  *    are one IEEE division (z/10¹⁰), the RATIONAL sigmoid
+  *    `p = ½ + ½·z̃/(1+|z̃|)` (+,·,/,|·| are all correctly rounded —
+  *    no exp, whose libm implementations differ across engines), and
+  *    the per-document `round(err·x)` back into integer space.
+  *  - gradient: Σᵢ round(errᵢ·x(i,j)) is an exact integer sum —
+  *    order-independent, so partitioning/merge order can't perturb
+  *    it. Weight update `w += round(g·100/n)` quantizes to micro-units
+  *    (half-away-from-zero on both engines).
+  *
+  * == Shape for scale ==
+  *
+  * The (id, bucket, x) feature table is ~(dim+1) longs per doc — a
+  * sliver of the text it replaces — materialized once and scanned
+  * `iters` times; each iteration exchanges one map-combined (doc)
+  * aggregate and one (bucket) aggregate, and the driver touches
+  * exactly dim+1 gradient longs per iteration (the k-means k·dim
+  * contract). Scoring is one broadcast-join pass. Text never moves
+  * after the tokenize.
+  */
+object QualityClassifier {
+
+  /** Half-away-from-zero to a Long — DuckDB's `round()` semantics
+    * (Java's `math.round` floors halves toward +∞, which diverges on
+    * negative halves). */
+  private def roundAway(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** The hashed-TF feature table `(idCol, j, x, y)`: one row per
+    * (doc, non-empty bucket) plus the constant feature at j = dim. */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+                       label: Column, dim: Int, salt: String): DataFrame = {
+    val tok = docs.select(col(idCol), label.cast("double").as("y"),
+      explode(TextFns.tokens(col(textCol))).as("__t"))
+    val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),
+      16, 10).cast("long")
+    val bt = tok.groupBy(col(idCol), col("y"), pmod(hv, lit(dim.toLong)).as("j"))
+      .agg(count(lit(1)).as("c"))
+    val ntok = bt.groupBy(col(idCol)).agg(sum("c").as("n"))
+    bt.join(ntok, Seq(idCol))
+      .select(col(idCol), col("j"), expr("c * 10000 div n").as("x"), col("y"))
+      .unionByName(ntok.join(
+          docs.select(col(idCol), label.cast("double").as("y")), Seq(idCol))
+        .select(col(idCol), lit(dim.toLong).as("j"), lit(10000L).as("x"), col("y")))
+  }
+
+  /** p = ½ + ½·z̃/(1+|z̃|) with z̃ = sp/10¹⁰ — the rational sigmoid on
+    * the exact integer margin. */
+  private def pCol: Column = {
+    val zd = col("sp").cast("double") / lit(1e10)
+    lit(0.5) + lit(0.5) * zd / (lit(1.0) + abs(zd))
+  }
+
+  /** Fit and score in one call: returns `(weights, scored)` where
+    * `weights(j)` is the micro-unit coefficient of bucket `j` (bias at
+    * index `dim`) and `scored` has `(idCol, label, score)` per input
+    * document, score = round(p, 6) under the final weights.
+    */
+  def fitScore(docs: DataFrame, idCol: String, textCol: String,
+               label: Column, dim: Int = 64, iters: Int = 4,
+               salt: String = "t20"): (Array[Long], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(dim >= 2 && iters >= 1)
+    val f = graft.Materialize.reuse(
+      features(docs, idCol, textCol, label, dim, salt))
+    val n = docs.count() // one bounded count: the gradient denominator
+    val w = Array.fill(dim + 1)(0L)
+    for (_ <- 0 until iters) {
+      val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toSeq.toDF("j", "wm")
+      val z = f.join(broadcast(wDF), Seq("j"))
+        .groupBy(col(idCol))
+        .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+      // per-doc error quantized back to integers BEFORE the cross-doc
+      // sum: the aggregation is exact and order-free
+      val g = f.join(z.select(col(idCol), (col("y") - pCol).as("err")), Seq(idCol))
+        .groupBy("j")
+        .agg(sum(round(col("err") * col("x")).cast("long")).as("gs"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      var j = 0
+      while (j <= dim) {
+        w(j) += roundAway(g.getOrElse(j, 0L).toDouble * 100.0 / n)
+        j += 1
+      }
+    }
+    val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      .toSeq.toDF("j", "wm")
+    val scored = f.join(broadcast(wDF), Seq("j"))
+      .groupBy(col(idCol))
+      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+      .select(col(idCol), col("y").cast("long").as("label"),
+        round(pCol, 6).as("score"))
+    (w, scored)
+  }
+}

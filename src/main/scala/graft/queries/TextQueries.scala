@@ -245,6 +245,70 @@ object TextQueries {
           '(?:\+1[-. ])?(?:\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b|\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
       FROM p"""))
 
+  /** One training iteration of the t20 oracle: margin (exact BIGINT
+    * dot product) → rational-sigmoid error → per-doc-quantized
+    * gradient → micro-unit weight update. Unrolled `iters` times; see
+    * [[graft.functions.QualityClassifier]] for the determinism
+    * contract each op satisfies. */
+  private def t20IterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""z$k AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+        CAST(sum(w.wm * f.x) AS BIGINT) AS sp
+        FROM f JOIN w${k - 1} w USING (j) GROUP BY 1),
+      g$k AS MATERIALIZED (SELECT f.j, CAST(sum(CAST(round(
+          (z.y - (0.5 + 0.5 * (CAST(z.sp AS DOUBLE) / 1e10)
+            / (1 + abs(CAST(z.sp AS DOUBLE) / 1e10)))) * f.x)
+          AS BIGINT)) AS BIGINT) AS gs
+        FROM f JOIN z$k z USING (doc_id) GROUP BY 1),
+      w$k AS MATERIALIZED (SELECT w.j,
+        w.wm + CAST(round(COALESCE(g.gs, 0) * 100.0 /
+          (SELECT n FROM nn)) AS BIGINT) AS wm
+        FROM w${k - 1} w LEFT JOIN g$k g USING (j))"""
+    }.mkString(",\n      ")
+
+  /** T20: TRAINED quality classifier — the GPT-3/CCNet discriminative
+    * filter (Brown et al. 2020 §A): logistic regression separating a
+    * declared reference-source list from the rest of the crawl,
+    * fitted full-batch with fixed iterations and micro-quantized
+    * integer weights ([[QualityClassifier]] — the Lloyd/t14
+    * determinism discipline), scored over every document. The oracle
+    * replays the ENTIRE training run — feature hashing, four unrolled
+    * gradient iterations, weight quantization — then the final scores:
+    * per-doc score and label both hash-checked.
+    */
+  val t20Classifier = QueryDef(
+    "t20_quality_classifier",
+    (s, dir) => graft.functions.QualityClassifier.fitScore(
+      table(s, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      dim = 64, iters = 4)._2,
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      lab AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             THEN 1.0 ELSE 0.0 END AS y FROM documents),
+      bt AS (SELECT doc_id,
+        CAST('0x' || substr(md5('t20:' || t), 1, 15) AS BIGINT) % 64 AS j,
+        CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      nt AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        FROM bt GROUP BY 1),
+      f AS MATERIALIZED (
+        SELECT bt.doc_id, bt.j, (bt.c * 10000) // nt.n AS x, lab.y
+        FROM bt JOIN nt USING (doc_id) JOIN lab USING (doc_id)
+        UNION ALL
+        SELECT nt.doc_id, 64 AS j, 10000 AS x, lab.y
+        FROM nt JOIN lab USING (doc_id)),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      w0 AS (SELECT unnest(range(0, 65)) AS j, 0::BIGINT AS wm),
+      """ + t20IterCtes(4) + """,
+      zf AS (SELECT f.doc_id, max(f.y) AS y,
+        CAST(sum(w.wm * f.x) AS BIGINT) AS sp
+        FROM f JOIN w4 w USING (j) GROUP BY 1)
+      SELECT doc_id, CAST(y AS BIGINT) AS label,
+        ROUND(0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score
+      FROM zf"""))
+
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
     "d1_exact_dedup",
@@ -2110,7 +2174,8 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, d1Exact,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
+    d1Exact,
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,

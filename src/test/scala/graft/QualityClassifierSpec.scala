@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.QualityClassifier
+import org.apache.spark.sql.functions._
+
+/** [[QualityClassifier]] — the trained discriminative filter. The
+  * oracle row (t20) pins bit-exact training parity with DuckDB; these
+  * specs pin that the classifier actually LEARNS: on a corpus whose
+  * reference and web classes have genuinely different token
+  * distributions, planted low-quality docs must rank below planted
+  * reference-like docs after training.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  test("planted low-quality docs rank below reference-like docs") {
+    import spark.implicits._
+    // reference class: coherent English-like vocabulary; web class:
+    // spam-like vocabulary. Held-out docs (label irrelevant at scoring
+    // time) from each distribution must order correctly by score.
+    val refVocab = Seq("the", "of", "science", "history", "theory",
+      "analysis", "method", "result", "study", "evidence")
+    val webVocab = Seq("click", "buy", "free", "winner", "casino",
+      "pills", "offer", "xxx", "cheap", "now")
+    def doc(vocab: Seq[String], seed: Int, n: Int): String =
+      (0 until n).map(i => vocab((i * 7 + seed * 13) % vocab.size)).mkString(" ")
+    val train = ((0 until 40).map(i => (i.toLong, doc(refVocab, i, 30), 1)) ++
+      (40 until 80).map(i => (i.toLong, doc(webVocab, i, 30), 0)))
+    // held-out: ids 1000/1001 reference-like, 2000/2001 spam-like —
+    // labeled 0 so their own labels can't leak into their scores
+    val test0 = Seq((1000L, doc(refVocab, 91, 25), 0),
+      (1001L, doc(refVocab, 57, 25), 0),
+      (2000L, doc(webVocab, 91, 25), 0),
+      (2001L, doc(webVocab, 57, 25), 0))
+    val docs = (train ++ test0).toDF("doc_id", "text", "lbl")
+    val (w, scored) = QualityClassifier.fitScore(
+      docs, "doc_id", "text", col("lbl") === 1, dim = 64, iters = 4,
+      salt = "spec")
+    val s = scored.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.length == 65)
+    // every reference-like held-out doc outscores every spam-like one
+    for (r <- Seq(1000L, 1001L); b <- Seq(2000L, 2001L))
+      assert(s(r) > s(b), s"ref doc $r (${s(r)}) should outscore spam $b (${s(b)})")
+    // and the training classes separate on average
+    val refAvg = (0 until 40).map(i => s(i.toLong)).sum / 40
+    val webAvg = (40 until 80).map(i => s(i.toLong)).sum / 40
+    assert(refAvg > webAvg + 0.01)
+  }
+
+  test("scores are partition-invariant (integer-quantized gradients)") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"token${i % 7} token${(i * 3) % 11} filler common word", i % 3 == 0))
+      .toDF("doc_id", "text", "y")
+    def run(parts: Int) = QualityClassifier.fitScore(
+      docs.repartition(parts), "doc_id", "text", col("y"),
+      dim = 32, iters = 3, salt = "pi")._2
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(run(1) == run(7))
+  }
+}
