@@ -1252,6 +1252,58 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** N10: TOMBSTONE DELETES for the persisted index — takedown /
+    * right-to-erasure, the operational requirement n9's append story
+    * left open. Build an IVFADC index over the embeddings PLUS planted
+    * clones (vec_id + 2,000,000, identical vectors) of the first 20,
+    * then DELETE the 20 originals ([[Similarity.PersistedIndex.delete]]:
+    * a tombstone partition under the index lease — the encoded corpus
+    * is never rewritten), and query planted probes against
+    * [[Similarity.PersistedIndex.liveCorpus]]. Each probe perturbs its
+    * original source vector, so WITHOUT the tombstone anti-join the
+    * top-1 would be the (smaller-id) original — the oracle's expected
+    * neighbor is the CLONE, which distinguishes honored deletes from
+    * ignored ones row by row. Sim values are exact (clone vectors are
+    * identical to the sources the oracle scores against). Refit-folds-
+    * tombstones is lifecycle-specced (PersistedIndexSpec).
+    */
+  val n10Tombstones = QueryDef(
+    "n10_tombstone_delete",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val root = graft.TempDirs.scratch("n10")
+      Similarity.PersistedIndex.build(base.unionByName(clones),
+        "vec_id", "embedding", root, kLists = 16, m = 8, kCodes = 16)
+      Similarity.PersistedIndex.delete(
+        emb.filter(col("vec_id") < 20).select("vec_id"), "vec_id", root)
+      val h = Similarity.PersistedIndex.load(s, root)
+      val live = Similarity.PersistedIndex.liveCorpus(s, root, "vec_id")
+      val baseQ = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val queries = baseQ.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"n10q:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      Similarity.ivfAdcQueryBatch(h.ivf, h.pq, live, "vec_id", "embedding",
+        queries, kOut = 1, nprobe = 6)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('n10q:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20)
+      SELECT q.vec_id + 1000000 AS query_id, q.vec_id + 2000000 AS neighbor_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
+      FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
+
   /** P1: the COMPOSED cleaning pipeline — the stages a production
     * training-data run chains, in order: quality gate (t2 score ≥
     * 0.65) → benchmark decontamination (t6 overlap < 0.2 vs the
@@ -2180,7 +2232,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
-    n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental,
+    n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     p1Pipeline, p2CorpusBuild)
 }

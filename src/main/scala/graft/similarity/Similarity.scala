@@ -611,10 +611,50 @@ object Similarity {
       Handle(IvfIndex.load(spark, s"$path/ivf"),
         PqIndex.load(spark, s"$path/pq"), path)
 
-    /** The stored corpus (assigned + encoded + raw vectors) — the scan
-      * side for [[Similarity.ivfAdcQueryBatch]]. */
+    /** The stored corpus (assigned + encoded + raw vectors) — the RAW
+      * store, including rows that have tombstones pending. Query paths
+      * use [[liveCorpus]]. */
     def corpus(spark: SparkSession, path: String): DataFrame =
       spark.read.parquet(s"$path/corpus")
+
+    private def tombstonePath(path: String) =
+      new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+    /** Ids pending deletion (empty frame when none were ever deleted). */
+    def tombstones(spark: SparkSession, path: String): DataFrame = {
+      val p = tombstonePath(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+    }
+
+    /** Takedown / right-to-erasure for a persisted index (n10): write
+      * the ids to a tombstone partition under the index lease — a
+      * delta-sized append; the encoded corpus is NOT rewritten (at
+      * 10¹¹ rows a physical delete would re-shuffle the store to drop
+      * a handful of ids). [[liveCorpus]] anti-joins tombstones into
+      * every query's scan side, so deleted rows can never be returned
+      * the moment this call completes; [[refit]] folds tombstones into
+      * the physical store (the compaction point).
+      */
+    def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+      val spark = ids.sparkSession
+      val lock = graft.store.WriteLease.lockPathFor(path)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.store.WriteLease.withLease(fs, lock, "index-delete") {
+        ids.select(col(idCol).cast("long").as("id")).distinct()
+          .write.mode("append").parquet(tombstonePath(path).toString)
+      }
+    }
+
+    /** The corpus minus tombstoned rows — the scan side every query
+      * should use. The tombstone set is a sliver (AQE broadcasts it),
+      * so the anti-join adds no exchange of the store. */
+    def liveCorpus(spark: SparkSession, path: String,
+                   idCol: String): DataFrame =
+      corpus(spark, path).join(
+        tombstones(spark, path).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
 
     /** Append `delta` WITHOUT refit: assign to the EXISTING centroids,
       * encode residuals with the EXISTING codebooks, append to the
@@ -671,11 +711,14 @@ object Similarity {
       }
     }
 
-    /** Full re-train on the CURRENT stored corpus (what a tripped
-      * drift counter asks for): read the raw vectors back, rebuild
-      * quantizers, re-encode, reset the counter. The WHOLE index —
-      * quantizers, encoded corpus, AND meta — rebuilds into a `.__tmp`
-      * sibling and swaps in atomically under the index-root lease
+    /** Full re-train on the CURRENT LIVE corpus (what a tripped drift
+      * counter asks for): read the raw vectors back MINUS tombstoned
+      * rows (refit is the compaction point — deleted ids leave the
+      * physical store here, and the rebuilt root carries no tombstone
+      * partition), rebuild quantizers, re-encode, reset the counter.
+      * The WHOLE index — quantizers, encoded corpus, AND meta —
+      * rebuilds into a `.__tmp` sibling and swaps in atomically under
+      * the index-root lease
       * ([[graft.store.WriteLease.stageAndSwap]]): a crashed refit
       * leaves the old index fully intact, and there is no window
       * where new codes sit beside old codebooks (a corpus-only swap
@@ -690,7 +733,7 @@ object Similarity {
       var rebuilt: Handle = null
       graft.store.WriteLease.stageAndSwap(fs, dest, "index-refit",
         "ANN index") { tmp =>
-        val raw = corpus(spark, path).select(col(idCol), col(vecCol))
+        val raw = liveCorpus(spark, path, idCol).select(col(idCol), col(vecCol))
         rebuilt = build(raw, idCol, vecCol, tmp.toString, kLists, m, kCodes)
       }
       Handle(rebuilt.ivf, rebuilt.pq, path)

@@ -96,6 +96,53 @@ class PersistedIndexSpec extends SparkSpec {
     assert(math.abs(r.drift - 0.5) < 1e-12 && r.needsRefit)
   }
 
+  test("delete tombstones: query excludes, re-append is inert, refit compacts") {
+    val all = corpus(120)
+    val root = tmp()
+    PersistedIndex.build(all, "vec_id", "embedding", root,
+      kLists = 4, m = 4, kCodes = 8)
+    // probe at source vector 8; delete id 8 -> its nearest LIVE
+    // neighbor must win instead
+    val probe = all.filter(col("vec_id") === 8L)
+      .collect().map(r => (9008L, r.getSeq[Double](1).map(_ + 0.001): Seq[Double])).toSeq
+    def top1(c: org.apache.spark.sql.DataFrame): Long = {
+      val h = PersistedIndex.load(spark, root)
+      Similarity.ivfAdcQueryBatch(h.ivf, h.pq, c, "vec_id", "embedding",
+        probe, kOut = 1, nprobe = 4).collect().head.getLong(1)
+    }
+    assert(top1(PersistedIndex.liveCorpus(spark, root, "vec_id")) == 8L)
+    PersistedIndex.delete(Seq(8L).toDF("vec_id"), "vec_id", root)
+    val next = top1(PersistedIndex.liveCorpus(spark, root, "vec_id"))
+    assert(next != 8L)
+    // next-best matches a rebuild-without-deleted oracle
+    val rootOracle = tmp()
+    PersistedIndex.build(all.filter(col("vec_id") =!= 8L), "vec_id",
+      "embedding", rootOracle, kLists = 4, m = 4, kCodes = 8)
+    val hO = PersistedIndex.load(spark, rootOracle)
+    val oracleNext = Similarity.ivfAdcQueryBatch(hO.ivf, hO.pq,
+      PersistedIndex.corpus(spark, rootOracle), "vec_id", "embedding",
+      probe, kOut = 1, nprobe = 4).collect().head.getLong(1)
+    assert(next == oracleNext)
+    // append of the tombstoned id is inert (id still present in the
+    // raw store, so the idempotence anti-join skips it; the tombstone
+    // keeps it invisible to queries)
+    PersistedIndex.append(all.filter(col("vec_id") === 8L),
+      "vec_id", "embedding", root)
+    assert(top1(PersistedIndex.liveCorpus(spark, root, "vec_id")) == next)
+    // refit folds tombstones: physical row gone, tombstone dir gone
+    PersistedIndex.refit(spark, root, "vec_id", "embedding",
+      kLists = 4, m = 4, kCodes = 8)
+    assert(PersistedIndex.corpus(spark, root).count() == 119)
+    assert(PersistedIndex.corpus(spark, root)
+      .filter(col("vec_id") === 8L).isEmpty)
+    assert(PersistedIndex.tombstones(spark, root).isEmpty)
+    assert(top1(PersistedIndex.liveCorpus(spark, root, "vec_id")) == next)
+    // ...and the id can genuinely return after compaction
+    PersistedIndex.append(all.filter(col("vec_id") === 8L),
+      "vec_id", "embedding", root)
+    assert(top1(PersistedIndex.liveCorpus(spark, root, "vec_id")) == 8L)
+  }
+
   test("incrementally-appended index answers match a from-scratch rebuild") {
     val all = corpus(200)
     val base = all.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
