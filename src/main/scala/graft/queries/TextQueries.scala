@@ -309,6 +309,49 @@ object TextQueries {
           / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score
       FROM zf"""))
 
+  /** T21: REAL BPE tokenization parity — merges-table application
+    * ([[graft.functions.Bpe]]: the GPT-2 apply loop as a native
+    * kernel run once per distinct word, counts joined back through
+    * the tf table), replacing the `tokenCountBpeIsh` regex proxy
+    * wherever budgets need real token counts. The oracle REPLAYS the
+    * merge loop recursively in DuckDB over the distinct vocabulary:
+    * each recursion step applies the lowest-rank applicable rule via
+    * one string `replace` on a delimiter-framed symbol string (every
+    * symbol carries BOTH its delimiters, so adjacent occurrences
+    * merge left-to-right non-overlapping exactly like the kernel),
+    * terminal states are the no-rule-applies fixpoints, and per-doc
+    * counts must hash-match.
+    */
+  val t21Bpe = QueryDef(
+    "t21_bpe_tokens",
+    (s, dir) => graft.functions.Bpe.tokenCount(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH RECURSIVE
+      merges(rk, a, b) AS (SELECT * FROM (VALUES """ +
+      graft.functions.Bpe.mergesSqlValues + """) m(rk, a, b)),
+      tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      v AS (SELECT DISTINCT w FROM tok),
+      init AS (SELECT w, array_to_string(list_transform(range(length(w)),
+        i -> chr(1) || substr(w, (i+1)::INT, 1) || chr(1)), '') AS s FROM v),
+      steps(w, s) AS (
+        SELECT w, s FROM init
+        UNION ALL
+        SELECT w, min_by(replace(s,
+            chr(1) || a || chr(1) || chr(1) || b || chr(1),
+            chr(1) || a || b || chr(1)), rk)
+        FROM steps JOIN merges
+          ON contains(s, chr(1) || a || chr(1) || chr(1) || b || chr(1))
+        GROUP BY w, s),
+      fin AS (SELECT w,
+        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns
+        FROM steps st WHERE NOT EXISTS (
+          SELECT 1 FROM merges
+          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
+      FROM tok JOIN fin USING (w) GROUP BY 1"""))
+
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
     "d1_exact_dedup",
@@ -2227,7 +2270,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
-    d1Exact,
+    t21Bpe, d1Exact,
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
