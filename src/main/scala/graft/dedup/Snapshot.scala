@@ -67,10 +67,18 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
   }
 
   private def writeBucketed(df: DataFrame, tbl: String,
-                            keys: Seq[String], mode: SaveMode): Unit =
+                            keys: Seq[String], mode: SaveMode): Unit = {
     df.write.mode(mode)
       .bucketBy(nBuckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(tbl)
+    // the write may run on a DIFFERENT SparkSession than `spark` (a
+    // foreachBatch micro-batch executes on a session CLONE, and `df`
+    // carries it) — that session's saveAsTable does not invalidate
+    // THIS session's cached table relation, so later reads through
+    // `spark.table` would list the pre-append files forever. Refresh
+    // unconditionally: metadata-only, and a no-op when sessions match.
+    spark.catalog.refreshTable(tbl)
+  }
 
   def corpus(): DataFrame = spark.table(corpusT)
 
@@ -155,10 +163,26 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
     * survivors append to the corpus and the delta's exact survivors
     * append to all three side tables (each append is delta-sized,
     * bucketed to match — the store is never rewritten).
+    *
+    * `idempotentCommit` makes a REPLAYED commit of the same delta
+    * converge instead of duplicating (the at-least-once `foreachBatch`
+    * contract of [[graft.streaming.Streaming.incrementalDedupSink]]):
+    * every append is anti-joined by id against its target table
+    * first. Replay after a crash at ANY point between the four
+    * appends lands exactly the missing rows — the dedup verdicts
+    * recompute identically (a half-committed delta's own store rows
+    * can't pair with themselves: same id is filtered; delta-delta
+    * pairs dedupe through `distinct`), each append is job-atomic
+    * (file-commit protocol), and the id anti-join skips whatever
+    * already landed. Cost: one column-pruned id scan per table per
+    * commit — a batch pipeline committing once should leave it off; a
+    * production stream with monotone ids would prune the scan to the
+    * batch's id range.
     */
   def ingestDelta(delta: DataFrame, idCol: String, textCol: String,
                   keepCols: Seq[String] = Nil,
-                  commit: Boolean = false): DataFrame = {
+                  commit: Boolean = false,
+                  idempotentCommit: Boolean = false): DataFrame = {
     val fp = TextFns.fingerprint(col(textCol))
     val w = Window.partitionBy(fp).orderBy(col(idCol))
     // exact stage: keep-first per fingerprint WITHIN the delta, then
@@ -197,11 +221,22 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
       // reads sigs/shingles, which the appends below update
       val kept = graft.Materialize.truncate(
         surv.select((idCol +: keepCols :+ "fp").map(col): _*))
-      writeBucketed(kept, corpusT, Seq("fp"), SaveMode.Append)
-      writeBucketed(dNew.select(col(idCol).as("id"), col("fp")),
-        seenT, Seq("fp"), SaveMode.Append)
-      writeBucketed(dBanded, sigsT, Seq("band", "bucket"), SaveMode.Append)
-      writeBucketed(dsh, shinglesT, Seq("id"), SaveMode.Append)
+      // replay-idempotent append: rows whose id the target already
+      // holds are skipped (truncated BEFORE the write — the append
+      // must not re-scan its own target mid-job)
+      def appendFresh(df: DataFrame, tbl: String, bucketKeys: Seq[String],
+                      dfIdCol: String): Unit = {
+        val out =
+          if (!idempotentCommit) df
+          else graft.Materialize.truncate(df.join(
+            spark.table(tbl).select(col(dfIdCol)), Seq(dfIdCol), "left_anti"))
+        writeBucketed(out, tbl, bucketKeys, SaveMode.Append)
+      }
+      appendFresh(kept, corpusT, Seq("fp"), idCol)
+      appendFresh(dNew.select(col(idCol).as("id"), col("fp")),
+        seenT, Seq("fp"), "id")
+      appendFresh(dBanded, sigsT, Seq("band", "bucket"), "id")
+      appendFresh(dsh, shinglesT, Seq("id"), "id")
       kept.drop("fp")
     }
   }

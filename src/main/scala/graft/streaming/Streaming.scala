@@ -139,6 +139,58 @@ object Streaming {
                                salt: String): DataFrame =
     graft.functions.Mixture.sampleByRates(docs, idCol, Seq(keyCol), rates, salt)
 
+  /** Streaming INCREMENTAL dedup — the d11 delta-vs-store shape on a
+    * continuously-arriving crawl: every micro-batch dedups against the
+    * persisted [[graft.dedup.DedupSnapshot]] (exact fingerprints via
+    * the bucketed seen census, near-dups via the persisted MinHash
+    * band table — the stored corpus text is never re-read) AND against
+    * itself, then commits its survivors + side-table rows under the
+    * store lease. Batches arriving later dedup against every earlier
+    * batch's exact survivors through the store, so the stream
+    * converges to the same corpus a batch d11 run over the
+    * concatenated files produces (StreamingFileSpec pins it, restart
+    * included).
+    *
+    * Exactly-once across restart: `foreachBatch` is at-least-once; a
+    * replayed batch re-runs `ingestDelta` with `idempotentCommit` on,
+    * whose per-table id anti-joins land exactly the rows a crashed
+    * attempt missed (see [[graft.dedup.DedupSnapshot.ingestDelta]]).
+    * Id contract: crawl ids must be monotone across batches (the d11
+    * store-ids < delta-ids invariant, batch-to-batch).
+    *
+    * Lease contention rides the same bounded backoff as
+    * [[harvestSink]]: a TRANSIENT concurrent writer is retried; a
+    * crashed writer's stale lease still fails the query loudly.
+    */
+  def incrementalDedupSink(docs: DataFrame, snap: graft.dedup.DedupSnapshot,
+                           idCol: String, textCol: String,
+                           keepCols: Seq[String], checkpointDir: String,
+                           leaseRetries: Int = 3, retryBaseMs: Long = 500)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try {
+              snap.ingestDelta(batch.toDF(), idCol, textCol, keepCols,
+                commit = true, idempotentCommit = true)
+              done = true
+            } catch {
+              case e: graft.store.ConcurrentWriteException =>
+                if (attempt >= leaseRetries) throw e
+                Thread.sleep(math.min(
+                  retryBaseMs << math.min(attempt, 16), 30000L))
+                attempt += 1
+            }
+          }
+        }
+      }
+      .start()
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

@@ -202,6 +202,45 @@ class StreamingFileSpec extends SparkSpec {
     assert(kept.toSet == (batch1 ++ batch2).map(_._3).toSet)
   }
 
+  test("incremental-dedup stream ≡ batch d11 over the same files, across restart") {
+    import graft.dedup.{Dedup, DedupSnapshot}
+    val in = tmp(); val ckpt = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // batch reference: the d11 from-scratch pipeline over ALL docs
+    val exact = Dedup.exactSurvivors(docs, "doc_id", "text")
+    val drops = Dedup.nearDupDrops(
+      Dedup.minHashCandidates(exact, "doc_id", "text",
+        n = 3, bands = 16, rows = 4, threshold = 0.8))
+    val allSurv = exact.join(drops.select(col("drop_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // store = harvested first 200 ids; the stream ingests the rest in
+    // two crawl files, with a stream RESTART between them
+    val snap = new DedupSnapshot(spark, "graft_spec_stream", nBuckets = 4)
+    snap.writeCorpus(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      keepCols = Seq("lang"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    def runOnce(): Unit = {
+      val q = Streaming.incrementalDedupSink(
+        spark.readStream.schema(schema).parquet(in),
+        snap, "doc_id", "text", Seq("lang"), ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") >= 350)
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint
+    val stored = snap.corpus().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(stored == allSurv, "streamed corpus must equal batch d11 over the union")
+    assert(snap.corpus().count() == stored.size) // exactly-once: no dup rows
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
