@@ -179,8 +179,25 @@ object Clustering {
     * cross-bucket pairs inside an OVERSIZED cluster are skipped — the
     * same kind of approximation SemDeDup already makes by never
     * comparing across clusters, and it engages only past the working
-    * size the caller declared healthy. Output contract identical to
-    * [[semanticDedup]]: (idCol, cluster, dup).
+    * size the caller declared healthy.
+    *
+    * QUANTIFIED (advisor r11; unlike MinHash's 16 bands there is no
+    * second chance within the semantic path, so the numbers matter):
+    * for an oversized cluster of n_c rows split into B = ⌈n_c/cap⌉
+    * sub-buckets —
+    *  - DENSE FLOOD (every row ≥ tau to every other — the pathology
+    *    the cap exists for): each bucket keeps exactly its min id, so
+    *    B rows survive instead of 1 and drop-recall is
+    *    (n_c − B)/(n_c − 1) ≥ 1 − cap⁻¹·(n_c/(n_c−1)) — e.g. ≥ 98%
+    *    at cap 10² and ≥ 99.99% at the default 10⁵, asymptotically
+    *    independent of flood size. Spec-measured on a planted flood
+    *    (ClusteringSpec) against exactly this bound.
+    *  - ISOLATED PAIR inside an oversized cluster (a single dup whose
+    *    partner has no other neighbors): both rows co-bucket with
+    *    probability 1/B, the worst case of the trade. Rows whose
+    *    cluster is ≤ cap are never affected.
+    * Output contract identical to [[semanticDedup]]:
+    * (idCol, cluster, dup).
     */
   def semanticDedupCapped(df: DataFrame, idCol: String, vecCol: String,
                           centroids: Array[Array[Double]], tau: Double,

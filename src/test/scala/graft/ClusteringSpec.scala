@@ -134,5 +134,16 @@ class ClusteringSpec extends SparkSpec {
     // small cluster: identical vectors, single bucket -> 1000 keeps
     assert(dups ==
       ((0L until 600L).toSet -- minPerBucket) ++ (1001L until 1005L))
+    // measured DENSE-FLOOD drop recall >= the documented bound
+    // (n_c - B)/(n_c - 1): true dups = 599 of 600, capped path drops
+    // all but one per bucket
+    val nC = 600.0
+    val bCnt = minPerBucket.size // = B: one survivor per bucket
+    val trueDups = (0L until 600L).toSet.size - 1
+    val measured = dups.count(_ < 600L).toDouble / trueDups
+    val bound = (nC - bCnt) / (nC - 1)
+    assert(measured >= bound,
+      s"flood recall $measured below documented bound $bound")
+    assert(bound > 0.97) // the docstring's ">= 98% at cap 100" ballpark
   }
 }
