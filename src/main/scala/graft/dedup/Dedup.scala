@@ -442,6 +442,49 @@ object Dedup {
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("drop_id"), col("cluster").as("kept_id"))
 
+  /** Leakage-safe train/val/test split (sp1): eval contamination is a
+    * near-dup of a training doc landing in the held-out split (Lee et
+    * al. 2022 §6 measure it; every serious corpus release splits by
+    * cluster, not by row). The WHOLE near-dup cluster is assigned by
+    * ONE deterministic hash coin on its cluster label (min reachable
+    * id), so members can never straddle splits, un-clustered docs coin
+    * on their own id, and — the [[graft.functions.Mixture]] property —
+    * adding rows later never flips an earlier assignment.
+    *
+    * `fractions` are (name, weight) in order, summing to 1; the coin
+    * is [[graft.functions.Mixture.hashFraction]] of (salt, cluster)
+    * against the cumulative boundaries. Output: (idCol, cluster,
+    * split). Shape: the pair graph is the only non-map-only cost
+    * (whatever candidate generator produced `pairs`); the assignment
+    * itself is a left join against the (tiny) cluster table plus a
+    * stateless hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val keyed = docs.join(cc, Seq(idCol), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val frac = graft.functions.Mixture.hashFraction(col("cluster"), salt)
+    // cumulative upper bounds in DECIMAL space: 0.8 + 0.1 in binary
+    // doubles is 0.9000000000000001, but an oracle writes the literal
+    // 0.9 — BigDecimal accumulation makes the boundary the same double
+    // both engines parse. The last bucket is the CASE default so any
+    // residual top-boundary drift can't orphan a row.
+    val cums = fractions.map(f => java.math.BigDecimal.valueOf(f._2))
+      .scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
+      .map(_.doubleValue())
+    val split = fractions.init.zip(cums.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (els, ((name, _), hi)) =>
+        when(frac < hi, name).otherwise(els)
+      }
+    keyed.select(col(idCol), col("cluster"), split.as("split"))
+  }
+
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
     * by chunk-banding (pigeonhole: 4 chunks — any pair with distance
     * ≤ 3 shares a chunk). Verification via bit_count(xor).

@@ -663,6 +663,60 @@ object TextQueries {
       WHERE ex.doc_id > (SELECT max(doc_id) * 3 // 5 FROM documents)
         AND (cl.cluster IS NULL OR cl.cluster = ex.doc_id)"""))
 
+  /** SP1: LEAKAGE-SAFE train/val/test split — eval contamination is a
+    * near-dup of a training doc landing in the held-out split; every
+    * serious corpus release assigns the WHOLE near-dup cluster with
+    * one coin ([[Dedup.leakageSafeSplit]]: hash fraction of the
+    * cluster's min id against cumulative 0.8/0.1/0.1 boundaries;
+    * un-clustered docs coin on their own id). Oracle: the d5 cluster
+    * fragment + the t9 hash-coin formula — cluster AND split both
+    * hash-checked per doc.
+    */
+  val sp1Split = QueryDef(
+    "sp1_leakage_safe_split",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+        Dedup.minHashCandidates(docs, "doc_id", "text",
+          n = 3, bands = 16, rows = 4, threshold = 0.8,
+          bucketCap = 0) // oracle doesn't model the salt split (see d3)
+          .select("id_a", "id_b"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp1")
+    },
+    Some("WITH " + ccLabelCtes + """,
+      k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      f AS (SELECT doc_id, cluster,
+        (CAST('0x' || substr(md5('sp1:' || cluster), 1, 15) AS BIGINT)::DOUBLE
+          / 1152921504606846976.0) AS fr FROM k)
+      SELECT doc_id, cluster,
+        CASE WHEN fr < 0.8 THEN 'train'
+             WHEN fr < 0.9 THEN 'val'
+             ELSE 'test' END AS split
+      FROM f"""))
+
+  /** N11: hard-negative mining for contrastive training — per anchor,
+    * the top-k most-similar corpus vectors with a DIFFERENT label
+    * ([[Similarity.hardNegatives]]; the exact baseline the ANN ladder
+    * approximates at anchor scale). Oracle: n1's exact-ranking shape
+    * with the label-inequality join.
+    */
+  val n11Negatives = QueryDef(
+    "n11_hard_negatives",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      c.label AS neg_label,
+      ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 20 AND q.label <> c.label
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                 c.vec_id) <= 5"""))
+
   /** T9: deterministic mixture sampling — domain-weighted subsample
     * where each keep/drop is a pure function of (salt, doc_id), so the
     * split is stable across runs/partitionings/engines and old
@@ -2276,6 +2330,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
+    n11Negatives, sp1Split,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     p1Pipeline, p2CorpusBuild)
 }

@@ -40,6 +40,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training (n11): for each
+    * anchor, the top-k most-similar corpus vectors carrying a
+    * DIFFERENT label — the negatives that actually move a contrastive
+    * loss (in-batch random negatives are mostly easy; mining the
+    * hardest ones is standard practice, e.g. Robinson et al. 2021,
+    * DPR's BM25-hard-negatives). Brute-force form: anchors broadcast,
+    * one streamed corpus pass, label inequality in the join condition
+    * (failing pairs never materialize), `WindowGroupLimit`-pruned
+    * top-k per anchor. For anchor sets at corpus scale the ANN ladder
+    * (IVF/IVFADC with a post-filter on label) is the scale path; this
+    * exact form is the oracle-checkable baseline, same contract as
+    * [[bruteForceKnn]].
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("cl"))
+    val scored = q.join(c, col("ql") =!= col("cl"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cl").as("neg_label"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold within `blockCols` blocks —
     * the embedding near-dup correctness baseline (O(block²); LSH is
     * the unblocked scale path). Vectors are L2-normalized once so the

@@ -1,0 +1,64 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** sp1/n11 operator semantics on planted data (the oracle rows pin
+  * cross-engine exactness; these pin the contracts).
+  */
+class SplitNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leakageSafeSplit: a dup cluster never straddles splits; assignments are growth-stable") {
+    // pairs: {1,2,3} one cluster, {10,11} another; 20..40 isolated
+    val docs = ((1L to 3L) ++ (10L to 11L) ++ (20L to 40L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 26)
+    // whole-cluster assignment
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Set(out(10L), out(11L)).size == 1)
+    // growth stability: adding new docs never flips earlier coins
+    val more = Dedup.leakageSafeSplit(
+      docs.union(Seq(100L, 101L).toDF("doc_id")), "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.forall { case (id, v) => more(id) == v })
+    // every split name is one of the declared three
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("leakageSafeSplit: fractions are honored on many isolated docs") {
+    val docs = (0L until 5000L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val counts = Dedup.leakageSafeSplit(docs, "doc_id", noPairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash coin: binomial around the targets (5σ ≈ 0.03 at n=5000)
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03, counts.toString)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.03, counts.toString)
+    assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.03, counts.toString)
+  }
+
+  test("hardNegatives: same-label vectors are excluded, hardest different-label wins") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), "a"),   // anchor
+      (1L, Seq(0.999, 0.01, 0.0), "a"), // same label, nearly identical -> excluded
+      (2L, Seq(0.9, 0.1, 0.0), "b"),   // hardest valid negative
+      (3L, Seq(0.5, 0.5, 0.0), "b"),
+      (4L, Seq(0.0, 1.0, 0.0), "c")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb.filter(col("vec_id") === 0L), emb, "vec_id", "embedding", "label", k = 2)
+      .orderBy(desc("sim")).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L && out(0).getString(2) == "b")
+    assert(out(1).getLong(1) == 3L)
+    assert(!out.map(_.getLong(1)).contains(1L))
+  }
+}
