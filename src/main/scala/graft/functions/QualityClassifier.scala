@@ -78,8 +78,11 @@ object QualityClassifier {
 
   /** Fit and score in one call: returns `(weights, scored)` where
     * `weights(j)` is the micro-unit coefficient of bucket `j` (bias at
-    * index `dim`) and `scored` has `(idCol, label, score)` per input
-    * document, score = round(p, 6) under the final weights.
+    * index `dim`) and `scored` has `(idCol, label, score,
+    * score_micro)` per input document — score = round(p, 6) under the
+    * final weights, score_micro = round(p·10⁶) as an exact BIGINT so
+    * downstream thresholds/means can stay in order-free integer space
+    * (the p3 gate).
     */
   def fitScore(docs: DataFrame, idCol: String, textCol: String,
                label: Column, dim: Int = 64, iters: Int = 4,
@@ -115,7 +118,8 @@ object QualityClassifier {
       .groupBy(col(idCol))
       .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
       .select(col(idCol), col("y").cast("long").as("label"),
-        round(pCol, 6).as("score"))
+        round(pCol, 6).as("score"),
+        round(pCol * lit(1e6)).cast("long").as("score_micro"))
     (w, scored)
   }
 }

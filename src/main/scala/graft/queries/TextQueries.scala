@@ -276,13 +276,10 @@ object TextQueries {
     * gradient iterations, weight quantization — then the final scores:
     * per-doc score and label both hash-checked.
     */
-  val t20Classifier = QueryDef(
-    "t20_quality_classifier",
-    (s, dir) => graft.functions.QualityClassifier.fitScore(
-      table(s, dir, "documents"), "doc_id", "text",
-      col("source").isin("src0", "src1", "src2", "src3", "src4"),
-      dim = 64, iters = 4)._2,
-    Some("""WITH tok AS (SELECT doc_id,
+  /** t20's full training replay through the final margins `zf` —
+    * shared base for t20's scores and p3's gate. */
+  private val t20BaseCtes: String =
+    """tok AS (SELECT doc_id,
         unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
       lab AS MATERIALIZED (SELECT doc_id,
         CASE WHEN source IN ('src0','src1','src2','src3','src4')
@@ -301,13 +298,69 @@ object TextQueries {
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
       w0 AS (SELECT unnest(range(0, 65)) AS j, 0::BIGINT AS wm),
       """ + t20IterCtes(4) + """,
-      zf AS (SELECT f.doc_id, max(f.y) AS y,
+      zf AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
         CAST(sum(w.wm * f.x) AS BIGINT) AS sp
-        FROM f JOIN w4 w USING (j) GROUP BY 1)
+        FROM f JOIN w4 w USING (j) GROUP BY 1)"""
+
+  val t20Classifier = QueryDef(
+    "t20_quality_classifier",
+    (s, dir) => graft.functions.QualityClassifier.fitScore(
+      table(s, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      dim = 64, iters = 4)._2
+      .select("doc_id", "label", "score"), // score_micro is p3's input
+    Some("WITH " + t20BaseCtes + """
       SELECT doc_id, CAST(y AS BIGINT) AS label,
         ROUND(0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
           / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score
       FROM zf"""))
+
+  /** P3: CLASSIFIER-GATED cleaning — the discriminative-filter stage
+    * the GPT-3 pipeline actually ran (Brown et al. 2020 §A: score
+    * every crawl doc with the reference-vs-web classifier, keep the
+    * high-scoring side, then dedup): t20's trained scores → keep docs
+    * at-or-above the corpus MEAN score — computed in exact integer
+    * micro-units (`score_micro` sums are order-free; the threshold is
+    * one bounded 1-row aggregate, no global sort or percentile pass)
+    * — → exact-dedup keep-first on the survivors. Oracle: the full
+    * t20 training replay + the integer mean gate + the d1b window.
+    */
+  val p3ClassifierGate = QueryDef(
+    "p3_classifier_gate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val sc2 = graft.Materialize.reuse(
+        graft.functions.QualityClassifier.fitScore(docs, "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          dim = 64, iters = 4)._2)
+      // one bounded 1-row agg: the integer-space mean threshold
+      val thr = sc2.agg(expr("sum(score_micro) div count(1)"))
+        .head.getLong(0)
+      val gated = sc2.filter(col("score_micro") >= thr)
+        .join(docs.select("doc_id", "lang", "text"), Seq("doc_id"))
+      val w = Window.partitionBy(TextFns.fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+      gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "lang", "score")
+    },
+    Some("WITH " + t20BaseCtes + """,
+      sc AS MATERIALIZED (SELECT doc_id,
+        ROUND(0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score,
+        CAST(round((0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10))) * 1e6) AS BIGINT) AS sm
+        FROM zf),
+      thr AS (SELECT CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT) AS t
+        FROM sc),
+      g AS (SELECT d.doc_id, d.lang, d.text, sc.score
+        FROM sc JOIN documents d USING (doc_id)
+        WHERE sc.sm >= (SELECT t FROM thr))
+      SELECT doc_id, lang, score FROM g
+      QUALIFY row_number() OVER (PARTITION BY md5(array_to_string(
+        string_split_regex(trim(lower(text)), '\s+'), ' '))
+        ORDER BY doc_id) = 1"""))
 
   /** T21: REAL BPE tokenization parity — merges-table application
     * ([[graft.functions.Bpe]]: the GPT-2 apply loop as a native
@@ -322,11 +375,10 @@ object TextQueries {
     * terminal states are the no-rule-applies fixpoints, and per-doc
     * counts must hash-match.
     */
-  val t21Bpe = QueryDef(
-    "t21_bpe_tokens",
-    (s, dir) => graft.functions.Bpe.tokenCount(
-      table(s, dir, "documents"), "doc_id", "text"),
-    Some("""WITH RECURSIVE
+  /** t21's recursive merge replay through the terminal states `fin` —
+    * shared base for t21's per-doc counts and cp4's per-lang budgets. */
+  private val t21BaseCtes: String =
+    """WITH RECURSIVE
       merges(rk, a, b) AS (SELECT * FROM (VALUES """ +
       graft.functions.Bpe.mergesSqlValues + """) m(rk, a, b)),
       tok AS (SELECT doc_id,
@@ -347,10 +399,41 @@ object TextQueries {
         (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns
         FROM steps st WHERE NOT EXISTS (
           SELECT 1 FROM merges
-          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))
+          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))"""
+
+  val t21Bpe = QueryDef(
+    "t21_bpe_tokens",
+    (s, dir) => graft.functions.Bpe.tokenCount(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some(t21BaseCtes + """
       SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
         CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
       FROM tok JOIN fin USING (w) GROUP BY 1"""))
+
+  /** CP4: per-language REAL-BPE token budgets — the corpus-card line
+    * that decides mixture weights and training budgets, now counted
+    * with actual merges-table tokenization (t21) instead of the regex
+    * proxy: docs, whitespace tokens, and BPE tokens per language.
+    */
+  val cp4BpeBudget = QueryDef(
+    "cp4_bpe_budget",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.functions.Bpe.tokenCount(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws_tokens").as("ws_tokens"),
+          sum("n_bpe_tokens").as("bpe_tokens"))
+    },
+    Some(t21BaseCtes + """,
+      pd AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS ws,
+        CAST(sum(fin.ns) AS BIGINT) AS bpe
+        FROM tok JOIN fin USING (w) GROUP BY 1)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(pd.ws) AS BIGINT) AS ws_tokens,
+        CAST(sum(pd.bpe) AS BIGINT) AS bpe_tokens
+      FROM pd JOIN documents d USING (doc_id) GROUP BY 1"""))
 
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
@@ -2332,5 +2415,5 @@ FROM gi GROUP BY doc_id, grp"""))
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
-    p1Pipeline, p2CorpusBuild)
+    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget)
 }
