@@ -15,7 +15,14 @@ object Explain {
         // round 11: production SemDeDup, incremental index, paragraph
         // dedup, distributed CC, full corpus build
         "sd2_semantic_dedup_capped", "n9_incremental_index",
-        "t19_paragraph_dedup", "d5b_dup_clusters_dist", "p2_corpus_build")
+        "t19_paragraph_dedup", "d5b_dup_clusters_dist", "p2_corpus_build",
+        // round 12: incremental cross-snapshot dedup, perceptual image
+        // dedup, trained classifier (+ gate composition), BPE counts,
+        // tombstoned index, leakage-safe split, hard negatives
+        "d11_incremental_dedup", "mm5_perceptual_dedup",
+        "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
+        "n10_tombstone_delete", "sp1_leakage_safe_split",
+        "n11_hard_negatives")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
