@@ -67,7 +67,8 @@ object Bench {
       "d5b_dup_clusters_dist", "n3_cosine_pairs",
       "d8_quality_keeper", // d5's pipeline + join: same SF-skewed candidates
       "d11_incremental_dedup", // delta-vs-store candidates: planted-dup volume is SF-skewed like d3
-      "mm5_perceptual_dedup") // Hamming pair volume rides short-doc density, not bytes
+      "mm5_perceptual_dedup", // Hamming pair volume rides short-doc density, not bytes
+      "mm6_audio_dedup") // same Hamming-banding family as mm5
 
   private def once(spark: SparkSession, name: String,
                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

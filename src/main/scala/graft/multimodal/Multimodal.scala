@@ -334,6 +334,83 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual audio fingerprints for near-dup detection — the audio
+    * twin of [[perceptualHash]], after Haitsma & Kalker 2002 ("A
+    * Highly Robust Audio Fingerprint System"): a compact bit string of
+    * SIGNS OF DIFFERENCES between coarse per-frame statistics, robust
+    * to small waveform perturbations because each bit depends only on
+    * an ORDERING of two frame aggregates, not their exact values. The
+    * paper's frequency-band energies need an FFT, whose float
+    * butterflies are not cross-engine bit-reproducible (the same
+    * reason pHash is absent from [[perceptualHash]]); the two frame
+    * statistics used here are integer-exact and carry the same
+    * delta-sign structure:
+    *
+    *  - `ehash`: energy hash — the decoded PCM stream splits into 61
+    *    contiguous frames (floor boundaries `f·n/61`, the [[boxGrid]]
+    *    discipline); `E[f] = Σ s²` (exact: RIFF caps payloads at
+    *    4 GiB → < 2³¹ samples × 2³⁰ max square < 2⁶¹); bit f set iff
+    *    `E[f+1] > E[f]`. 60 bits so the signature stays inside a
+    *    signed BIGINT on both engines and feeds
+    *    [[graft.dedup.Dedup.simHashPairsFromSigs]] directly.
+    *  - `rhash`: rising-step hash — `R[f]` counts strictly increasing
+    *    consecutive-sample steps `s[i] > s[i-1]` within frame f (both
+    *    endpoints inside the frame); bit f set iff `R[f+1] > R[f]`.
+    *    Local-ordering texture, independent of magnitude — chosen
+    *    over the classic zero-crossing count because payloads whose
+    *    samples never change sign (e.g. [[encodeAsWav]] renderings of
+    *    ASCII bytes, all negative) would make every zero-crossing
+    *    count 0 and the hash degenerate.
+    *
+    * Multi-channel audio fingerprints the interleaved stream as-is —
+    * deterministic, and per-frame aggregates of interleaved channels
+    * are still perturbation-stable. One `mapPartitions` decode pass;
+    * all arithmetic is integer-exact and recomputable in SQL from the
+    * source samples.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ehash", LongType, nullable = false),
+      StructField("rhash", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val s = WavCodec.decode(internal.getBinary(cIdx)).samples
+        val n = s.length
+        val energy = new Array[Long](61)
+        val rising = new Array[Long](61)
+        var f = 0
+        while (f < 61) {
+          val lo = (f.toLong * n / 61).toInt
+          val hi = ((f + 1).toLong * n / 61).toInt
+          var e = 0L; var r = 0L
+          var i = lo
+          while (i < hi) {
+            val v = s(i).toLong
+            e += v * v
+            if (i > lo && s(i) > s(i - 1)) r += 1
+            i += 1
+          }
+          energy(f) = e; rising(f) = r
+          f += 1
+        }
+        var ehash = 0L; var rhash = 0L
+        var b = 0
+        while (b < 60) {
+          if (energy(b + 1) > energy(b)) ehash |= 1L << b
+          if (rising(b + 1) > rising(b)) rhash |= 1L << b
+          b += 1
+        }
+        Row(id, ehash, rhash)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode PNG payloads and fingerprint every pixel: md5 over the
     * comma-joined unsigned pixel values (row-major) — the byte-exact
     * gate for resize/codec round trips, reproducible in any SQL

@@ -1915,6 +1915,70 @@ object TextQueries {
       FROM dh JOIN ah USING (doc_id)
       LEFT JOIN cl ON cl.doc_id = dh.doc_id"""))
 
+  /** MM6: perceptual AUDIO dedup — completes the multimodal near-dup
+    * family (mm5 = images): REAL WAV files (documents rendered as
+    * PCM-16 waveforms, the mm2 construction) are decoded once and
+    * fingerprinted ([[Multimodal.audioFingerprint]]: Haitsma-Kalker
+    * delta-sign bits over 61-frame energies + rising-step counts, 60
+    * bits each, all integer arithmetic), then near-dup pairs form
+    * through the SAME Hamming chunk-banding as mm5/d4
+    * ([[Dedup.simHashPairsFromSigs]], exact recall at maxDist ≤ 3 by
+    * pigeonhole — the refinement split preserves the pair set, so the
+    * oracle's brute-force graph is the plan's graph) and connected
+    * components label each clip with its cluster's min id. Oracle:
+    * DuckDB rebuilds the PCM stream from the source text (sample =
+    * byte·256 − 32768, the mm2 replay), re-derives all 61 frame
+    * energies and rising-step counts with the same floor boundaries,
+    * reassembles both hashes bit by bit, brute-forces the Hamming-≤3
+    * graph and label-propagates — fingerprints AND clustering both
+    * gate-checked.
+    */
+  val mm6AudioDedup = QueryDef(
+    "mm6_audio_dedup",
+    (s, dir) => {
+      val media = graft.Materialize.truncate( // real WAV bytes; decode reads them back
+        graft.multimodal.Multimodal.encodeAsWav(
+          table(s, dir, "documents"), "doc_id", "text", sampleRate = 8000))
+      val sigs = graft.Materialize.reuse( // feeds banding AND the output join
+        graft.multimodal.Multimodal.audioFingerprint(media))
+      val pairs = Dedup.simHashPairsFromSigs(
+        sigs.select(col("media_id").as("id"), col("ehash").as("sig")),
+        maxDist = 3, bits = 60)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "media_id")
+      sigs.join(cc, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("ehash"), col("rhash"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"))
+    },
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+      px AS MATERIALIZED (SELECT doc_id, nb,
+          list_transform(range(nb), i ->
+            ord(substr(text, (i+1)::INT, 1)) * 256 - 32768) AS p
+        FROM m),
+      fr AS MATERIALIZED (SELECT doc_id,
+          list_transform(range(0, 61), f -> COALESCE(list_sum(list_transform(
+            range(f * nb // 61, (f + 1) * nb // 61), i ->
+              CAST(p[(i+1)::INT] AS BIGINT) * p[(i+1)::INT])), 0)) AS e,
+          list_transform(range(0, 61), f -> COALESCE(list_sum(list_transform(
+            range(f * nb // 61 + 1, (f + 1) * nb // 61), i ->
+              CASE WHEN p[(i+1)::INT] > p[i::INT] THEN 1 ELSE 0 END)), 0)) AS r
+        FROM px),
+      fp AS MATERIALIZED (SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN e[(b+2)::INT] > e[(b+1)::INT]
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS ehash,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN r[(b+2)::INT] > r[(b+1)::INT]
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS rhash
+        FROM fr),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ehash, b.ehash)) <= 3),
+      """ + ccPropagationCtes + """
+      SELECT fp.doc_id AS media_id, fp.ehash, fp.rhash,
+        COALESCE(cl.cluster, fp.doc_id) AS cluster
+      FROM fp LEFT JOIN cl ON cl.doc_id = fp.doc_id"""))
+
   /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the fixed-window
     * form of its suffix-array dedup): every 40-char window (stride 1)
@@ -2415,5 +2479,6 @@ FROM gi GROUP BY doc_id, grp"""))
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
+    mm6AudioDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget)
 }

@@ -54,6 +54,49 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(ham(rows(1L)._2, rows(2L)._2) <= 3)
   }
 
+  private def audioDF(clips: Seq[(Long, Array[Short])]) = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        clips.map { case (id, s) =>
+          Row(id, graft.multimodal.WavCodec.encode(s, 8000))
+        }, 2),
+      schema)
+  }
+
+  test("near-dup audio clusters with its source; unrelated clip does not") {
+    val n = 4000
+    // structured waveform: per-frame energy/rising-step profiles vary
+    val base = Array.tabulate(n)(i =>
+      ((i % 97) * 23 + (i / 61) * 7 - 1500).toShort)
+    // small perturbation: a handful of samples nudged by ±3 — frame
+    // energies and rising counts move slightly, at most a few
+    // delta-sign comparisons can flip
+    val near = base.clone()
+    Seq(10, 700, 1900, 3100).foreach(i => near(i) = (near(i) + 3).toShort)
+    // unrelated: different modulation structure entirely
+    val far = Array.tabulate(n)(i =>
+      ((i % 41) * 31 - (i / 13) % 800).toShort)
+    val sigs = Multimodal.audioFingerprint(
+      audioDF(Seq(1L -> base, 2L -> near, 3L -> far)))
+    val rows = sigs.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(1L)._1, rows(2L)._1) <= 3,
+      s"planted near-dup ehash distance ${ham(rows(1L)._1, rows(2L)._1)}")
+    assert(ham(rows(1L)._1, rows(3L)._1) > 3)
+    val pairs = Dedup.simHashPairsFromSigs(
+      sigs.select(col("media_id").as("id"), col("ehash").as("sig")),
+      maxDist = 3, bits = 60)
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.get(1L).contains(1L) && cc.get(2L).contains(1L))
+    assert(!cc.contains(3L)) // no pair touches the unrelated clip
+    // the rising-step hash agrees on the planted pair too
+    assert(ham(rows(1L)._2, rows(2L)._2) <= 3)
+  }
+
   test("identical payloads hash identically regardless of partitioning") {
     val img = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
     val sigs = Multimodal.perceptualHash(
