@@ -1080,6 +1080,97 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** N12: ANN recall-evaluation harness — recall@10 of the sign-LSH
+    * search ([[Similarity.lshKnn]], md5 planes) against brute-force
+    * ground truth ([[Similarity.bruteForceKnn]]), per probe. The
+    * "measure, don't guess" loop a production index runs continuously:
+    * both the approximate path AND the evaluation itself are operators
+    * ([[Similarity.recallAtK]] consumes any ladder member's output).
+    * Probes are the n4 md5-noise perturbations (SQL-reproducible), so
+    * the oracle replays EVERYTHING: probe construction, exact top-10
+    * (n1's QUALIFY shape), planes/signatures/bands/candidates (n2's
+    * replay, probe-vs-corpus instead of self-join), the cosine
+    * re-rank, and the per-query intersection — the measured recall is
+    * gate-checked, not asserted. Absolute recall is LOW on these
+    * near-uniform synthetic embeddings by design (sign-LSH is a
+    * high-threshold tool — the n2 registration note); the planted
+    * source vector at cosine ≈0.99 keeps hits ≥ 1 in expectation
+    * while the background top-10 shows the honest low number the
+    * harness exists to surface. Recall on structured data is
+    * spec-covered (SimilaritySpec).
+    */
+  val n12Recall = QueryDef(
+    "n12_ann_recall",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      val probeRows = base.map { case (id, v) =>
+        (1000000L + id, v.zipWithIndex.map { case (x, j) =>
+          x + 0.1 * (graft.functions.Md5Util.high60(
+            s"ivq:$id:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toDouble / 1.152921504606846976e18 * 2.0 - 1.0)
+        })
+      }
+      import s.implicits._
+      val probes = probeRows.toDF("vec_id", "embedding")
+      val truth = Similarity.bruteForceKnn(probes, emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.lshKnn(probes, emb, "vec_id", "embedding",
+        k = 10, dim = 64, nbits = 60, bands = 6,
+        planes = Some(Similarity.md5Planes(nbits = 60, dim = 64)))
+      Similarity.recallAtK(approx, truth)
+    },
+    Some("""WITH q AS MATERIALIZED (
+        SELECT vec_id + 1000000 AS query_id, list_transform(range(64), j ->
+          embedding[(j+1)::INT]::DOUBLE + 0.1 *
+          ((CAST('0x' || substr(md5('ivq:' || vec_id || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+            / 1152921504606846976.0) * 2.0 - 1.0)) AS qv
+        FROM embeddings WHERE vec_id < 20),
+      truth AS MATERIALIZED (
+        SELECT q.query_id, e.vec_id AS neighbor_id
+        FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
+                   e.vec_id) <= 10),
+      planes AS MATERIALIZED (
+        SELECT p, list_transform(range(64), j ->
+          (CAST('0x' || substr(md5('rhp:' || p || ':' || j), 1, 15) AS BIGINT)::DOUBLE
+           / 1152921504606846976.0) * 2.0 - 1.0) AS pw
+        FROM (SELECT unnest(range(60)) AS p)),
+      cs AS MATERIALIZED (
+        SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM (
+          SELECT e.vec_id, CASE WHEN list_reduce(list_transform(range(64), j ->
+              e.embedding[(j+1)::INT]::DOUBLE * pl.pw[(j+1)::INT]), (x,y) -> x+y) >= 0
+            THEN (1::BIGINT << pl.p::INT) ELSE 0::BIGINT END AS bit
+          FROM embeddings e, planes pl) GROUP BY vec_id),
+      qs AS MATERIALIZED (
+        SELECT query_id, CAST(sum(bit) AS BIGINT) AS sig FROM (
+          SELECT q.query_id, CASE WHEN list_reduce(list_transform(range(64), j ->
+              q.qv[(j+1)::INT] * pl.pw[(j+1)::INT]), (x,y) -> x+y) >= 0
+            THEN (1::BIGINT << pl.p::INT) ELSE 0::BIGINT END AS bit
+          FROM q, planes pl) GROUP BY query_id),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+        FROM (SELECT query_id, band, (sig >> (band*10)::INT) & 1023 AS bucket
+              FROM qs, (SELECT unnest(range(6)) AS band)) qb
+        JOIN (SELECT vec_id, band, (sig >> (band*10)::INT) & 1023 AS bucket
+              FROM cs, (SELECT unnest(range(6)) AS band)) cb
+          ON qb.band = cb.band AND qb.bucket = cb.bucket),
+      approx AS MATERIALIZED (
+        SELECT cand.query_id, cand.neighbor_id
+        FROM cand JOIN q ON q.query_id = cand.query_id
+        JOIN embeddings e ON e.vec_id = cand.neighbor_id
+        QUALIFY row_number() OVER (PARTITION BY cand.query_id
+          ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
+                   cand.neighbor_id) <= 10),
+      r AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_true,
+          CAST(count(a.neighbor_id) AS BIGINT) AS hits
+        FROM truth t LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id)
+      SELECT query_id, n_true, hits, hits::DOUBLE / n_true AS recall FROM r"""))
+
   /** T13: hashed TF-IDF document vectors (feature hashing) in long
     * form — the text→embedding bridge that lets the n-family (ANN,
     * cosine dedup) run on REAL text features. The idf is fixed-
@@ -2475,7 +2566,8 @@ FROM gi GROUP BY doc_id, grp"""))
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
-    d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf, n5Pq,
+    d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
+    n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,

@@ -162,6 +162,80 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** LSH-bucketed approximate kNN for a bounded probe batch — the
+    * query-side counterpart of [[lshCandidatePairs]]: probes and
+    * corpus are RHP-signed with the SAME planes, a probe's candidates
+    * are the corpus rows sharing at least one signature band bucket,
+    * and candidates are re-ranked by exact cosine (the standard
+    * sign-LSH search: hash → bucket probe → exact re-rank; ties break
+    * on neighbor id, the [[bruteForceKnn]] contract). Probes that also
+    * exist in the corpus retrieve themselves — exclude upstream if
+    * unwanted.
+    *
+    * Scale shape: the probe band table broadcasts (bounded batch, the
+    * `queryBatch` discipline), so the corpus is touched by one banding
+    * scan fanned out ×`bands` with only (id, band, bucket) shuffled,
+    * plus one vector re-attach of the DEDUPLICATED candidates. Unlike
+    * the all-pairs path no bucketCap is needed: a flooded bucket costs
+    * candidate volume LINEAR in the flood (each flooded row meets at
+    * most the probe batch), never pairs quadratic in it.
+    */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, nbits: Int = 60,
+             bands: Int = 6, planes: Option[Array[Double]] = None): DataFrame = {
+    val rows = nbits / bands
+    def sigOf(v: Column) = planes match {
+      case Some(pl) => rhpSignatureWith(v, pl, nbits, dim)
+      case None     => rhpSignature(v, dim, nbits)
+    }
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val cv = graft.Materialize.reuse(corpus.select( // banding + re-attach both read it
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")))
+    def bandExplode(df: DataFrame, id: String, v: String) =
+      df.withColumn("sig", sigOf(col(v)))
+        .select(col(id),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * rows)
+              .bitwiseAND(lit((1L << rows) - 1))): _*))
+            .as(Seq("band", "bucket")))
+    val cands = bandExplode(cv, "neighbor_id", "cv")
+      .join(broadcast(bandExplode(qv, "query_id", "qv")), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Recall@k of an approximate kNN result against the exact ground
+    * truth — THE index-quality number an ANN deployment monitors (the
+    * ann-benchmarks protocol; Aumüller et al. 2020): per query,
+    * `|approx ∩ truth| / |truth|` over the two (query_id, neighbor_id)
+    * sets. The denominator follows the TRUTH set so short truth lists
+    * (corpus smaller than k) score correctly; queries the approximate
+    * index missed entirely score 0, not absent. Both inputs are
+    * consumed as plain id pairs, so any member of the ANN ladder —
+    * [[lshKnn]], [[IvfIndex.queryBatch]], PQ/IVFADC, the persisted
+    * index — evaluates through the same contract.
+    */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    t.join(a.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("hits"))
+      .select(col("query_id"), col("n_true"), col("hits"),
+        (col("hits").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** IVF index: k-means centroids fitted driver-side on a bounded
     * sample, assignment + probing distributed. The standard
     * billion-vector layout: partition the corpus by centroid id, scan

@@ -372,6 +372,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshKnn: a probe identical to a corpus vector retrieves it at rank 1; " +
+    "results are a subset of banded candidates re-ranked exactly") {
+    val e = emb(sf())
+    // probe = corpus vector 7 verbatim → identical signature → shares
+    // every band → candidate for sure; exact re-rank puts it first
+    val probe = e.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val planes = Similarity.md5Planes(nbits = 60, dim = 64)
+    val res = Similarity.lshKnn(probe, e, "vec_id", "embedding",
+      k = 5, dim = 64, nbits = 60, bands = 6, planes = Some(planes))
+      .orderBy(col("sim").desc, col("neighbor_id")).collect()
+    assert(res.nonEmpty && res.head.getLong(1) == 7L &&
+      math.abs(res.head.getDouble(2) - 1.0) < 1e-9,
+      s"self-retrieval failed: ${res.toSeq.take(3)}")
+    assert(res.length <= 5)
+  }
+
+  test("recallAtK: exact per-query intersection over the truth denominator") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1: 2 of 3 hit; q2: miss entirely (approx found other ids);
+    // q3: absent from approx altogether — still scored, recall 0
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, truth).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(r(2L) == ((1L, 0L, 0.0)))
+    assert(r(3L) == ((1L, 0L, 0.0)))
+    assert(r.size == 3) // one row per truth query, never per approx extra
+  }
+
   test("IVF: recall@10 vs brute force ≥ 0.6 with nprobe=4 of 8 lists") {
     val e = emb(sf())
     val idx = Similarity.IvfIndex.fit(e, "embedding", k = 8, sampleSize = 500)
