@@ -22,7 +22,7 @@ object Explain {
         "d11_incremental_dedup", "mm5_perceptual_dedup", "mm6_audio_dedup",
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
         "n10_tombstone_delete", "sp1_leakage_safe_split",
-        "n11_hard_negatives", "n12_ann_recall")
+        "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -170,6 +170,51 @@ object TextFns {
         frac(col("__mx"), col("n_words")).as("top_token_frac"))
   }
 
+  /** Per-language corpus DATASHEET (Gebru et al. 2021, "Datasheets
+    * for Datasets" — the release card a corpus team ships): documents
+    * are grouped by PREDICTED language ([[langId]] — production
+    * pipelines don't trust crawl metadata) and each group reports
+    * volume (docs, tokens, mean length), exact-duplicate surplus
+    * ([[fingerprint]] census: `n_docs − distinct fingerprints`),
+    * mean heuristic quality ([[qualityScore]], micro-quantized to
+    * integers BEFORE the sum so the mean is one division of exact
+    * integers — the t14 float-ordering discipline), and the fraction
+    * of documents failing a Gopher repetition gate
+    * (dup-word frac > 0.3 or top-token frac > 0.2, Rae et al. 2021
+    * §A1.1 thresholds over [[repetitionStats]]'s fields).
+    *
+    * Shape for scale: ONE corpus scan; every per-document feature is
+    * map-only (the gram kernel is [[TextExprs.gramRunStats]], in-row);
+    * the only exchanges are the hash partition of ~60-byte feature
+    * rows to their language group and the partial-aggregated
+    * (lang, fingerprint) distinct — both linear, text never shuffles.
+    */
+  def datasheet(docs: org.apache.spark.sql.DataFrame,
+                idCol: String, textCol: String,
+                stopLang: String = "en"): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__t"))
+      .select(
+        langId(col("__text")).as("lang_pred"),
+        size(col("__t")).cast("long").as("__nw"),
+        fingerprint(col("__text")).as("__fp"),
+        round(qualityScore(col("__text"), langMarkers(stopLang)) * 10000)
+          .cast("long").as("__qm"),
+        round((size(col("__t")) - size(array_distinct(col("__t")))).cast("double") /
+          greatest(size(col("__t")), lit(1)), 4).as("__dwf"),
+        round(TextExprs.gramRunStats(col("__t")).getField("max_tf").cast("double") /
+          greatest(size(col("__t")), lit(1)), 4).as("__ttf"))
+    perDoc.groupBy("lang_pred").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__nw").as("total_tokens"),
+      (count(lit(1)) - countDistinct(col("__fp"))).as("exact_dup_docs"),
+      round(sum("__nw").cast("double") / count(lit(1)), 6).as("mean_tokens"),
+      round(sum("__qm").cast("double") / (lit(10000.0) * count(lit(1))), 6)
+        .as("mean_quality"),
+      round(sum(when(col("__dwf") > 0.3 || col("__ttf") > 0.2, 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("gopher_fail_frac"))
+  }
+
   /** Gopher's CHARACTER-fraction repetition rules (Rae et al. 2021
     * §A1.1 as commonly implemented) — the paper-faithful companions to
     * [[repetitionStats]]'s token fractions, so published thresholds

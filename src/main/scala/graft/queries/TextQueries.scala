@@ -435,6 +435,67 @@ object TextQueries {
         CAST(sum(pd.bpe) AS BIGINT) AS bpe_tokens
       FROM pd JOIN documents d USING (doc_id) GROUP BY 1"""))
 
+  /** CP5: the corpus DATASHEET (Gebru et al. 2021) — the per-language
+    * release card composing five map-only per-doc operators (predicted
+    * language, token count, exact-dup fingerprint, quality score,
+    * Gopher repetition gate) into one grouped report
+    * ([[TextFns.datasheet]]). The oracle replays every per-doc
+    * feature from `documents` — langId's DISTINCT-marker argmax with
+    * its de<en<es<fr tie order, the t2 quality formula micro-quantized
+    * before summing, t4's fingerprint, t7's rounded repetition
+    * fractions and the >0.3/>0.2 gate — then the grouped census
+    * itself. Threshold comparisons sit on 4-decimal-rounded doubles
+    * (bit-identical both engines), so the gate is reproducible.
+    */
+  val cp5Datasheet = QueryDef(
+    "cp5_datasheet",
+    (s, dir) => TextFns.datasheet(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH tok AS MATERIALIZED (SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS t FROM documents),
+      hits AS (SELECT doc_id,
+          len(list_filter(list_distinct(t), x -> list_contains(
+            ['der','die','und','das','ist','nicht','ein','zu'], x))) AS h_de,
+          len(list_filter(list_distinct(t), x -> list_contains(
+            ['the','a','and','of','to','is','in','that'], x))) AS h_en,
+          len(list_filter(list_distinct(t), x -> list_contains(
+            ['el','la','de','que','y','los','es','por'], x))) AS h_es,
+          len(list_filter(list_distinct(t), x -> list_contains(
+            ['le','la','et','les','des','est','une','que'], x))) AS h_fr
+        FROM tok),
+      lp AS MATERIALIZED (SELECT doc_id, CASE
+          WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+          WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+          WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+          WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+          ELSE 'fr' END AS lang_pred FROM hits),
+      tfc AS (SELECT doc_id, term, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+      mx AS MATERIALIZED (SELECT doc_id, max(c) AS mx FROM tfc GROUP BY 1),
+      feat AS MATERIALIZED (SELECT tok.doc_id,
+          len(t) AS nw,
+          md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp,
+          CAST(round(10000 * ROUND((
+            LEAST(len(t) / 32.0, 1.0)
+            + LEAST(4.0 * len(list_filter(t,
+                x -> list_contains(['the','a','and','of','to','is','in','that'], x)))
+                / GREATEST(len(t), 1), 1.0)
+            + 1.0 - LEAST(4.0 * (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+                / GREATEST(length(text), 1), 1.0)
+            ) / 3.0, 4)) AS BIGINT) AS qm,
+          ROUND((len(t) - len(list_distinct(t)))::DOUBLE
+            / GREATEST(len(t), 1), 4) AS dwf,
+          ROUND(COALESCE(m.mx, 0)::DOUBLE / GREATEST(len(t), 1), 4) AS ttf
+        FROM tok LEFT JOIN mx m USING (doc_id))
+      SELECT lp.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(f.nw) AS BIGINT) AS total_tokens,
+        CAST(count(*) - count(DISTINCT f.fp) AS BIGINT) AS exact_dup_docs,
+        ROUND(CAST(sum(f.nw) AS DOUBLE) / count(*), 6) AS mean_tokens,
+        ROUND(CAST(sum(f.qm) AS DOUBLE) / (10000.0 * count(*)), 6) AS mean_quality,
+        ROUND(CAST(sum(CASE WHEN f.dwf > 0.3 OR f.ttf > 0.2 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS gopher_fail_frac
+      FROM feat f JOIN lp USING (doc_id) GROUP BY 1"""))
+
   /** D1: exact dedup — copies per normalized fingerprint, keeper id. */
   val d1Exact = QueryDef(
     "d1_exact_dedup",
@@ -2572,5 +2633,5 @@ FROM gi GROUP BY doc_id, grp"""))
     n11Negatives, sp1Split,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup,
-    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget)
+    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet)
 }

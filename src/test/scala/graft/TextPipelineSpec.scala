@@ -609,6 +609,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(rc == 0, "generated script failed bash -n syntax check")
   }
 
+  test("datasheet: planted corpus yields exact per-language card rows") {
+    // two English docs (one an exact normalized dup of the other, via
+    // case difference), one German doc, one repetition bomb that is
+    // English by marker and fails the dup-word gate
+    val docs = Seq(
+      (1L, "the cat sat of the mat and that is that"),
+      (2L, "The CAT sat of the mat AND that is that"), // dup of 1 after lower+normalize
+      (3L, "der hund ist nicht das problem und das ist gut"),
+      (4L, "the spam spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val card = TextFns.datasheet(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("en", "de"))
+    val en = card("en")
+    assert(en.getLong(1) == 3L)            // n_docs
+    assert(en.getLong(2) == 30L)           // total_tokens = 10 + 10 + 10
+    assert(en.getLong(3) == 1L)            // exact dup: doc 2 collapses onto 1
+    // doc 4: dup_word_frac = 8/10 > 0.3 → gate fails; docs 1/2 have
+    // dup frac 2/10 and top-token frac 2/10 → both pass ⇒ 1 of 3
+    assert(en.getDouble(6) == 0.333333, s"gopher_fail_frac ${en.getDouble(6)}")
+    val de = card("de")
+    assert(de.getLong(1) == 1L && de.getLong(3) == 0L)
+    assert(de.getDouble(4) == 10.0)        // mean_tokens
+  }
+
   test("write() produces an executable file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scripts")
     val p = ClusterScripts.write(s"$dir/sub/run.sh",
