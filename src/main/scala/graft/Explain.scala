@@ -22,7 +22,8 @@ object Explain {
         "d11_incremental_dedup", "mm5_perceptual_dedup", "mm6_audio_dedup",
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
         "n10_tombstone_delete", "sp1_leakage_safe_split",
-        "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet")
+        "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet",
+        "t22_classifier_eval")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

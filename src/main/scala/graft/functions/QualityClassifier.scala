@@ -122,4 +122,44 @@ object QualityClassifier {
         round(pCol * lit(1e6)).cast("long").as("score_micro"))
     (w, scored)
   }
+
+  /** Classifier calibration report — precision/recall/F1 of a scored
+    * frame ([[fitScore]]'s output: `label`, `score_micro`) against its
+    * labels at each integer micro-unit threshold: the eval table a
+    * filter deployment reads before picking its operating point (the
+    * n12 "measure, don't guess" discipline applied to t20). All four
+    * confusion counters for ALL thresholds come from ONE map-side-
+    * combined aggregate over the corpus (no per-threshold scan or
+    * explode — a 1-row exchange of `4·|thresholds|` counters), then
+    * the single result row unpivots in-plan. Ratios are single
+    * divisions of exact integers (F1 from counts, `2tp/(2tp+fp+fn)`,
+    * not from rounded precision/recall), zero-denominator cases
+    * pinned to 0.0 — every value cross-engine-reproducible.
+    */
+  def evaluate(scored: DataFrame, thresholdsMicro: Seq[Long]): DataFrame = {
+    require(thresholdsMicro.nonEmpty)
+    def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    val aggs = thresholdsMicro.zipWithIndex.flatMap { case (t, i) =>
+      val keep = col("score_micro") >= t
+      Seq(cnt(col("label") === 1L && keep).as(s"tp_$i"),
+        cnt(col("label") === 0L && keep).as(s"fp_$i"),
+        cnt(col("label") === 1L && !keep).as(s"fn_$i"),
+        cnt(col("label") === 0L && !keep).as(s"tn_$i"))
+    }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholdsMicro.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("thr_micro"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn"),
+        col(s"tn_$i").as("tn"))
+    }
+    def ratio(num: Column, den: Column) =
+      round(when(den === 0L, 0.0).otherwise(num.cast("double") / den), 6)
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.thr_micro"), col("r.tp"), col("r.fp"),
+        col("r.fn"), col("r.tn"))
+      .withColumn("prec", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("rec", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1", ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
 }

@@ -362,6 +362,52 @@ object TextQueries {
         string_split_regex(trim(lower(text)), '\s+'), ' '))
         ORDER BY doc_id) = 1"""))
 
+  /** T22: classifier CALIBRATION report — precision/recall/F1 of the
+    * t20 classifier against its training labels at five operating
+    * points around the exact integer-mean score (the p3 threshold ±
+    * micro offsets, so the ladder stays informative on any corpus's
+    * score spread): the table a filter deployment reads before
+    * picking its gate, completing t20's loop the way n12 completes
+    * the ANN ladder's. One corpus-wide aggregate computes all 20
+    * confusion counters map-side; the oracle replays the full t20
+    * training, the integer mean, and every counter and ratio.
+    */
+  val t22ClassifierEval = QueryDef(
+    "t22_classifier_eval",
+    (s, dir) => {
+      val sc2 = graft.Materialize.reuse(
+        graft.functions.QualityClassifier.fitScore(
+          table(s, dir, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          dim = 64, iters = 4)._2)
+      val mu = sc2.agg(expr("sum(score_micro) div count(1)")).head.getLong(0)
+      graft.functions.QualityClassifier.evaluate(
+        sc2, Seq(-400L, -200L, 0L, 200L, 400L).map(mu + _))
+    },
+    Some("WITH " + t20BaseCtes + """,
+      sc AS MATERIALIZED (SELECT doc_id, CAST(y AS BIGINT) AS label,
+        CAST(round((0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10))) * 1e6) AS BIGINT) AS sm
+        FROM zf),
+      mu AS (SELECT CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM sc),
+      th AS (SELECT (SELECT m FROM mu)
+          + CAST(unnest([-400, -200, 0, 200, 400]) AS BIGINT) AS thr_micro),
+      c AS (SELECT th.thr_micro,
+          CAST(sum(CASE WHEN label = 1 AND sm >= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN label = 0 AND sm >= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN label = 1 AND sm < thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN label = 0 AND sm < thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM sc, th GROUP BY 1)
+      SELECT thr_micro, tp, fp, fn, tn,
+        ROUND(CASE WHEN tp + fp = 0 THEN 0.0
+          ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS prec,
+        ROUND(CASE WHEN tp + fn = 0 THEN 0.0
+          ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS rec,
+        ROUND(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+          ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
+      FROM c"""))
+
   /** T21: REAL BPE tokenization parity — merges-table application
     * ([[graft.functions.Bpe]]: the GPT-2 apply loop as a native
     * kernel run once per distinct word, counts joined back through
@@ -2623,6 +2669,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
+    t22ClassifierEval,
     t21Bpe, d1Exact,
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,

@@ -57,4 +57,25 @@ class QualityClassifierSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(run(1) == run(7))
   }
+
+  test("evaluate: exact confusion counters and ratios per threshold") {
+    import spark.implicits._
+    // labels/scores chosen so each threshold slices differently:
+    //   pos: 900k, 600k, 400k   neg: 700k, 300k
+    val scored = Seq(
+      (1L, 1L, 900000L), (2L, 1L, 600000L), (3L, 1L, 400000L),
+      (4L, 0L, 700000L), (5L, 0L, 300000L)
+    ).toDF("doc_id", "label", "score_micro")
+    val r = QualityClassifier.evaluate(scored, Seq(500000L, 800000L, 1000000L))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6), x.getDouble(7)))).toMap
+    // thr 500k: keep {1,2,4} → tp=2 fp=1 fn=1 tn=1
+    assert(r(500000L) == ((2L, 1L, 1L, 1L, 0.666667, 0.666667, 0.666667)))
+    // thr 800k: keep {1} → tp=1 fp=0 fn=2 tn=2; prec=1, rec=1/3,
+    // f1 = 2·1/(2·1+0+2) = 0.5
+    assert(r(800000L) == ((1L, 0L, 2L, 2L, 1.0, 0.333333, 0.5)))
+    // thr 1M: keep {} → all-zero keeps; prec pinned to 0.0, not NaN
+    assert(r(1000000L) == ((0L, 0L, 3L, 2L, 0.0, 0.0, 0.0)))
+  }
 }
