@@ -23,7 +23,7 @@ object Explain {
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
         "n10_tombstone_delete", "sp1_leakage_safe_split",
         "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet",
-        "t22_classifier_eval")
+        "t22_classifier_eval", "t23_classifier_auc")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

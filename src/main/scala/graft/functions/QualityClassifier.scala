@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Trained discriminative quality filter — the GPT-3/CCNet classifier
@@ -161,5 +162,43 @@ object QualityClassifier {
       .withColumn("rec", ratio(col("tp"), col("tp") + col("fn")))
       .withColumn("f1", ratio(lit(2L) * col("tp"),
         lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
+
+  /** Exact AUC (Mann-Whitney U with midrank tie handling) of a scored
+    * frame — the threshold-free companion to [[evaluate]]'s operating
+    * table. All rank arithmetic stays in integers: per tie group at
+    * score s with `c` members and `b` rows strictly below,
+    * `2·midrank = 2b + c + 1`, so `2·Σ ranks(positives) =
+    * Σ pos_c·(2b + c + 1)` exactly; AUC = (that − np·(np+1)) /
+    * (2·np·nn) is ONE final division of exact integers.
+    *
+    * Scale shape: scores are integer MICRO-UNITS, so the corpus
+    * aggregates once into the per-distinct-score count table —
+    * bounded at ~10⁶ rows by the score codomain REGARDLESS of corpus
+    * size — and the ordered cumulative pass runs over that bounded
+    * table (the `sampledSeeds` bounded-window discipline: a
+    * single-partition window over ≤10⁶ tiny rows, not over the
+    * corpus). Returns one row: (n_pos, n_neg, auc); degenerate
+    * single-class inputs pin auc to 0.0. The integer intermediates
+    * stay inside a signed 64-bit long through ~2·10⁹ rows (2·np·nn ≤
+    * 2n²); past that ANSI mode fails loudly rather than wrapping.
+    */
+  def auc(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy("score_micro").agg(
+      sum(when(col("label") === 1L, 1L).otherwise(0L)).as("pc"),
+      sum(when(col("label") === 0L, 1L).otherwise(0L)).as("nc"))
+    val w = Window.orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("below",
+      sum(col("pc") + col("nc")).over(w) - (col("pc") + col("nc")))
+    ranked.agg(
+      sum(col("pc")).as("np"),
+      sum(col("nc")).as("nn"),
+      sum(col("pc") * (lit(2L) * col("below") + col("pc") + col("nc") + lit(1L)))
+        .as("r2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round(when(col("np") === 0L || col("nn") === 0L, 0.0)
+          .otherwise((col("r2") - col("np") * (col("np") + lit(1L))).cast("double")
+            / (lit(2L) * col("np") * col("nn")).cast("double")), 6).as("auc"))
   }
 }

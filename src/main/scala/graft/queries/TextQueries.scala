@@ -408,6 +408,45 @@ object TextQueries {
           ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
       FROM c"""))
 
+  /** T23: classifier AUC — the threshold-free ranking metric beside
+    * t22's operating table, computed exactly (Mann-Whitney U with
+    * integer midranks; see [[QualityClassifier.auc]] for the bounded
+    * distinct-score rank pass that makes the global window safe at
+    * any corpus size). The oracle replays the t20 training, the
+    * per-micro-score census, the cumulative rank walk, and the single
+    * closing division.
+    */
+  val t23ClassifierAuc = QueryDef(
+    "t23_classifier_auc",
+    (s, dir) => graft.functions.QualityClassifier.auc(
+      graft.functions.QualityClassifier.fitScore(
+        table(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        dim = 64, iters = 4)._2),
+    Some("WITH " + t20BaseCtes + """,
+      sc AS MATERIALIZED (SELECT doc_id, CAST(y AS BIGINT) AS label,
+        CAST(round((0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10))) * 1e6) AS BIGINT) AS sm
+        FROM zf),
+      g AS (SELECT sm,
+          CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+          CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        FROM sc GROUP BY 1),
+      rk AS (SELECT pc, nc,
+          CAST(COALESCE(sum(pc + nc) OVER (ORDER BY sm
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS below
+        FROM g),
+      agg AS (SELECT CAST(sum(pc) AS BIGINT) AS np,
+          CAST(sum(nc) AS BIGINT) AS nn,
+          CAST(sum(pc * (2 * below + pc + nc + 1)) AS BIGINT) AS r2
+        FROM rk)
+      SELECT np AS n_pos, nn AS n_neg,
+        ROUND(CASE WHEN np = 0 OR nn = 0 THEN 0.0
+          ELSE CAST(r2 - np * (np + 1) AS DOUBLE)
+            / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+      FROM agg"""))
+
   /** T21: REAL BPE tokenization parity — merges-table application
     * ([[graft.functions.Bpe]]: the GPT-2 apply loop as a native
     * kernel run once per distinct word, counts joined back through
@@ -2669,7 +2708,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
-    t22ClassifierEval,
+    t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, d1Exact,
     d1bSurvivors, d2Jaccard,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,

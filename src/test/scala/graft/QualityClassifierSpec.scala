@@ -78,4 +78,22 @@ class QualityClassifierSpec extends SparkSpec {
     // thr 1M: keep {} → all-zero keeps; prec pinned to 0.0, not NaN
     assert(r(1000000L) == ((0L, 0L, 3L, 2L, 0.0, 0.0, 0.0)))
   }
+
+  test("auc: exact Mann-Whitney with midrank ties; single-class pins 0") {
+    import spark.implicits._
+    // ascending: 400k×2 (pos+neg tie, midrank 1.5), 600k pos (3),
+    // 700k neg (4), 900k pos (5) → Σranks(pos) = 9.5 →
+    // U = 9.5 − 6 = 3.5 → AUC = 3.5 / (3·2) = 0.583333
+    val scored = Seq(
+      (1L, 1L, 900000L), (2L, 1L, 600000L), (3L, 1L, 400000L),
+      (4L, 0L, 700000L), (5L, 0L, 400000L)
+    ).toDF("doc_id", "label", "score_micro")
+    val r = QualityClassifier.auc(scored).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.583333, s"auc ${r.getDouble(2)}")
+    val one = QualityClassifier.auc(
+      Seq((1L, 1L, 5L), (2L, 1L, 9L)).toDF("doc_id", "label", "score_micro"))
+      .head()
+    assert(one.getLong(1) == 0L && one.getDouble(2) == 0.0)
+  }
 }
