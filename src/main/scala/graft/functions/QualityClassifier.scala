@@ -124,6 +124,31 @@ object QualityClassifier {
     (w, scored)
   }
 
+  /** Score documents under FROZEN weights — the deployment path (and
+    * the streaming sink's per-micro-batch body,
+    * [[graft.streaming.Streaming.classifierScoreSink]]): [[fitScore]]'s
+    * feature build, broadcast-weight join, and rational sigmoid with
+    * no training pass. Output `(idCol, score, score_micro)` is
+    * bit-identical to [[fitScore]]'s scoring of the same rows under
+    * the same weights — every step is the shared integer-exact kernel,
+    * so online and offline scores can never drift.
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                w: Array[Long], dim: Int = 64,
+                salt: String = "t20"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(w.length == dim + 1, s"weights must be dim+1 = ${dim + 1} long")
+    val f = features(docs, idCol, textCol, lit(0.0), dim, salt)
+    val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      .toSeq.toDF("j", "wm")
+    f.join(broadcast(wDF), Seq("j"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wm") * col("x")).as("sp"))
+      .select(col(idCol), round(pCol, 6).as("score"),
+        round(pCol * lit(1e6)).cast("long").as("score_micro"))
+  }
+
   /** Classifier calibration report — precision/recall/F1 of a scored
     * frame ([[fitScore]]'s output: `label`, `score_micro`) against its
     * labels at each integer micro-unit threshold: the eval table a

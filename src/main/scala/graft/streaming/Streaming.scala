@@ -191,6 +191,32 @@ object Streaming {
       }
       .start()
 
+  /** Streamed classifier scoring — the production crawl-scoring shape
+    * (t20 trains OFFLINE; the stream only scores under the frozen
+    * model): each micro-batch runs
+    * [[graft.functions.QualityClassifier.scoreWith]] — the same
+    * integer-exact kernel as the batch path, so streamed and batch
+    * scores are bit-identical (StreamingFileSpec pins it). Stateless
+    * per batch; exactly-once is structural rather than leased: every
+    * batch overwrites its OWN `batch=<id>` partition, so an
+    * at-least-once `foreachBatch` replay rewrites the same files
+    * instead of appending duplicates.
+    */
+  def classifierScoreSink(docs: DataFrame, idCol: String, textCol: String,
+                          weights: Array[Long], dim: Int, salt: String,
+                          outPath: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.QualityClassifier
+            .scoreWith(batch.toDF(), idCol, textCol, weights, dim, salt)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

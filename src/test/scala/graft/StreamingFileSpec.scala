@@ -241,6 +241,39 @@ class StreamingFileSpec extends SparkSpec {
     assert(snap.corpus().count() == stored.size) // exactly-once: no dup rows
   }
 
+  test("classifier-score stream ≡ batch scoreWith on the same files, across restart") {
+    import graft.functions.QualityClassifier
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "source")
+    // train ONCE offline (the production shape); the stream only scores
+    val (w, batchScored) = QualityClassifier.fitScore(docs, "doc_id", "text",
+      col("source").isin("src0", "src1", "src2"), dim = 32, iters = 2)
+    val expected = batchScored.select("doc_id", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def runOnce(): Unit = {
+      val q = Streaming.classifierScoreSink(
+        spark.readStream.schema(schema).parquet(in),
+        "doc_id", "text", w, dim = 32, salt = "t20", out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint picks up only the delta
+    val streamed = spark.read.parquet(out + "/batch=*")
+      .select("doc_id", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size == expected.size, "every doc scored exactly once")
+    assert(streamed == expected,
+      "streamed scores must be bit-identical to the batch kernel")
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
