@@ -21,7 +21,7 @@ object Explain {
         // tombstoned index, leakage-safe split, hard negatives
         "d11_incremental_dedup", "mm5_perceptual_dedup", "mm6_audio_dedup",
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
-        "n10_tombstone_delete", "sp1_leakage_safe_split",
+        "n10_tombstone_delete", "sp1_leakage_safe_split", "sp2_temporal_split",
         "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet",
         "t22_classifier_eval", "t23_classifier_auc")
     names.foreach { n =>

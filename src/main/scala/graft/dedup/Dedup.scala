@@ -485,6 +485,34 @@ object Dedup {
     keyed.select(col(idCol), col("cluster"), split.as("split"))
   }
 
+  /** Embargoed TEMPORAL split — the time-ordered counterpart of
+    * [[leakageSafeSplit]] (there the leakage unit is a near-dup
+    * cluster; here it is TIME itself): train strictly before a
+    * cutoff, test strictly after a later one, and an embargo band
+    * between them that a production run DROPS (López de Prado 2018
+    * §7's purge/embargo, single-holdout form) so label windows that
+    * straddle the boundary can't leak supervised signal into eval.
+    * Cutoffs derive from the observed span in exact integer
+    * microseconds — `c = lo + (hi−lo)·pct ÷ 100`, multiply before
+    * divide, one bounded 1-row (min, max) aggregate — so the
+    * assignment is reproducible on any engine and adding rows INSIDE
+    * the span never moves a boundary. Row cost: one map-only pass.
+    */
+  def temporalSplit(events: DataFrame, idCol: String, tsCol: String,
+                    trainPct: Int = 70, embargoPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && embargoPct >= 0 && trainPct + embargoPct < 100,
+      s"need 0 < trainPct and trainPct+embargoPct < 100, got $trainPct+$embargoPct")
+    val us = graft.functions.TimeFns.asMicros(events, tsCol)
+    val mm = events.agg(min(us).as("lo"), max(us).as("hi")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val c1 = lo + (hi - lo) * trainPct / 100L
+    val c2 = lo + (hi - lo) * (trainPct + embargoPct) / 100L
+    events.select(col(idCol), us.as("us"),
+      when(us < c1, "train")
+        .when(us < c2, "embargo")
+        .otherwise("test").as("split"))
+  }
+
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
     * by chunk-banding (pigeonhole: 4 chunks — any pair with distance
     * ≤ 3 shares a chunk). Verification via bit_count(xor).

@@ -924,6 +924,28 @@ object TextQueries {
              ELSE 'test' END AS split
       FROM f"""))
 
+  /** SP2: embargoed TEMPORAL split — sp1's counterpart for
+    * time-ordered data ([[Dedup.temporalSplit]]: train strictly
+    * before the 70% span cutoff, a 5% embargo band a production run
+    * drops, test after — López de Prado's purge/embargo in
+    * single-holdout form). Cutoffs are exact integer-micros span
+    * arithmetic off one bounded (min, max) aggregate; the oracle
+    * recomputes both cutoffs and every assignment.
+    */
+  val sp2Temporal = QueryDef(
+    "sp2_temporal_split",
+    (s, dir) => Dedup.temporalSplit(
+      table(s, dir, "events"), "event_id", "ts"),
+    Some("""WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+          CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+      c AS (SELECT lo + (hi - lo) * 70 // 100 AS c1,
+                   lo + (hi - lo) * 75 // 100 AS c2 FROM b)
+      SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        CASE WHEN epoch_us(ts) < (SELECT c1 FROM c) THEN 'train'
+             WHEN epoch_us(ts) < (SELECT c2 FROM c) THEN 'embargo'
+             ELSE 'test' END AS split
+      FROM events"""))
+
   /** N11: hard-negative mining for contrastive training — per anchor,
     * the top-k most-similar corpus vectors with a DIFFERENT label
     * ([[Similarity.hardNegatives]]; the exact baseline the ANN ladder
@@ -2716,7 +2738,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
-    n11Negatives, sp1Split,
+    n11Negatives, sp1Split, sp2Temporal,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet)

@@ -45,6 +45,30 @@ class SplitNegativesSpec extends SparkSpec {
     assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.03, counts.toString)
   }
 
+  test("temporalSplit: exact cutoffs, embargo band, in-span growth stability") {
+    import java.sql.Timestamp
+    // span [0, 100] seconds → c1 at 70 s, c2 at 75 s (exact micros)
+    def ev(ids: Seq[(Long, Long)]) = ids.map { case (id, sec) =>
+      (id, Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+    }.toDF("event_id", "ts")
+    val base = ev(Seq(1L -> 0L, 2L -> 69L, 3L -> 70L, 4L -> 74L,
+      5L -> 75L, 6L -> 100L))
+    val r = Dedup.temporalSplit(base, "event_id", "ts")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test", 6L -> "test"))
+    // adding rows INSIDE the span moves no boundary: same assignments
+    val grown = ev(Seq(1L -> 0L, 2L -> 69L, 3L -> 70L, 4L -> 74L,
+      5L -> 75L, 6L -> 100L, 7L -> 50L, 8L -> 90L))
+    val r2 = Dedup.temporalSplit(grown, "event_id", "ts")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r.forall { case (k, v) => r2(k) == v })
+    assert(r2(7L) == "train" && r2(8L) == "test")
+    intercept[IllegalArgumentException] {
+      Dedup.temporalSplit(base, "event_id", "ts", trainPct = 96, embargoPct = 5)
+    }
+  }
+
   test("hardNegatives: same-label vectors are excluded, hardest different-label wins") {
     val emb = Seq(
       (0L, Seq(1.0, 0.0, 0.0), "a"),   // anchor
