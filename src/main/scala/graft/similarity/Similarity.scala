@@ -226,8 +226,11 @@ object Similarity {
     * index — evaluates through the same contract.
     */
   def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
-    val a = approx.select(col("query_id"), col("neighbor_id"))
-    val t = truth.select(col("query_id"), col("neighbor_id"))
+    // distinct enforces the documented SET semantics: a defective
+    // index emitting the same neighbor twice must not double-count a
+    // hit (nor a duplicated truth row inflate the denominator)
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val t = truth.select(col("query_id"), col("neighbor_id")).distinct()
     t.join(a.withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy("query_id")
