@@ -63,7 +63,7 @@ object Bench {
     sMin > 0 && mMin > 0.3 && mMin / sMin > threshold * dataRatio
   }
   private val scalingExclude =
-    Set("d2_jaccard_pairs", "d3_minhash_lsh", "d5_dup_clusters",
+    Set("d2_jaccard_pairs", "d12_containment_pairs", "d3_minhash_lsh", "d5_dup_clusters",
       "d5b_dup_clusters_dist", "n3_cosine_pairs",
       "d8_quality_keeper", // d5's pipeline + join: same SF-skewed candidates
       "d11_incremental_dedup", // delta-vs-store candidates: planted-dup volume is SF-skewed like d3

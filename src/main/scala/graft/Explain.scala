@@ -19,7 +19,7 @@ object Explain {
         // round 12: incremental cross-snapshot dedup, perceptual image
         // dedup, trained classifier (+ gate composition), BPE counts,
         // tombstoned index, leakage-safe split, hard negatives
-        "d11_incremental_dedup", "mm5_perceptual_dedup", "mm6_audio_dedup",
+        "d11_incremental_dedup", "d12_containment_pairs", "mm5_perceptual_dedup", "mm6_audio_dedup",
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
         "n10_tombstone_delete", "sp1_leakage_safe_split", "sp2_temporal_split",
         "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet",

@@ -147,6 +147,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact CONTAINMENT near-dup pairs — Broder 1997's second
+    * resemblance measure: `C = |A∩B| / min(|A|,|B|)` catches a
+    * document EMBEDDED in a larger one (wire-story inclusion, quoted
+    * posts, boilerplate wrappers), which Jaccard structurally misses
+    * (J ≤ |small|/|large| no matter how complete the inclusion — a
+    * doc fully contained in one 3× its size caps at J = 0.33,
+    * invisible at τ = 0.8 while C = 1.0).
+    *
+    * Candidates: each doc's sorted-shingle PREFIX (length
+    * ⌊(1−τ)·|s|⌋+1, ε-guarded like [[jaccardPairs]]'s) probes the
+    * FULL shingle index. If the smaller side of a qualifying pair
+    * missed the other with all of its prefix, it would miss
+    * > (1−τ)·|s| shingles — contradiction, so probing BOTH sides
+    * covers whichever is smaller; recall is exact. No size-ratio
+    * prune exists for containment — that asymmetry is the operator's
+    * point — so the verify join carries every candidate; the prefix
+    * keeps the probe stream at a (1−τ) fraction of the corpus
+    * shingles while the index side stays the linear census. Same
+    * hashed-shingle equality discipline (collision-modulo) as
+    * [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       blockCols: Seq[String]): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n, blockCols, sorted = true)
+    // floor((1−τ)·s)+1 with the jaccardPairs ε discipline: when the
+    // IEEE product lands a hair BELOW an exactly-integral value, a
+    // bare floor would shorten the prefix under the recall bound
+    val prefixLen =
+      (floor(size(col("h")) * (lit(1.0) - lit(threshold)) + lit(1e-9)) + 1)
+        .cast("int")
+    val joinKeys = blockCols :+ "t"
+    val probe = sh.select(blockCols.map(col) :+ col("id") :+
+        explode(slice(col("h"), lit(1), prefixLen)).as("t"): _*)
+      .select((joinKeys :+ "id").map(col): _*)
+      .withColumnRenamed("id", "id_p")
+    val index = sh.select(blockCols.map(col) :+ col("id") :+
+        explode(col("h")).as("t"): _*)
+      .select((joinKeys :+ "id").map(col): _*)
+      .withColumnRenamed("id", "id_i")
+    val pairs = probe.join(index, joinKeys)
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+      .withColumn("containment", PlanBarrier.barrier(
+        round(inter / least(size(col("h_a")), size(col("h_b"))).cast("double"), 4)))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Affine permutation constants for MinHash: odd multipliers +
     * offsets from a fixed-seed RNG, so signatures are deterministic
     * across runs and cheap (one multiply-add per element instead of a

@@ -626,6 +626,32 @@ object TextQueries {
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
 
+  /** D12: CONTAINMENT near-dup pairs (Broder 1997's second measure) —
+    * a doc embedded in a larger one scores C = |A∩B|/min(|A|,|B|)
+    * near 1 while its Jaccard stays capped at the size ratio; this is
+    * the wire-story/boilerplate-inclusion case d2 structurally cannot
+    * flag ([[Dedup.containmentPairs]]: sorted-prefix probes against
+    * the full shingle index, exact verify, no size-ratio prune — the
+    * asymmetry IS the operator). Oracle: d2's shingle CTE with the
+    * min-denominator formula.
+    */
+  val d12Containment = QueryDef(
+    "d12_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(table(s, dir, "documents"),
+      "doc_id", "text", n = 3, threshold = 0.8, blockCols = Seq("lang")),
+    Some("""WITH sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          LEAST(len(a.s), len(b.s)), 4) AS containment
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        LEAST(len(a.s), len(b.s)) >= 0.8"""))
+
   /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
     * join, no O(n²)). Oracled against the FULL exact pairwise Jaccard:
     * sound because candidate precision is exact (candidates are
@@ -2732,7 +2758,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
     t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, d1Exact,
-    d1bSurvivors, d2Jaccard,
+    d1bSurvivors, d2Jaccard, d12Containment,
     d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,

@@ -95,6 +95,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: an embedded doc is found at C≈1 where Jaccard misses it") {
+    import spark.implicits._
+    // small = 12 words; big = small verbatim inside ~4× padding.
+    // Every small-doc shingle appears in big → C = 1.0; Jaccard ≈
+    // |small| / |big| ≈ 0.25 — invisible at τ = 0.8.
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val pad1 = "one two three four five six seven eight nine ten eleven twelve"
+    val pad2 = "red orange yellow green blue indigo violet black white gray pink teal"
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$pad1 $small $pad2"),
+      (3L, "unrelated words entirely different content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, blockCols = Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.keySet == Set((1L, 2L)), s"got $c")
+    assert(c((1L, 2L)) >= 0.99)
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, blockCols = Nil)
+    assert(j.count() == 0, "Jaccard at 0.8 must NOT see the inclusion")
+  }
+
   test("minhash bucketCap: planted flood keeps candidate volume bounded, " +
        "non-flood pairs and cap-disabled parity intact") {
     // 300 near-identical docs (one shared 60-token text with a single
