@@ -559,6 +559,7 @@ object Dedup {
       s"need 0 < trainPct and trainPct+embargoPct < 100, got $trainPct+$embargoPct")
     val us = graft.functions.TimeFns.asMicros(events, tsCol)
     val mm = events.agg(min(us).as("lo"), max(us).as("hi")).head
+    require(!mm.isNullAt(0), "temporalSplit needs a non-empty events frame")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val c1 = lo + (hi - lo) * trainPct / 100L
     val c2 = lo + (hi - lo) * (trainPct + embargoPct) / 100L

@@ -77,6 +77,23 @@ object QualityClassifier {
     lit(0.5) + lit(0.5) * zd / (lit(1.0) + abs(zd))
   }
 
+  /** Per-doc margins `(idCol, y, sp)` of feature table `f` under
+    * weights `w` — THE shared scoring kernel: the training loop, the
+    * final [[fitScore]] scoring, and the frozen-model [[scoreWith]]
+    * all pass through this one broadcast-join + exact-integer dot
+    * product, so "online ≡ offline" can't drift through a divergent
+    * copy. */
+  private def marginsUnder(f: DataFrame, idCol: String,
+                           w: Array[Long]): DataFrame = {
+    val spark = f.sparkSession
+    import spark.implicits._
+    val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      .toSeq.toDF("j", "wm")
+    f.join(broadcast(wDF), Seq("j"))
+      .groupBy(col(idCol))
+      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+  }
+
   /** Fit and score in one call: returns `(weights, scored)` where
     * `weights(j)` is the micro-unit coefficient of bucket `j` (bias at
     * index `dim`) and `scored` has `(idCol, label, score,
@@ -96,11 +113,7 @@ object QualityClassifier {
     val n = docs.count() // one bounded count: the gradient denominator
     val w = Array.fill(dim + 1)(0L)
     for (_ <- 0 until iters) {
-      val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
-        .toSeq.toDF("j", "wm")
-      val z = f.join(broadcast(wDF), Seq("j"))
-        .groupBy(col(idCol))
-        .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+      val z = marginsUnder(f, idCol, w)
       // per-doc error quantized back to integers BEFORE the cross-doc
       // sum: the aggregation is exact and order-free
       val g = f.join(z.select(col(idCol), (col("y") - pCol).as("err")), Seq(idCol))
@@ -113,11 +126,7 @@ object QualityClassifier {
         j += 1
       }
     }
-    val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
-      .toSeq.toDF("j", "wm")
-    val scored = f.join(broadcast(wDF), Seq("j"))
-      .groupBy(col(idCol))
-      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+    val scored = marginsUnder(f, idCol, w)
       .select(col(idCol), col("y").cast("long").as("label"),
         round(pCol, 6).as("score"),
         round(pCol * lit(1e6)).cast("long").as("score_micro"))
@@ -136,15 +145,8 @@ object QualityClassifier {
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
                 w: Array[Long], dim: Int = 64,
                 salt: String = "t20"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     require(w.length == dim + 1, s"weights must be dim+1 = ${dim + 1} long")
-    val f = features(docs, idCol, textCol, lit(0.0), dim, salt)
-    val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
-      .toSeq.toDF("j", "wm")
-    f.join(broadcast(wDF), Seq("j"))
-      .groupBy(col(idCol))
-      .agg(sum(col("wm") * col("x")).as("sp"))
+    marginsUnder(features(docs, idCol, textCol, lit(0.0), dim, salt), idCol, w)
       .select(col(idCol), round(pCol, 6).as("score"),
         round(pCol * lit(1e6)).cast("long").as("score_micro"))
   }

@@ -81,10 +81,20 @@ object TextFns {
     * with low punctuation and a natural stopword rate — the standard
     * cheap pre-filter for LLM training corpora.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreOfTokens(tokens(text), text, stopwords)
+
+  /** [[qualityScore]] over a pre-tokenized array — identical
+    * arithmetic, for callers that already materialized the token
+    * column (the datasheet's one-scan discipline) and must not pay
+    * the regex tokenizer again. */
+  private[graft] def qualityScoreOfTokens(t: Column, text: Column,
+                                          stopwords: Seq[String]): Column = {
+    val nTok = size(t).cast("double")
     val lengthScore = least(nTok / lit(32.0), lit(1.0))
-    val stopScore = least(wordSetRatio(text, stopwords) * lit(4.0), lit(1.0))
+    val stop = size(filter(t, x => x.isin(stopwords: _*))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+    val stopScore = least(stop * lit(4.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
     round((lengthScore + stopScore + punctScore) / lit(3.0), 4)
   }
@@ -102,8 +112,13 @@ object TextFns {
   /** Language-ID heuristic: argmax of marker-word hits; 'und' when no
     * marker matches. Deterministic tie-break by language code order.
     */
-  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
-    val t = tokens(text)
+  def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column =
+    langIdOfTokens(tokens(text), markers)
+
+  /** [[langId]] over a pre-tokenized array (see
+    * [[qualityScoreOfTokens]] for why). */
+  private[graft] def langIdOfTokens(
+      t: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
     val langs = markers.keys.toSeq.sorted
     val hits = langs.map(l => size(array_intersect(t, array(markers(l).map(lit): _*))))
     val best = hits.reduce((a, b) => greatest(a, b))
@@ -195,10 +210,11 @@ object TextFns {
     val perDoc = docs
       .select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__t"))
       .select(
-        langId(col("__text")).as("lang_pred"),
+        langIdOfTokens(col("__t")).as("lang_pred"),
         size(col("__t")).cast("long").as("__nw"),
         fingerprint(col("__text")).as("__fp"),
-        round(qualityScore(col("__text"), langMarkers(stopLang)) * 10000)
+        round(qualityScoreOfTokens(col("__t"), col("__text"),
+          langMarkers(stopLang)) * 10000)
           .cast("long").as("__qm"),
         round((size(col("__t")) - size(array_distinct(col("__t")))).cast("double") /
           greatest(size(col("__t")), lit(1)), 4).as("__dwf"),

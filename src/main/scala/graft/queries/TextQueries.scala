@@ -649,8 +649,9 @@ object TextQueries {
         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
           LEAST(len(a.s), len(b.s)), 4) AS containment
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        LEAST(len(a.s), len(b.s)) >= 0.8"""))
+      WHERE len(a.s) > 0 AND len(b.s) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          LEAST(len(a.s), len(b.s)) >= 0.8"""))
 
   /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
     * join, no O(n²)). Oracled against the FULL exact pairwise Jaccard:
@@ -2212,7 +2213,8 @@ object TextQueries {
     * oracle's brute-force graph is the plan's graph) and connected
     * components label each clip with its cluster's min id. Oracle:
     * DuckDB rebuilds the PCM stream from the source text (sample =
-    * byte·256 − 32768, the mm2 replay), re-derives all 61 frame
+    * byte·256 − 32768, the mm2 replay; empty text pads to
+    * encodeAsWav's single −32768 sample), re-derives all 61 frame
     * energies and rising-step counts with the same floor boundaries,
     * reassembles both hashes bit by bit, brute-forces the Hamming-≤3
     * graph and label-propagates — fingerprints AND clustering both
@@ -2236,9 +2238,10 @@ object TextQueries {
           coalesce(col("cluster"), col("media_id")).as("cluster"))
     },
     Some("""WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents),
-      px AS MATERIALIZED (SELECT doc_id, nb,
-          list_transform(range(nb), i ->
-            ord(substr(text, (i+1)::INT, 1)) * 256 - 32768) AS p
+      px AS MATERIALIZED (SELECT doc_id, GREATEST(nb, 1) AS nb,
+          list_transform(range(GREATEST(nb, 1)), i ->
+            CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) * 256 - 32768
+                 ELSE -32768 END) AS p
         FROM m),
       fr AS MATERIALIZED (SELECT doc_id,
           list_transform(range(0, 61), f -> COALESCE(list_sum(list_transform(
