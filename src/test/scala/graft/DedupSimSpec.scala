@@ -412,6 +412,26 @@ class SimilaritySpec extends SparkSpec {
     assert(res.length <= 5)
   }
 
+  test("lshKnn results are a subset of brute-force ranking with identical sims") {
+    val e = emb(sf())
+    val probes = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val planes = Similarity.md5Planes(nbits = 60, dim = 64)
+    val approx = Similarity.lshKnn(probes, e, "vec_id", "embedding",
+      k = 10, dim = 64, nbits = 60, bands = 6, planes = Some(planes))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force at k = corpus: the full exact ranking every LSH
+    // result must agree with, sim for sim
+    val brute = Similarity.bruteForceKnn(probes, e, "vec_id", "embedding",
+      k = e.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (pair, sim) =>
+      assert(brute.get(pair).contains(sim),
+        s"lshKnn sim for $pair diverges from exact: $sim vs ${brute.get(pair)}")
+    }
+  }
+
   test("recallAtK: exact per-query intersection over the truth denominator") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
