@@ -141,10 +141,13 @@ object Dedup {
       // intersection is materialized
       .filter(least(size(col("h_a")), size(col("h_b"))) >=
         greatest(size(col("h_a")), size(col("h_b"))) * threshold)
-      .withColumn("jaccard", PlanBarrier.barrier(
-        round(inter / ((size(col("h_a")) + size(col("h_b"))).cast("double") - inter), 4)))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // threshold the RAW ratio (advisor r12): a pair at exactly
+      // J ∈ [t−5e−5, t) must NOT pass via round-up — the operator's
+      // contract (and the oracle) is J ≥ t; rounding is display-only
+      .withColumn("__raw", PlanBarrier.barrier(
+        inter / ((size(col("h_a")) + size(col("h_b"))).cast("double") - inter)))
+      .filter(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
   }
 
   /** Exact CONTAINMENT near-dup pairs — Broder 1997's second
@@ -196,10 +199,12 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
-      .withColumn("containment", PlanBarrier.barrier(
-        round(inter / least(size(col("h_a")), size(col("h_b"))).cast("double"), 4)))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
+      // raw-ratio threshold, rounding display-only (the jaccardPairs
+      // discipline — advisor r12)
+      .withColumn("__raw", PlanBarrier.barrier(
+        inter / least(size(col("h_a")), size(col("h_b"))).cast("double")))
+      .filter(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("containment"))
   }
 
   /** Affine permutation constants for MinHash: odd multipliers +
@@ -342,9 +347,12 @@ object Dedup {
     pairs
       .join(sh.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
-      .withColumn("jaccard", round(inter / uni, 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      // raw-ratio threshold, rounding display-only (the jaccardPairs
+      // discipline — advisor r12; the exact-Jaccard oracles of this
+      // family all filter the unrounded ratio)
+      .withColumn("__raw", PlanBarrier.barrier(inter / uni))
+      .filter(col("__raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash over tokens: bit b of the signature is the sign
@@ -502,21 +510,39 @@ object Dedup {
     * al. 2022 §6 measure it; every serious corpus release splits by
     * cluster, not by row). The WHOLE near-dup cluster is assigned by
     * ONE deterministic hash coin on its cluster label (min reachable
-    * id), so members can never straddle splits, un-clustered docs coin
-    * on their own id, and — the [[graft.functions.Mixture]] property —
-    * adding rows later never flips an earlier assignment.
+    * id), so members can never straddle splits and un-clustered docs
+    * coin on their own id.
+    *
+    * Growth stability, stated precisely (advisor r12): as long as a
+    * new row does NOT merge two previously-separate clusters, adding
+    * it never flips an earlier assignment (its cluster label — the min
+    * reachable id — is unchanged, so the coin is unchanged). A later
+    * doc that BRIDGES two existing clusters changes the merged
+    * cluster's label and would re-coin the higher-min side; for
+    * release-over-release stability pass the previous release's
+    * assignments as `prior` — then every cluster containing a
+    * previously-assigned member keeps a prior split and ONLY
+    * never-before-seen clusters coin fresh. When a bridge merges
+    * clusters whose prior splits DISAGREE, the merged cluster
+    * collapses to the EARLIEST-listed name among them (fractions
+    * order, conventionally train-first): moving a doc INTO train only
+    * shrinks eval, while the reverse — a train near-dup landing in
+    * test — is the contamination this operator exists to prevent. No
+    * doc ever migrates from an earlier-listed split to a later one.
     *
     * `fractions` are (name, weight) in order, summing to 1; the coin
     * is [[graft.functions.Mixture.hashFraction]] of (salt, cluster)
     * against the cumulative boundaries. Output: (idCol, cluster,
     * split). Shape: the pair graph is the only non-map-only cost
     * (whatever candidate generator produced `pairs`); the assignment
-    * itself is a left join against the (tiny) cluster table plus a
-    * stateless hash.
+    * itself is a left join against the (tiny) cluster table, an
+    * optional aggregate of the (tiny) prior table, plus a stateless
+    * hash.
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        fractions: Seq[(String, Double)],
-                       salt: String = "split"): DataFrame = {
+                       salt: String = "split",
+                       prior: Option[DataFrame] = None): DataFrame = {
     require(fractions.nonEmpty &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got $fractions")
@@ -537,7 +563,30 @@ object Dedup {
       .foldLeft(lit(fractions.last._1)) { case (els, ((name, _), hi)) =>
         when(frac < hi, name).otherwise(els)
       }
-    keyed.select(col(idCol), col("cluster"), split.as("split"))
+    prior match {
+      case None =>
+        keyed.select(col(idCol), col("cluster"), split.as("split"))
+      case Some(p) =>
+        // per-cluster pin: the earliest-listed prior split among the
+        // cluster's previously-assigned members (train-first collapse
+        // on disagreeing merges — see docstring). The prior table is a
+        // (id, split) sliver; its rank map is a when-chain, so the pin
+        // is one small aggregate + one broadcast-friendly join.
+        val rank = fractions.map(_._1).zipWithIndex
+          .foldLeft(lit(Int.MaxValue)) { case (els, (name, i)) =>
+            when(col("split") === name, lit(i)).otherwise(els)
+          }
+        val pin = keyed.select(col(idCol), col("cluster"))
+          .join(p.select(col(idCol), col("split")), Seq(idCol))
+          .groupBy("cluster").agg(min(rank).as("__pr"))
+        val name = fractions.map(_._1).zipWithIndex
+          .foldLeft(lit(null).cast("string")) { case (els, (n, i)) =>
+            when(col("__pr") === i, lit(n)).otherwise(els)
+          }
+        keyed.join(pin, Seq("cluster"), "left_outer")
+          .select(col(idCol), col("cluster"),
+            coalesce(name, split).as("split"))
+    }
   }
 
   /** Embargoed TEMPORAL split — the time-ordered counterpart of

@@ -58,6 +58,102 @@ object Bpe {
     org.apache.spark.sql.GraftSqlShims.column(
       BpeTokenize(org.apache.spark.sql.GraftSqlShims.expression(word), rules))
 
+  /** One learned merge rule: rank order, the pair, and the pair count
+    * that elected it. */
+  final case class LearnedMerge(rank: Int, a: String, b: String, count: Long)
+
+  /** LEARN a merges table from the corpus — Sennrich et al. 2016
+    * Algorithm 1 (t24): `rounds` times, count every adjacent symbol
+    * pair over the current segmentation of the corpus VOCABULARY
+    * (weighted by corpus word frequency), take the globally
+    * most-frequent pair (ties broken lexicographically on (a, b) —
+    * bytewise UTF-8 order, identical in Spark and DuckDB), and merge
+    * all its occurrences. This replaces the hand-authored [[merges]]
+    * fixture with corpus-learned rules, so packing budgets (t17),
+    * corpus cards (cp1/cp4) and mixture weights run on the token
+    * counts a training run actually budgets with.
+    *
+    * == Determinism contract (the t20/t21 discipline) ==
+    *
+    * Round state is the chr(1)-FRAMED symbol string of each distinct
+    * word (`␁sym␁␁sym␁…` — the t21 oracle's own encoding), updated by
+    * ONE literal `replace(s, ␁a␁␁b␁ → ␁ab␁)` per learned rule:
+    * left-to-right non-overlapping in both engines, so a DuckDB
+    * replay (unrolled rounds of census → argmax → replace) reproduces
+    * every rule and count to the bit. Pair counts are POSITIONAL
+    * (`aaa` counts (a,a) twice — the subword-nmt get_stats
+    * convention) and exact integer sums.
+    *
+    * == Shape for scale ==
+    *
+    * The census runs over the DISTINCT vocabulary (the tf/df sliver,
+    * not the corpus): one map-combined (a, b) aggregate per round —
+    * exactly ONE exchange of ~(pair, count) rows — and the driver
+    * receives ONE row per round (TakeOrdered(1); the k-means k·dim
+    * contract). Each round's segmentation is the base vocab under r
+    * nested codegen'd `replace` calls: no per-round materialization,
+    * no re-read of the corpus text after the initial tokenize.
+    *
+    * Stops early (returning fewer rules) only if every word has fully
+    * merged — impossible on natural-language corpora at sane budgets.
+    */
+  /** The per-round pair census `(a, b, c)`: every adjacent symbol
+    * pair of the framed segmentation `sCol` over `vocab`, weighted by
+    * word frequency — ONE map-combined exchange of (pair, count) rows
+    * (spec-pinned), the only shuffle a training round pays. */
+  private[graft] def pairCensus(vocab: DataFrame,
+                                sCol: Column): DataFrame = {
+    val syms = split(sCol.substr(lit(2), length(sCol) - 2), "\u0001\u0001")
+    vocab.select(col("cnt"), syms.as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(ss) - 2)," +
+          " i -> struct(ss[i] AS a, ss[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  def train(docs: DataFrame, textCol: String, rounds: Int): Seq[LearnedMerge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val vocab = graft.Materialize.reuse(
+      docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        // ␁c␁ per codepoint ("." matches a full codepoint in Java
+        // regex; DuckDB's substr(w, i, 1) walk is the same per-char
+        // framing)
+        .withColumn("s", regexp_replace(col("w"), "(.)", "\u0001$1\u0001")))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
+    var sCol: org.apache.spark.sql.Column = col("s")
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val top = pairCensus(vocab, sCol)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += LearnedMerge(r, a, b, c)
+        sCol = call_function("replace", sCol,
+          lit("\u0001" + a + "\u0001\u0001" + b + "\u0001"),
+          lit("\u0001" + a + b + "\u0001"))
+        r += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** [[train]] packaged as the t24 query form: one row per learned
+    * rule `(rk, a, b, c)`. */
+  def trainDF(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, rounds)
+      .map(m => (m.rank.toLong, m.a, m.b, m.count))
+      .toDF("rk", "a", "b", "c")
+  }
+
   /** Per-document BPE token counts over a corpus: tokenize the
     * DISTINCT vocabulary once, join counts back through the tf table.
     * Returns `(idCol, n_ws_tokens, n_bpe_tokens)`.

@@ -53,7 +53,13 @@ object QualityClassifier {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** The hashed-TF feature table `(idCol, j, x, y)`: one row per
-    * (doc, non-empty bucket) plus the constant feature at j = dim. */
+    * (doc, non-empty bucket) plus the constant feature at j = dim.
+    * The constant row comes from `docs` itself, NOT from the token
+    * aggregate (advisor r12): a doc whose text is NULL or tokenless
+    * produces no token rows, but it still carries the bias feature —
+    * so EVERY input doc is scored (at the bias when it has no tokens)
+    * and downstream gates like p3 never silently drop rows.
+    */
   private def features(docs: DataFrame, idCol: String, textCol: String,
                        label: Column, dim: Int, salt: String): DataFrame = {
     val tok = docs.select(col(idCol), label.cast("double").as("y"),
@@ -65,9 +71,8 @@ object QualityClassifier {
     val ntok = bt.groupBy(col(idCol)).agg(sum("c").as("n"))
     bt.join(ntok, Seq(idCol))
       .select(col(idCol), col("j"), expr("c * 10000 div n").as("x"), col("y"))
-      .unionByName(ntok.join(
-          docs.select(col(idCol), label.cast("double").as("y")), Seq(idCol))
-        .select(col(idCol), lit(dim.toLong).as("j"), lit(10000L).as("x"), col("y")))
+      .unionByName(docs.select(col(idCol), lit(dim.toLong).as("j"),
+        lit(10000L).as("x"), label.cast("double").as("y")))
   }
 
   /** p = ½ + ½·z̃/(1+|z̃|) with z̃ = sp/10¹⁰ — the rational sigmoid on

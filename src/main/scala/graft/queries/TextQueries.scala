@@ -293,8 +293,9 @@ object TextQueries {
         SELECT bt.doc_id, bt.j, (bt.c * 10000) // nt.n AS x, lab.y
         FROM bt JOIN nt USING (doc_id) JOIN lab USING (doc_id)
         UNION ALL
-        SELECT nt.doc_id, 64 AS j, 10000 AS x, lab.y
-        FROM nt JOIN lab USING (doc_id)),
+        -- bias row from lab (ALL docs), not nt: tokenless docs still
+        -- carry the constant feature and score at the bias
+        SELECT lab.doc_id, 64 AS j, 10000 AS x, lab.y FROM lab),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
       w0 AS (SELECT unnest(range(0, 65)) AS j, 0::BIGINT AS wm),
       """ + t20IterCtes(4) + """,
@@ -495,6 +496,104 @@ object TextQueries {
         CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
       FROM tok JOIN fin USING (w) GROUP BY 1"""))
 
+  /** t24's unrolled learning rounds: census → argmax → one framed
+    * replace, exactly [[graft.functions.Bpe.train]]'s loop (see its
+    * determinism contract). `s24_0` is the codepoint-framed vocab;
+    * round r reads `s24_{r-1}`, elects `r24_r`, writes `s24_r`. */
+  private def t24RoundCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""p24_$r AS MATERIALIZED (SELECT l[(i+1)::INT] AS a, l[(i+2)::INT] AS b,
+          CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, string_split(substr(s, 2, GREATEST(length(s)-2, 0)::INT),
+            chr(1) || chr(1)) AS l FROM s24_${r - 1}) t,
+          LATERAL (SELECT unnest(range(GREATEST(len(l)-1, 0))) AS i) u
+        GROUP BY 1, 2),
+      r24_$r AS MATERIALIZED (SELECT a, b, c FROM p24_$r
+        ORDER BY c DESC, a, b LIMIT 1),
+      s24_$r AS MATERIALIZED (SELECT w, cnt,
+        CASE WHEN (SELECT count(*) FROM r24_$r) = 0 THEN s
+        ELSE replace(s,
+          chr(1) || (SELECT a FROM r24_$r) || chr(1) || chr(1)
+            || (SELECT b FROM r24_$r) || chr(1),
+          chr(1) || (SELECT a FROM r24_$r) || (SELECT b FROM r24_$r) || chr(1))
+        END AS s FROM s24_${r - 1})"""
+    }.mkString(",\n      ")
+
+  private def t24BaseCtes(rounds: Int): String =
+    """tok24 AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      v24 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok24 GROUP BY 1),
+      s24_0 AS MATERIALIZED (SELECT w, cnt,
+        array_to_string(list_transform(range(length(w)),
+          i -> chr(1) || substr(w, (i+1)::INT, 1) || chr(1)), '') AS s
+        FROM v24),
+      """ + t24RoundCtes(rounds)
+
+  /** The learned rules as a union of the per-round argmax rows. */
+  private def t24RulesSelect(rounds: Int): String =
+    (1 to rounds).map(r =>
+      s"SELECT ${r - 1}::BIGINT AS rk, a, b, c FROM r24_$r")
+      .mkString("\n      UNION ALL ")
+
+  private val T24Rounds = 30
+
+  /** T24: BPE merge TRAINING — learn the merges table FROM the corpus
+    * (Sennrich et al. 2016 Algorithm 1) instead of applying the
+    * hand-authored 40-rule fixture: `rounds` times, census every
+    * adjacent symbol pair over the current vocabulary segmentation
+    * (weighted by corpus word frequency, positional counts), elect
+    * the globally most-frequent pair (ties lexicographic on (a, b)),
+    * merge it everywhere via one framed `replace`. The oracle replays
+    * ALL 30 unrolled rounds — census, argmax, replace — and must
+    * reproduce every rule AND its electing count (the t20
+    * fixed-iteration discipline applied to tokenizer learning).
+    * Shape: census over the DISTINCT vocab only, one map-combined
+    * exchange per round, 1 driver row per round ([[Bpe.train]]).
+    */
+  val t24BpeTrain = QueryDef(
+    "t24_bpe_train",
+    (s, dir) => graft.functions.Bpe.trainDF(
+      table(s, dir, "documents"), "text", rounds = T24Rounds),
+    Some("WITH " + t24BaseCtes(T24Rounds) + "\n      " +
+      t24RulesSelect(T24Rounds)))
+
+  /** T24b: t21's per-doc BPE token counts under the CORPUS-LEARNED
+    * merges table (t24) — the tokenizer a production pipeline
+    * actually budgets with, closing the learn→apply loop: the oracle
+    * replays the full 30-round learning chain AND the t21 recursive
+    * apply over the learned rules, so the per-doc counts gate the
+    * composition end to end.
+    */
+  val t24bBpeLearnedTokens = QueryDef(
+    "t24b_bpe_learned_tokens",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val learned = graft.functions.Bpe.train(docs, "text", rounds = T24Rounds)
+      graft.functions.Bpe.tokenCount(docs, "doc_id", "text",
+        learned.map(m => (m.a, m.b)))
+    },
+    Some("WITH RECURSIVE\n      " + t24BaseCtes(T24Rounds) + """,
+      merges(rk, a, b) AS (SELECT rk, a, b FROM (
+        """ + t24RulesSelect(T24Rounds) + """)),
+      steps(w, s) AS (
+        SELECT w, s FROM s24_0
+        UNION ALL
+        SELECT w, min_by(replace(s,
+            chr(1) || a || chr(1) || chr(1) || b || chr(1),
+            chr(1) || a || b || chr(1)), rk)
+        FROM steps JOIN merges
+          ON contains(s, chr(1) || a || chr(1) || chr(1) || b || chr(1))
+        GROUP BY w, s),
+      fin AS (SELECT w,
+        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns
+        FROM steps st WHERE NOT EXISTS (
+          SELECT 1 FROM merges
+          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))
+      SELECT tok24.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
+      FROM tok24 JOIN fin USING (w) GROUP BY 1"""))
+
   /** CP4: per-language REAL-BPE token budgets — the corpus-card line
     * that decides mixture weights and training budgets, now counted
     * with actual merges-table tokenization (t21) instead of the regex
@@ -685,6 +784,26 @@ object TextQueries {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""))
+
+  /** D3b: MinHash-LSH at the PRODUCTION bucketCap (advisor r12: d3
+    * and its siblings oracle the exact pre-cap plan with bucketCap=0,
+    * leaving the shipped default configuration outside the gate) —
+    * the SAME pipeline with the default 100k flooded-bucket salting
+    * guard ENGAGED in code. The d3 oracle stays sound here because the
+    * salt split is provably inert at gate scale: a (band, bucket)
+    * group can never exceed the corpus row count (≤ 5000 at sf0.1),
+    * so ceil(n/cap) = 1 and every row keeps sub-bucket 0 — the capped
+    * plan's pair set is the uncapped pair set BY CONSTRUCTION, while
+    * the census/salt machinery itself runs through the gate. The
+    * engaged-cap answer path is pinned by DedupSpec's planted-flood
+    * fixture (capped CC ≡ uncapped CC).
+    */
+  val d3bMinHashCapped = QueryDef(
+    "d3b_minhash_capped",
+    (s, dir) => Dedup.minHashCandidates(table(s, dir, "documents"),
+      "doc_id", "text", n = 3, bands = 16, rows = 4, threshold = 0.8,
+      bucketCap = 100000),
+    d3MinHash.oracle)
 
   /** D4: SimHash near-dup candidates (Hamming ≤ 3 via adaptive chunk
     * banding). Round 7: the registered query now runs the PRODUCTION
@@ -2760,9 +2879,9 @@ FROM gi GROUP BY doc_id, grp"""))
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
     t22ClassifierEval, t23ClassifierAuc,
-    t21Bpe, d1Exact,
+    t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment,
-    d3MinHash, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
+    d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,

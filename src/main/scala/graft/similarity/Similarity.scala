@@ -683,7 +683,8 @@ object Similarity {
     */
   object PersistedIndex {
     final case class Handle(ivf: IvfIndex, pq: PqIndex, path: String)
-    final case class AppendResult(drift: Double, needsRefit: Boolean)
+    final case class AppendResult(drift: Double, needsRefit: Boolean,
+                                  nSkippedTombstoned: Long = 0L)
 
     private def writeMeta(spark: SparkSession, path: String,
                           nBase: Long, nAppended: Long): Unit = {
@@ -786,22 +787,52 @@ object Similarity {
       * reads one id column of the store — pruned-scan cost, no
       * shuffle of the store (AQE broadcasts the small delta). Drift
       * counts only rows actually appended.
+      *
+      * TOMBSTONED IDS ARE FROZEN UNTIL REFIT (advisor r12): a delta
+      * carrying an id with a pending tombstone fails LOUDLY instead of
+      * being silently discarded by the store anti-join (the physical
+      * row still exists, so re-encoding it would double the id; merely
+      * clearing the tombstone would resurrect the OLD vector while
+      * silently dropping the new one). The remedy is [[refit]] — the
+      * compaction point where deleted rows leave the physical store —
+      * after which the id appends normally. Set `skipTombstoned` to
+      * drop such rows instead (the streaming-sink policy, where one
+      * poisoned row must not kill the query; the skip count is
+      * surfaced in the result, never silent).
       */
+    final case class TombstonedIdsException(n: Long, path: String)
+        extends IllegalArgumentException(
+          s"$n delta id(s) have pending tombstones in index $path: " +
+            "tombstoned ids are frozen until refit() compacts them out " +
+            "of the physical store; refit first (or pass " +
+            "skipTombstoned = true to drop these rows explicitly)")
+
     def append(delta: DataFrame, idCol: String, vecCol: String,
-               path: String, refitAt: Double = 0.5): AppendResult = {
+               path: String, refitAt: Double = 0.5,
+               skipTombstoned: Boolean = false): AppendResult = {
       val spark = delta.sparkSession
       val lock = graft.store.WriteLease.lockPathFor(path)
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.store.WriteLease.withLease(fs, lock, "index-append") {
         val h = load(spark, path)
+        val dedup = delta.dropDuplicates(idCol)
+        // bounded probe: ONE count of the (sliver) tombstone semi-join
+        val nTomb = dedup.join(
+          tombstones(spark, path).select(col("id").as(idCol)),
+          Seq(idCol), "left_semi").count()
+        if (nTomb > 0 && !skipTombstoned)
+          throw TombstonedIdsException(nTomb, path)
+        val live = if (nTomb == 0) dedup
+          else dedup.join(
+            tombstones(spark, path).select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
         // fresh = delta minus ids already stored; lineage TRUNCATED
         // (not just persisted) because it reads the same corpus dir
         // the append below writes to — a lineage recompute during the
         // write would re-scan the dir mid-append and could see the
         // partially appended files
         val fresh = graft.Materialize.truncate(
-          delta.dropDuplicates(idCol)
-            .join(corpus(spark, path).select(col(idCol)),
+          live.join(corpus(spark, path).select(col(idCol)),
               Seq(idCol), "left_anti"))
         // drift counter FIRST, corpus append second: a crash between
         // the two then OVER-counts drift (an early refit — harmless),
@@ -813,7 +844,8 @@ object Similarity {
         h.pq.encodeResiduals(h.ivf.assign(fresh, vecCol), vecCol, h.ivf)
           .write.mode("append").parquet(s"$path/corpus")
         val drift = nApp2.toDouble / math.max(nBase, 1L)
-        AppendResult(drift, needsRefit = drift >= refitAt)
+        AppendResult(drift, needsRefit = drift >= refitAt,
+          nSkippedTombstoned = nTomb)
       }
     }
 

@@ -47,6 +47,57 @@ class BpeSpec extends SparkSpec {
     assert(seg("abc", rules2) == Seq("ab", "c"))
   }
 
+  test("train: frequency-ordered rules, lexicographic tie-break, " +
+       "counts weighted by corpus word frequency") {
+    import spark.implicits._
+    // 'the' ×4, 'tb' ×3, 'xy' ×2, 'xz' ×2. Round 0: (t,h) and (h,e)
+    // TIE at 4 → lexicographic (h,e) wins; round 1: (t,he) at 4; then
+    // (t,b) 3; then the (x,y)/(x,z) tie at 2 → (x,y) first.
+    val docs = Seq(
+      (1L, "the the tb xy xz"),
+      (2L, "the the tb tb xy xz")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", rounds = 5)
+    assert(got.map(m => (m.a, m.b, m.count)) == Seq(
+      ("h", "e", 4L), ("t", "he", 4L), ("t", "b", 3L),
+      ("x", "y", 2L), ("x", "z", 2L)), s"got $got")
+    assert(got.map(_.rank) == Seq(0, 1, 2, 3, 4))
+    // the learned table drives the SAME apply kernel t21 uses
+    val rules = got.map(m => (m.a, m.b))
+    assert(seg("the", rules) == Seq("the"))
+    assert(seg("tb", rules) == Seq("tb"))
+    assert(seg("xyz", rules) == Seq("xy", "z")) // (x,y) rank 3 < (x,z)
+    // dries up once every word is a single symbol: asking for more
+    // rounds returns exactly the learnable rules
+    assert(Bpe.train(docs, "text", rounds = 50).size == 5)
+  }
+
+  test("train: positional pair counts (the subword-nmt convention) " +
+       "and non-overlapping merges") {
+    import spark.implicits._
+    // 'aaa' ×2: census counts (a,a) positionally = 2 per word = 4;
+    // after merging, each word is (aa, a) -> census (aa, a) = 2
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", rounds = 2)
+    assert(got.map(m => (m.a, m.b, m.count)) == Seq(
+      ("a", "a", 4L), ("aa", "a", 2L)))
+  }
+
+  test("train: the per-round pair census is ONE exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val vocab = graft.Materialize.reuse(
+      docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("s", regexp_replace(col("w"), "(.)", "\u0001$1\u0001")))
+    val census = Bpe.pairCensus(vocab, col("s"))
+    val plan = census.queryExecution.executedPlan.toString
+    // the vocab CACHE BUILD below the InMemoryTableScan pays its own
+    // one-time exchange; the per-round census above it must pay ONE
+    val perRound = plan.split("InMemoryTableScan")(0)
+    val exchanges = "Exchange".r.findAllIn(perRound).size
+    assert(exchanges == 1, s"pair census pays $exchanges exchanges:\n$plan")
+  }
+
   test("tokenCount composes counts through the vocabulary join") {
     import spark.implicits._
     val docs = Seq(

@@ -161,6 +161,17 @@ class DedupSpec extends SparkSpec {
       .select("cluster").distinct().collect()
     assert(clusters.length == 1 && clusters(0).getLong(0) == 1000L,
       s"flood fragmented into ${clusters.length} clusters")
+    // 5. the SURVIVOR view is bit-identical capped vs uncapped (what
+    //    production consumes downstream of the pair stream): connected
+    //    components close the salt split's missing intra-flood edges,
+    //    so the cap trades only pair-stream completeness, never the
+    //    dedup answer, on this fixture (advisor r12)
+    val ccCapped = Dedup.connectedComponents(capped.select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ccUncapped = Dedup.connectedComponents(uncapped.select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ccCapped == ccUncapped,
+      "capped and uncapped dedup answers diverged")
   }
 
   test("bandedPairs: a single flooded bucket's join volume is cap-bounded") {

@@ -96,7 +96,7 @@ class PersistedIndexSpec extends SparkSpec {
     assert(math.abs(r.drift - 0.5) < 1e-12 && r.needsRefit)
   }
 
-  test("delete tombstones: query excludes, re-append is inert, refit compacts") {
+  test("delete tombstones: query excludes, re-append fails loudly, refit compacts") {
     val all = corpus(120)
     val root = tmp()
     PersistedIndex.build(all, "vec_id", "embedding", root,
@@ -123,11 +123,19 @@ class PersistedIndexSpec extends SparkSpec {
       PersistedIndex.corpus(spark, rootOracle), "vec_id", "embedding",
       probe, kOut = 1, nprobe = 4).collect().head.getLong(1)
     assert(next == oracleNext)
-    // append of the tombstoned id is inert (id still present in the
-    // raw store, so the idempotence anti-join skips it; the tombstone
-    // keeps it invisible to queries)
-    PersistedIndex.append(all.filter(col("vec_id") === 8L),
-      "vec_id", "embedding", root)
+    // append of a tombstoned id FAILS LOUDLY (advisor r12: a silent
+    // discard looked like data loss for a legitimate re-add; the id is
+    // frozen until refit compacts it out of the physical store)
+    val ex = intercept[PersistedIndex.TombstonedIdsException] {
+      PersistedIndex.append(all.filter(col("vec_id") === 8L),
+        "vec_id", "embedding", root)
+    }
+    assert(ex.n == 1L)
+    // ...unless skipping is requested EXPLICITLY, which surfaces the
+    // count instead of throwing and leaves the tombstone in force
+    val skipped = PersistedIndex.append(all.filter(col("vec_id") === 8L),
+      "vec_id", "embedding", root, skipTombstoned = true)
+    assert(skipped.nSkippedTombstoned == 1L)
     assert(top1(PersistedIndex.liveCorpus(spark, root, "vec_id")) == next)
     // refit folds tombstones: physical row gone, tombstone dir gone
     PersistedIndex.refit(spark, root, "vec_id", "embedding",

@@ -46,6 +46,32 @@ class QualityClassifierSpec extends SparkSpec {
     assert(refAvg > webAvg + 0.01)
   }
 
+  test("tokenless docs are scored at the bias, never dropped (advisor r12)") {
+    import spark.implicits._
+    // id 100 (empty text → the single '' token, matching DuckDB's
+    // string_split_regex) and id 101 (NULL text → NO token rows at
+    // all) must both appear in the scored output; 101 scores at the
+    // pure bias — and fitScore/scoreWith must agree on them
+    val docs = ((0 until 30).map(i =>
+      (i.toLong, s"alpha beta tok${i % 5} gamma", i % 2 == 0)) ++
+      Seq((100L, "", false), (101L, null.asInstanceOf[String], false)))
+      .toDF("doc_id", "text", "y")
+    val (w, scored) = QualityClassifier.fitScore(
+      docs, "doc_id", "text", col("y"), dim = 16, iters = 2, salt = "nb")
+    val s = scored.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s.size == 32 && s.contains(100L) && s.contains(101L))
+    // pure-bias score: sp = w(dim)·10⁴, p = ½ + ½·z̃/(1+|z̃|) at 6dp
+    val z = w(16).toDouble * 10000.0 / 1e10
+    val expect = BigDecimal(0.5 + 0.5 * z / (1 + math.abs(z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s(101L) == expect, s"null-text score ${s(101L)} != bias $expect")
+    val online = QualityClassifier.scoreWith(
+      docs.filter(col("doc_id") >= 100L), "doc_id", "text", w,
+      dim = 16, salt = "nb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(online == Map(100L -> s(100L), 101L -> expect))
+  }
+
   test("scores are partition-invariant (integer-quantized gradients)") {
     import spark.implicits._
     val docs = (0 until 60).map(i =>

@@ -32,6 +32,45 @@ class SplitNegativesSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("leakageSafeSplit with prior: bridged clusters keep prior splits, " +
+       "never migrate toward eval, and unseen clusters coin fresh") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs1 = ((1L to 3L) ++ (10L to 11L) ++ (20L to 30L)).toDF("doc_id")
+    val pairs1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val v1 = Dedup.leakageSafeSplit(docs1, "doc_id", pairs1, fr, salt = "pp")
+    val prior = v1.select("doc_id", "split")
+    val m1 = v1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // release 2: doc 5 BRIDGES clusters {1,2,3} and {10,11} (the merge
+    // re-labels the {10,11} side to min id 1 — without prior, its
+    // members would re-coin); docs 40,41 form a brand-new cluster
+    val docs2 = (docs1.as[Long].collect() ++ Seq(5L, 40L, 41L)).toSeq.toDF("doc_id")
+    val pairs2 = pairs1.union(Seq((1L, 5L), (5L, 10L), (40L, 41L)).toDF("id_a", "id_b"))
+    val v2 = Dedup.leakageSafeSplit(docs2, "doc_id", pairs2, fr, salt = "pp",
+      prior = Some(prior))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the merged cluster carries ONE split = the earliest-listed prior
+    // split among members (train-first collapse): no doc ever moves
+    // from an earlier-listed split to a later one
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val mergedNames = Set(m1(1L), m1(10L))
+    val expect = Seq("train", "val", "test").find(mergedNames.contains).get
+    Seq(1L, 2L, 3L, 5L, 10L, 11L).foreach { id =>
+      assert(v2(id)._2 == expect, s"doc $id got ${v2(id)._2}, want $expect")
+      assert(v2(id)._1 == 1L) // merged label
+    }
+    m1.keys.foreach { id =>
+      assert(rank(v2(id)._2) <= rank(m1(id)),
+        s"doc $id migrated ${m1(id)} -> ${v2(id)._2} (toward eval)")
+    }
+    // clusters untouched by the bridge keep their assignments verbatim
+    (20L to 30L).foreach(id => assert(v2(id)._2 == m1(id)))
+    // the never-before-seen cluster coins on its (fresh) min label,
+    // matching a no-prior run of the same corpus
+    val fresh = Dedup.leakageSafeSplit(docs2, "doc_id", pairs2, fr, salt = "pp")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2(40L)._2 == fresh(40L) && v2(41L)._2 == fresh(40L))
+  }
+
   test("leakageSafeSplit: fractions are honored on many isolated docs") {
     val docs = (0L until 5000L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
