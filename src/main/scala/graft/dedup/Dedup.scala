@@ -207,6 +207,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("__raw"), 4).as("containment"))
   }
 
+  /** Containment SKETCH near-dup pairs (d13) — the UNBLOCKED scale
+    * path for [[containmentPairs]] (which is the exact baseline with
+    * per-block quadratic hot-shingle exposure): each doc keeps only a
+    * BOTTOM-K sketch — the `k` smallest md5-derived 60-bit hashes of
+    * its distinct shingles (Broder 1997's min-wise sketches) — plus
+    * its exact set size. Candidates are docs sharing ANY sketch
+    * element (a (hash → id) inverted index over k·n rows, under the
+    * same [[bandedPairs]] bucketCap salting as every LSH family —
+    * candidate volume is linear in the sketch stream, bounded per
+    * bucket, with NO dependence on corpus blocking). The containment
+    * estimate uses the classic bottom-k union trick: with
+    * `u = |k smallest of sk_A ∪ sk_B|` and `i` of those in both
+    * sketches, Ĵ = i/u estimates Jaccard, and since the exact sizes
+    * are carried, `Ĉ = Ĵ·(|A|+|B|) / ((1+Ĵ)·min)` — algebraically
+    * `i·(|A|+|B|) / ((u+i)·min)`, ONE division of exact integers, so
+    * a SQL replay is bit-identical. Hashes are md5-derived (not
+    * xxhash) precisely so the oracle can rebuild every sketch.
+    *
+    * Recall is probabilistic (the trade for unblocked scale): a pair
+    * with true containment ≥ τ shares a sketch element with
+    * probability ≈ 1 − (1−J)ᵏ where J ≥ τ/(1+ratio) — high for real
+    * inclusions at k = 32; measured against exact d12 on a planted
+    * embedded-doc corpus in DedupSpec. Estimates concentrate around
+    * the true C (±~1/√k); the threshold is applied to the RAW
+    * estimate, rounding display-only.
+    */
+  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int, threshold: Double,
+                             bucketCap: Int = 100000): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val gram = expr(s"transform(sequence(0, size(__t) - $n), i -> " +
+      (0 until n).map(j => s"element_at(__t, i + ${j + 1})")
+        .mkString("concat_ws(' ', ", ", ", "))"))
+    val hashes = transform(col("__g"), s =>
+      conv(substring(md5(concat(lit("d13:"), s)), 1, 15), 16, 10).cast("long"))
+    val sk = graft.Materialize.reuse( // feeds the index AND both verify sides
+      df.select(col(idCol).as("id"), toks.as("__t"))
+        .select(col("id"),
+          when(size(col("__t")) >= n, gram)
+            .otherwise(expr("CAST(array() AS array<string>)")).as("__g"))
+        .select(col("id"), array_sort(array_distinct(hashes)).as("__h"))
+        .filter(size(col("__h")) > 0)
+        .select(col("id"), size(col("__h")).cast("long").as("sz"),
+          slice(col("__h"), 1, k).as("sk")))
+    val banded = sk.select(col("id"), lit(0).as("band"),
+      explode(col("sk")).as("bucket"))
+    val pairs = bandedPairs(banded, bucketCap)
+    val u = slice(array_sort(array_distinct(
+      concat(col("sk_a"), col("sk_b")))), 1, k)
+    val est = (col("__i") * (col("na") + col("nb"))).cast("double") /
+      ((col("__u") + col("__i")) * least(col("na"), col("nb")))
+    pairs
+      .join(sk.select(col("id").as("id_a"), col("sz").as("na"),
+        col("sk").as("sk_a")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("sz").as("nb"),
+        col("sk").as("sk_b")), Seq("id_b"))
+      .withColumn("__u0", u)
+      .withColumn("__i", size(array_intersect(col("__u0"),
+        array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("__u", size(col("__u0")).cast("long"))
+      .withColumn("__est", PlanBarrier.barrier(est))
+      .filter(col("__est") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(least(col("__est"), lit(1.0)), 4).as("c_est"))
+  }
+
   /** Affine permutation constants for MinHash: odd multipliers +
     * offsets from a fixed-seed RNG, so signatures are deterministic
     * across runs and cheap (one multiply-add per element instead of a

@@ -650,6 +650,72 @@ object TextFns {
           .as("lm2_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score (t25) — the smoothing
+    * the CCNet filter actually ships (Wenzek et al. 2020 §3.3 use a
+    * KenLM 5-gram with modified KN; this is the bigram form under the
+    * same absolute-discount + continuation-probability structure,
+    * where [[bigramLmScore]] is the add-one baseline):
+    *
+    *   P(w|v) = (c(vw) − D)/c(v·) + D·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··)
+    *
+    * with D = 3/4, c(v·) the context count (Σ_w c(vw)), N₁₊(v·) the
+    * distinct continuations of v, N₁₊(·w) the distinct left contexts
+    * of w (the continuation count — "how many contexts has w
+    * completed", the quantity that demotes a frequent-but-rigid word
+    * like 'Francisco'), N₁₊(··) the distinct bigram types. Scoring
+    * the training corpus itself means c(vw) ≥ 1, so the discounted
+    * term is always positive.
+    *
+    * Determinism: the whole probability folds to ONE exact rational —
+    * `((4·c₂−3)·N + 3·n1f·n1b) / (4·c₁·N)` — so the only float ops
+    * are one division of exact-integer doubles and the same
+    * micro-quantized ln as t18 (round(10⁶·ln p), identical libm-class
+    * behavior both engines at 6-decimal quantization; t18's
+    * gate-proven pattern). Integer intermediates stay in 64 bits
+    * through ~10⁹ bigram types; past that ANSI fails loudly (the t23
+    * discipline). Shape: identical to [[bigramLmScore]] — one
+    * materialized (cur, next) stream, three map-combined aggregates
+    * over the BIGRAM TYPE table (a vocab²-bounded sliver), one 1-row
+    * broadcast, scoring joins the per-type log-probs back. Text never
+    * exchanges.
+    */
+  def knBigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val zipped = arrays_zip(w.as("cur"),
+      concat(slice(w, lit(2), greatest(n - 1, lit(0))),
+        array(lit(null).cast("string"))).as("next"))
+    val tok = graft.Materialize.reuse(
+      docs.select(col(idCol), explode(zipped).as("__z"))
+        .select(col(idCol), col("__z.cur").as("__cur"),
+          col("__z.next").as("__next")))
+    val bi = graft.Materialize.reuse(
+      tok.filter(col("__next").isNotNull)
+        .groupBy(col("__cur").as("__prev"), col("__next").as("__w2"))
+        .agg(count(lit(1)).as("__c2")))
+    val ctx = bi.groupBy("__prev")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
+    val back = bi.groupBy("__w2").agg(count(lit(1)).as("__n1b"))
+    val nb = bi.agg(count(lit(1)).as("__nb"))
+    val num = ((lit(4L) * col("__c2") - lit(3L)) * col("__nb") +
+      lit(3L) * col("__n1f") * col("__n1b")).cast("double")
+    val den = (lit(4L) * col("__c1") * col("__nb")).cast("double")
+    val lp = bi
+      .join(ctx, Seq("__prev"))
+      .join(back, Seq("__w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("__prev"), col("__w2"),
+        round(lit(1e6) * log(num / den)).cast("long").as("__lp"))
+    tok.filter(col("__next").isNotNull)
+      .join(lp, col("__cur") === col("__prev") && col("__next") === col("__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_bigrams")))
+          .as("kn2_score"))
+  }
+
   /** Corpus profile — the per-(stratum) "corpus card" a training-data
     * pipeline reports before mixing: document count, total chars,
     * total tokens, and vocabulary size (distinct tokens) per group.

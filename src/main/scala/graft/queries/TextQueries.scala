@@ -752,6 +752,47 @@ object TextQueries {
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
           LEAST(len(a.s), len(b.s)) >= 0.8"""))
 
+  /** D13: containment SKETCHES — the UNBLOCKED scale path d12 lacks
+    * ([[Dedup.containmentSketchPairs]]: bottom-32 md5 sketches +
+    * exact sizes; candidates through a sketch-element inverted index
+    * under the production bucketCap — inert at gate scale, engaged
+    * under flood; Ĉ = i·(|A|+|B|)/((u+i)·min), one exact-integer
+    * division). The oracle rebuilds every sketch hash, the candidate
+    * index, and the estimate bit-for-bit; recall vs exact d12 on a
+    * planted embedded-doc corpus is spec-measured (DedupSpec).
+    */
+  val d13ContainmentSketch = QueryDef(
+    "d13_containment_sketch",
+    (s, dir) => Dedup.containmentSketchPairs(table(s, dir, "documents"),
+      "doc_id", "text", n = 3, k = 32, threshold = 0.8),
+    Some("""WITH tk AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh13 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
+          list_transform(range(1, GREATEST(len(t) - 1, 1)),
+            i -> CAST('0x' || substr(md5('d13:' || t[i] || ' ' ||
+              t[i+1] || ' ' || t[i+2]), 1, 15) AS BIGINT)))) AS h
+        FROM tk),
+      sk AS MATERIALIZED (SELECT doc_id, CAST(len(h) AS BIGINT) AS sz,
+          h[1:32] AS sk FROM sh13 WHERE len(h) > 0),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, unnest(sk) AS v FROM sk) a
+        JOIN (SELECT doc_id, unnest(sk) AS v FROM sk) b
+          ON a.v = b.v AND a.doc_id < b.doc_id),
+      est AS (SELECT c.id_a, c.id_b, sa.sz AS na, sb.sz AS nb,
+          CAST(len(list_filter(u.u, x -> list_contains(sa.sk, x)
+            AND list_contains(sb.sk, x))) AS BIGINT) AS i,
+          CAST(len(u.u) AS BIGINT) AS u
+        FROM cand c
+        JOIN sk sa ON sa.doc_id = c.id_a
+        JOIN sk sb ON sb.doc_id = c.id_b,
+        LATERAL (SELECT list_sort(list_distinct(sa.sk || sb.sk))[1:32] AS u) u)
+      SELECT id_a, id_b,
+        ROUND(LEAST(CAST(i * (na + nb) AS DOUBLE)
+          / ((u + i) * LEAST(na, nb)), 1.0), 4) AS c_est
+      FROM est
+      WHERE CAST(i * (na + nb) AS DOUBLE)
+        / ((u + i) * LEAST(na, nb)) >= 0.8"""))
+
   /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
     * join, no O(n²)). Oracled against the FULL exact pairwise Jaccard:
     * sound because candidate precision is exact (candidates are
@@ -1556,6 +1597,42 @@ object TextQueries {
         FROM bi JOIN uni ON uni.cur = bi.prev, v)
       SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS lm2_score
+      FROM tok JOIN lp ON tok.cur = lp.prev AND tok.nxt = lp.w2
+      GROUP BY tok.doc_id"""))
+
+  /** T25: Kneser-Ney smoothed bigram LM quality score — the CCNet
+    * filter's smoothing family ([[TextFns.knBigramLmScore]]: absolute
+    * discount D = 3/4 + continuation-probability backoff, the whole
+    * per-bigram probability one exact rational
+    * `((4c₂−3)N + 3·n1f·n1b)/(4c₁N)`), beside t18's add-one
+    * baseline. Oracle: replays the (cur, next) stream, all three
+    * bigram-type aggregates, the rational, and the micro-quantized ln
+    * (t18's gate-proven pattern).
+    */
+  val t25KnLm = QueryDef(
+    "t25_kn_bigram_lm",
+    (s, dir) => TextFns.knBigramLmScore(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      tok AS (SELECT doc_id, w[i::INT] AS cur,
+          CASE WHEN i < len(w) THEN w[(i+1)::INT] END AS nxt
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+      bi AS MATERIALIZED (SELECT cur AS prev, nxt AS w2,
+          CAST(count(*) AS BIGINT) AS c2
+        FROM tok WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      ctx AS MATERIALIZED (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY 1),
+      bk AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+        FROM bi GROUP BY 1),
+      nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+      lp AS (SELECT bi.prev, bi.w2,
+          CAST(round(1000000 * ln(
+            CAST((4*bi.c2 - 3)*nbt.nb + 3*ctx.n1f*bk.n1b AS DOUBLE)
+            / CAST(4*ctx.c1*nbt.nb AS DOUBLE))) AS BIGINT) AS lp
+        FROM bi JOIN ctx USING (prev) JOIN bk USING (w2), nbt)
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS kn2_score
       FROM tok JOIN lp ON tok.cur = lp.prev AND tok.nxt = lp.w2
       GROUP BY tok.doc_id"""))
 
@@ -2877,10 +2954,10 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t19ParaDedup, t20Classifier,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t19ParaDedup, t20Classifier,
     t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
-    d1bSurvivors, d2Jaccard, d12Containment,
+    d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,

@@ -217,6 +217,66 @@ object Streaming {
       }
       .start()
 
+  /** Streamed ANN INGEST (n13) — the last offline/online gap in the
+    * similarity family: each micro-batch of arriving vectors runs
+    * [[graft.similarity.Similarity.PersistedIndex.append]] — map-only
+    * frozen-quantizer encode, no refit — so a crawl's embeddings
+    * become searchable continuously while the drift counter advances
+    * across batches toward the refit decision (surfaced per batch via
+    * the returned query's progress and a WARN once `needsRefit`
+    * trips; the refit itself stays an operator action — swapping
+    * quantizers under a live stream belongs to the leased
+    * [[graft.similarity.Similarity.PersistedIndex.refit]] path, not a
+    * sink side effect).
+    *
+    * Exactly-once: `foreachBatch` is at-least-once; append's
+    * per-batch id anti-join against the stored corpus makes a
+    * replayed batch land zero rows (restart ≡ one batch append —
+    * StreamingFileSpec pins it). Tombstones are honored MID-STREAM:
+    * the sink passes `skipTombstoned = true` — a frozen (deleted,
+    * pre-refit) id arriving on the stream must not kill the query the
+    * way the batch path's loud failure would, but it is never
+    * silent: the skip count is WARN-logged per batch and the rows
+    * stay invisible until an operator refits and re-ingests. Lease
+    * contention rides [[harvestSink]]'s bounded backoff.
+    */
+  def annIngestSink(vecs: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, checkpointDir: String,
+                    refitAt: Double = 0.5,
+                    leaseRetries: Int = 3, retryBaseMs: Long = 500)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try {
+              val r = graft.similarity.Similarity.PersistedIndex.append(
+                batch.toDF(), idCol, vecCol, indexPath, refitAt,
+                skipTombstoned = true)
+              val log = org.slf4j.LoggerFactory.getLogger("graft.streaming")
+              if (r.nSkippedTombstoned > 0)
+                log.warn(s"annIngestSink batch $batchId: skipped " +
+                  s"${r.nSkippedTombstoned} tombstoned id(s) frozen until refit")
+              if (r.needsRefit)
+                log.warn(s"annIngestSink batch $batchId: drift ${r.drift} " +
+                  s">= $refitAt — schedule PersistedIndex.refit")
+              done = true
+            } catch {
+              case e: graft.store.ConcurrentWriteException =>
+                if (attempt >= leaseRetries) throw e
+                Thread.sleep(math.min(
+                  retryBaseMs << math.min(attempt, 16), 30000L))
+                attempt += 1
+            }
+          }
+        }
+      }
+      .start()
+
   /** Incremental per-key Welford statistics with explicit state —
     * `mapGroupsWithState` carrying the same `WelfordState` the batch
     * Aggregator uses (S1 as true streaming state; emits the running

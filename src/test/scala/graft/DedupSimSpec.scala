@@ -118,6 +118,33 @@ class DedupSpec extends SparkSpec {
     assert(j.count() == 0, "Jaccard at 0.8 must NOT see the inclusion")
   }
 
+  test("containment sketches: recall vs exact d12 on planted embedded docs, " +
+       "no cross-group false positives") {
+    // 30 groups with disjoint token spaces: big doc g = 120 tokens,
+    // small doc g = a contiguous 40-token slice of it (true C = 1.0,
+    // Jaccard ≈ 0.32 — invisible to d2/d3 at τ = 0.8)
+    val docs = (0 until 30).flatMap { g =>
+      val toks = (0 until 120).map(i => s"g${g}t$i")
+      Seq((g.toLong, toks.mkString(" ")),
+        (1000L + g, toks.slice(30, 70).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, blockCols = Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 30 && exact.forall { case (a, b) => b == 1000L + a },
+      s"exact baseline surprised: $exact")
+    val sketch = Dedup.containmentSketchPairs(docs, "doc_id", "text",
+      n = 3, k = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // estimator-found pairs are always true inclusions here (disjoint
+    // token spaces -> no cross-group candidates exist at all)
+    assert(sketch.subsetOf(exact), s"false positives: ${sketch -- exact}")
+    // measured recall on this deterministic fixture (E[est] ≈ 0.98,
+    // threshold bites at i >= 8 of E[i] ≈ 10 sketch collisions)
+    val recall = sketch.size.toDouble / exact.size
+    assert(recall >= 0.8, s"sketch recall $recall < 0.8 (${sketch.size}/30)")
+  }
+
   test("minhash bucketCap: planted flood keeps candidate volume bounded, " +
        "non-flood pairs and cap-disabled parity intact") {
     // 300 near-identical docs (one shared 60-token text with a single

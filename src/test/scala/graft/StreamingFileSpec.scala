@@ -274,6 +274,75 @@ class StreamingFileSpec extends SparkSpec {
       "streamed scores must be bit-identical to the batch kernel")
   }
 
+  test("ANN-ingest stream ≡ batch append across restart; tombstones honored mid-stream") {
+    import graft.similarity.Similarity
+    import Similarity.PersistedIndex
+    val in = tmp(); val ckpt = tmp()
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rootS = tmp() + "/idx"; val rootB = tmp() + "/idx"
+    PersistedIndex.build(emb.filter(col("vec_id") < 300), "vec_id",
+      "embedding", rootS, kLists = 4, m = 4, kCodes = 8)
+    // batch twin = a byte copy of the built index: identical
+    // quantizers, so append-encoding parity is exact by construction
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(rootS), new java.io.File(rootB))
+    // takedown BEFORE the stream: id 7 is frozen until refit
+    PersistedIndex.delete(Seq(7L).toDF("vec_id"), "vec_id", rootS)
+    PersistedIndex.delete(Seq(7L).toDF("vec_id"), "vec_id", rootB)
+    def runOnce(): Unit = {
+      val q = Streaming.annIngestSink(
+        spark.readStream.schema(emb.schema).parquet(in),
+        "vec_id", "embedding", rootS, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // crawl file 1 RE-CRAWLS the tombstoned id 7 — it must be skipped
+    // (not resurrected, not a query-killer), WARN-logged by the sink
+    emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .union(emb.filter(col("vec_id") === 7L))
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    emb.filter(col("vec_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint
+    // batch reference: ONE append of the union (append idempotence
+    // makes any split equivalent), same skip policy
+    val rb = PersistedIndex.append(
+      emb.filter(col("vec_id") >= 300).union(emb.filter(col("vec_id") === 7L)),
+      "vec_id", "embedding", rootB, skipTombstoned = true)
+    assert(rb.nSkippedTombstoned == 1L)
+    val liveS = PersistedIndex.liveCorpus(spark, rootS, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val liveB = PersistedIndex.liveCorpus(spark, rootB, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(liveS == liveB, "streamed index must equal the batch append")
+    assert(!liveS.contains(7L) && liveS.size == 499)
+    // the drift counter advanced ACROSS the streamed batches: a no-op
+    // re-append (all ids already stored) reads it back = 200/300
+    val r = PersistedIndex.append(emb.filter(col("vec_id") === 400L),
+      "vec_id", "embedding", rootS)
+    assert(math.abs(r.drift - 200.0 / 300.0) < 1e-12, s"drift ${r.drift}")
+    // query parity on probes off base, streamed, and deleted vectors
+    val probes = emb.filter(col("vec_id").isin(310L, 420L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (1000L + r.getLong(0),
+        r.getSeq[Double](1).map(_ + 0.001): Seq[Double])).toSeq
+    def top1(root: String): Map[Long, Long] = {
+      val h = PersistedIndex.load(spark, root)
+      Similarity.ivfAdcQueryBatch(h.ivf, h.pq,
+        PersistedIndex.liveCorpus(spark, root, "vec_id"),
+        "vec_id", "embedding", probes, kOut = 1, nprobe = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val (tS, tB) = (top1(rootS), top1(rootB))
+    assert(tS == tB, s"stream $tS != batch $tB")
+    // streamed rows are searchable (the table carries planted
+    // near-dups, so the winner may be a legitimate near-neighbor of
+    // the source — membership in the live corpus is the contract)
+    assert(Seq(1310L, 1420L).forall(q => liveS.contains(tS(q))), s"$tS")
+    assert(tS(1007L) != 7L) // the takedown stays invisible mid-stream
+  }
+
   test("growing file source feeds the windowed aggregate incrementally") {
     val in = tmp()
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime

@@ -453,6 +453,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("knBigramLmScore: exact KN rational on planted counts") {
+    import graft.functions.TextFns
+    // corpus: "a b a b" + "a b" -> bigram types: (a,b) c2=3, (b,a)
+    // c2=1; ctx: c1(a)=3 n1f(a)=1, c1(b)=1 n1f(b)=1; back: n1b(b)=1,
+    // n1b(a)=1; NB=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextFns.knBigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def lp(c2: Long, c1: Long, n1f: Long, n1b: Long, nb: Long) =
+      math.round(1e6 * math.log(
+        ((4 * c2 - 3) * nb + 3 * n1f * n1b).toDouble / (4 * c1 * nb)))
+    val lpAB = lp(3, 3, 1, 1, 2)   // P(b|a) = (9·2+3)/(24) = 21/24
+    val lpBA = lp(1, 1, 1, 1, 2)   // P(a|b) = (1·2+3)/(8)  = 5/8
+    assert(got(1L) == ((3L, (2 * lpAB + lpBA).toDouble / 3e6)), s"got $got")
+    assert(got(2L) == ((1L, lpAB.toDouble / 1e6)))
+  }
+
+  test("knBigramLmScore separates word salad more sharply than add-one t18") {
+    import graft.functions.TextFns
+    // rigid natural chains vs novel orderings of the same frequent
+    // words: add-one flattens the gap by granting every seen bigram
+    // (c2+1)/(c1+V); KN discounts count mass and backs off through
+    // continuation counts, so one-off novel combinations of frequent
+    // words fall much further below the rigid chains (Wenzek §3.3's
+    // reason for shipping KN, pinned as a margin comparison in the
+    // shared avg-ln-prob units of the two models)
+    val real = "the cat sat on the mat " * 6
+    val salad = "the on cat mat sat the " // each salad bigram once
+    val docs = Seq((1L, real.trim), (2L, salad.trim)).toDF("doc_id", "text")
+    val kn = TextFns.knBigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val addOne = TextFns.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(1L) > kn(2L) && addOne(1L) > addOne(2L))
+    val (knGap, aoGap) = (kn(1L) - kn(2L), addOne(1L) - addOne(2L))
+    assert(knGap > aoGap,
+      s"KN margin $knGap should exceed add-one margin $aoGap")
+  }
+
   test("bm25: zero for term-free docs, exact formula on planted counts") {
     val docs = Seq((1L, "data data join"), (2L, "other words here"),
       (3L, "data")).toDF("doc_id", "text")
