@@ -23,7 +23,13 @@ object Explain {
         "t20_quality_classifier", "p3_classifier_gate", "t21_bpe_tokens",
         "n10_tombstone_delete", "sp1_leakage_safe_split", "sp2_temporal_split",
         "n11_hard_negatives", "n12_ann_recall", "cp5_datasheet",
-        "t22_classifier_eval", "t23_classifier_auc")
+        "t22_classifier_eval", "t23_classifier_auc",
+        // round 13: learned BPE, containment sketches, KN bigram LM,
+        // video dedup, boilerplate, per-language classifiers,
+        // production-cap LSH gate
+        "t24_bpe_train", "d13_containment_sketch", "t25_kn_bigram_lm",
+        "mm7_video_dedup", "t26_boilerplate", "t20b_perlang_classifier",
+        "d3b_minhash_capped")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -138,6 +138,76 @@ object QualityClassifier {
     (w, scored)
   }
 
+  /** Per-GROUP trained quality classifiers (t20b) — one independent
+    * logistic regression per value of `groupCol` (typically language:
+    * CCNet trains a filter per language precisely because "quality"
+    * vocabulary is language-relative), in the SAME fixed-iteration
+    * integer-exact discipline as [[fitScore]], trained for ALL groups
+    * simultaneously in one set of jobs: the feature table carries the
+    * group key, each iteration is still ONE margins aggregate + ONE
+    * gradient aggregate (now keyed (group, j)), and the driver
+    * receives |groups|·(dim+1) gradient longs per iteration — the
+    * k-means k·dim contract, per group. A group's fit is bit-identical
+    * to running [[fitScore]] on that group's rows alone (same
+    * features, same denominators, same rounding — spec-pinned), so
+    * the grouped form is a pure batching of independent fits.
+    * Returns (per-group weights, scored rows
+    * `(idCol, groupCol, label, score, score_micro)`).
+    */
+  def fitScorePerGroup(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, label: Column, dim: Int = 64,
+                       iters: Int = 4, salt: String = "t20")
+  : (Map[String, Array[Long]], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(dim >= 2 && iters >= 1)
+    val tok = docs.select(col(idCol), col(groupCol).as("__g"),
+      label.cast("double").as("y"),
+      explode(TextFns.tokens(col(textCol))).as("__t"))
+    val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),
+      16, 10).cast("long")
+    val bt = tok.groupBy(col(idCol), col("__g"), col("y"),
+        pmod(hv, lit(dim.toLong)).as("j"))
+      .agg(count(lit(1)).as("c"))
+    val ntok = bt.groupBy(col(idCol)).agg(sum("c").as("n"))
+    val f = graft.Materialize.reuse(
+      bt.join(ntok, Seq(idCol))
+        .select(col(idCol), col("__g"), col("j"),
+          expr("c * 10000 div n").as("x"), col("y"))
+        .unionByName(docs.select(col(idCol), col(groupCol).as("__g"),
+          lit(dim.toLong).as("j"), lit(10000L).as("x"),
+          label.cast("double").as("y"))))
+    // per-group gradient denominators: one bounded |groups|-row agg
+    val nPer = docs.groupBy(col(groupCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = scala.collection.mutable.Map(
+      nPer.keys.map(_ -> Array.fill(dim + 1)(0L)).toSeq: _*)
+    def wDF = w.toSeq.flatMap { case (g, arr) =>
+      arr.zipWithIndex.map { case (v, j) => (g, j.toLong, v) }
+    }.toDF("__g", "j", "wm")
+    def margins = f.join(broadcast(wDF), Seq("__g", "j"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+    for (_ <- 0 until iters) {
+      val g = f.join(margins.select(col(idCol), (col("y") - pCol).as("err")),
+          Seq(idCol))
+        .groupBy("__g", "j")
+        .agg(sum(round(col("err") * col("x")).cast("long")).as("gs"))
+        .collect()
+      g.foreach { r =>
+        val grp = r.getString(0)
+        w(grp)(r.getLong(1).toInt) +=
+          roundAway(r.getLong(2).toDouble * 100.0 / nPer(grp))
+      }
+    }
+    val scored = margins
+      .select(col(idCol), col("__g").as(groupCol),
+        col("y").cast("long").as("label"),
+        round(pCol, 6).as("score"),
+        round(pCol * lit(1e6)).cast("long").as("score_micro"))
+    (w.toMap, scored)
+  }
+
   /** Score documents under FROZEN weights — the deployment path (and
     * the streaming sink's per-micro-batch body,
     * [[graft.streaming.Streaming.classifierScoreSink]]): [[fitScore]]'s

@@ -716,6 +716,47 @@ object TextFns {
           .as("kn2_score"))
   }
 
+  /** C4 line/page rule filter (t27) — the heuristic cleaning stage of
+    * the Colossal Clean Crawled Corpus (Raffel et al. 2020 §2.2),
+    * reduced to its integer-decidable core (the [[Boilerplate]] t26
+    * discipline; the bad-words list is deployment configuration, not
+    * a rule):
+    *
+    * Per line (split on `\n`, space-trimmed — SQL `trim` semantics):
+    * KEEP iff the line ends in terminal punctuation (`.` `!` `?` `"`)
+    * AND has ≥ 3 whitespace tokens AND does not contain `javascript`
+    * (case-insensitive). Per page: kept iff ≥ 5 lines survive AND the
+    * RAW text contains neither `lorem ipsum` (case-insensitive) nor a
+    * curly brace `{`.
+    *
+    * Every gate is a string containment / suffix / count comparison —
+    * no floats exist, so a DuckDB replay (list_filter + the same
+    * trim/suffix/split/contains chain) is bit-identical. Shape: pure
+    * `functions._` HOFs — ONE codegen'd map-only pass, text never
+    * shuffles (the t26 plan). Returns
+    * `struct(clean, n_kept, n_dropped, page_kept)`; `clean` is the
+    * kept lines re-joined with `\n` (computed for dropped pages too —
+    * the caller applies `page_kept`, keeping the operator a pure
+    * per-doc report like t26).
+    */
+  def c4Clean(text: Column): Column = {
+    val lines = split(text, "\n")
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(t, "\\s+")) >= 3 &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, keepLine)
+    val pageKept = (size(kept) >= 5) &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+    struct(
+      array_join(transform(kept, l => trim(l)), "\n").as("clean"),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"),
+      pageKept.cast("long").as("page_kept"))
+  }
+
   /** Corpus profile — the per-(stratum) "corpus card" a training-data
     * pipeline reports before mixing: document count, total chars,
     * total tokens, and vocabulary size (distinct tokens) per group.

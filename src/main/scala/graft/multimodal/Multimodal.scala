@@ -411,6 +411,70 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-frame difference hash over RAW grayscale frames (mm7) — the
+    * [[perceptualHash]] dHash applied to [[sampleFrames]] output:
+    * each `w`×`h` frame (row-major bytes, no container decode — the
+    * frame extractor already stripped it) box-resizes to the same
+    * 7×10 grid with the same floor arithmetic (blocks that floor to
+    * empty are 0, exactly as [[boxGrid]] pins) and hashes to the same
+    * 60-bit delta-sign signature. Integer-exact throughout, so a SQL
+    * oracle rebuilds every bit from the source bytes. One
+    * `mapPartitions` pass; input rows are (media_id, frame_idx,
+    * frame).
+    */
+  def frameDHash(frames: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = frames.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val idIdx = frames.schema.fieldIndex("media_id")
+    val fiIdx = frames.schema.fieldIndex("frame_idx")
+    val cIdx = frames.schema.fieldIndex("frame")
+    val rdd = frames.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val px = internal.getBinary(cIdx)
+        require(px.length == w * h,
+          s"frame is ${px.length} bytes, want ${w * h} ($w x $h)")
+        val g = boxGrid(px, w, h, 7, 10)
+        var dhash = 0L
+        var y = 0
+        while (y < 10) {
+          var x = 0
+          while (x < 6) {
+            if (g(y * 7 + x + 1) > g(y * 7 + x)) dhash |= 1L << (y * 6 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(internal.getLong(idIdx), internal.getInt(fiIdx), dhash)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Majority-bit video fingerprint (mm7): per video, bit `b` of the
+    * output is set iff a STRICT majority of its frames set bit `b` of
+    * their per-frame hash — each bit depends only on an ordering of
+    * two exact integers (2·count vs n_frames), so perturbing a single
+    * frame of a long clip flips nothing (the Haitsma-Kalker
+    * robustness argument lifted to the frame axis) and a SQL replay
+    * is bit-identical. ONE map-combined aggregate: `bits` long
+    * counters + a count per video, no shuffle of the frames beyond
+    * it. Output: (idCol, n_frames, vhash).
+    */
+  def majorityFingerprint(hashes: DataFrame, idCol: String,
+                          hashCol: String, bits: Int = 60): DataFrame = {
+    val sums = (0 until bits).map(b =>
+      sum(shiftright(col(hashCol), b).bitwiseAND(lit(1L))).as(s"__b$b"))
+    val vhash = (0 until bits).map(b =>
+      when(col(s"__b$b") * 2 > col("n_frames"), lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    hashes.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"), sums: _*)
+      .select(col(idCol), col("n_frames"), vhash.as("vhash"))
+  }
+
   /** Decode PNG payloads and fingerprint every pixel: md5 over the
     * comma-joined unsigned pixel values (row-major) — the byte-exact
     * gate for resize/codec round trips, reproducible in any SQL

@@ -316,6 +316,75 @@ object TextQueries {
           / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score
       FROM zf"""))
 
+  /** One per-GROUP training iteration of the t20b oracle — t20's
+    * iteration with (lang, j)-keyed weights and per-lang gradient
+    * denominators. */
+  private def t20bIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""zb$k AS MATERIALIZED (SELECT f.doc_id, f.lang, max(f.y) AS y,
+        CAST(sum(w.wm * f.x) AS BIGINT) AS sp
+        FROM fb f JOIN wb${k - 1} w ON w.lang = f.lang AND w.j = f.j
+        GROUP BY 1, 2),
+      gb$k AS MATERIALIZED (SELECT f.lang, f.j, CAST(sum(CAST(round(
+          (z.y - (0.5 + 0.5 * (CAST(z.sp AS DOUBLE) / 1e10)
+            / (1 + abs(CAST(z.sp AS DOUBLE) / 1e10)))) * f.x)
+          AS BIGINT)) AS BIGINT) AS gs
+        FROM fb f JOIN zb$k z USING (doc_id) GROUP BY 1, 2),
+      wb$k AS MATERIALIZED (SELECT w.lang, w.j,
+        w.wm + CAST(round(COALESCE(g.gs, 0) * 100.0 / ng.n) AS BIGINT) AS wm
+        FROM wb${k - 1} w JOIN ng ON ng.lang = w.lang
+        LEFT JOIN gb$k g ON g.lang = w.lang AND g.j = w.j)"""
+    }.mkString(",\n      ")
+
+  /** T20b: PER-LANGUAGE trained quality classifiers — CCNet trains a
+    * filter per language because quality vocabulary is
+    * language-relative ([[QualityClassifier.fitScorePerGroup]]: all
+    * groups fit simultaneously, each iteration one (lang, j)-keyed
+    * gradient aggregate, |langs|·(dim+1) driver longs per iteration;
+    * each group's fit bit-identical to a solo fitScore on its rows —
+    * spec-pinned, with a planted cross-language quality inversion
+    * only per-group training can recover). The oracle replays BOTH
+    * unrolled iterations for every language at once — the weight
+    * tables just carry a lang key.
+    */
+  val t20bPerLang = QueryDef(
+    "t20b_perlang_classifier",
+    (s, dir) => graft.functions.QualityClassifier.fitScorePerGroup(
+      table(s, dir, "documents"), "doc_id", "text", "lang",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      dim = 64, iters = 2)._2
+      .select("doc_id", "lang", "label", "score"),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      labb AS MATERIALIZED (SELECT doc_id, lang,
+        CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             THEN 1.0 ELSE 0.0 END AS y FROM documents),
+      btb AS (SELECT doc_id,
+        CAST('0x' || substr(md5('t20:' || t), 1, 15) AS BIGINT) % 64 AS j,
+        CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      ntb AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        FROM btb GROUP BY 1),
+      fb AS MATERIALIZED (
+        SELECT btb.doc_id, labb.lang, btb.j, (btb.c * 10000) // ntb.n AS x,
+          labb.y
+        FROM btb JOIN ntb USING (doc_id) JOIN labb USING (doc_id)
+        UNION ALL
+        SELECT labb.doc_id, labb.lang, 64 AS j, 10000 AS x, labb.y
+        FROM labb),
+      ng AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+      wb0 AS (SELECT lang, unnest(range(0, 65)) AS j, 0::BIGINT AS wm
+        FROM (SELECT DISTINCT lang FROM documents) g),
+      """ + t20bIterCtes(2) + """,
+      zbf AS MATERIALIZED (SELECT f.doc_id, f.lang, max(f.y) AS y,
+        CAST(sum(w.wm * f.x) AS BIGINT) AS sp
+        FROM fb f JOIN wb2 w ON w.lang = f.lang AND w.j = f.j
+        GROUP BY 1, 2)
+      SELECT doc_id, lang, CAST(y AS BIGINT) AS label,
+        ROUND(0.5 + 0.5 * (CAST(sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(sp AS DOUBLE) / 1e10)), 6) AS score
+      FROM zbf"""))
+
   /** P3: CLASSIFIER-GATED cleaning — the discriminative-filter stage
     * the GPT-3 pipeline actually ran (Brown et al. 2020 §A: score
     * every crawl doc with the reference-vs-web classifier, keep the
@@ -1600,6 +1669,98 @@ object TextQueries {
       FROM tok JOIN lp ON tok.cur = lp.prev AND tok.nxt = lp.w2
       GROUP BY tok.doc_id"""))
 
+  /** T26: HTML boilerplate extraction — the trafilatura/jusText rule
+    * core every crawl pipeline runs before quality/dedup
+    * ([[graft.functions.BoilerplateKernel]]: script/style block
+    * removal, per-line tag strip + entity decode, the ≥20-char and
+    * 2·link<body integer gates — one codegen'd kernel pass). The
+    * corpus here is already clean text, so most lines survive — the
+    * operator's discrimination is pinned on planted nav/footer HTML
+    * in TextPipelineSpec; THIS row gates that both engines replay the
+    * rule pipeline (regexes in the Java∩RE2 subset, replace chains,
+    * exact counters, md5 of the rebuilt article text) identically on
+    * every document.
+    */
+  val t26Boilerplate = QueryDef(
+    "t26_boilerplate",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Boilerplate.clean(col("text")).as("b"))
+      .select(col("doc_id"),
+        col("b.n_kept").cast("long").as("n_kept"),
+        col("b.n_dropped").cast("long").as("n_dropped"),
+        length(col("b.clean")).cast("long").as("clean_chars"),
+        md5(col("b.clean")).as("clean_fp")),
+    Some("""WITH nb AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM documents),
+      ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nb),
+      ln AS (SELECT doc_id, i, ls[i::INT] AS line FROM ls,
+        LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u),
+      ft AS (SELECT doc_id, i,
+          trim(replace(replace(replace(replace(replace(replace(
+            regexp_replace(line, '<[^>]*>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'), ' ') AS body,
+          COALESCE(list_sum(list_transform(
+            regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
+            a -> length(regexp_replace(a, '<[^>]*>', '', 'g')))), 0) AS link
+        FROM ln),
+      kp AS (SELECT doc_id, i, body,
+          (length(body) >= 20 AND 2 * link < length(body)) AS keep
+        FROM ft)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        CAST(length(COALESCE(string_agg(CASE WHEN keep THEN body END,
+          chr(10) ORDER BY i), '')) AS BIGINT) AS clean_chars,
+        md5(COALESCE(string_agg(CASE WHEN keep THEN body END,
+          chr(10) ORDER BY i), '')) AS clean_fp
+      FROM kp GROUP BY doc_id"""))
+
+  /** T27: C4 line/page rules — the heuristic cleaning stage of the
+    * Colossal Clean Crawled Corpus ([[TextFns.c4Clean]]: per-line
+    * terminal-punctuation / ≥3-words / no-javascript gates, per-page
+    * ≥5-kept-lines / no-lorem-ipsum / no-curly-brace gates — Raffel
+    * et al. 2020 §2.2's integer-decidable core). Beside t26 (tag
+    * strip + link density) this is the OTHER canonical pre-quality
+    * rule filter; both are one codegen'd map-only pass. The corpus
+    * here is already clean prose, so discrimination is pinned on
+    * planted chrome in TextPipelineSpec; this row gates that both
+    * engines replay every trim/suffix/count/containment rule and the
+    * rebuilt-text md5 identically on every document.
+    */
+  val t27C4 = QueryDef(
+    "t27_c4_rules",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextFns.c4Clean(col("text")).as("c"))
+      .select(col("doc_id"),
+        col("c.n_kept").as("n_kept"),
+        col("c.n_dropped").as("n_dropped"),
+        col("c.page_kept").as("page_kept"),
+        length(col("c.clean")).cast("long").as("clean_chars"),
+        md5(col("c.clean")).as("clean_fp")),
+    Some("""WITH ls AS (SELECT doc_id, text,
+        string_split(text, chr(10)) AS lls FROM documents),
+      kp AS (SELECT doc_id, text, len(lls) AS n_lines,
+          list_transform(list_filter(lls, l ->
+            right(trim(l), 1) IN ('.', '!', '?', '"')
+            AND len(string_split_regex(trim(l), '\s+')) >= 3
+            AND NOT contains(lower(trim(l)), 'javascript')),
+            l -> trim(l)) AS kept
+        FROM ls)
+      SELECT doc_id,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+        CAST(CASE WHEN len(kept) >= 5
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT)
+          AS page_kept,
+        CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+          AS BIGINT) AS clean_chars,
+        md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
+      FROM kp"""))
+
   /** T25: Kneser-Ney smoothed bigram LM quality score — the CCNet
     * filter's smoothing family ([[TextFns.knBigramLmScore]]: absolute
     * discount D = 3/4 + continuation-probability backoff, the whole
@@ -2463,6 +2624,83 @@ object TextQueries {
         COALESCE(cl.cluster, fp.doc_id) AS cluster
       FROM fp LEFT JOIN cl ON cl.doc_id = fp.doc_id"""))
 
+  /** MM7: perceptual VIDEO dedup — closes the image/audio/video triad
+    * by composing what exists: mm3's frame sampler (64-byte frames,
+    * stride 2) → per-frame dHash on the raw 8×8 grayscale frames
+    * ([[Multimodal.frameDHash]]: the mm5 grid + delta-sign kernel,
+    * no container decode) → a majority-bit per-video fingerprint
+    * ([[Multimodal.majorityFingerprint]]: bit b set iff a strict
+    * majority of frames set it — single-frame perturbations flip
+    * nothing) → the SAME Hamming chunk-banding and connected
+    * components as mm5/mm6. Oracle: DuckDB rebuilds every frame from
+    * the source text, every 7×10 grid cell with the constant 8×8
+    * floor boundaries (rows 0 and 5 floor to empty → 0, exactly as
+    * boxGrid pins), every per-frame dhash bit, the per-bit majority
+    * census, the brute-forced Hamming-≤3 graph, and label-propagates.
+    * Videos shorter than one frame carry no fingerprint on either
+    * engine.
+    */
+  val mm7VideoDedup = QueryDef(
+    "mm7_video_dedup",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        media, frameSize = 64, stride = 2)
+      val fh = graft.multimodal.Multimodal.frameDHash(frames, w = 8, h = 8)
+      val sigs = graft.Materialize.reuse( // feeds banding AND the output join
+        graft.multimodal.Multimodal.majorityFingerprint(fh, "media_id", "dhash"))
+      val pairs = Dedup.simHashPairsFromSigs(
+        sigs.select(col("media_id").as("id"), col("vhash").as("sig")),
+        maxDist = 3, bits = 60)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "media_id")
+      sigs.join(cc, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("n_frames"), col("vhash"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"))
+    },
+    Some("""WITH k AS (SELECT doc_id, text,
+        unnest(range(length(text) // 64)) AS f FROM documents),
+      fr AS MATERIALIZED (SELECT doc_id, CAST(f // 2 AS INT) AS frame_idx,
+          list_transform(range(0, 64), i ->
+            ord(substr(text, (f * 64 + i + 1)::INT, 1))) AS p
+        FROM k WHERE f % 2 = 0),
+      gg AS MATERIALIZED (SELECT doc_id, frame_idx,
+          list_transform(range(0, 70), k ->
+            CASE WHEN ((k // 7) + 1) * 8 // 10 > (k // 7) * 8 // 10 THEN
+              list_sum(flatten(list_transform(
+                range((k // 7) * 8 // 10, ((k // 7) + 1) * 8 // 10), y ->
+                  list_transform(range((k % 7) * 8 // 7, ((k % 7) + 1) * 8 // 7), x ->
+                    p[(y * 8 + x + 1)::INT]))))
+              // ((((k // 7) + 1) * 8 // 10 - (k // 7) * 8 // 10)
+                 * (((k % 7) + 1) * 8 // 7 - (k % 7) * 8 // 7))
+            ELSE 0 END) AS g
+        FROM fr),
+      dh AS MATERIALIZED (SELECT doc_id, frame_idx,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN g[((b // 6) * 7 + (b % 6) + 2)::INT] >
+                      g[((b // 6) * 7 + (b % 6) + 1)::INT]
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+        FROM gg),
+      bits AS (SELECT doc_id, b,
+          CAST(sum((dhash >> b::INT) & 1) AS BIGINT) AS c,
+          CAST(count(*) AS BIGINT) AS nf
+        FROM dh, (SELECT unnest(range(0, 60)) AS b) bb GROUP BY 1, 2),
+      vh AS MATERIALIZED (SELECT doc_id,
+          CAST(max(nf) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN 2 * c > nf
+            THEN 1::BIGINT << b::INT ELSE 0::BIGINT END) AS BIGINT) AS vhash
+        FROM bits GROUP BY 1),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.vhash, b.vhash)) <= 3),
+      """ + ccPropagationCtes + """
+      SELECT vh.doc_id AS media_id, vh.n_frames, vh.vhash,
+        COALESCE(cl.cluster, vh.doc_id) AS cluster
+      FROM vh LEFT JOIN cl ON cl.doc_id = vh.doc_id"""))
+
   /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the fixed-window
     * form of its suffix-array dedup): every 40-char window (stride 1)
@@ -2954,8 +3192,10 @@ FROM gi GROUP BY doc_id, grp"""))
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
-    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t19ParaDedup, t20Classifier,
-    t22ClassifierEval, t23ClassifierAuc,
+    t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t26Boilerplate,
+    t27C4,
+    t19ParaDedup, t20Classifier,
+    t20bPerLang, t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
@@ -2965,6 +3205,6 @@ FROM gi GROUP BY doc_id, grp"""))
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split, sp2Temporal,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
-    mm6AudioDedup,
+    mm6AudioDedup, mm7VideoDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet)
 }

@@ -97,6 +97,41 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(ham(rows(1L)._2, rows(2L)._2) <= 3)
   }
 
+  test("perturbed video clusters with its source; different video does not") {
+    import org.apache.spark.sql.functions.encode
+    import spark.implicits._
+    // 'videos' = byte payloads carved into 64-byte 8x8 frames (stride
+    // 2 -> 8 kept frames from 1024 bytes); a one-frame perturbation
+    // must be erased by the majority-bit fingerprint
+    def payload(seed: Int): String =
+      Array.tabulate(1024)(i => ('a' + ((i * (3 + seed) + seed * 7) % 26)).toChar).mkString
+    val base = payload(1)
+    val near = base.substring(0, 200) + "XXXX" + base.substring(204) // one frame touched
+    val far = payload(9)
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(
+      docs.withColumn("payload", encode(col("text"), "utf-8")),
+      "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+    val fh = Multimodal.frameDHash(
+      Multimodal.sampleFrames(media, frameSize = 64, stride = 2), w = 8, h = 8)
+    val sigs = Multimodal.majorityFingerprint(fh, "media_id", "dhash")
+    val rows = sigs.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.values.forall(_._1 == 8L), s"want 8 kept frames: $rows")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(1L)._2, rows(2L)._2) <= 3,
+      s"one-frame perturbation moved the majority fingerprint by " +
+        s"${ham(rows(1L)._2, rows(2L)._2)} bits")
+    assert(ham(rows(1L)._2, rows(3L)._2) > 3)
+    val pairs = Dedup.simHashPairsFromSigs(
+      sigs.select(col("media_id").as("id"), col("vhash").as("sig")),
+      maxDist = 3, bits = 60)
+    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.get(1L).contains(1L) && cc.get(2L).contains(1L))
+    assert(!cc.contains(3L))
+  }
+
   test("identical payloads hash identically regardless of partitioning") {
     val img = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
     val sigs = Multimodal.perceptualHash(

@@ -84,6 +84,39 @@ class QualityClassifierSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("fitScorePerGroup: each group's fit is bit-identical to a solo fit, " +
+       "and a planted cross-language quality inversion is recovered") {
+    import spark.implicits._
+    val refVocab = Seq("science", "history", "theory", "method", "result")
+    val webVocab = Seq("click", "buy", "free", "winner", "casino")
+    def doc(vocab: Seq[String], seed: Int): String =
+      (0 until 24).map(i => vocab((i * 7 + seed * 13) % vocab.size)).mkString(" ")
+    // lang aa: refVocab is the reference class; lang bb: the SAME
+    // refVocab is the SPAM class (the inversion a pooled model
+    // averages away and a per-language model must recover)
+    val docs = ((0 until 20).map(i => (i.toLong, "aa", doc(refVocab, i), 1)) ++
+      (20 until 40).map(i => (i.toLong, "aa", doc(webVocab, i), 0)) ++
+      (40 until 60).map(i => (i.toLong, "bb", doc(refVocab, i), 0)) ++
+      (60 until 80).map(i => (i.toLong, "bb", doc(webVocab, i), 1)))
+      .toDF("doc_id", "lang", "text", "lbl")
+    val (w, scored) = QualityClassifier.fitScorePerGroup(
+      docs, "doc_id", "text", "lang", col("lbl") === 1,
+      dim = 32, iters = 3, salt = "pg")
+    val s = scored.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // inversion recovered: refVocab docs outscore webVocab docs in aa
+    // and UNDERscore them in bb
+    for (r <- 0 until 20; b <- 20 until 40)
+      assert(s(r.toLong) > s(b.toLong), s"aa: ref $r !> web $b")
+    for (b <- 40 until 60; r <- 60 until 80)
+      assert(s(r.toLong) > s(b.toLong), s"bb: web-as-ref $r !> ref-as-spam $b")
+    // batching property: group bb's weights == a solo fitScore on
+    // bb's rows alone (same features, denominators, rounding)
+    val (wSolo, _) = QualityClassifier.fitScore(
+      docs.filter(col("lang") === "bb"), "doc_id", "text",
+      col("lbl") === 1, dim = 32, iters = 3, salt = "pg")
+    assert(w("bb").toSeq == wSolo.toSeq)
+  }
+
   test("evaluate: exact confusion counters and ratios per threshold") {
     import spark.implicits._
     // labels/scores chosen so each threshold slices differently:

@@ -453,6 +453,79 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("boilerplate: script blocks, nav bars, link farms and chrome die; " +
+       "article lines survive with entities decoded") {
+    import graft.functions.BoilerplateKernel
+    val html =
+      "<script>var x = 1;\nalert(1)</script>Real article content line " +
+        "that is long enough to keep for sure.\n" +
+        "<div><a href=\"x\">Home</a> | <a href=\"y\">About</a> | " +
+        "<a href=\"z\">Contact</a></div>\n" +
+        "Another real paragraph &amp; enough characters to pass the gate.\n" +
+        "Short line\n" +
+        "<style>.a{color:red}</style>\n" +
+        "Links <a href=\"q\">with much anchor text dominating this " +
+        "line entirely okay</a>"
+    val (clean, kept, droppedN) = BoilerplateKernel.clean(html)
+    assert(kept == 2 && droppedN == 4, s"kept=$kept dropped=$droppedN")
+    assert(clean ==
+      "Real article content line that is long enough to keep for sure.\n" +
+        "Another real paragraph & enough characters to pass the gate.")
+    // nav line dies on link density DESPITE passing the length gate:
+    // body 'Home | About | Contact' is 22 chars, link chars 16 -> 32 >= 22
+    // entity torture: &amp;lt; must yield the LITERAL '&lt;', and the
+    // entity-decoded body length drives the integer gate
+    val (c2, k2, _) = BoilerplateKernel.clean(
+      "x &amp;lt; y and some more article text here")
+    assert(k2 == 1 && c2 == "x &lt; y and some more article text here")
+    // tag-free short docs are untouched single kept lines
+    assert(BoilerplateKernel.clean("plain prose with no markup at all")
+      == ("plain prose with no markup at all", 1, 0))
+    // expression form matches the kernel and survives codegen
+    import spark.implicits._
+    val got = Seq((1L, html)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.Boilerplate.clean(col("text")).as("b"))
+      .select(col("b.clean"), col("b.n_kept"), col("b.n_dropped"))
+      .head()
+    assert(got.getString(0) == clean && got.getInt(1) == 2 && got.getInt(2) == 4)
+  }
+
+  test("c4Clean: planted chrome dies on the line rules; page gates " +
+       "fire on kept-count, lorem ipsum, and curly braces") {
+    import spark.implicits._
+    val page =
+      "This is a real first sentence that ends properly.\n" +
+        "Home | About | Contact\n" +           // no terminal punctuation
+        "Enable javascript to continue, please.\n" + // javascript line
+        "Buy now!\n" +                          // < 3 words
+        "Here is another perfectly ordinary sentence.\n" +
+        "  A third good sentence, with leading spaces trimmed.  \n" +
+        "A fourth sentence keeps the page alive today.\n" +
+        "And a fifth sentence pushes it over the gate!"
+    def run(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+      .select(graft.functions.TextFns.c4Clean(col("text")).as("c"))
+      .select(col("c.clean"), col("c.n_kept"), col("c.n_dropped"),
+        col("c.page_kept")).head()
+    val r = run(page)
+    assert(r.getLong(1) == 5 && r.getLong(2) == 3 && r.getLong(3) == 1,
+      s"got $r")
+    assert(r.getString(0).startsWith("This is a real first") &&
+      r.getString(0).contains("A third good sentence") &&
+      !r.getString(0).contains("javascript") &&
+      !r.getString(0).contains("Home |"))
+    // kept lines are the TRIMMED bodies
+    assert(r.getString(0).split("\n")(2) ==
+      "A third good sentence, with leading spaces trimmed.")
+    // page gates: 4 kept lines -> dropped page (line report unchanged)
+    val few = run(page.split("\n").drop(1).mkString("\n"))
+    assert(few.getLong(1) == 4 && few.getLong(3) == 0)
+    // lorem ipsum anywhere (case-insensitive) kills the page
+    assert(run(page + "\nAnd Lorem Ipsum filler text ends here.")
+      .getLong(3) == 0)
+    // a curly brace anywhere kills the page even on a dropped line
+    assert(run(page + "\nfunction f() { return 1; }").getLong(3) == 0)
+  }
+
   test("knBigramLmScore: exact KN rational on planted counts") {
     import graft.functions.TextFns
     // corpus: "a b a b" + "a b" -> bigram types: (a,b) c2=3, (b,a)
