@@ -716,6 +716,97 @@ object TextFns {
           .as("kn2_score"))
   }
 
+  /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
+    * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score
+    * every document with a per-language LM, cut each language into
+    * perplexity terciles; "head" is the cleanest third a training run
+    * mixes first): a per-LANGUAGE interpolated-KN bigram LM
+    * ([[knBigramLmScore]] with the language key riding every
+    * aggregate — the t20b batching discipline; language counts are
+    * independent, so the grouped form is pure batching), then
+    * per-language tercile cutoffs over the DISTINCT mean-score table.
+    *
+    * Determinism: the per-doc key is `kmicro = floor(s / n)` — one
+    * IEEE division of exact integers (|s| < 2⁴² at any doc size)
+    * under `floor`, which has no round-half freedom. Cutoffs are
+    * exact: order distinct kmicro DESC per language, take running doc
+    * counts, and `c1 = max(kmicro | cum ≥ ⌈n/3⌉)`,
+    * `c2 = max(kmicro | cum ≥ ⌈2n/3⌉)` with ceilings as integer
+    * `(n+2) div 3` arithmetic; ties share a bucket (deterministic,
+    * slightly uneven thirds — the CCNet cut is by value, not by
+    * row-split). Docs with no bigram (single-token) take `tail` with
+    * NULL score — the conservative call for an unjudgeable doc.
+    *
+    * Shape for scale: the LM is t25's audited shape with a lang key;
+    * the ONLY window runs over the distinct (lang, kmicro) table —
+    * bounded by the micro value range (~3·10⁷ rows worst-case)
+    * regardless of corpus size, the t23 discipline — and cutoffs
+    * broadcast back as a |langs|-row sliver. Corpus text never
+    * exchanges; no global sort of documents exists.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val zipped = arrays_zip(w.as("cur"),
+      concat(slice(w, lit(2), greatest(n - 1, lit(0))),
+        array(lit(null).cast("string"))).as("next"))
+    val tok = graft.Materialize.reuse(
+      docs.select(col(idCol), col(langCol).as("__lang"),
+          explode(zipped).as("__z"))
+        .select(col(idCol), col("__lang"), col("__z.cur").as("__cur"),
+          col("__z.next").as("__next")))
+    val bi = graft.Materialize.reuse(
+      tok.filter(col("__next").isNotNull)
+        .groupBy(col("__lang"), col("__cur").as("__prev"),
+          col("__next").as("__w2"))
+        .agg(count(lit(1)).as("__c2")))
+    val ctx = bi.groupBy("__lang", "__prev")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
+    val back = bi.groupBy("__lang", "__w2").agg(count(lit(1)).as("__n1b"))
+    val nb = bi.groupBy("__lang").agg(count(lit(1)).as("__nb"))
+    val num = ((lit(4L) * col("__c2") - lit(3L)) * col("__nb") +
+      lit(3L) * col("__n1f") * col("__n1b")).cast("double")
+    val den = (lit(4L) * col("__c1") * col("__nb")).cast("double")
+    val lp = bi
+      .join(ctx, Seq("__lang", "__prev"))
+      .join(back, Seq("__lang", "__w2"))
+      .join(broadcast(nb), Seq("__lang"))
+      .select(col("__lang"), col("__prev"), col("__w2"),
+        round(lit(1e6) * log(num / den)).cast("long").as("__lp"))
+    val lpR = lp.withColumnRenamed("__lang", "__l2")
+    val scored = graft.Materialize.reuse(
+      tok.filter(col("__next").isNotNull)
+        .join(lpR, col("__lang") === col("__l2") &&
+          col("__cur") === col("__prev") && col("__next") === col("__w2"))
+        .groupBy(col(idCol), col("__lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__s"))
+        .select(col(idCol), col("__lang"), col("n_bigrams"),
+          floor(col("__s").cast("double") / col("n_bigrams"))
+            .cast("long").as("kmicro")))
+    val dist = scored.groupBy("__lang", "kmicro").agg(count(lit(1)).as("__cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__lang").orderBy(col("kmicro").desc)
+    val nl = scored.groupBy("__lang").agg(count(lit(1)).as("__nl"))
+    val cuts = dist.withColumn("__cum", sum("__cnt").over(win))
+      .join(broadcast(nl), Seq("__lang"))
+      .groupBy("__lang")
+      .agg(
+        max(when(col("__cum") >= expr("(__nl + 2) div 3"),
+          col("kmicro"))).as("__t1"),
+        max(when(col("__cum") >= expr("(2 * __nl + 2) div 3"),
+          col("kmicro"))).as("__t2"))
+    docs.select(col(idCol), col(langCol).as("__lang"))
+      .join(scored, Seq(idCol, "__lang"), "left")
+      .join(broadcast(cuts), Seq("__lang"), "left")
+      .select(col(idCol), col("__lang").as(langCol), col("n_bigrams"),
+        col("kmicro"),
+        when(col("kmicro").isNull, lit("tail"))
+          .when(col("kmicro") >= col("__t1"), lit("head"))
+          .when(col("kmicro") >= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** C4 line/page rule filter (t27) — the heuristic cleaning stage of
     * the Colossal Clean Crawled Corpus (Raffel et al. 2020 §2.2),
     * reduced to its integer-decidable core (the [[Boilerplate]] t26

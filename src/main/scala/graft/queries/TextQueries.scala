@@ -700,6 +700,66 @@ object TextQueries {
     * itself. Threshold comparisons sit on 4-decimal-rounded doubles
     * (bit-identical both engines), so the gate is reproducible.
     */
+  /** CP6: CCNet perplexity buckets — the head/middle/tail release
+    * structure ([[TextFns.perplexityBuckets]]: per-language KN bigram
+    * LM → per-language tercile cutoffs over the bounded distinct
+    * mean-score table; `floor` keys, integer ceilings, value-cut
+    * ties). Oracle replays the whole lang-keyed t25 pipeline, the
+    * floored per-doc key, the windowed running counts, both cutoffs,
+    * and every bucket assignment.
+    */
+  val cp6PerplexityBuckets = QueryDef(
+    "cp6_perplexity_buckets",
+    (s, dir) => TextFns.perplexityBuckets(
+      table(s, dir, "documents"), "doc_id", "text", "lang"),
+    Some("""WITH d AS (SELECT doc_id, lang,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      tok AS (SELECT doc_id, lang, w[i::INT] AS cur,
+          CASE WHEN i < len(w) THEN w[(i+1)::INT] END AS nxt
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+      bi AS MATERIALIZED (SELECT lang, cur AS prev, nxt AS w2,
+          CAST(count(*) AS BIGINT) AS c2
+        FROM tok WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+      ctx AS MATERIALIZED (SELECT lang, prev,
+          CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+        FROM bi GROUP BY 1, 2),
+      bk AS MATERIALIZED (SELECT lang, w2, CAST(count(*) AS BIGINT) AS n1b
+        FROM bi GROUP BY 1, 2),
+      nbt AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS nb
+        FROM bi GROUP BY 1),
+      lp AS (SELECT bi.lang, bi.prev, bi.w2,
+          CAST(round(1000000 * ln(
+            CAST((4*bi.c2 - 3)*nbt.nb + 3*ctx.n1f*bk.n1b AS DOUBLE)
+            / CAST(4*ctx.c1*nbt.nb AS DOUBLE))) AS BIGINT) AS lp
+        FROM bi JOIN ctx USING (lang, prev) JOIN bk USING (lang, w2)
+          JOIN nbt USING (lang)),
+      sc AS MATERIALIZED (SELECT tok.doc_id, tok.lang,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(floor(CAST(sum(lp.lp) AS DOUBLE) / count(*)) AS BIGINT)
+            AS kmicro
+        FROM tok JOIN lp ON tok.lang = lp.lang AND tok.cur = lp.prev
+          AND tok.nxt = lp.w2
+        GROUP BY 1, 2),
+      dst AS (SELECT lang, kmicro, CAST(count(*) AS BIGINT) AS cnt
+        FROM sc GROUP BY 1, 2),
+      nl AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        FROM sc GROUP BY 1),
+      cm AS (SELECT lang, kmicro,
+          sum(cnt) OVER (PARTITION BY lang ORDER BY kmicro DESC) AS cum
+        FROM dst),
+      cuts AS MATERIALIZED (SELECT cm.lang,
+          max(CASE WHEN cum >= (nl.nl + 2) // 3 THEN kmicro END) AS t1,
+          max(CASE WHEN cum >= (2*nl.nl + 2) // 3 THEN kmicro END) AS t2
+        FROM cm JOIN nl USING (lang) GROUP BY 1)
+      SELECT dd.doc_id, dd.lang, sc.n_bigrams, sc.kmicro,
+        CASE WHEN sc.kmicro IS NULL THEN 'tail'
+             WHEN sc.kmicro >= cuts.t1 THEN 'head'
+             WHEN sc.kmicro >= cuts.t2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM documents dd
+      LEFT JOIN sc ON dd.doc_id = sc.doc_id AND dd.lang = sc.lang
+      LEFT JOIN cuts ON dd.lang = cuts.lang"""))
+
   val cp5Datasheet = QueryDef(
     "cp5_datasheet",
     (s, dir) => TextFns.datasheet(
@@ -3206,5 +3266,6 @@ FROM gi GROUP BY doc_id, grp"""))
     n11Negatives, sp1Split, sp2Temporal,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup,
-    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet)
+    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
+    cp6PerplexityBuckets)
 }

@@ -526,6 +526,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(run(page + "\nfunction f() { return 1; }").getLong(3) == 0)
   }
 
+  test("perplexityBuckets: planted terciles land head/middle/tail; " +
+       "unscoreable docs tail; languages bucket independently") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    // en: 3 copies each of three texts with clearly separated KN
+    // scores (repeated-bigram > mixed > all-distinct), so the three
+    // kmicro values are distinct and ties share a bucket
+    // KN mean log-prob by construction: X's contexts are fully
+    // deterministic (c2/c1 = 1, mean ≈ −0.11), Y's split 2-ways
+    // (≈ −0.61), Z's context fans 3-ways (≈ −0.95) — order X > Y > Z
+    // with ~0.3 nat gaps, immune to the small continuation terms
+    val en = (1L to 3L).map(i => (i, "a b a b a b", "en")) ++
+      (4L to 6L).map(i => (i, "c d c e c d", "en")) ++
+      (7L to 9L).map(i => (i, "f u f v f w", "en"))
+    val de = Seq((21L, "x y x y x y", "de"), (22L, "p q r s t u", "de"))
+    val solo = Seq((10L, "solo", "en"))
+    val docs = (en ++ de ++ solo).toDF("doc_id", "text", "lang")
+    val got = TextFns.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(3)).map(_ => r.getLong(3)),
+          r.getString(4))).toMap
+    assert((1L to 3L).forall(got(_)._3 == "head"))
+    assert((4L to 6L).forall(got(_)._3 == "middle"))
+    assert((7L to 9L).forall(got(_)._3 == "tail"))
+    // the kmicro ordering backs the bucket assignment
+    assert(got(1L)._2.get > got(4L)._2.get &&
+      got(4L)._2.get > got(7L)._2.get)
+    // a single-token doc has no bigram: NULL score, conservative tail
+    assert(got(10L) == (("en", None, "tail")))
+    // language independence: de's buckets equal a solo run on de
+    val deSolo = TextFns.perplexityBuckets(
+        docs.filter(col("lang") === "de"), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(Seq(21L, 22L).forall(i => got(i)._3 == deSolo(i)))
+    // with 2 de docs, ceil(2/3)=1 puts the better one alone in head
+    assert(got(21L)._3 == "head" && got(22L)._3 != "head")
+  }
+
   test("knBigramLmScore: exact KN rational on planted counts") {
     import graft.functions.TextFns
     // corpus: "a b a b" + "a b" -> bigram types: (a,b) c2=3, (b,a)
