@@ -716,6 +716,105 @@ object TextFns {
           .as("kn2_score"))
   }
 
+  /** Stupid-backoff trigram LM score (t28) — the scoring scheme
+    * Google actually ran at web scale (Brants et al. 2007 §3:
+    * count-based backoff with a FIXED multiplier α = 0.4 and no
+    * discounting — "stupid" because it skips the normalization that
+    * makes distributed training of KN painful, and at large data it
+    * matches or beats it). The LM trains on the `trainFilter` subset
+    * (the reference-corpus side, t20's discipline) and scores EVERY
+    * document — unlike t18/t25's self-scoring, unseen n-grams occur
+    * and every backoff branch is live:
+    *
+    *   S(w₃|w₁w₂) = c₁₂₃/c₁₂           if c₁₂₃ > 0
+    *              = 0.4 · c₂₃/c₂       else if c₂₃ > 0
+    *              = 0.16 · c₃/N        else if c₃ > 0
+    *              = 0.16 / (N+1)       else  (OOV floor; Brants
+    *                leaves OOV to the application — this floor is the
+    *                smallest deterministic choice below every seen
+    *                unigram's backoff mass)
+    *
+    * with c₂ the UNIGRAM count of w₂ (so c₂ ≥ c₂₃ whenever c₂₃ > 0,
+    * and c₁₂ ≥ c₁₂₃ — each branch's denominator is positive by
+    * construction). Every S is an exact rational with α folded in as
+    * 2/5 and 4/25 (integer products, ONE double division per branch);
+    * the only other float is the t18 micro-quantized ln.
+    *
+    * Shape for scale: one materialized (id, train-flag, token-array)
+    * base feeds three map-only explode passes (trigram, bigram,
+    * unigram streams — text scanned once); all censuses are
+    * map-combined aggregates over n-gram TYPE tables; per-type scores
+    * join census slivers to the DISTINCT scored-trigram table; the
+    * corpus-sized exchange is the final (id, trigram) → log-prob join,
+    * t25's audited shape. Docs with < 3 tokens carry no trigram and
+    * are absent from the output (t18/t25's convention).
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         trainFilter: Column): DataFrame = {
+    val w = tokens(col(textCol))
+    val base = graft.Materialize.reuse(
+      docs.select(col(idCol), trainFilter.as("__tr"), w.as("__w")))
+    val n = size(col("__w"))
+    val nullS = lit(null).cast("string")
+    val zip3 = arrays_zip(
+      col("__w").as("a"),
+      concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
+        array(nullS)).as("b"),
+      concat(slice(col("__w"), lit(3), greatest(n - 2, lit(0))),
+        array(nullS, nullS)).as("c"))
+    val tok3 = graft.Materialize.reuse(
+      base.select(col(idCol), col("__tr"), explode(zip3).as("__z"))
+        .select(col(idCol), col("__tr"), col("__z.a").as("__w1"),
+          col("__z.b").as("__w2"), col("__z.c").as("__w3"))
+        .filter(col("__w3").isNotNull))
+    val zip2 = arrays_zip(
+      col("__w").as("a"),
+      concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
+        array(nullS)).as("b"))
+    val tri = tok3.filter(col("__tr"))
+      .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123"))
+    val big = graft.Materialize.reuse(
+      base.filter(col("__tr"))
+        .select(explode(zip2).as("__z"))
+        .select(col("__z.a").as("__b1"), col("__z.b").as("__b2"))
+        .filter(col("__b2").isNotNull)
+        .groupBy("__b1", "__b2").agg(count(lit(1)).as("__cb")))
+    val uni = graft.Materialize.reuse(
+      base.filter(col("__tr"))
+        .select(explode(col("__w")).as("__u"))
+        .groupBy("__u").agg(count(lit(1)).as("__cu")))
+    val nTot = uni.agg(sum("__cu").as("__n"))
+    val types = tok3.select("__w1", "__w2", "__w3").distinct()
+    val p =
+      when(col("__c123").isNotNull,
+        col("__c123").cast("double") / col("__c12"))
+      .when(col("__c23").isNotNull,
+        (lit(2L) * col("__c23")).cast("double") / (lit(5L) * col("__c2")))
+      .when(col("__c3").isNotNull,
+        (lit(4L) * col("__c3")).cast("double") / (lit(25L) * col("__n")))
+      .otherwise(lit(4.0) / (lit(25L) * (col("__n") + lit(1L))))
+    val lp = types
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(big.select(col("__b1").as("__w1"), col("__b2").as("__w2"),
+        col("__cb").as("__c12")), Seq("__w1", "__w2"), "left")
+      .join(big.select(col("__b1").as("__w2"), col("__b2").as("__w3"),
+        col("__cb").as("__c23")), Seq("__w2", "__w3"), "left")
+      .join(uni.select(col("__u").as("__w2"), col("__cu").as("__c2")),
+        Seq("__w2"), "left")
+      .join(uni.select(col("__u").as("__w3"), col("__cu").as("__c3")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("__w1"), col("__w2"), col("__w3"),
+        round(lit(1e6) * log(p)).cast("long").as("__lp"))
+    tok3
+      .join(lp, Seq("__w1", "__w2", "__w3"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum("__lp").as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_trigrams")))
+          .as("sb3_score"))
+  }
+
   /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
     * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score
     * every document with a per-language LM, cut each language into

@@ -1857,6 +1857,57 @@ object TextQueries {
       FROM tok JOIN lp ON tok.cur = lp.prev AND tok.nxt = lp.w2
       GROUP BY tok.doc_id"""))
 
+  /** T28: stupid-backoff trigram LM — the web-scale scoring scheme
+    * ([[TextFns.stupidBackoffScore]]: Brants et al. 2007's fixed-α
+    * count backoff, trained on the reference-source subset and
+    * scoring every doc, so all four branches — trigram hit, bigram
+    * backoff, unigram backoff, OOV floor — are live on real data).
+    * Oracle replays the three train censuses, the per-type CASE with
+    * the exact 2/5 and 4/25 rationals, and the scoring join.
+    */
+  val t28StupidBackoff = QueryDef(
+    "t28_stupid_backoff",
+    (s, dir) => TextFns.stupidBackoffScore(
+      table(s, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4")),
+    Some("""WITH d AS (SELECT doc_id,
+        source IN ('src0','src1','src2','src3','src4') AS tr,
+        string_split_regex(trim(text), '\s+') AS w FROM documents),
+      t3 AS MATERIALIZED (SELECT doc_id, tr, w[i::INT] AS w1,
+          w[(i+1)::INT] AS w2, w[(i+2)::INT] AS w3
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+          AS i) u
+        WHERE len(w) >= 3),
+      tri AS MATERIALIZED (SELECT w1, w2, w3,
+          CAST(count(*) AS BIGINT) AS c123
+        FROM t3 WHERE tr GROUP BY 1, 2, 3),
+      bg AS MATERIALIZED (SELECT b1, b2v, CAST(count(*) AS BIGINT) AS cb
+        FROM (SELECT w[i::INT] AS b1, w[(i+1)::INT] AS b2v
+          FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+            AS i) u
+          WHERE tr AND len(w) >= 2) GROUP BY 1, 2),
+      un AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(w) AS u FROM d WHERE tr) GROUP BY 1),
+      nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM un),
+      ty AS MATERIALIZED (SELECT DISTINCT w1, w2, w3 FROM t3),
+      lp AS MATERIALIZED (SELECT ty.w1, ty.w2, ty.w3,
+          CAST(round(1000000 * ln(CASE
+            WHEN tri.c123 IS NOT NULL
+              THEN CAST(tri.c123 AS DOUBLE) / g12.cb
+            WHEN g23.cb IS NOT NULL
+              THEN CAST(2 * g23.cb AS DOUBLE) / (5 * u2.cu)
+            WHEN u3.cu IS NOT NULL
+              THEN CAST(4 * u3.cu AS DOUBLE) / (25 * nt.n)
+            ELSE 4.0 / (25 * (nt.n + 1)) END)) AS BIGINT) AS lp
+        FROM ty LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN bg g12 ON ty.w1 = g12.b1 AND ty.w2 = g12.b2v
+          LEFT JOIN bg g23 ON ty.w2 = g23.b1 AND ty.w3 = g23.b2v
+          LEFT JOIN un u2 ON ty.w2 = u2.u
+          LEFT JOIN un u3 ON ty.w3 = u3.u, nt)
+      SELECT t3.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        CAST(sum(lp.lp) AS DOUBLE) / (1000000.0 * count(*)) AS sb3_score
+      FROM t3 JOIN lp USING (w1, w2, w3) GROUP BY 1"""))
+
   /** N6: text near-dup pairs via hashed TF-IDF cosine — the
     * COMPOSITION t13 → assembleVectors → n2's md5-plane LSH →
     * exact-cosine verify, proving the text→embedding bridge end to
@@ -3253,7 +3304,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t26Boilerplate,
-    t27C4,
+    t27C4, t28StupidBackoff,
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,

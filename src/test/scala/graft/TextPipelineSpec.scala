@@ -526,6 +526,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(run(page + "\nfunction f() { return 1; }").getLong(3) == 0)
   }
 
+  test("stupidBackoffScore: all four branches exact on planted counts") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    // train "a b c a b c": tri (a,b,c)=2,(b,c,a)=1,(c,a,b)=1;
+    // big (a,b)=2,(b,c)=2,(c,a)=1; uni a=2,b=2,c=2, N=6
+    val docs = Seq(
+      (0L, "a b c a b c", "train"),
+      (1L, "a b c", "eval"),   // trigram hit: 2/2 = 1
+      (2L, "x b c", "eval"),   // bigram backoff: 2*2/(5*2) = 0.4
+      (3L, "x y c", "eval"),   // unigram backoff: 4*2/(25*6)
+      (4L, "x y z", "eval")    // OOV floor: 4/(25*7)
+    ).toDF("doc_id", "text", "src")
+    val got = TextFns.stupidBackoffScore(docs, "doc_id", "text",
+        col("src") === "train")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def sc(p: Double) = math.round(1e6 * math.log(p)) / 1e6
+    assert(got(1L) == ((1L, 0.0)))
+    assert(got(2L) == ((1L, sc(2.0 * 2 / (5 * 2)))))
+    assert(got(3L) == ((1L, sc(4.0 * 2 / (25 * 6)))))
+    assert(got(4L) == ((1L, sc(4.0 / (25 * 7)))))
+    // deeper backoff always scores worse
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2 &&
+      got(3L)._2 > got(4L)._2)
+    // the train doc scores itself: 4 trigrams all hits
+    assert(got(0L)._1 == 4L)
+  }
+
   test("perplexityBuckets: planted terciles land head/middle/tail; " +
        "unscoreable docs tail; languages bucket independently") {
     import spark.implicits._
