@@ -150,4 +150,39 @@ object Mixture {
       .filter(col("__rk") <= ceil(col("__rate") * col("__n")))
       .drop("__rate", "__rk", "__n")
   }
+
+  /** Deterministic epoch shuffle + shard assignment (t29) — the
+    * training-data shuffle every run actually ships (the
+    * WebDataset/Megatron discipline: a training job must read its
+    * corpus in a pseudo-random order that is REPRODUCIBLE — resume
+    * from step k, re-run a failed job, audit which samples a
+    * checkpoint saw — and different per epoch): each row keys on
+    * `ekey = md5(seed:id)` (the [[hashLong60]] coin), lands in shard
+    * `ekey mod shards`, and takes `epoch_pos` = its 1-based rank
+    * within the shard by `(ekey, id)` — a total order, id breaking
+    * the ~2⁻⁶⁰ hash ties. A new seed is a fresh independent
+    * permutation; adding rows later never REORDERS surviving pairs
+    * within a shard (ranks shift, relative order is hash-fixed).
+    *
+    * Shape for scale: ONE hash exchange on shard + a per-shard sort —
+    * the terasort shape; the only window partitions by shard, so
+    * with `shards` sized to ~1-10 GB of rows each (10⁴-10⁵ at
+    * 100 TB) every rank task sorts a spill-backed slice, and NO
+    * global window exists. The sort carries (id, ekey) pairs only —
+    * a training loader joins text back by id per shard, or the
+    * caller selects payload columns through.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val ekey = hashLong60(col(idCol), seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__ekey"), col(idCol))
+    df.select(col(idCol), ekey.as("__ekey"),
+        pmod(ekey, lit(shards.toLong)).as("__shard"))
+      .withColumn("__pos", row_number().over(w))
+      .select(col(idCol), col("__ekey").as("ekey"),
+        col("__shard").as("shard"),
+        col("__pos").cast("long").as("epoch_pos"))
+  }
 }

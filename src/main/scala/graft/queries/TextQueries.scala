@@ -3099,6 +3099,24 @@ FROM gi GROUP BY doc_id, grp"""))
     * or refine: Bernoulli pre-filter at rate·(1+ε) then exact rank
     * on the survivors.
     */
+  /** T29: deterministic epoch shuffle — the reproducible
+    * training-order permutation ([[Mixture.epochShuffle]]: md5 epoch
+    * key, mod-shard assignment, per-shard rank; terasort shape, no
+    * global window). Oracle replays the hash, the mod, and every
+    * per-shard rank.
+    */
+  val t29EpochShuffle = QueryDef(
+    "t29_epoch_shuffle",
+    (s, dir) => graft.functions.Mixture.epochShuffle(
+      table(s, dir, "documents"), "doc_id", "ep1", shards = 8),
+    Some("""WITH k AS (SELECT doc_id,
+        CAST('0x' || substr(md5('ep1:' || doc_id), 1, 15) AS BIGINT)
+          AS ekey FROM documents)
+      SELECT doc_id, ekey, ekey % 8 AS shard,
+        CAST(row_number() OVER (PARTITION BY ekey % 8
+          ORDER BY ekey, doc_id) AS BIGINT) AS epoch_pos
+      FROM k"""))
+
   val t12Stratified = QueryDef(
     "t12_stratified_sample",
     (s, dir) => graft.functions.Mixture.stratifiedSample(
@@ -3301,7 +3319,8 @@ FROM gi GROUP BY doc_id, grp"""))
   val all: Seq[QueryDef] = Seq(
     cp1Profile, cp2Temperature, cp3TopTerms,
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture, t10GopherChar,
+    t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture,
+    t29EpochShuffle, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t26Boilerplate,
     t27C4, t28StupidBackoff,

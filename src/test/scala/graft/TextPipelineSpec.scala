@@ -526,6 +526,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(run(page + "\nfunction f() { return 1; }").getLong(3) == 0)
   }
 
+  test("epochShuffle: reproducible permutation per seed, fresh order " +
+       "per epoch, growth never reorders surviving pairs") {
+    import spark.implicits._
+    import graft.functions.Mixture
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def runSeed(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Mixture.epochShuffle(d, "doc_id", seed, shards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    val e1 = runSeed(docs, "ep1")
+    // determinism: a re-run is identical
+    assert(runSeed(docs, "ep1") == e1)
+    // within each shard, positions are exactly 1..count
+    e1.values.groupBy(_._1).foreach { case (_, v) =>
+      assert(v.map(_._2).toSeq.sorted == (1L to v.size).toSeq)
+    }
+    // a different seed is a genuinely different permutation
+    val e2 = runSeed(docs, "ep2")
+    assert(e1 != e2)
+    // growth stability: adding docs never reorders surviving pairs
+    // within a shard (ranks shift, hash order is fixed)
+    val grown = runSeed(
+      (1L to 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text"), "ep1")
+    for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      if e1(a)._1 == e1(b)._1 && grown(a)._1 == grown(b)._1
+    } assert((e1(a)._2 < e1(b)._2) == (grown(a)._2 < grown(b)._2))
+    // original docs keep their shard under growth (hash-keyed)
+    assert((1L to 60L).forall(i => e1(i)._1 == grown(i)._1))
+  }
+
   test("stupidBackoffScore: all four branches exact on planted counts") {
     import spark.implicits._
     import graft.functions.TextFns
