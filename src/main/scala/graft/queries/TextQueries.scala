@@ -1785,23 +1785,33 @@ object TextQueries {
     * et al. 2020 §2.2's integer-decidable core). Beside t26 (tag
     * strip + link density) this is the OTHER canonical pre-quality
     * rule filter; both are one codegen'd map-only pass. The corpus
-    * here is already clean prose, so discrimination is pinned on
-    * planted chrome in TextPipelineSpec; this row gates that both
-    * engines replay every trim/suffix/count/containment rule and the
-    * rebuilt-text md5 identically on every document.
+    * here is single-line punctuation-free prose (every line rule
+    * would fail vacuously and the oracle would gate a constant), so
+    * the registered query first derives line structure FROM the real
+    * text — `replace(text, " the ", ".\n")`, left-to-right
+    * non-overlapping in both engines (the t21 replace discipline) —
+    * which makes keep AND drop paths live on every document: lines
+    * ending mid-word fail the punctuation gate, short fragments fail
+    * the ≥3-words gate, and the ≥5-kept page gate splits the corpus.
+    * Discrimination on actual chrome is additionally pinned by the
+    * planted nav/javascript/lorem-ipsum page in TextPipelineSpec.
     */
   val t27C4 = QueryDef(
     "t27_c4_rules",
     (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"), TextFns.c4Clean(col("text")).as("c"))
+      .select(col("doc_id"), TextFns.c4Clean(
+        call_function("replace", col("text"), lit(" the "), lit(".\n")))
+        .as("c"))
       .select(col("doc_id"),
         col("c.n_kept").as("n_kept"),
         col("c.n_dropped").as("n_dropped"),
         col("c.page_kept").as("page_kept"),
         length(col("c.clean")).cast("long").as("clean_chars"),
         md5(col("c.clean")).as("clean_fp")),
-    Some("""WITH ls AS (SELECT doc_id, text,
-        string_split(text, chr(10)) AS lls FROM documents),
+    Some("""WITH lt AS (SELECT doc_id,
+        replace(text, ' the ', '.' || chr(10)) AS text FROM documents),
+      ls AS (SELECT doc_id, text,
+        string_split(text, chr(10)) AS lls FROM lt),
       kp AS (SELECT doc_id, text, len(lls) AS n_lines,
           list_transform(list_filter(lls, l ->
             right(trim(l), 1) IN ('.', '!', '?', '"')
