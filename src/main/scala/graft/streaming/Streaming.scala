@@ -103,6 +103,27 @@ object Streaming {
     else graft.functions.Mixture.sampleByRate(deduped, idCol, keyCol, rates, salt)
   }
 
+  /** Streaming crawl rule filter (round 13) — the t26 → t27 rule
+    * chain (trafilatura-core boilerplate strip, then C4's line and
+    * page gates over the rebuilt article) on a continuously-arriving
+    * crawl. Both stages are stateless map-only column kernels — the
+    * SAME codegen'd expressions the batch queries run — so online ≡
+    * offline is STRUCTURAL (no state, no watermark, no coin: a doc's
+    * verdict depends only on its own bytes), and this is the stage
+    * order a real pipeline wants FIRST, upstream of
+    * [[cleanStream]]'s quality/PII/dedup/mixture stages. Emits
+    * surviving docs with `textCol` rewritten to the cleaned article
+    * text.
+    */
+  def ruleCleanStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn(textCol,
+        graft.functions.Boilerplate.clean(col(textCol)).getField("clean"))
+      .withColumn("__c4", graft.functions.TextFns.c4Clean(col(textCol)))
+      .filter(col("__c4").getField("page_kept") === 1L)
+      .withColumn(textCol, col("__c4").getField("clean"))
+      .drop("__c4")
+
   /** Streaming paragraph-level dedup —
     * [[graft.functions.TextFns.dedupParagraphs]]' CCNet contract on a
     * continuously-arriving corpus: a paragraph survives iff its

@@ -212,6 +212,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ruleCleanStream: t26+t27 rule chain is stateless-streaming-safe " +
+       "and batch-identical; chrome pages die mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // five real-looking sentences -> survives; nav/short pages die
+    val goodPage = (1 to 6).map(i =>
+      s"Sentence number $i carries enough words to pass every gate.")
+      .mkString("\n")
+    val navPage = "<div><a href=\"x\">Home</a> | <a href=\"y\">About</a>" +
+      "</div>\nBuy now!\nShort."
+    val rows = (1L to 30L).map { i =>
+      (i, if (i % 3 == 0) navPage else goodPage + s"\nUnique tail $i ends the page properly.")
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def batchForm(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streaming.ruleCleanStream(df, "text")
+    val batch = key(batchForm(rows.toDF("doc_id", "text")))
+    assert(batch.size == 20 && batch.forall(!_._2.contains("<")))
+    val input = MemoryStream[(Long, String)]
+    val q = batchForm(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rule_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(15): _*)
+      input.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+      assert(key(spark.table("rule_stream")) == batch)
+    } finally q.stop()
+  }
+
   test("chunkTokens is stateless-streaming-safe and batch-identical") {
     // map-only (tokenize -> explode offsets -> slice): no state, no
     // watermark — context-window chunking runs unchanged on a stream
