@@ -72,8 +72,11 @@ object BoilerplateKernel {
     s.substring(i, j)
   }
 
-  /** The rule pipeline; returns (cleanText, nKept, nDropped). */
-  def clean(text: String): (String, Int, Int) = {
+  /** The rule pipeline; returns (cleanText, nKept, nDropped).
+    * Line endings normalize first (`\r\n`/`\r` → `\n`) so CRLF crawl
+    * pages split into the same lines both engines see. */
+  def clean(text0: String): (String, Int, Int) = {
+    val text = text0.replace("\r\n", "\n").replace('\r', '\n')
     val noBlocks = Style.matcher(
       Script.matcher(text).replaceAll("")).replaceAll("")
     val lines = noBlocks.split("\n", -1)

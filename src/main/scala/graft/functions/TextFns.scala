@@ -783,7 +783,12 @@ object TextFns {
       base.filter(col("__tr"))
         .select(explode(col("__w")).as("__u"))
         .groupBy("__u").agg(count(lit(1)).as("__cu")))
-    val nTot = uni.agg(sum("__cu").as("__n"))
+    // an empty train side would make every branch NULL — fail loudly
+    // in-plan (the sp2 discipline) instead of emitting silent nulls
+    val nTot = uni.agg(sum("__cu").as("__n0"))
+      .select(when(col("__n0").isNull, raise_error(lit(
+        "stupidBackoffScore: trainFilter selects no documents")))
+        .otherwise(col("__n0")).as("__n"))
     val types = tok3.select("__w1", "__w2", "__w3").distinct()
     val p =
       when(col("__c123").isNotNull,
@@ -826,8 +831,11 @@ object TextFns {
     * per-language tercile cutoffs over the DISTINCT mean-score table.
     *
     * Determinism: the per-doc key is `kmicro = floor(s / n)` — one
-    * IEEE division of exact integers (|s| < 2⁴² at any doc size)
-    * under `floor`, which has no round-half freedom. Cutoffs are
+    * IEEE division of exact integers (s, a sum of micro log-probs
+    * ≤ ~3·10⁷ each, stays exactly representable in fp64 up to ~3·10⁸
+    * tokens per document — far past any real doc; beyond it the
+    * long→double cast rounds, it does not overflow) under `floor`,
+    * which has no round-half freedom. Cutoffs are
     * exact: order distinct kmicro DESC per language, take running doc
     * counts, and `c1 = max(kmicro | cum ≥ ⌈n/3⌉)`,
     * `c2 = max(kmicro | cum ≥ ⌈2n/3⌉)` with ceilings as integer
@@ -923,13 +931,16 @@ object TextFns {
     * no floats exist, so a DuckDB replay (list_filter + the same
     * trim/suffix/split/contains chain) is bit-identical. Shape: pure
     * `functions._` HOFs — ONE codegen'd map-only pass, text never
-    * shuffles (the t26 plan). Returns
+    * shuffles (the t26 plan). Line endings normalize first
+    * (`\r\n`/`\r` → `\n` — a CRLF crawl page would otherwise fail
+    * every terminal-punctuation gate on the trailing `\r`). Returns
     * `struct(clean, n_kept, n_dropped, page_kept)`; `clean` is the
     * kept lines re-joined with `\n` (computed for dropped pages too —
     * the caller applies `page_kept`, keeping the operator a pure
     * per-doc report like t26).
     */
-  def c4Clean(text: Column): Column = {
+  def c4Clean(text0: Column): Column = {
+    val text = regexp_replace(text0, "\r\n?", "\n")
     val lines = split(text, "\n")
     val keepLine = (l: Column) => {
       val t = trim(l)

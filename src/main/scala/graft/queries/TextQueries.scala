@@ -1751,7 +1751,8 @@ object TextQueries {
         col("b.n_dropped").cast("long").as("n_dropped"),
         length(col("b.clean")).cast("long").as("clean_chars"),
         md5(col("b.clean")).as("clean_fp")),
-    Some("""WITH nb AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+    Some("""WITH nb AS (SELECT doc_id, regexp_replace(regexp_replace(
+          regexp_replace(text, '\r\n?', chr(10), 'g'),
           '(?is)<script[^>]*>.*?</script>', '', 'g'),
           '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM documents),
       ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nb),
@@ -1809,7 +1810,8 @@ object TextQueries {
         length(col("c.clean")).cast("long").as("clean_chars"),
         md5(col("c.clean")).as("clean_fp")),
     Some("""WITH lt AS (SELECT doc_id,
-        replace(text, ' the ', '.' || chr(10)) AS text FROM documents),
+        regexp_replace(replace(text, ' the ', '.' || chr(10)),
+          '\r\n?', chr(10), 'g') AS text FROM documents),
       ls AS (SELECT doc_id, text,
         string_split(text, chr(10)) AS lls FROM lt),
       kp AS (SELECT doc_id, text, len(lls) AS n_lines,

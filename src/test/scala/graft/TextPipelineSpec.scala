@@ -481,6 +481,9 @@ class TextPipelineSpec extends SparkSpec {
     // tag-free short docs are untouched single kept lines
     assert(BoilerplateKernel.clean("plain prose with no markup at all")
       == ("plain prose with no markup at all", 1, 0))
+    // CRLF input splits into the same lines as its LF twin
+    assert(BoilerplateKernel.clean(html.replace("\n", "\r\n"))
+      == ((clean, kept, droppedN)))
     // expression form matches the kernel and survives codegen
     import spark.implicits._
     val got = Seq((1L, html)).toDF("doc_id", "text")
@@ -524,6 +527,10 @@ class TextPipelineSpec extends SparkSpec {
       .getLong(3) == 0)
     // a curly brace anywhere kills the page even on a dropped line
     assert(run(page + "\nfunction f() { return 1; }").getLong(3) == 0)
+    // CRLF pages normalize: same verdicts as their LF twin
+    val crlf = run(page.replace("\n", "\r\n"))
+    assert(crlf.getLong(1) == 5 && crlf.getLong(3) == 1 &&
+      crlf.getString(0) == r.getString(0))
   }
 
   test("epochShuffle: reproducible permutation per seed, fresh order " +
@@ -583,6 +590,13 @@ class TextPipelineSpec extends SparkSpec {
       got(3L)._2 > got(4L)._2)
     // the train doc scores itself: 4 trigrams all hits
     assert(got(0L)._1 == 4L)
+    // an empty train side fails loudly, not with silent nulls
+    val e = intercept[Exception](
+      TextFns.stupidBackoffScore(docs, "doc_id", "text",
+        col("src") === "nope").collect())
+    assert(e.getMessage.contains("trainFilter selects no documents") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("trainFilter selects no documents")))
   }
 
   test("perplexityBuckets: planted terciles land head/middle/tail; " +
