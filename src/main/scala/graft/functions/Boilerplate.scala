@@ -87,10 +87,16 @@ object BoilerplateKernel {
       val line = lines(li)
       var link = 0
       val m = Anchor.matcher(line)
-      while (m.find())
-        link += Tag.matcher(m.group(1)).replaceAll("").length
+      // CODEPOINT counts on both gates — the oracle's SQL length()
+      // counts codepoints, and astral chars (emoji) are 2 UTF-16
+      // units; code-unit counts would silently diverge the engines
+      while (m.find()) {
+        val a = Tag.matcher(m.group(1)).replaceAll("")
+        link += a.codePointCount(0, a.length)
+      }
       val body = spaceTrim(decode(Tag.matcher(line).replaceAll("")))
-      if (body.length >= MinLen && 2 * link < body.length) kept += body
+      val bodyCp = body.codePointCount(0, body.length)
+      if (bodyCp >= MinLen && 2 * link < bodyCp) kept += body
       else dropped += 1
       li += 1
     }

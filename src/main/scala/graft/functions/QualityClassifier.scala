@@ -61,18 +61,22 @@ object QualityClassifier {
     * and downstream gates like p3 never silently drop rows.
     */
   private def features(docs: DataFrame, idCol: String, textCol: String,
-                       label: Column, dim: Int, salt: String): DataFrame = {
-    val tok = docs.select(col(idCol), label.cast("double").as("y"),
-      explode(TextFns.tokens(col(textCol))).as("__t"))
+                       label: Column, dim: Int, salt: String,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val kc = groupCols.map(col)
+    val tok = docs.select(col(idCol) +: kc :+ label.cast("double").as("y")
+      :+ explode(TextFns.tokens(col(textCol))).as("__t"): _*)
     val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),
       16, 10).cast("long")
-    val bt = tok.groupBy(col(idCol), col("y"), pmod(hv, lit(dim.toLong)).as("j"))
+    val bt = tok.groupBy(col(idCol) +: kc :+ col("y")
+        :+ pmod(hv, lit(dim.toLong)).as("j"): _*)
       .agg(count(lit(1)).as("c"))
     val ntok = bt.groupBy(col(idCol)).agg(sum("c").as("n"))
     bt.join(ntok, Seq(idCol))
-      .select(col(idCol), col("j"), expr("c * 10000 div n").as("x"), col("y"))
-      .unionByName(docs.select(col(idCol), lit(dim.toLong).as("j"),
-        lit(10000L).as("x"), label.cast("double").as("y")))
+      .select(col(idCol) +: kc :+ col("j")
+        :+ expr("c * 10000 div n").as("x") :+ col("y"): _*)
+      .unionByName(docs.select(col(idCol) +: kc :+ lit(dim.toLong).as("j")
+        :+ lit(10000L).as("x") :+ label.cast("double").as("y"): _*))
   }
 
   /** p = ½ + ½·z̃/(1+|z̃|) with z̃ = sp/10¹⁰ — the rational sigmoid on
@@ -94,10 +98,19 @@ object QualityClassifier {
     import spark.implicits._
     val wDF = w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
       .toSeq.toDF("j", "wm")
-    f.join(broadcast(wDF), Seq("j"))
-      .groupBy(col(idCol))
-      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+    marginsUnderDF(f, idCol, wDF, Nil)
   }
+
+  /** Keyed form of [[marginsUnder]]: weights come as a DataFrame
+    * `(groupCols..., j, wm)` and margins group by
+    * `(idCol, groupCols...)` — the SAME broadcast-join + exact-integer
+    * dot product for the global (empty keys) and per-group fits, so
+    * the two can't drift through a divergent copy (review r13). */
+  private def marginsUnderDF(f: DataFrame, idCol: String, wDF: DataFrame,
+                             groupCols: Seq[String]): DataFrame =
+    f.join(broadcast(wDF), groupCols :+ "j")
+      .groupBy(col(idCol) +: groupCols.map(col): _*)
+      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
 
   /** Fit and score in one call: returns `(weights, scored)` where
     * `weights(j)` is the micro-unit coefficient of bucket `j` (bias at
@@ -161,22 +174,11 @@ object QualityClassifier {
     val spark = docs.sparkSession
     import spark.implicits._
     require(dim >= 2 && iters >= 1)
-    val tok = docs.select(col(idCol), col(groupCol).as("__g"),
-      label.cast("double").as("y"),
-      explode(TextFns.tokens(col(textCol))).as("__t"))
-    val hv = conv(substring(md5(concat_ws(":", lit(salt), col("__t"))), 1, 15),
-      16, 10).cast("long")
-    val bt = tok.groupBy(col(idCol), col("__g"), col("y"),
-        pmod(hv, lit(dim.toLong)).as("j"))
-      .agg(count(lit(1)).as("c"))
-    val ntok = bt.groupBy(col(idCol)).agg(sum("c").as("n"))
+    // the SHARED feature/margins kernels with the group key riding
+    // along — no divergent copy of the bias-row or dot-product logic
+    // (review r13)
     val f = graft.Materialize.reuse(
-      bt.join(ntok, Seq(idCol))
-        .select(col(idCol), col("__g"), col("j"),
-          expr("c * 10000 div n").as("x"), col("y"))
-        .unionByName(docs.select(col(idCol), col(groupCol).as("__g"),
-          lit(dim.toLong).as("j"), lit(10000L).as("x"),
-          label.cast("double").as("y"))))
+      features(docs, idCol, textCol, label, dim, salt, Seq(groupCol)))
     // per-group gradient denominators: one bounded |groups|-row agg
     val nPer = docs.groupBy(col(groupCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -184,14 +186,12 @@ object QualityClassifier {
       nPer.keys.map(_ -> Array.fill(dim + 1)(0L)).toSeq: _*)
     def wDF = w.toSeq.flatMap { case (g, arr) =>
       arr.zipWithIndex.map { case (v, j) => (g, j.toLong, v) }
-    }.toDF("__g", "j", "wm")
-    def margins = f.join(broadcast(wDF), Seq("__g", "j"))
-      .groupBy(col(idCol), col("__g"))
-      .agg(max("y").as("y"), sum(col("wm") * col("x")).as("sp"))
+    }.toDF(groupCol, "j", "wm")
+    def margins = marginsUnderDF(f, idCol, wDF, Seq(groupCol))
     for (_ <- 0 until iters) {
       val g = f.join(margins.select(col(idCol), (col("y") - pCol).as("err")),
           Seq(idCol))
-        .groupBy("__g", "j")
+        .groupBy(groupCol, "j")
         .agg(sum(round(col("err") * col("x")).cast("long")).as("gs"))
         .collect()
       g.foreach { r =>
@@ -201,7 +201,7 @@ object QualityClassifier {
       }
     }
     val scored = margins
-      .select(col(idCol), col("__g").as(groupCol),
+      .select(col(idCol), col(groupCol),
         col("y").cast("long").as("label"),
         round(pCol, 6).as("score"),
         round(pCol * lit(1e6)).cast("long").as("score_micro"))

@@ -680,40 +680,64 @@ object TextFns {
     * exchanges.
     */
   def knBigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String): org.apache.spark.sql.DataFrame = {
+                      textCol: String): org.apache.spark.sql.DataFrame =
+    knBigramSums(docs, idCol, textCol, Nil)
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_bigrams")))
+          .as("kn2_score"))
+
+  /** Keyed core of the interpolated-KN bigram score — ONE
+    * implementation of the rational and its aggregates, per `keyCols`
+    * group (empty = one global LM). [[knBigramLmScore]] (t25) and
+    * [[perplexityBuckets]] (cp6) both wrap this, so the discount/
+    * continuation arithmetic cannot drift between the global and
+    * per-language forms (review r13). Returns
+    * `(idCol, keyCols..., n_bigrams, __s)` with `__s` the exact
+    * micro log-prob sum.
+    */
+  private[graft] def knBigramSums(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  keyCols: Seq[String]): DataFrame = {
     val w = tokens(col(textCol))
     val n = size(w)
     val zipped = arrays_zip(w.as("cur"),
       concat(slice(w, lit(2), greatest(n - 1, lit(0))),
         array(lit(null).cast("string"))).as("next"))
+    val kc = keyCols.map(col)
     val tok = graft.Materialize.reuse(
-      docs.select(col(idCol), explode(zipped).as("__z"))
-        .select(col(idCol), col("__z.cur").as("__cur"),
-          col("__z.next").as("__next")))
+      docs.select(col(idCol) +: kc :+ explode(zipped).as("__z"): _*)
+        .select(col(idCol) +: kc :+ col("__z.cur").as("__cur")
+          :+ col("__z.next").as("__next"): _*))
     val bi = graft.Materialize.reuse(
       tok.filter(col("__next").isNotNull)
-        .groupBy(col("__cur").as("__prev"), col("__next").as("__w2"))
+        .groupBy(kc :+ col("__cur").as("__prev")
+          :+ col("__next").as("__w2"): _*)
         .agg(count(lit(1)).as("__c2")))
-    val ctx = bi.groupBy("__prev")
+    val ctx = bi.groupBy(kc :+ col("__prev"): _*)
       .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
-    val back = bi.groupBy("__w2").agg(count(lit(1)).as("__n1b"))
-    val nb = bi.agg(count(lit(1)).as("__nb"))
+    val back = bi.groupBy(kc :+ col("__w2"): _*)
+      .agg(count(lit(1)).as("__n1b"))
+    val nb = if (keyCols.isEmpty) bi.agg(count(lit(1)).as("__nb"))
+      else bi.groupBy(kc: _*).agg(count(lit(1)).as("__nb"))
     val num = ((lit(4L) * col("__c2") - lit(3L)) * col("__nb") +
       lit(3L) * col("__n1f") * col("__n1b")).cast("double")
     val den = (lit(4L) * col("__c1") * col("__nb")).cast("double")
-    val lp = bi
-      .join(ctx, Seq("__prev"))
-      .join(back, Seq("__w2"))
-      .crossJoin(broadcast(nb))
-      .select(col("__prev"), col("__w2"),
-        round(lit(1e6) * log(num / den)).cast("long").as("__lp"))
+    val lpBase = bi
+      .join(ctx, keyCols :+ "__prev")
+      .join(back, keyCols :+ "__w2")
+    val lpN = if (keyCols.isEmpty) lpBase.crossJoin(broadcast(nb))
+      else lpBase.join(broadcast(nb), keyCols)
+    val lp = lpN.select(kc :+ col("__prev") :+ col("__w2")
+      :+ round(lit(1e6) * log(num / den)).cast("long").as("__lp"): _*)
+    val lpR = keyCols.foldLeft(lp)(
+      (d, k) => d.withColumnRenamed(k, s"__lk_$k"))
+    val cond = (col("__cur") === col("__prev") &&
+      col("__next") === col("__w2")) +: keyCols.map(
+      k => col(k) === col(s"__lk_$k"))
     tok.filter(col("__next").isNotNull)
-      .join(lp, col("__cur") === col("__prev") && col("__next") === col("__w2"))
-      .groupBy(col(idCol))
+      .join(lpR, cond.reduce(_ && _))
+      .groupBy(col(idCol) +: kc: _*)
       .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__s"))
-      .select(col(idCol), col("n_bigrams"),
-        (col("__s").cast("double") / (lit(1e6) * col("n_bigrams")))
-          .as("kn2_score"))
   }
 
   /** Stupid-backoff trigram LM score (t28) — the scoring scheme
@@ -853,60 +877,27 @@ object TextFns {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String): DataFrame = {
-    val w = tokens(col(textCol))
-    val n = size(w)
-    val zipped = arrays_zip(w.as("cur"),
-      concat(slice(w, lit(2), greatest(n - 1, lit(0))),
-        array(lit(null).cast("string"))).as("next"))
-    val tok = graft.Materialize.reuse(
-      docs.select(col(idCol), col(langCol).as("__lang"),
-          explode(zipped).as("__z"))
-        .select(col(idCol), col("__lang"), col("__z.cur").as("__cur"),
-          col("__z.next").as("__next")))
-    val bi = graft.Materialize.reuse(
-      tok.filter(col("__next").isNotNull)
-        .groupBy(col("__lang"), col("__cur").as("__prev"),
-          col("__next").as("__w2"))
-        .agg(count(lit(1)).as("__c2")))
-    val ctx = bi.groupBy("__lang", "__prev")
-      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
-    val back = bi.groupBy("__lang", "__w2").agg(count(lit(1)).as("__n1b"))
-    val nb = bi.groupBy("__lang").agg(count(lit(1)).as("__nb"))
-    val num = ((lit(4L) * col("__c2") - lit(3L)) * col("__nb") +
-      lit(3L) * col("__n1f") * col("__n1b")).cast("double")
-    val den = (lit(4L) * col("__c1") * col("__nb")).cast("double")
-    val lp = bi
-      .join(ctx, Seq("__lang", "__prev"))
-      .join(back, Seq("__lang", "__w2"))
-      .join(broadcast(nb), Seq("__lang"))
-      .select(col("__lang"), col("__prev"), col("__w2"),
-        round(lit(1e6) * log(num / den)).cast("long").as("__lp"))
-    val lpR = lp.withColumnRenamed("__lang", "__l2")
     val scored = graft.Materialize.reuse(
-      tok.filter(col("__next").isNotNull)
-        .join(lpR, col("__lang") === col("__l2") &&
-          col("__cur") === col("__prev") && col("__next") === col("__w2"))
-        .groupBy(col(idCol), col("__lang"))
-        .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("__s"))
-        .select(col(idCol), col("__lang"), col("n_bigrams"),
+      knBigramSums(docs, idCol, textCol, Seq(langCol))
+        .select(col(idCol), col(langCol), col("n_bigrams"),
           floor(col("__s").cast("double") / col("n_bigrams"))
             .cast("long").as("kmicro")))
-    val dist = scored.groupBy("__lang", "kmicro").agg(count(lit(1)).as("__cnt"))
+    val dist = scored.groupBy(langCol, "kmicro").agg(count(lit(1)).as("__cnt"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("__lang").orderBy(col("kmicro").desc)
-    val nl = scored.groupBy("__lang").agg(count(lit(1)).as("__nl"))
+      .partitionBy(langCol).orderBy(col("kmicro").desc)
+    val nl = scored.groupBy(langCol).agg(count(lit(1)).as("__nl"))
     val cuts = dist.withColumn("__cum", sum("__cnt").over(win))
-      .join(broadcast(nl), Seq("__lang"))
-      .groupBy("__lang")
+      .join(broadcast(nl), Seq(langCol))
+      .groupBy(langCol)
       .agg(
         max(when(col("__cum") >= expr("(__nl + 2) div 3"),
           col("kmicro"))).as("__t1"),
         max(when(col("__cum") >= expr("(2 * __nl + 2) div 3"),
           col("kmicro"))).as("__t2"))
-    docs.select(col(idCol), col(langCol).as("__lang"))
-      .join(scored, Seq(idCol, "__lang"), "left")
-      .join(broadcast(cuts), Seq("__lang"), "left")
-      .select(col(idCol), col("__lang").as(langCol), col("n_bigrams"),
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol, langCol), "left")
+      .join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("n_bigrams"),
         col("kmicro"),
         when(col("kmicro").isNull, lit("tail"))
           .when(col("kmicro") >= col("__t1"), lit("head"))

@@ -816,16 +816,22 @@ object Similarity {
       graft.store.WriteLease.withLease(fs, lock, "index-append") {
         val h = load(spark, path)
         val dedup = delta.dropDuplicates(idCol)
-        // bounded probe: ONE count of the (sliver) tombstone semi-join
-        val nTomb = dedup.join(
-          tombstones(spark, path).select(col("id").as(idCol)),
-          Seq(idCol), "left_semi").count()
+        // tombstone probe: read the (sliver) table ONCE, and skip the
+        // semi-join count job entirely in the common no-tombstone case
+        // — the per-micro-batch hot path of the streaming ingest sink
+        // (review r13)
+        val tombP = tombstonePath(path)
+        val hasTomb = tombP.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(tombP)
+        val tomb =
+          if (hasTomb) tombstones(spark, path).select(col("id").as(idCol))
+          else null
+        val nTomb = if (hasTomb)
+          dedup.join(tomb, Seq(idCol), "left_semi").count() else 0L
         if (nTomb > 0 && !skipTombstoned)
           throw TombstonedIdsException(nTomb, path)
         val live = if (nTomb == 0) dedup
-          else dedup.join(
-            tombstones(spark, path).select(col("id").as(idCol)),
-            Seq(idCol), "left_anti")
+          else dedup.join(tomb, Seq(idCol), "left_anti")
         // fresh = delta minus ids already stored; lineage TRUNCATED
         // (not just persisted) because it reads the same corpus dir
         // the append below writes to — a lineage recompute during the

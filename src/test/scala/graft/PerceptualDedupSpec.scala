@@ -106,7 +106,11 @@ class PerceptualDedupSpec extends SparkSpec {
     def payload(seed: Int): String =
       Array.tabulate(1024)(i => ('a' + ((i * (3 + seed) + seed * 7) % 26)).toChar).mkString
     val base = payload(1)
-    val near = base.substring(0, 200) + "XXXX" + base.substring(204) // one frame touched
+    // bytes 128-131 sit in original frame 2 — a frame stride=2 KEEPS
+    // (frames 0,2,4,... = byte ranges [0,64), [128,192), ...); the
+    // first draft hit bytes 200-203 in dropped frame 3, which made
+    // the robustness assertion vacuous (review catch)
+    val near = base.substring(0, 128) + "XXXX" + base.substring(132)
     val far = payload(9)
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val media = Multimodal.asMedia(
@@ -114,6 +118,13 @@ class PerceptualDedupSpec extends SparkSpec {
       "doc_id", "payload", kind = "video", mime = "application/octet-stream")
     val fh = Multimodal.frameDHash(
       Multimodal.sampleFrames(media, frameSize = 64, stride = 2), w = 8, h = 8)
+    // non-vacuity: the perturbation really changed a KEPT frame's hash
+    val perFrame = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(perFrame.keys.count(_._1 == 1L) == 8)
+    assert(perFrame.exists { case ((id, fi), h) =>
+      id == 1L && perFrame.get((2L, fi)).exists(_ != h) },
+      "perturbation did not alter any kept frame hash — test vacuous")
     val sigs = Multimodal.majorityFingerprint(fh, "media_id", "dhash")
     val rows = sigs.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

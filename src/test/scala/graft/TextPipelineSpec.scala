@@ -484,6 +484,11 @@ class TextPipelineSpec extends SparkSpec {
     // CRLF input splits into the same lines as its LF twin
     assert(BoilerplateKernel.clean(html.replace("\n", "\r\n"))
       == ((clean, kept, droppedN)))
+    // gates count CODEPOINTS like the SQL oracle: ten astral emoji are
+    // 20 UTF-16 units but 10 chars — the length gate must drop them
+    assert(BoilerplateKernel.clean("🎉" * 10) == (("", 0, 1)))
+    // ...and 20 of them pass
+    assert(BoilerplateKernel.clean("🎉" * 20)._2 == 1)
     // expression form matches the kernel and survives codegen
     import spark.implicits._
     val got = Seq((1L, html)).toDF("doc_id", "text")
