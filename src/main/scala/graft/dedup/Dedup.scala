@@ -233,27 +233,37 @@ object Dedup {
     * the true C (±~1/√k); the threshold is applied to the RAW
     * estimate, rounding display-only.
     */
-  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
-                             n: Int, k: Int, threshold: Double,
-                             bucketCap: Int = 100000): DataFrame = {
+  /** Bottom-k containment sketches `(id, sz, sk)` — the persisted
+    * artifact of the d13/d14 family: per doc, the `k` smallest
+    * md5-derived 60-bit hashes of its distinct `n`-gram shingles plus
+    * the exact set size. md5 (not xxhash) so an oracle can rebuild
+    * every sketch. */
+  def bottomKSketches(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
     val gram = expr(s"transform(sequence(0, size(__t) - $n), i -> " +
       (0 until n).map(j => s"element_at(__t, i + ${j + 1})")
         .mkString("concat_ws(' ', ", ", ", "))"))
     val hashes = transform(col("__g"), s =>
       conv(substring(md5(concat(lit("d13:"), s)), 1, 15), 16, 10).cast("long"))
-    val sk = graft.Materialize.reuse( // feeds the index AND both verify sides
-      df.select(col(idCol).as("id"), toks.as("__t"))
-        .select(col("id"),
-          when(size(col("__t")) >= n, gram)
-            .otherwise(expr("CAST(array() AS array<string>)")).as("__g"))
-        .select(col("id"), array_sort(array_distinct(hashes)).as("__h"))
-        .filter(size(col("__h")) > 0)
-        .select(col("id"), size(col("__h")).cast("long").as("sz"),
-          slice(col("__h"), 1, k).as("sk")))
-    val banded = sk.select(col("id"), lit(0).as("band"),
-      explode(col("sk")).as("bucket"))
-    val pairs = bandedPairs(banded, bucketCap)
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .select(col("id"),
+        when(size(col("__t")) >= n, gram)
+          .otherwise(expr("CAST(array() AS array<string>)")).as("__g"))
+      .select(col("id"), array_sort(array_distinct(hashes)).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("id"), size(col("__h")).cast("long").as("sz"),
+        slice(col("__h"), 1, k).as("sk"))
+  }
+
+  /** Estimate-and-threshold tail of the sketch family: candidate
+    * `pairs` re-attach both sketches from `sk` and keep pairs whose
+    * bottom-k union containment estimate
+    * Ĉ = i·(|A|+|B|)/((u+i)·min) clears the RAW threshold (rounding
+    * display-only). ONE implementation for d13 and d14 (no divergent
+    * copy of the estimator algebra). */
+  private def sketchEstimates(pairs: DataFrame, sk: DataFrame, k: Int,
+                              threshold: Double): DataFrame = {
     val u = slice(array_sort(array_distinct(
       concat(col("sk_a"), col("sk_b")))), 1, k)
     val est = (col("__i") * (col("na") + col("nb"))).cast("double") /
@@ -271,6 +281,45 @@ object Dedup {
       .filter(col("__est") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(least(col("__est"), lit(1.0)), 4).as("c_est"))
+  }
+
+  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int, threshold: Double,
+                             bucketCap: Int = 100000): DataFrame = {
+    val sk = graft.Materialize.reuse( // feeds the index AND both verify sides
+      bottomKSketches(df, idCol, textCol, n, k))
+    val banded = sk.select(col("id"), lit(0).as("band"),
+      explode(col("sk")).as("bucket"))
+    sketchEstimates(bandedPairs(banded, bucketCap), sk, k, threshold)
+  }
+
+  /** Incremental containment (d14) — inclusion detection for the
+    * monthly refresh WITHOUT re-sketching the store: the persisted
+    * corpus sketch table ([[bottomKSketches]] output, written once at
+    * corpus build like the d11 side tables) is probed by a NEW
+    * delta's sketches. Structurally the store text cannot be touched
+    * — the API takes only the sketch artifact. The candidate join is
+    * asymmetric (delta sketch elements LEFT, union elements RIGHT —
+    * the [[DedupSnapshot.ingestDelta]] deltaPairs shape), so no
+    * store-internal pair is ever generated and per-refresh cost is
+    * O(|delta sketches| + matched buckets), not O(|store|²).
+    *
+    * Returned pairs = EXACTLY the delta-touching subset of a
+    * from-scratch [[containmentSketchPairs]] over store ∪ delta
+    * (same hashes, same estimator, same caps — spec-pinned), so the
+    * incremental path inherits d13's recall and estimate guarantees.
+    */
+  def containmentSketchDelta(storeSketches: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int, k: Int, threshold: Double,
+                             bucketCap: Int = 100000): DataFrame = {
+    val dsk = graft.Materialize.reuse(
+      bottomKSketches(delta, idCol, textCol, n, k))
+    val allSk = graft.Materialize.reuse(storeSketches.unionByName(dsk))
+    def banded(s: DataFrame) = s.select(col("id"), lit(0).as("band"),
+      explode(col("sk")).as("bucket"))
+    val pairs = asymmetricBandedPairs(banded(dsk), banded(allSk), bucketCap)
+    sketchEstimates(pairs, allSk, k, threshold)
   }
 
   /** Affine permutation constants for MinHash: odd multipliers +
@@ -355,6 +404,42 @@ object Dedup {
         keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Asymmetric banded candidates DELTA-vs-UNION: the left side is
+    * always a delta row, so no store-internal pair is ever generated
+    * (a plain self-join over the union would spend its time
+    * re-pairing the store against itself). Same `bucketCap` salting
+    * discipline as [[bandedPairs]] — the census runs over the union,
+    * rows of flooded buckets salt into deterministic xxhash(id, band)
+    * sub-buckets on BOTH sides. Shared by
+    * [[graft.dedup.DedupSnapshot]]'s MinHash delta stage (d11) and
+    * [[containmentSketchDelta]] (d14). `union` must CONTAIN the
+    * delta's banded rows (so delta-delta pairs are found too).
+    */
+  private[graft] def asymmetricBandedPairs(deltaBanded: DataFrame,
+                                           unionBanded: DataFrame,
+                                           bucketCap: Int): DataFrame = {
+    val (l, r, keys) =
+      if (bucketCap <= 0) (deltaBanded, unionBanded, Seq("band", "bucket"))
+      else {
+        val counts = unionBanded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+        val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
+        def tag(df: DataFrame) = df.join(counts, Seq("band", "bucket"))
+          .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(
+            pmod(xxhash64(col("id"), col("band")), nb)))
+          .drop("__bn")
+        (tag(deltaBanded), graft.Materialize.reuse(tag(unionBanded)),
+          Seq("band", "bucket", "__sub"))
+      }
+    l.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_l")
+      .join(r.select((keys :+ "id").map(col): _*)
+        .withColumnRenamed("id", "id_r"), keys)
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
   }
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands

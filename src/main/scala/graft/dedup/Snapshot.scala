@@ -132,29 +132,9 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
     * (the other bands, CC transitivity).
     */
   private def deltaPairs(deltaBanded: DataFrame,
-                         storeBanded: DataFrame): DataFrame = {
-    val all = storeBanded.unionByName(deltaBanded)
-    val (l, r, keys) =
-      if (bucketCap <= 0) (deltaBanded, all, Seq("band", "bucket"))
-      else {
-        val counts = all.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bn"))
-        val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
-        def tag(df: DataFrame) = df.join(counts, Seq("band", "bucket"))
-          .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(
-            pmod(xxhash64(col("id"), col("band")), nb)))
-          .drop("__bn")
-        (tag(deltaBanded), graft.Materialize.reuse(tag(all)),
-          Seq("band", "bucket", "__sub"))
-      }
-    l.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_l")
-      .join(r.select((keys :+ "id").map(col): _*).withColumnRenamed("id", "id_r"),
-        keys)
-      .filter(col("id_l") =!= col("id_r"))
-      .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"))
-      .distinct()
-  }
+                         storeBanded: DataFrame): DataFrame =
+    Dedup.asymmetricBandedPairs(
+      deltaBanded, storeBanded.unionByName(deltaBanded), bucketCap)
 
   /** Dedup `delta` against the snapshot (and against itself) and
     * return the surviving delta rows. Reads ONLY the seen/sigs/

@@ -922,6 +922,57 @@ object TextQueries {
       WHERE CAST(i * (na + nb) AS DOUBLE)
         / ((u + i) * LEAST(na, nb)) >= 0.8"""))
 
+  /** D14: INCREMENTAL containment — the monthly-refresh form of d13
+    * ([[Dedup.containmentSketchDelta]]: the persisted store sketch
+    * table probed by a new delta's sketches; store text structurally
+    * untouchable, asymmetric candidate join, per-refresh cost
+    * O(|delta| + matched buckets)). Returned pairs are exactly the
+    * delta-touching subset of from-scratch d13 over store ∪ delta
+    * (spec-pinned equality), so the oracle is d13's replay with the
+    * `id_b > cut` restriction — delta ids are the largest, and every
+    * pair is ordered id_a < id_b.
+    */
+  val d14IncrementalContainment = QueryDef(
+    "d14_incremental_containment",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // one-row bounded agg: the snapshot/delta boundary (d11's cut)
+      val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+      val storeSk = Dedup.bottomKSketches(
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", n = 3, k = 32)
+      Dedup.containmentSketchDelta(storeSk,
+        docs.filter(col("doc_id") > cut), "doc_id", "text",
+        n = 3, k = 32, threshold = 0.8)
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh13 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
+          list_transform(range(1, GREATEST(len(t) - 1, 1)),
+            i -> CAST('0x' || substr(md5('d13:' || t[i] || ' ' ||
+              t[i+1] || ' ' || t[i+2]), 1, 15) AS BIGINT)))) AS h
+        FROM tk),
+      sk AS MATERIALIZED (SELECT doc_id, CAST(len(h) AS BIGINT) AS sz,
+          h[1:32] AS sk FROM sh13 WHERE len(h) > 0),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, unnest(sk) AS v FROM sk) a
+        JOIN (SELECT doc_id, unnest(sk) AS v FROM sk) b
+          ON a.v = b.v AND a.doc_id < b.doc_id),
+      est AS (SELECT c.id_a, c.id_b, sa.sz AS na, sb.sz AS nb,
+          CAST(len(list_filter(u.u, x -> list_contains(sa.sk, x)
+            AND list_contains(sb.sk, x))) AS BIGINT) AS i,
+          CAST(len(u.u) AS BIGINT) AS u
+        FROM cand c
+        JOIN sk sa ON sa.doc_id = c.id_a
+        JOIN sk sb ON sb.doc_id = c.id_b,
+        LATERAL (SELECT list_sort(list_distinct(sa.sk || sb.sk))[1:32] AS u) u)
+      SELECT id_a, id_b,
+        ROUND(LEAST(CAST(i * (na + nb) AS DOUBLE)
+          / ((u + i) * LEAST(na, nb)), 1.0), 4) AS c_est
+      FROM est
+      WHERE CAST(i * (na + nb) AS DOUBLE)
+        / ((u + i) * LEAST(na, nb)) >= 0.8
+        AND id_b > (SELECT max(doc_id) * 3 // 5 FROM documents)"""))
+
   /** D3: MinHash-LSH near-dup pairs — the scale path (banded bucket
     * join, no O(n²)). Oracled against the FULL exact pairwise Jaccard:
     * sound because candidate precision is exact (candidates are
@@ -3340,6 +3391,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t20bPerLang, t22ClassifierEval, t23ClassifierAuc,
     t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
+    d14IncrementalContainment,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,

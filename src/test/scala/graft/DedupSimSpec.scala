@@ -145,6 +145,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"sketch recall $recall < 0.8 (${sketch.size}/30)")
   }
 
+  test("containmentSketchDelta: incremental equals from-scratch d13 " +
+       "restricted to delta-touching pairs; store text never needed") {
+    // same planted-inclusion fixture as the d13 test, split so
+    // inclusions CROSS the store/delta boundary (big docs in the
+    // store, embedded docs in the delta) and two delta-internal
+    // near-identical docs pair with each other
+    val store = (0 until 12).map { g =>
+      (g.toLong, (0 until 120).map(i => s"g${g}t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val delta = ((0 until 12).map { g =>
+      (1000L + g, (30 until 70).map(i => s"g${g}t$i").mkString(" "))
+    } ++ Seq(
+      (2000L, (0 until 50).map(i => s"ddt$i").mkString(" ")),
+      (2001L, (0 until 45).map(i => s"ddt$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromScratch = pairSet(Dedup.containmentSketchPairs(
+      store.union(delta), "doc_id", "text", n = 3, k = 32,
+      threshold = 0.8)).filter(p => p._2 >= 1000L)
+    val incremental = pairSet(Dedup.containmentSketchDelta(
+      Dedup.bottomKSketches(store, "doc_id", "text", n = 3, k = 32),
+      delta, "doc_id", "text", n = 3, k = 32, threshold = 0.8))
+    // exact equality including the estimates — same hashes, same
+    // estimator, same caps
+    assert(incremental == fromScratch && incremental.nonEmpty)
+    // the delta-internal inclusion pair is found too
+    assert(incremental.exists(p => p._1 == 2000L && p._2 == 2001L))
+    // and at least one cross-boundary inclusion
+    assert(incremental.exists(p => p._1 < 1000L && p._2 >= 1000L))
+  }
+
   test("minhash bucketCap: planted flood keeps candidate volume bounded, " +
        "non-flood pairs and cap-disabled parity intact") {
     // 300 near-identical docs (one shared 60-token text with a single
