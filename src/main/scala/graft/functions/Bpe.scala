@@ -170,6 +170,36 @@ object Bpe {
       .agg(sum("__c").as("n_ws_tokens"),
         sum(col("__c") * col("__ns")).as("n_bpe_tokens"))
   }
+
+  /** Per-document BPE ENCODING (t21c) — the step a training run
+    * actually executes: every document's full subword sequence, in
+    * word order, summarized as counts + an md5 fingerprint of the
+    * space-joined piece stream (the whole sequence gate-checked
+    * without shipping it). Same one-kernel-call-per-DISTINCT-word
+    * shape as [[tokenCount]] — the segmentation joins back to the
+    * positional token stream, and the per-doc ordered reassembly is a
+    * sort of (position, pieces) pairs inside one aggregate. Returns
+    * `(idCol, n_ws_tokens, n_bpe_tokens, stream_fp)`.
+    */
+  def encodeFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                        rules: Seq[(String, String)] = merges): DataFrame = {
+    val tokPos = docs.select(col(idCol),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("__p", "__t")))
+    val vocab = graft.Materialize.reuse(
+      tokPos.select("__t").distinct()
+        .withColumn("__arr", tokenize(col("__t"), rules))
+        .select(col("__t"), array_join(col("__arr"), " ").as("__pieces"),
+          size(col("__arr")).cast("long").as("__ns")))
+    tokPos.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("__ns")).as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("__p"), col("__pieces"))))
+          .as("__seq"))
+      .select(col(idCol), col("n_ws_tokens"), col("n_bpe_tokens"),
+        md5(array_join(transform(col("__seq"),
+          x => x.getField("__pieces")), " ")).as("stream_fp"))
+  }
 }
 
 /** The merge-loop kernel — static so generated code can call it. */

@@ -551,7 +551,8 @@ object TextQueries {
           ON contains(s, chr(1) || a || chr(1) || chr(1) || b || chr(1))
         GROUP BY w, s),
       fin AS (SELECT w,
-        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns
+        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns,
+        trim(replace(s, chr(1) || chr(1), ' '), chr(1)) AS pieces
         FROM steps st WHERE NOT EXISTS (
           SELECT 1 FROM merges
           WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))"""
@@ -564,6 +565,28 @@ object TextQueries {
       SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
         CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
       FROM tok JOIN fin USING (w) GROUP BY 1"""))
+
+  /** T21c: per-document BPE ENCODING — the sequence a training run
+    * feeds the model ([[graft.functions.Bpe.encodeFingerprint]]: the
+    * t21 kernel per DISTINCT word, positional join-back, per-doc
+    * ordered piece stream fingerprinted with md5 so the whole
+    * sequence is gate-checked without shipping it). Oracle: the t21
+    * recursive merge replay, with the final framed string unframed
+    * into space-joined pieces and string_agg'd in word order.
+    */
+  val t21cBpeEncode = QueryDef(
+    "t21c_bpe_encode",
+    (s, dir) => graft.functions.Bpe.encodeFingerprint(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some(t21BaseCtes + """,
+      tokp AS (SELECT doc_id, i, ws[i::INT] AS w FROM
+        (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+         FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u)
+      SELECT tokp.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens,
+        md5(string_agg(fin.pieces, ' ' ORDER BY tokp.i)) AS stream_fp
+      FROM tokp JOIN fin USING (w) GROUP BY 1"""))
 
   /** t24's unrolled learning rounds: census → argmax → one framed
     * replace, exactly [[graft.functions.Bpe.train]]'s loop (see its
@@ -3389,7 +3412,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t27C4, t28StupidBackoff,
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t23ClassifierAuc,
-    t21Bpe, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
+    t21Bpe, t21cBpeEncode, t24BpeTrain, t24bBpeLearnedTokens, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d14IncrementalContainment,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,

@@ -111,4 +111,27 @@ class BpeSpec extends SparkSpec {
     assert(got(2L) == (3L, 3L))
     assert(got(3L) == (1L, 4L))
   }
+
+  test("encodeFingerprint: stream fp is md5 of the kernel's pieces " +
+       "in word order; counts agree with tokenCount") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theater when"),
+      (2L, "when the theater") // same words, different order -> fp differs
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeFingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val ranks = BpeKernel.rankMap(Bpe.merges)
+    def enc(ws: String*) = {
+      val s = ws.map(w => BpeKernel.segment(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), ranks)
+        .mkString(" ")).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == ((3L, 6L, enc("the", "theater", "when"))))
+    assert(got(2L) == ((3L, 6L, enc("when", "the", "theater"))))
+    assert(got(1L)._3 != got(2L)._3)
+  }
 }
