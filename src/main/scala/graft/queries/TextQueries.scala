@@ -731,11 +731,10 @@ object TextQueries {
     * floored per-doc key, the windowed running counts, both cutoffs,
     * and every bucket assignment.
     */
-  val cp6PerplexityBuckets = QueryDef(
-    "cp6_perplexity_buckets",
-    (s, dir) => TextFns.perplexityBuckets(
-      table(s, dir, "documents"), "doc_id", "text", "lang"),
-    Some("""WITH d AS (SELECT doc_id, lang,
+  /** cp6's oracle CTE chain (lang-keyed KN replay → floored keys →
+    * windowed tercile cutoffs), shared verbatim by cp7's
+    * bucket-gated mixture. */
+  private val cp6Ctes: String = """WITH d AS (SELECT doc_id, lang,
         string_split_regex(trim(text), '\s+') AS w FROM documents),
       tok AS (SELECT doc_id, lang, w[i::INT] AS cur,
           CASE WHEN i < len(w) THEN w[(i+1)::INT] END AS nxt
@@ -773,15 +772,53 @@ object TextQueries {
       cuts AS MATERIALIZED (SELECT cm.lang,
           max(CASE WHEN cum >= (nl.nl + 2) // 3 THEN kmicro END) AS t1,
           max(CASE WHEN cum >= (2*nl.nl + 2) // 3 THEN kmicro END) AS t2
-        FROM cm JOIN nl USING (lang) GROUP BY 1)
-      SELECT dd.doc_id, dd.lang, sc.n_bigrams, sc.kmicro,
+        FROM cm JOIN nl USING (lang) GROUP BY 1)"""
+
+  /** cp6's final bucket-assignment select (a plain SELECT so cp7 can
+    * wrap it as a CTE body). */
+  private val cp6BucketSelect: String =
+    """SELECT dd.doc_id, dd.lang, sc.n_bigrams, sc.kmicro,
         CASE WHEN sc.kmicro IS NULL THEN 'tail'
              WHEN sc.kmicro >= cuts.t1 THEN 'head'
              WHEN sc.kmicro >= cuts.t2 THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM documents dd
       LEFT JOIN sc ON dd.doc_id = sc.doc_id AND dd.lang = sc.lang
-      LEFT JOIN cuts ON dd.lang = cuts.lang"""))
+      LEFT JOIN cuts ON dd.lang = cuts.lang"""
+
+  val cp6PerplexityBuckets = QueryDef(
+    "cp6_perplexity_buckets",
+    (s, dir) => TextFns.perplexityBuckets(
+      table(s, dir, "documents"), "doc_id", "text", "lang"),
+    Some(cp6Ctes + "\n      " + cp6BucketSelect))
+
+  /** CP7: bucket-gated mixture — what CCNet's release structure is
+    * FOR (Wenzek et al. 2020: train on head first): cp6's
+    * head/middle/tail buckets sampled at per-bucket rates (head 0.9,
+    * middle 0.4, tail excluded) through the [[Mixture.hashFraction]]
+    * coin — deterministic, stateless, growth-stable. Oracle replays
+    * cp6's CTE chain verbatim plus the rate CASE and the md5 coin
+    * (t9's gate-proven fraction convention).
+    */
+  val cp7BucketMixture = QueryDef(
+    "cp7_bucket_mixture",
+    (s, dir) => {
+      val b = TextFns.perplexityBuckets(
+        table(s, dir, "documents"), "doc_id", "text", "lang")
+      val rate = when(col("bucket") === "head", lit(0.9))
+        .when(col("bucket") === "middle", lit(0.4))
+        .otherwise(lit(0.0))
+      b.filter(graft.functions.Mixture.hashFraction(
+          col("doc_id"), "cp7") < rate)
+        .select("doc_id", "lang", "bucket")
+    },
+    Some(cp6Ctes + """,
+      bkt AS MATERIALIZED (""" + cp6BucketSelect + """)
+      SELECT doc_id, lang, bucket FROM bkt
+      WHERE (CAST('0x' || substr(md5('cp7:' || doc_id), 1, 15)
+              AS BIGINT)::DOUBLE / 1152921504606846976.0)
+        < (CASE bucket WHEN 'head' THEN 0.9
+             WHEN 'middle' THEN 0.4 ELSE 0.0 END)"""))
 
   val cp5Datasheet = QueryDef(
     "cp5_datasheet",
@@ -3424,5 +3461,5 @@ FROM gi GROUP BY doc_id, grp"""))
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
-    cp6PerplexityBuckets)
+    cp6PerplexityBuckets, cp7BucketMixture)
 }
