@@ -29,7 +29,9 @@ object Explain {
         // production-cap LSH gate
         "t24_bpe_train", "d13_containment_sketch", "t25_kn_bigram_lm",
         "mm7_video_dedup", "t26_boilerplate", "t20b_perlang_classifier",
-        "d3b_minhash_capped")
+        "d3b_minhash_capped", "t27_c4_rules", "t28_stupid_backoff",
+        "cp6_perplexity_buckets", "cp7_bucket_mixture", "t29_epoch_shuffle",
+        "d14_incremental_containment", "t21c_bpe_encode")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
