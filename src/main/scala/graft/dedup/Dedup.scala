@@ -293,33 +293,50 @@ object Dedup {
     sketchEstimates(bandedPairs(banded, bucketCap), sk, k, threshold)
   }
 
+  /** The banded inverted-index form of a sketch table — `(id, band,
+    * bucket)` rows, one per sketch element. PERSIST THIS at corpus
+    * build beside the sketch table itself (bucketed by `bucket`, the
+    * d11 sigs-table discipline): a refresh then reads it as a sliver
+    * scan instead of re-exploding every store sketch. */
+  def bandedSketchIndex(sketches: DataFrame): DataFrame =
+    sketches.select(col("id"), lit(0).as("band"),
+      explode(col("sk")).as("bucket"))
+
   /** Incremental containment (d14) — inclusion detection for the
     * monthly refresh WITHOUT re-sketching the store: the persisted
-    * corpus sketch table ([[bottomKSketches]] output, written once at
-    * corpus build like the d11 side tables) is probed by a NEW
-    * delta's sketches. Structurally the store text cannot be touched
-    * — the API takes only the sketch artifact. The candidate join is
-    * asymmetric (delta sketch elements LEFT, union elements RIGHT —
+    * corpus artifacts ([[bottomKSketches]] table + its
+    * [[bandedSketchIndex]], both written once at corpus build like
+    * the d11 side tables) are probed by a NEW delta's sketches.
+    * Structurally the store text cannot be touched — the API takes
+    * only the two artifacts, and neither is recomputed here — only
+    * the delta's sketches materialize (under an engaged bucketCap the
+    * salt-tagged union INDEX — k longs per doc — is additionally
+    * cached for the join's two sides; sketch arrays never are). The
+    * candidate join
+    * is asymmetric (delta sketch elements LEFT, union index RIGHT —
     * the [[DedupSnapshot.ingestDelta]] deltaPairs shape), so no
-    * store-internal pair is ever generated and per-refresh cost is
-    * O(|delta sketches| + matched buckets), not O(|store|²).
+    * store-internal pair is ever generated. Per-refresh COMPUTE is:
+    * sketch the delta, one (bucket)-count census over index slivers
+    * (exchange-free store-side when the persisted index is bucketed
+    * by `bucket`), and the candidate join over matched buckets; the
+    * store contributes only persisted-artifact reads.
     *
     * Returned pairs = EXACTLY the delta-touching subset of a
     * from-scratch [[containmentSketchPairs]] over store ∪ delta
     * (same hashes, same estimator, same caps — spec-pinned), so the
     * incremental path inherits d13's recall and estimate guarantees.
     */
-  def containmentSketchDelta(storeSketches: DataFrame, delta: DataFrame,
+  def containmentSketchDelta(storeSketches: DataFrame,
+                             storeIndex: DataFrame, delta: DataFrame,
                              idCol: String, textCol: String,
                              n: Int, k: Int, threshold: Double,
                              bucketCap: Int = 100000): DataFrame = {
     val dsk = graft.Materialize.reuse(
       bottomKSketches(delta, idCol, textCol, n, k))
-    val allSk = graft.Materialize.reuse(storeSketches.unionByName(dsk))
-    def banded(s: DataFrame) = s.select(col("id"), lit(0).as("band"),
-      explode(col("sk")).as("bucket"))
-    val pairs = asymmetricBandedPairs(banded(dsk), banded(allSk), bucketCap)
-    sketchEstimates(pairs, allSk, k, threshold)
+    val allIdx = storeIndex.unionByName(bandedSketchIndex(dsk))
+    val pairs = asymmetricBandedPairs(bandedSketchIndex(dsk), allIdx,
+      bucketCap)
+    sketchEstimates(pairs, storeSketches.unionByName(dsk), k, threshold)
   }
 
   /** Affine permutation constants for MinHash: odd multipliers +

@@ -953,7 +953,8 @@ object TextQueries {
   val d13ContainmentSketch = QueryDef(
     "d13_containment_sketch",
     (s, dir) => Dedup.containmentSketchPairs(table(s, dir, "documents"),
-      "doc_id", "text", n = 3, k = 32, threshold = 0.8),
+      "doc_id", "text", n = 3, k = 32, threshold = 0.8,
+      bucketCap = 0), // oracle doesn't model the salt split (see d3)
     Some("""WITH tk AS (SELECT doc_id,
         string_split_regex(trim(text), '\s+') AS t FROM documents),
       sh13 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
@@ -998,11 +999,13 @@ object TextQueries {
       val docs = table(s, dir, "documents")
       // one-row bounded agg: the snapshot/delta boundary (d11's cut)
       val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
-      val storeSk = Dedup.bottomKSketches(
-        docs.filter(col("doc_id") <= cut), "doc_id", "text", n = 3, k = 32)
+      val storeSk = graft.Materialize.reuse(Dedup.bottomKSketches(
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", n = 3, k = 32))
       Dedup.containmentSketchDelta(storeSk,
+        Dedup.bandedSketchIndex(storeSk), // the persisted-index stand-in
         docs.filter(col("doc_id") > cut), "doc_id", "text",
-        n = 3, k = 32, threshold = 0.8)
+        n = 3, k = 32, threshold = 0.8,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
     },
     Some("""WITH tk AS (SELECT doc_id,
         string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -165,8 +165,10 @@ class DedupSpec extends SparkSpec {
     val fromScratch = pairSet(Dedup.containmentSketchPairs(
       store.union(delta), "doc_id", "text", n = 3, k = 32,
       threshold = 0.8)).filter(p => p._2 >= 1000L)
+    val storeSk = Dedup.bottomKSketches(store, "doc_id", "text",
+      n = 3, k = 32)
     val incremental = pairSet(Dedup.containmentSketchDelta(
-      Dedup.bottomKSketches(store, "doc_id", "text", n = 3, k = 32),
+      storeSk, Dedup.bandedSketchIndex(storeSk),
       delta, "doc_id", "text", n = 3, k = 32, threshold = 0.8))
     // exact equality including the estimates — same hashes, same
     // estimator, same caps
