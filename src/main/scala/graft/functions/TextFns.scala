@@ -764,48 +764,61 @@ object TextFns {
     * 2/5 and 4/25 (integer products, ONE double division per branch);
     * the only other float is the t18 micro-quantized ln.
     *
-    * Shape for scale: one materialized (id, train-flag, token-array)
-    * base feeds three map-only explode passes (trigram, bigram,
-    * unigram streams — text scanned once); all censuses are
-    * map-combined aggregates over n-gram TYPE tables; per-type scores
-    * join census slivers to the DISTINCT scored-trigram table; the
-    * corpus-sized exchange is the final (id, trigram) → log-prob join,
-    * t25's audited shape. Docs with < 3 tokens carry no trigram and
-    * are absent from the output (t18/t25's convention).
+    * Shape for scale: [[sbCounts]] materializes one train-side
+    * token-array base feeding three map-only explode censuses
+    * (map-combined aggregates over n-gram TYPE tables — the
+    * persistable artifact); [[sbScoreWith]] builds the scored
+    * trigram stream once and joins per-type scores (census slivers
+    * against the DISTINCT scored-trigram table) back — the
+    * corpus-sized exchange is that final (id, trigram) → log-prob
+    * join, t25's audited shape. Docs with < 3 tokens carry no
+    * trigram and are absent from the output (t18/t25's convention).
     */
-  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
-                         trainFilter: Column): DataFrame = {
-    val w = tokens(col(textCol))
-    val base = graft.Materialize.reuse(
-      docs.select(col(idCol), trainFilter.as("__tr"), w.as("__w")))
-    val n = size(col("__w"))
+  private def sbZip3(n: Column): Column = {
     val nullS = lit(null).cast("string")
-    val zip3 = arrays_zip(
+    arrays_zip(
       col("__w").as("a"),
       concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
         array(nullS)).as("b"),
       concat(slice(col("__w"), lit(3), greatest(n - 2, lit(0))),
         array(nullS, nullS)).as("c"))
-    val tok3 = graft.Materialize.reuse(
-      base.select(col(idCol), col("__tr"), explode(zip3).as("__z"))
-        .select(col(idCol), col("__tr"), col("__z.a").as("__w1"),
-          col("__z.b").as("__w2"), col("__z.c").as("__w3"))
-        .filter(col("__w3").isNotNull))
+  }
+
+  /** The frozen stupid-backoff LM artifact — the count tables a
+    * deployment persists (KenLM ships counts/probabilities the same
+    * way; probabilities can't be precomputed because unseen n-grams
+    * need the backoff arithmetic at scoring time): trigram, bigram,
+    * and unigram censuses of the TRAIN corpus plus the 1-row token
+    * total (its in-plan empty-train guard rides along). */
+  final case class SbCounts(tri: DataFrame, big: DataFrame,
+                            uni: DataFrame, nTot: DataFrame)
+
+  /** Build the [[SbCounts]] artifact from the `trainFilter` side of
+    * `docs` — three map-combined censuses off one materialized
+    * token-array base; persist the four tables and score forever
+    * after with [[sbScoreWith]]. */
+  def sbCounts(docs: DataFrame, textCol: String,
+               trainFilter: Column): SbCounts = {
+    val base = graft.Materialize.reuse(
+      docs.filter(trainFilter).select(tokens(col(textCol)).as("__w")))
+    val n = size(col("__w"))
+    val nullS = lit(null).cast("string")
     val zip2 = arrays_zip(
       col("__w").as("a"),
       concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
         array(nullS)).as("b"))
-    val tri = tok3.filter(col("__tr"))
+    val tri = base.select(explode(sbZip3(n)).as("__z"))
+      .select(col("__z.a").as("__w1"), col("__z.b").as("__w2"),
+        col("__z.c").as("__w3"))
+      .filter(col("__w3").isNotNull)
       .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123"))
     val big = graft.Materialize.reuse(
-      base.filter(col("__tr"))
-        .select(explode(zip2).as("__z"))
+      base.select(explode(zip2).as("__z"))
         .select(col("__z.a").as("__b1"), col("__z.b").as("__b2"))
         .filter(col("__b2").isNotNull)
         .groupBy("__b1", "__b2").agg(count(lit(1)).as("__cb")))
     val uni = graft.Materialize.reuse(
-      base.filter(col("__tr"))
-        .select(explode(col("__w")).as("__u"))
+      base.select(explode(col("__w")).as("__u"))
         .groupBy("__u").agg(count(lit(1)).as("__cu")))
     // an empty train side would make every branch NULL — fail loudly
     // in-plan (the sp2 discipline) instead of emitting silent nulls
@@ -813,6 +826,28 @@ object TextFns {
       .select(when(col("__n0").isNull, raise_error(lit(
         "stupidBackoffScore: trainFilter selects no documents")))
         .otherwise(col("__n0")).as("__n"))
+    SbCounts(tri, big, uni, nTot)
+  }
+
+  /** The (id, w1, w2, w3) trigram stream of `docs` — map-only. */
+  private def sbTok3(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val pre = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+    pre.select(col(idCol), explode(sbZip3(size(col("__w")))).as("__z"))
+      .select(col(idCol), col("__z.a").as("__w1"),
+        col("__z.b").as("__w2"), col("__z.c").as("__w3"))
+      .filter(col("__w3").isNotNull)
+  }
+
+  /** THE shared scoring kernel of the stupid-backoff family: per-type
+    * CASE over the census joins, micro-quantized ln, per-doc rollup.
+    * [[stupidBackoffScore]] (t28), the frozen-artifact batch path
+    * [[sbScoreWith]], and the streaming sink
+    * [[graft.streaming.Streaming.lmScoreSink]] all pass through this
+    * one implementation — online ≡ offline cannot drift through a
+    * divergent copy. */
+  private def sbScoreUnder(tok3: DataFrame, idCol: String,
+                           c: SbCounts): DataFrame = {
     val types = tok3.select("__w1", "__w2", "__w3").distinct()
     val p =
       when(col("__c123").isNotNull,
@@ -823,16 +858,16 @@ object TextFns {
         (lit(4L) * col("__c3")).cast("double") / (lit(25L) * col("__n")))
       .otherwise(lit(4.0) / (lit(25L) * (col("__n") + lit(1L))))
     val lp = types
-      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
-      .join(big.select(col("__b1").as("__w1"), col("__b2").as("__w2"),
+      .join(c.tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(c.big.select(col("__b1").as("__w1"), col("__b2").as("__w2"),
         col("__cb").as("__c12")), Seq("__w1", "__w2"), "left")
-      .join(big.select(col("__b1").as("__w2"), col("__b2").as("__w3"),
+      .join(c.big.select(col("__b1").as("__w2"), col("__b2").as("__w3"),
         col("__cb").as("__c23")), Seq("__w2", "__w3"), "left")
-      .join(uni.select(col("__u").as("__w2"), col("__cu").as("__c2")),
+      .join(c.uni.select(col("__u").as("__w2"), col("__cu").as("__c2")),
         Seq("__w2"), "left")
-      .join(uni.select(col("__u").as("__w3"), col("__cu").as("__c3")),
+      .join(c.uni.select(col("__u").as("__w3"), col("__cu").as("__c3")),
         Seq("__w3"), "left")
-      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(c.nTot))
       .select(col("__w1"), col("__w2"), col("__w3"),
         round(lit(1e6) * log(p)).cast("long").as("__lp"))
     tok3
@@ -843,6 +878,20 @@ object TextFns {
         (col("__s").cast("double") / (lit(1e6) * col("n_trigrams")))
           .as("sb3_score"))
   }
+
+  /** Score documents under a FROZEN [[SbCounts]] artifact — the
+    * deployment path (and the per-micro-batch body of the streaming
+    * sink): no training pass, scores bit-identical to
+    * [[stupidBackoffScore]] on the same rows under the same counts
+    * because every step is [[sbScoreUnder]]. */
+  def sbScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                  c: SbCounts): DataFrame =
+    sbScoreUnder(graft.Materialize.reuse(sbTok3(docs, idCol, textCol)),
+      idCol, c)
+
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         trainFilter: Column): DataFrame =
+    sbScoreWith(docs, idCol, textCol, sbCounts(docs, textCol, trainFilter))
 
   /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
     * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score

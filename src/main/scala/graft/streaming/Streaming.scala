@@ -238,6 +238,33 @@ object Streaming {
       }
       .start()
 
+  /** Streamed LM scoring (round 13) — the KenLM deployment shape for
+    * the stupid-backoff family: the [[graft.functions.TextFns.SbCounts]]
+    * count tables are the FROZEN offline artifact (counts, not
+    * probabilities — unseen n-grams need the backoff arithmetic at
+    * scoring time), and each micro-batch scores through the SAME
+    * integer-exact kernel as the batch path
+    * (`TextFns.sbScoreWith` → `sbScoreUnder` — bit-identical by
+    * construction, the classifierScoreSink discipline). Exactly-once
+    * is structural: per-batch `batch=<id>` overwrite partitions, so
+    * replays rewrite rather than duplicate. Stateless beyond the
+    * checkpoint — no watermark, no aggregation state.
+    */
+  def lmScoreSink(docs: DataFrame, idCol: String, textCol: String,
+                  counts: graft.functions.TextFns.SbCounts,
+                  outPath: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.TextFns
+            .sbScoreWith(batch.toDF(), idCol, textCol, counts)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** Streamed ANN INGEST (n13) — the last offline/online gap in the
     * similarity family: each micro-batch of arriving vectors runs
     * [[graft.similarity.Similarity.PersistedIndex.append]] — map-only
