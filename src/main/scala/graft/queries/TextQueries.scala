@@ -191,37 +191,34 @@ object TextQueries {
     * ([[TextFns.piiCounts]]/[[TextFns.redactPii]], common RE2 ⊂ Java
     * regex subset so both engines match identically).
     */
-  val t8Pii = QueryDef(
-    "t8_pii",
-    (s, dir) => {
-      val id = col("doc_id").cast("string")
-      val synth = concat(
-        col("text"),
-        lit(" contact user"), id, lit("@example.com"),
-        when(pmod(col("doc_id"), lit(3L)) === 0L,
-          concat(lit(" and admin"), id, lit("@test.org"))).otherwise(lit("")),
-        lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
-        lit(".17"),
-        when(pmod(col("doc_id"), lit(2L)) === 0L,
-          concat(lit(" tel 555-"),
-            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5L)) === 0L,
-          concat(lit(" call (415) 555-"),
-            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(7L)) === 0L,
-          concat(lit(" or +1-202-555-"),
-            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
-          .otherwise(lit("")))
-      table(s, dir, "documents")
-        .select(col("doc_id"), synth.as("__t"))
-        .select(Seq(col("doc_id")) ++
-          TextFns.piiCounts(col("__t")).map { case (n, c) => c.as(n) } ++
-          Seq(md5(TextFns.redactPii(col("__t"))).as("redacted_fp")): _*)
-    },
-    Some("""WITH p AS (SELECT doc_id,
-        text || ' contact user' || doc_id || '@example.com' ||
+  /** The deterministic planted-PII column shared by t8 and cp8 (the
+    * corpus carries no real PII; both engines replant identically). */
+  private def t8Synth: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      col("text"),
+      lit(" contact user"), id, lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" and admin"), id, lit("@test.org"))).otherwise(lit("")),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".17"),
+      when(pmod(col("doc_id"), lit(2L)) === 0L,
+        concat(lit(" tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lit(" call (415) 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        concat(lit(" or +1-202-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  /** [[t8Synth]]'s DuckDB replay (an expression, not a CTE). */
+  private val t8SynthSql: String =
+    """text || ' contact user' || doc_id || '@example.com' ||
         CASE WHEN doc_id % 3 = 0
              THEN ' and admin' || doc_id || '@test.org' ELSE '' END ||
         ' from 10.0.' || (doc_id % 256) || '.17' ||
@@ -233,7 +230,20 @@ object TextQueries {
              ELSE '' END ||
         CASE WHEN doc_id % 7 = 0
              THEN ' or +1-202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-             ELSE '' END AS t
+             ELSE '' END"""
+
+  val t8Pii = QueryDef(
+    "t8_pii",
+    (s, dir) => {
+      val synth = t8Synth
+      table(s, dir, "documents")
+      // (synthetic-PII preamble shared with cp8 via t8Synth/t8SynthSql)
+        .select(col("doc_id"), synth.as("__t"))
+        .select(Seq(col("doc_id")) ++
+          TextFns.piiCounts(col("__t")).map { case (n, c) => c.as(n) } ++
+          Seq(md5(TextFns.redactPii(col("__t"))).as("redacted_fp")): _*)
+    },
+    Some("WITH p AS (SELECT doc_id, lang, source, " + t8SynthSql + """ AS t
         FROM documents)
       SELECT doc_id,
         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
@@ -244,6 +254,50 @@ object TextQueries {
           '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g'),
           '(?:\+1[-. ])?(?:\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b|\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_fp
       FROM p"""))
+
+  /** CP8: PII audit card — the per-(lang, source) privacy report a
+    * release review runs BEFORE shipping a corpus (how much PII does
+    * each stratum carry, how many docs are affected): t8's detectors
+    * over the same planted-PII column, rolled up to one exact-integer
+    * row per stratum. ONE scan + one map-combined grouped aggregate;
+    * no joins, no floats (the rate is a display division of exact
+    * counts).
+    */
+  val cp8PiiAudit = QueryDef(
+    "cp8_pii_audit",
+    (s, dir) => {
+      val pii = TextFns.piiCounts(t8Synth)
+      val withCounts = table(s, dir, "documents")
+        .select(Seq(col("lang"), col("source")) ++
+          pii.map { case (n, c) => c.as(n) }: _*)
+      withCounts.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_emails") + col("n_ips") + col("n_phones") > 0)
+            .cast("long")).as("pii_docs"),
+          sum("n_emails").as("n_emails"),
+          sum("n_ips").as("n_ips"),
+          sum("n_phones").as("n_phones"))
+        .select(col("lang"), col("source"), col("n_docs"), col("pii_docs"),
+          col("n_emails"), col("n_ips"), col("n_phones"),
+          round(col("pii_docs").cast("double") / col("n_docs"), 4)
+            .as("pii_doc_rate"))
+    },
+    Some("WITH p AS (SELECT doc_id, lang, source, " + t8SynthSql + """ AS t
+        FROM documents),
+      c AS (SELECT lang, source,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        len(regexp_extract_all(t, '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS ni,
+        len(regexp_extract_all(t, '(?:\+1[-. ])?(?:\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b|\b\d{3}-\d{4}\b')) AS np
+        FROM p)
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS pii_docs,
+        CAST(sum(ne) AS BIGINT) AS n_emails,
+        CAST(sum(ni) AS BIGINT) AS n_ips,
+        CAST(sum(np) AS BIGINT) AS n_phones,
+        ROUND(CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 4) AS pii_doc_rate
+      FROM c GROUP BY 1, 2"""))
 
   /** One training iteration of the t20 oracle: margin (exact BIGINT
     * dot product) → rational-sigmoid error → per-doc-quantized
@@ -3464,5 +3518,5 @@ FROM gi GROUP BY doc_id, grp"""))
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
-    cp6PerplexityBuckets, cp7BucketMixture)
+    cp6PerplexityBuckets, cp7BucketMixture, cp8PiiAudit)
 }
