@@ -55,6 +55,7 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
   private val seenT = s"${prefix}_seen"
   private val sigsT = s"${prefix}_sigs"
   private val shinglesT = s"${prefix}_shingles"
+  private val tombsT = s"${prefix}_tombs"
 
   private def lockPath = graft.store.WriteLease.lockPathFor(
     spark.conf.get("spark.sql.warehouse.dir") + s"/graft-snap-$prefix")
@@ -82,6 +83,52 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
 
   def corpus(): DataFrame = spark.table(corpusT)
 
+  /** [[corpus]] minus tombstoned ids — the read every consumer should
+    * use after any [[takedown]]; `idCol` names the id column the
+    * corpus was written with. */
+  def liveCorpus(idCol: String): DataFrame =
+    minusTombs(spark.table(corpusT), idCol)
+
+  /** Right-to-erasure for the SNAPSHOT (d15) — the n10 contract
+    * applied to the dedup store: deletion is a delta-sized tombstone
+    * append under the lease (never a store rewrite — at 10¹¹ rows a
+    * physical delete re-shuffles four tables to drop a handful of
+    * ids), and every subsequent read — [[liveCorpus]] and ALL of
+    * [[ingestDelta]]'s side-table probes — anti-joins the tombstone
+    * sliver (broadcast at any realistic takedown size). A removed
+    * doc therefore vanishes from dedup memory: an identical or
+    * near-identical delta doc arriving later SURVIVES ingestion
+    * instead of being dropped against the erased row.
+    *
+    * Fidelity boundary (stated, the n10 refit discipline): the
+    * snapshot persists only exact-stage KEEPERS, so a store doc that
+    * was an exact twin of a removed keeper (dropped at build, its
+    * text never persisted) is NOT resurrected as the fp's new census
+    * row until the next full [[writeCorpus]] rebuild — the
+    * compaction point, which also clears the tombstone table.
+    * Near-dup memory has no such gap: near-dup-dropped docs DO keep
+    * their sigs/shingles rows, so only the removed ids' own rows
+    * leave the candidate space.
+    */
+  def takedown(ids: DataFrame, idCol: String): Unit =
+    locked("snapshot-takedown") {
+      val out = ids.select(col(idCol).cast("long").as("id")).distinct()
+      if (!spark.catalog.tableExists(tombsT)) {
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$tombsT")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        writeBucketed(out, tombsT, Seq("id"), SaveMode.ErrorIfExists)
+      } else writeBucketed(out, tombsT, Seq("id"), SaveMode.Append)
+    }
+
+  /** Anti-join the tombstone sliver (no-op when none exists). */
+  private def minusTombs(df: DataFrame, idName: String): DataFrame =
+    if (!spark.catalog.tableExists(tombsT)) df
+    else df.join(
+      broadcast(spark.table(tombsT).select(col("id").as(idName))),
+      Seq(idName), "left_anti")
+
   /** Full (re)build: run the complete dedup pipeline over `docs` and
     * persist corpus + side tables. One shingle pass: the (id, h) stage
     * feeds the signature banding, the pair verification, AND the
@@ -89,7 +136,8 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
     */
   def writeCorpus(docs: DataFrame, idCol: String, textCol: String,
                   keepCols: Seq[String] = Nil): Unit = locked("snapshot-build") {
-    Seq(corpusT, seenT, sigsT, shinglesT).foreach { t =>
+    // tombstones clear too: rebuild IS the compaction point
+    Seq(corpusT, seenT, sigsT, shinglesT, tombsT).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // a FRESH session's catalog doesn't know a previous session's
       // managed table, so DROP alone leaves the location behind and
@@ -163,6 +211,21 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
                   keepCols: Seq[String] = Nil,
                   commit: Boolean = false,
                   idempotentCommit: Boolean = false): DataFrame = {
+    // TOMBSTONED IDS ARE FROZEN UNTIL REBUILD (the n10 batch
+    // contract): re-ingesting a taken-down id would land new rows the
+    // idempotent anti-joins skip while the tombstone keeps every read
+    // hiding it — silent half-visibility. Fail loudly; the remedy is
+    // a writeCorpus rebuild (the compaction point).
+    if (spark.catalog.tableExists(tombsT)) {
+      val nT = delta.select(col(idCol)).distinct()
+        .join(spark.table(tombsT).select(col("id").as(idCol)),
+          Seq(idCol), "left_semi").count()
+      if (nT > 0) throw new IllegalArgumentException(
+        s"$nT delta id(s) have pending snapshot tombstones " +
+          s"(prefix $prefix): tombstoned ids are frozen until a " +
+          "writeCorpus rebuild compacts them out; drop them from the " +
+          "delta or rebuild first")
+    }
     val fp = TextFns.fingerprint(col(textCol))
     val w = Window.partitionBy(fp).orderBy(col(idCol))
     // exact stage: keep-first per fingerprint WITHIN the delta, then
@@ -180,13 +243,14 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
       delta.withColumn("fp", fp)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-        .join(spark.table(seenT).select("fp"), Seq("fp"), "left_anti"))
+        .join(minusTombs(spark.table(seenT), "id").select("fp"),
+          Seq("fp"), "left_anti"))
     val dsh = Dedup.hashedShingles(dNew, idCol, textCol, n, Nil)
     val dBanded = graft.Materialize.reuse(Dedup.minHashBanded(dsh, bands, rows))
-    val pairs = deltaPairs(dBanded, spark.table(sigsT))
+    val pairs = deltaPairs(dBanded, minusTombs(spark.table(sigsT), "id"))
     // verification shingles: store side from the persisted table
     // (the corpus is NOT re-shingled), delta side from this pass
-    val allSh = spark.table(shinglesT).unionByName(dsh)
+    val allSh = minusTombs(spark.table(shinglesT), "id").unionByName(dsh)
     val verified = Dedup.verifyJaccard(pairs, allSh, threshold)
     // CC over delta-touching pairs only; a cluster's min is a store id
     // whenever any store doc is reachable (store ids < delta ids), so

@@ -1376,6 +1376,69 @@ object TextQueries {
       WHERE ex.doc_id > (SELECT max(doc_id) * 3 // 5 FROM documents)
         AND (cl.cluster IS NULL OR cl.cluster = ex.doc_id)"""))
 
+  /** D15: snapshot TAKEDOWN — right-to-erasure for the dedup store
+    * itself ([[graft.dedup.DedupSnapshot.takedown]]: delta-sized
+    * tombstone append under the lease, every side-table probe
+    * anti-joins the sliver; n10's contract applied to d11's store).
+    * The query builds the d11 snapshot, tombstones every 17th store
+    * id, then ingests the d11 delta — erased docs have vanished from
+    * dedup memory, so delta docs that d11 dropped against them now
+    * SURVIVE. The oracle replays the TOMBSTONE semantics exactly
+    * (store exact-stage keepers computed on the FULL store, THEN the
+    * removed ids leave — the stated fidelity boundary: erased
+    * keepers' build-time twins resurrect only at rebuild): per-fp
+    * keep-first within store, minus tombstones, delta keep-first
+    * anti-joined against the surviving census, near-dup CC over the
+    * union.
+    */
+  val d15SnapshotTakedown = QueryDef(
+    "d15_snapshot_takedown",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+      val snap = new graft.dedup.DedupSnapshot(s, "graft_d15",
+        nBuckets = 8, n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+      snap.writeCorpus(docs.filter(col("doc_id") <= cut),
+        "doc_id", "text", keepCols = Seq("lang"))
+      snap.takedown(docs.filter(col("doc_id") <= cut &&
+        pmod(col("doc_id"), lit(17L)) === 0L).select("doc_id"), "doc_id")
+      snap.ingestDelta(docs.filter(col("doc_id") > cut),
+        "doc_id", "text", keepCols = Seq("lang"))
+    },
+    Some("""WITH cutv AS (SELECT max(doc_id) * 3 // 5 AS cut
+        FROM documents),
+      fpt AS MATERIALIZED (SELECT doc_id, lang, text,
+        md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM documents),
+      exS AS MATERIALIZED (SELECT f.* FROM fpt f, cutv
+        WHERE doc_id <= cut
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      exK AS MATERIALIZED (SELECT * FROM exS WHERE doc_id % 17 != 0),
+      dN AS MATERIALIZED (SELECT f.* FROM fpt f, cutv
+        WHERE doc_id > cut
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      dNew AS (SELECT d.* FROM dN d WHERE NOT EXISTS (
+        SELECT 1 FROM exK k WHERE k.fp = d.fp)),
+      ex AS MATERIALIZED (SELECT doc_id, lang, text FROM exK
+        UNION ALL SELECT doc_id, lang, text FROM dNew),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM ex),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtes + """
+      SELECT ex.doc_id, ex.lang FROM ex
+      LEFT JOIN cl ON cl.doc_id = ex.doc_id
+      WHERE ex.doc_id > (SELECT cut FROM cutv)
+        AND (cl.cluster IS NULL OR cl.cluster = ex.doc_id)"""))
+
   /** SP1: LEAKAGE-SAFE train/val/test split — eval contamination is a
     * near-dup of a training doc landing in the held-out split; every
     * serious corpus release assigns the WHOLE near-dup cluster with
@@ -3510,7 +3573,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d14IncrementalContainment,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
-    d7LshDedup, d8Keeper, d11Incremental,
+    d7LshDedup, d8Keeper, d11Incremental, d15SnapshotTakedown,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,

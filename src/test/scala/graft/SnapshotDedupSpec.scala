@@ -83,4 +83,43 @@ class SnapshotDedupSpec extends SparkSpec {
     val surv = snap.ingestDelta(delta.toDF("doc_id", "text"), "doc_id", "text")
     assert(surv.count() == 0)
   }
+
+  test("takedown: erased docs leave dedup memory; frozen ids fail " +
+       "loudly; rebuild compacts and clears tombstones") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely unrelated store content about streams and sinks"),
+      (3L, "another unrelated store doc mentioning windows and joins"))
+      .toDF("doc_id", "text")
+    val snap = new DedupSnapshot(spark, "graft_spec_snap4", nBuckets = 2,
+      bucketCap = 0)
+    snap.writeCorpus(store, "doc_id", "text")
+    snap.takedown(Seq(1L).toDF("doc_id"), "doc_id")
+    // liveCorpus hides the erased row
+    assert(snap.liveCorpus("doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // an exact copy of the ERASED doc now survives ingestion (its
+    // census row is gone) while a copy of a live doc still drops
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"),
+      (101L, "completely unrelated store content about streams and sinks"),
+      (102L, "fresh delta content that matches nothing in the store"))
+      .toDF("doc_id", "text")
+    val surv = snap.ingestDelta(delta, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(100L, 102L), s"got $surv")
+    // a delta carrying the tombstoned id itself is frozen until rebuild
+    val e = intercept[IllegalArgumentException](snap.ingestDelta(
+      Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect())
+    assert(e.getMessage.contains("frozen until"))
+    // rebuild is the compaction point: tombstones clear, id 1 ingests
+    snap.writeCorpus(store.filter(col("doc_id") =!= 1L), "doc_id", "text")
+    val surv2 = snap.ingestDelta(
+      Seq((1L, "anything at all works after the rebuild compaction"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv2 == Set(1L))
+  }
 }
