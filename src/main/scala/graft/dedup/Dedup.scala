@@ -757,6 +757,31 @@ object Dedup {
     }
   }
 
+  /** Leakage-safe GROUP K-FOLD (sp3) — [[leakageSafeSplit]]'s
+    * cross-validation form (sklearn's GroupKFold with near-dup
+    * clusters as the groups): every doc gets
+    * `fold = min(⌊fraction·k⌋, k−1)` of its CLUSTER's hash coin, so a
+    * near-dup pair can never straddle folds and the assignment is
+    * deterministic, map-only past the CC, and growth-stable in the
+    * same no-merge sense as sp1 (a later doc bridging two clusters
+    * re-coins the merged cluster — persist prior folds and pin, the
+    * sp1 `prior` discipline, if release-over-release stability is
+    * needed). Folds are hash-balanced (binomial-tight), not
+    * exact-count-balanced — the trade that keeps assignment free of
+    * any global sort.
+    */
+  def groupKFold(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 k: Int, salt: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val keyed = docs.join(cc, Seq(idCol), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val frac = graft.functions.Mixture.hashFraction(col("cluster"), salt)
+    keyed.select(col(idCol), col("cluster"),
+      least(floor(frac * k).cast("long"), lit(k - 1L)).as("fold"))
+  }
+
   /** Embargoed TEMPORAL split — the time-ordered counterpart of
     * [[leakageSafeSplit]] (there the leakage unit is a near-dup
     * cluster; here it is TIME itself): train strictly before a

@@ -1471,6 +1471,33 @@ object TextQueries {
              ELSE 'test' END AS split
       FROM f"""))
 
+  /** SP3: leakage-safe GROUP K-FOLD — sp1's cross-validation form
+    * ([[Dedup.groupKFold]]: whole near-dup clusters take
+    * `min(⌊fraction·k⌋, k−1)` of one cluster coin, so no fold pair is
+    * contaminated). Oracle: sp1's cluster fragment + the coin +
+    * the floor/cap arithmetic, every assignment hash-checked.
+    */
+  val sp3KFold = QueryDef(
+    "sp3_group_kfold",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.groupKFold(docs.select("doc_id"), "doc_id",
+        Dedup.minHashCandidates(docs, "doc_id", "text",
+          n = 3, bands = 16, rows = 4, threshold = 0.8,
+          bucketCap = 0) // oracle doesn't model the salt split (see d3)
+          .select("id_a", "id_b"),
+        k = 5, salt = "sp3")
+    },
+    Some("WITH " + ccLabelCtes + """,
+      k AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      f AS (SELECT doc_id, cluster,
+        (CAST('0x' || substr(md5('sp3:' || cluster), 1, 15) AS BIGINT)::DOUBLE
+          / 1152921504606846976.0) AS fr FROM k)
+      SELECT doc_id, cluster,
+        LEAST(CAST(floor(fr * 5) AS BIGINT), 4) AS fold
+      FROM f"""))
+
   /** SP2: embargoed TEMPORAL split — sp1's counterpart for
     * time-ordered data ([[Dedup.temporalSplit]]: train strictly
     * before the 70% span cutoff, a 5% embargo band a production run
@@ -3577,7 +3604,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
-    n11Negatives, sp1Split, sp2Temporal,
+    n11Negatives, sp1Split, sp2Temporal, sp3KFold,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,

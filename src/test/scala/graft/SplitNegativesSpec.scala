@@ -84,6 +84,29 @@ class SplitNegativesSpec extends SparkSpec {
     assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.03, counts.toString)
   }
 
+  test("groupKFold: clusters never straddle folds; folds in range and " +
+       "all populated on enough isolated docs; growth-stable") {
+    val docs = ((1L to 3L) ++ (10L to 11L) ++ (20L to 120L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.groupKFold(docs, "doc_id", pairs, k = 5, salt = "f1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.size == 106)
+    // whole-cluster folds
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L)).size == 1)
+    // every fold in [0, 5) and (whp on 100+ coins) all five populated
+    val folds = out.values.map(_._2).toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size == 5)
+    // growth stability (no-merge case): new docs never flip old coins
+    val more = Dedup.groupKFold(
+      docs.union(Seq(200L, 201L).toDF("doc_id")), "doc_id", pairs,
+      k = 5, salt = "f1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.forall { case (id, v) => more(id) == v })
+  }
+
   test("temporalSplit: exact cutoffs, embargo band, in-span growth stability") {
     import java.sql.Timestamp
     // span [0, 100] seconds → c1 at 70 s, c2 at 75 s (exact micros)
