@@ -64,7 +64,15 @@ class MaterializeLifecycleSpec extends SparkSpec {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       Materialize.releaseAll()
       assert(Materialize.trackedCount == 0, s"$name left tracked handles")
-      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      // releaseAll is NON-BLOCKING (unpersist(blocking=false)): under
+      // box load the BlockManager map drains asynchronously, so poll
+      // briefly before declaring a leak (a real leak never drains)
+      var leaked = sc.getPersistentRDDs.keySet -- baseline
+      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+      while (leaked.nonEmpty && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        leaked = sc.getPersistentRDDs.keySet -- baseline
+      }
       assert(leaked.isEmpty,
         s"$name leaked persistent RDDs ${leaked.toSeq.sorted.mkString(",")}")
     }
