@@ -288,9 +288,8 @@ object Dedup {
                              bucketCap: Int = 100000): DataFrame = {
     val sk = graft.Materialize.reuse( // feeds the index AND both verify sides
       bottomKSketches(df, idCol, textCol, n, k))
-    val banded = sk.select(col("id"), lit(0).as("band"),
-      explode(col("sk")).as("bucket"))
-    sketchEstimates(bandedPairs(banded, bucketCap), sk, k, threshold)
+    sketchEstimates(bandedPairs(bandedSketchIndex(sk), bucketCap),
+      sk, k, threshold)
   }
 
   /** The banded inverted-index form of a sketch table — `(id, band,

@@ -112,7 +112,9 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
     */
   def takedown(ids: DataFrame, idCol: String): Unit =
     locked("snapshot-takedown") {
-      val out = ids.select(col(idCol).cast("long").as("id")).distinct()
+      // id stored AS WRITTEN — a long cast would NULL out string ids
+      // and the anti-join would silently erase nothing (review r13)
+      val out = ids.select(col(idCol).as("id")).distinct()
       if (!spark.catalog.tableExists(tombsT)) {
         val p = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir") + s"/$tombsT")

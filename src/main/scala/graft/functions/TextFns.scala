@@ -798,20 +798,29 @@ object TextFns {
     * token-array base; persist the four tables and score forever
     * after with [[sbScoreWith]]. */
   def sbCounts(docs: DataFrame, textCol: String,
-               trainFilter: Column): SbCounts = {
-    val base = graft.Materialize.reuse(
-      docs.filter(trainFilter).select(tokens(col(textCol)).as("__w")))
+               trainFilter: Column): SbCounts =
+    sbCountsOfTokens(graft.Materialize.reuse(
+      docs.filter(trainFilter).select(tokens(col(textCol)).as("__w"))))
+
+  /** [[sbCounts]] over a pre-built `(__w)` token-array base — lets
+    * [[stupidBackoffScore]] share ONE base between censuses and the
+    * scored stream (one text scan, review r13). */
+  private def sbCountsOfTokens(base: DataFrame): SbCounts = {
     val n = size(col("__w"))
     val nullS = lit(null).cast("string")
     val zip2 = arrays_zip(
       col("__w").as("a"),
       concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
         array(nullS)).as("b"))
-    val tri = base.select(explode(sbZip3(n)).as("__z"))
-      .select(col("__z.a").as("__w1"), col("__z.b").as("__w2"),
-        col("__z.c").as("__w3"))
-      .filter(col("__w3").isNotNull)
-      .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123"))
+    // ALL THREE censuses cache (a streamed scorer joins them every
+    // micro-batch; an uncached tri would re-aggregate the whole train
+    // base per batch — review r13)
+    val tri = graft.Materialize.reuse(
+      base.select(explode(sbZip3(n)).as("__z"))
+        .select(col("__z.a").as("__w1"), col("__z.b").as("__w2"),
+          col("__z.c").as("__w3"))
+        .filter(col("__w3").isNotNull)
+        .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123")))
     val big = graft.Materialize.reuse(
       base.select(explode(zip2).as("__z"))
         .select(col("__z.a").as("__b1"), col("__z.b").as("__b2"))
@@ -831,13 +840,16 @@ object TextFns {
 
   /** The (id, w1, w2, w3) trigram stream of `docs` — map-only. */
   private def sbTok3(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
-    val pre = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+                     textCol: String): DataFrame =
+    sbTok3OfTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__w")), idCol)
+
+  /** [[sbTok3]] over a pre-built `(idCol, __w)` base. */
+  private def sbTok3OfTokens(pre: DataFrame, idCol: String): DataFrame =
     pre.select(col(idCol), explode(sbZip3(size(col("__w")))).as("__z"))
       .select(col(idCol), col("__z.a").as("__w1"),
         col("__z.b").as("__w2"), col("__z.c").as("__w3"))
       .filter(col("__w3").isNotNull)
-  }
 
   /** THE shared scoring kernel of the stupid-backoff family: per-type
     * CASE over the census joins, micro-quantized ln, per-doc rollup.
@@ -890,8 +902,19 @@ object TextFns {
       idCol, c)
 
   def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
-                         trainFilter: Column): DataFrame =
-    sbScoreWith(docs, idCol, textCol, sbCounts(docs, textCol, trainFilter))
+                         trainFilter: Column): DataFrame = {
+    // ONE materialized (id, train-flag, token-array) base feeds both
+    // the censuses and the scored stream — text scanned once (the
+    // combined train-and-score form; the split sbCounts/sbScoreWith
+    // entry points are the frozen-artifact deployment)
+    val base = graft.Materialize.reuse(
+      docs.select(col(idCol), trainFilter.as("__tr"),
+        tokens(col(textCol)).as("__w")))
+    val counts = sbCountsOfTokens(base.filter(col("__tr")).select("__w"))
+    val tok3 = graft.Materialize.reuse(
+      sbTok3OfTokens(base.select(col(idCol), col("__w")), idCol))
+    sbScoreUnder(tok3, idCol, counts)
+  }
 
   /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
     * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score

@@ -258,10 +258,16 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        // sbScoreWith caches the batch's trigram stream; scope each
+        // micro-batch so the cache is DRAINED when the batch ends — a
+        // long-lived stream must not accumulate one persist per batch
+        // (review r13). The frozen `counts` caches live OUTSIDE this
+        // scope (registered at build time) and survive across batches.
+        if (!batch.isEmpty) graft.Materialize.inScope {
           graft.functions.TextFns
             .sbScoreWith(batch.toDF(), idCol, textCol, counts)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
       }
       .start()
 
