@@ -453,6 +453,35 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Shared-clip pairs (mm8): videos sharing ≥ `minShared` DISTINCT
+    * per-frame hashes — the PARTIAL-overlap detector mm7's whole-video
+    * majority fingerprint structurally cannot be (a 10-second clip
+    * embedded in an hour-long video flips most majority bits but its
+    * frames still hash identically). Per video the distinct frame-hash
+    * SET (bounded by frame count) aggregates once; candidates come
+    * from the (hash → id) inverted index under the standard
+    * [[graft.dedup.Dedup.bandedPairs]] bucketCap salting (linear in
+    * the hash stream — a hash shared by a crowd is exactly the
+    * flooded-bucket case the cap bounds); the verify is one
+    * `array_intersect` of the two bounded sets. Exact integers
+    * throughout — a SQL replay is bit-identical.
+    */
+  def sharedFramePairs(hashes: DataFrame, idCol: String, hashCol: String,
+                       minShared: Int, bucketCap: Int = 100000): DataFrame = {
+    val va = graft.Materialize.reuse( // feeds the index AND both verify sides
+      hashes.groupBy(col(idCol).as("id"))
+        .agg(sort_array(collect_set(col(hashCol))).as("hs")))
+    val banded = va.select(col("id"), lit(0).as("band"),
+      explode(col("hs")).as("bucket"))
+    graft.dedup.Dedup.bandedPairs(banded, bucketCap)
+      .join(va.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(va.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b", "shared")
+  }
+
   /** Majority-bit video fingerprint (mm7): per video, bit `b` of the
     * output is set iff a STRICT majority of its frames set bit `b` of
     * their per-frame hash — each bit depends only on an ordering of

@@ -3021,28 +3021,10 @@ object TextQueries {
     * Videos shorter than one frame carry no fingerprint on either
     * engine.
     */
-  val mm7VideoDedup = QueryDef(
-    "mm7_video_dedup",
-    (s, dir) => {
-      val media = graft.multimodal.Multimodal.asMedia(
-        table(s, dir, "documents")
-          .withColumn("payload", encode(col("text"), "utf-8")),
-        "doc_id", "payload", kind = "video", mime = "application/octet-stream")
-      val frames = graft.multimodal.Multimodal.sampleFrames(
-        media, frameSize = 64, stride = 2)
-      val fh = graft.multimodal.Multimodal.frameDHash(frames, w = 8, h = 8)
-      val sigs = graft.Materialize.reuse( // feeds banding AND the output join
-        graft.multimodal.Multimodal.majorityFingerprint(fh, "media_id", "dhash"))
-      val pairs = Dedup.simHashPairsFromSigs(
-        sigs.select(col("media_id").as("id"), col("vhash").as("sig")),
-        maxDist = 3, bits = 60)
-      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-        .withColumnRenamed("id", "media_id")
-      sigs.join(cc, Seq("media_id"), "left_outer")
-        .select(col("media_id"), col("n_frames"), col("vhash"),
-          coalesce(col("cluster"), col("media_id")).as("cluster"))
-    },
-    Some("""WITH k AS (SELECT doc_id, text,
+  /** The mm7 oracle's frame-extraction + per-frame-dHash CTE chain
+    * (k → fr → gg → dh), shared verbatim by mm8's shared-clip oracle. */
+  private val mm7FrameCtes: String =
+    """k AS (SELECT doc_id, text,
         unnest(range(length(text) // 64)) AS f FROM documents),
       fr AS MATERIALIZED (SELECT doc_id, CAST(f // 2 AS INT) AS frame_idx,
           list_transform(range(0, 64), i ->
@@ -3064,7 +3046,33 @@ object TextQueries {
             CASE WHEN g[((b // 6) * 7 + (b % 6) + 2)::INT] >
                       g[((b // 6) * 7 + (b % 6) + 1)::INT]
               THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS dhash
-        FROM gg),
+        FROM gg)"""
+
+  private def mm7Body(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+      val media = graft.multimodal.Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        media, frameSize = 64, stride = 2)
+      val fh = graft.multimodal.Multimodal.frameDHash(frames, w = 8, h = 8)
+      val sigs = graft.Materialize.reuse( // feeds banding AND the output join
+        graft.multimodal.Multimodal.majorityFingerprint(fh, "media_id", "dhash"))
+      val pairs = Dedup.simHashPairsFromSigs(
+        sigs.select(col("media_id").as("id"), col("vhash").as("sig")),
+        maxDist = 3, bits = 60)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "media_id")
+      sigs.join(cc, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("n_frames"), col("vhash"),
+          coalesce(col("cluster"), col("media_id")).as("cluster"))
+  }
+
+  val mm7VideoDedup = QueryDef(
+    "mm7_video_dedup",
+    (s, dir) => mm7Body(s, dir),
+    Some("WITH " + mm7FrameCtes + """,
       bits AS (SELECT doc_id, b,
           CAST(sum((dhash >> b::INT) & 1) AS BIGINT) AS c,
           CAST(count(*) AS BIGINT) AS nf
@@ -3081,6 +3089,37 @@ object TextQueries {
       SELECT vh.doc_id AS media_id, vh.n_frames, vh.vhash,
         COALESCE(cl.cluster, vh.doc_id) AS cluster
       FROM vh LEFT JOIN cl ON cl.doc_id = vh.doc_id"""))
+
+  /** MM8: shared-clip pairs — partial-overlap video detection
+    * ([[graft.multimodal.Multimodal.sharedFramePairs]]: per-video
+    * distinct frame-hash sets probed through the standard inverted
+    * index; a clip embedded in a long video flips most of mm7's
+    * majority bits but its frames still hash identically). Oracle:
+    * mm7's frame/dHash CTE chain verbatim + distinct sets + the
+    * intersect count.
+    */
+  val mm8SharedClips = QueryDef(
+    "mm8_shared_clips",
+    (s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+      val fh = graft.multimodal.Multimodal.frameDHash(
+        graft.multimodal.Multimodal.sampleFrames(
+          media, frameSize = 64, stride = 2), w = 8, h = 8)
+      graft.multimodal.Multimodal.sharedFramePairs(fh, "media_id", "dhash",
+        minShared = 2,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+    },
+    Some("WITH " + mm7FrameCtes + """,
+      va AS MATERIALIZED (SELECT doc_id,
+          list_sort(list_distinct(list(dhash))) AS hs
+        FROM dh GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS shared
+      FROM va a JOIN va b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs)) >= 2"""))
 
   /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the fixed-window
@@ -3606,7 +3645,7 @@ FROM gi GROUP BY doc_id, grp"""))
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split, sp2Temporal, sp3KFold,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
-    mm6AudioDedup, mm7VideoDedup,
+    mm6AudioDedup, mm7VideoDedup, mm8SharedClips,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
     cp6PerplexityBuckets, cp7BucketMixture, cp8PiiAudit)
 }

@@ -97,6 +97,36 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(ham(rows(1L)._2, rows(2L)._2) <= 3)
   }
 
+  test("sharedFramePairs: an embedded clip is found where the " +
+       "whole-video fingerprint misses it; unrelated videos don't pair") {
+    import org.apache.spark.sql.functions.encode
+    import spark.implicits._
+    def payload(seed: Int, n: Int): String =
+      Array.tabulate(n)(i => ('a' + ((i * (3 + seed) + seed * 7) % 26)).toChar).mkString
+    val clip = payload(1, 256) // 4 original frames -> 2 kept
+    // long video: 1024 bytes of OTHER content with the clip spliced in
+    // at a kept-frame boundary (offset 512 = original frame 8, kept)
+    val host = payload(2, 512) + clip + payload(3, 256)
+    val far = payload(9, 1024)
+    val docs = Seq((1L, clip), (2L, host), (3L, far)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(
+      docs.withColumn("payload", encode(col("text"), "utf-8")),
+      "doc_id", "payload", kind = "video", mime = "application/octet-stream")
+    val fh = Multimodal.frameDHash(
+      Multimodal.sampleFrames(media, frameSize = 64, stride = 2), w = 8, h = 8)
+    val pairs = Multimodal.sharedFramePairs(fh, "media_id", "dhash",
+        minShared = 2, bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 2,
+      s"embedded clip not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // ...and mm7's whole-video fingerprints are FAR apart (the case
+    // mm8 exists for): the host's majority bits track its own content
+    val sigs = Multimodal.majorityFingerprint(fh, "media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) > 3)
+  }
+
   test("perturbed video clusters with its source; different video does not") {
     import org.apache.spark.sql.functions.encode
     import spark.implicits._
