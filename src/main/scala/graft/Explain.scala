@@ -31,7 +31,16 @@ object Explain {
         "mm7_video_dedup", "t26_boilerplate", "t20b_perlang_classifier",
         "d3b_minhash_capped", "t27_c4_rules", "t28_stupid_backoff",
         "cp6_perplexity_buckets", "cp7_bucket_mixture", "t29_epoch_shuffle",
-        "d14_incremental_containment", "t21c_bpe_encode")
+        "d14_incremental_containment", "t21c_bpe_encode",
+        // round 13 additions the advisor flagged as missing (t24b is
+        // t24+t21 composition, sp3/cp8 are one-scan aggs, but their
+        // plans should still be dumpable by default; d15 mutates a
+        // store under a lease — run it explicitly, not in the default
+        // sweep, so a plan dump never moves tombstone state)
+        "t24b_bpe_learned_tokens", "sp3_group_kfold", "cp8_pii_audit",
+        "mm8_shared_clips",
+        // round 14: ENGAGED-cap containment sketch gates
+        "d13b_containment_capped", "d14b_incremental_capped")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

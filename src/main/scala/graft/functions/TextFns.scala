@@ -916,6 +916,139 @@ object TextFns {
     sbScoreUnder(tok3, idCol, counts)
   }
 
+  /** The k shifted-token arrays zipped positionally — struct fields
+    * `g0..g{k-1}`; position i carries (wᵢ, wᵢ₊₁, …, wᵢ₊ₖ₋₁) with
+    * nulls past the end (the [[sbZip3]] shape generalized). */
+  private def sbZipN(n: Column, k: Int): Column = {
+    val nullS = lit(null).cast("string")
+    arrays_zip((0 until k).map { j =>
+      if (j == 0) col("__w").as("g0")
+      else concat(slice(col("__w"), lit(j + 1), greatest(n - j, lit(0))),
+        array(Seq.fill(j)(nullS): _*)).as(s"g$j")
+    }: _*)
+  }
+
+  /** The frozen 5-gram stupid-backoff artifact (t28b — Brants et al.
+    * 2007 ship 5-grams; CCNet's KenLM is a 5-gram): the five n-gram
+    * censuses of the train corpus plus the 1-row token total. Two
+    * more map-combined TYPE censuses off the same token base than
+    * [[SbCounts]] — the artifact stays the persistable KenLM shape.
+    */
+  final case class Sb5Counts(five: DataFrame, four: DataFrame,
+                             tri: DataFrame, big: DataFrame,
+                             uni: DataFrame, nTot: DataFrame)
+
+  def sb5Counts(docs: DataFrame, textCol: String,
+                trainFilter: Column): Sb5Counts =
+    sb5CountsOfTokens(graft.Materialize.reuse(
+      docs.filter(trainFilter).select(tokens(col(textCol)).as("__w"))))
+
+  private def gramCensus(base: DataFrame, k: Int): DataFrame = {
+    val cols = (0 until k).map(j => col(s"__z.g$j").as(s"__w${j + 1}"))
+    graft.Materialize.reuse(
+      base.select(explode(sbZipN(size(col("__w")), k)).as("__z"))
+        .select(cols: _*)
+        .filter(col(s"__w$k").isNotNull)
+        .groupBy((1 to k).map(j => col(s"__w$j")): _*)
+        .agg(count(lit(1)).as(s"__c$k")))
+  }
+
+  private def sb5CountsOfTokens(base: DataFrame): Sb5Counts = {
+    val five = gramCensus(base, 5)
+    val four = gramCensus(base, 4)
+    val tri = gramCensus(base, 3)
+    val big = gramCensus(base, 2)
+    val uni = gramCensus(base, 1)
+    val nTot = uni.agg(sum("__c1").as("__n0"))
+      .select(when(col("__n0").isNull, raise_error(lit(
+        "stupidBackoff5Score: trainFilter selects no documents")))
+        .otherwise(col("__n0")).as("__n"))
+    Sb5Counts(five, four, tri, big, uni, nTot)
+  }
+
+  /** The (id, w1..w5) 5-gram stream — map-only. */
+  private def sb5TokOfTokens(pre: DataFrame, idCol: String): DataFrame =
+    pre.select(col(idCol), explode(sbZipN(size(col("__w")), 5)).as("__z"))
+      .select(col(idCol) +: (0 until 5).map(
+        j => col(s"__z.g$j").as(s"__w${j + 1}")): _*)
+      .filter(col("__w5").isNotNull)
+
+  /** THE shared 5-gram scoring kernel — batch, frozen-artifact and
+    * any future streamed path all pass through here (the
+    * [[sbScoreUnder]] discipline at order 5). Exact rationals with α
+    * = 2/5 folded per level: 2/5, 4/25, 8/125, 16/625; each branch's
+    * denominator is positive by construction (every (k−1)-gram census
+    * row dominates its k-gram extension's count). One double division
+    * per branch + the micro-quantized ln.
+    */
+  private def sb5ScoreUnder(tok5: DataFrame, idCol: String,
+                            c: Sb5Counts): DataFrame = {
+    val w = (1 to 5).map(j => s"__w$j")
+    val types = tok5.select(w.map(col): _*).distinct()
+    def renamed(df: DataFrame, from: Seq[String], to: Seq[String],
+                cnt: String, as: String): DataFrame =
+      df.select(from.zip(to).map { case (f, t) => col(f).as(t) }
+        :+ col(cnt).as(as): _*)
+    val p =
+      when(col("__c12345").isNotNull,
+        col("__c12345").cast("double") / col("__c1234"))
+      .when(col("__c2345").isNotNull,
+        (lit(2L) * col("__c2345")).cast("double") / (lit(5L) * col("__c234")))
+      .when(col("__c345").isNotNull,
+        (lit(4L) * col("__c345")).cast("double") / (lit(25L) * col("__c34")))
+      .when(col("__c45").isNotNull,
+        (lit(8L) * col("__c45")).cast("double") / (lit(125L) * col("__c4")))
+      .when(col("__c5").isNotNull,
+        (lit(16L) * col("__c5")).cast("double") / (lit(625L) * col("__n")))
+      .otherwise(lit(16.0) / (lit(625L) * (col("__n") + lit(1L))))
+    val lp = types
+      .join(renamed(c.five, (1 to 5).map(j => s"__w$j"), w, "__c5", "__c12345"), w, "left")
+      .join(renamed(c.four, (1 to 4).map(j => s"__w$j"), w.take(4), "__c4", "__c1234"), w.take(4), "left")
+      .join(renamed(c.four, (1 to 4).map(j => s"__w$j"), w.drop(1), "__c4", "__c2345"), w.drop(1), "left")
+      .join(renamed(c.tri, (1 to 3).map(j => s"__w$j"), w.slice(1, 4), "__c3", "__c234"), w.slice(1, 4), "left")
+      .join(renamed(c.tri, (1 to 3).map(j => s"__w$j"), w.slice(2, 5), "__c3", "__c345"), w.slice(2, 5), "left")
+      .join(renamed(c.big, (1 to 2).map(j => s"__w$j"), w.slice(2, 4), "__c2", "__c34"), w.slice(2, 4), "left")
+      .join(renamed(c.big, (1 to 2).map(j => s"__w$j"), w.slice(3, 5), "__c2", "__c45"), w.slice(3, 5), "left")
+      .join(renamed(c.uni, Seq("__w1"), Seq("__w4"), "__c1", "__c4"), Seq("__w4"), "left")
+      .join(renamed(c.uni, Seq("__w1"), Seq("__w5"), "__c1", "__c5"), Seq("__w5"), "left")
+      .crossJoin(broadcast(c.nTot))
+      .select(w.map(col) :+
+        round(lit(1e6) * log(p)).cast("long").as("__lp"): _*)
+    tok5
+      .join(lp, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_5grams"), sum("__lp").as("__s"))
+      .select(col(idCol), col("n_5grams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_5grams")))
+          .as("sb5_score"))
+  }
+
+  /** Score documents under a FROZEN [[Sb5Counts]] artifact. */
+  def sb5ScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                   c: Sb5Counts): DataFrame =
+    sb5ScoreUnder(graft.Materialize.reuse(sb5TokOfTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__w")), idCol)),
+      idCol, c)
+
+  /** 5-gram stupid-backoff LM (t28b) — [[stupidBackoffScore]] at the
+    * order Brants et al. actually shipped: S(w₅|w₁..w₄) backs off
+    * 5→4→3→2→1 with α = 0.4 folded in as exact rationals (2/5, 4/25,
+    * 8/125, 16/625), trained on `trainFilter`, scoring every doc with
+    * ≥ 5 tokens. All six branches (four backoffs + unigram + OOV
+    * floor) are live on real data and spec-planted individually.
+    * Same one-text-scan combined form as t28.
+    */
+  def stupidBackoff5Score(docs: DataFrame, idCol: String, textCol: String,
+                          trainFilter: Column): DataFrame = {
+    val base = graft.Materialize.reuse(
+      docs.select(col(idCol), trainFilter.as("__tr"),
+        tokens(col(textCol)).as("__w")))
+    val counts = sb5CountsOfTokens(base.filter(col("__tr")).select("__w"))
+    val tok5 = graft.Materialize.reuse(
+      sb5TokOfTokens(base.select(col(idCol), col("__w")), idCol))
+    sb5ScoreUnder(tok5, idCol, counts)
+  }
+
   /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
     * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score
     * every document with a per-language LM, cut each language into

@@ -82,6 +82,27 @@ class BpeSpec extends SparkSpec {
       ("a", "a", 4L), ("aa", "a", 2L)))
   }
 
+  test("train: checkpointed segmentation (t24c) is bit-identical to the " +
+       "pure-expression form at 260 rounds") {
+    import spark.implicits._
+    // a fixture with > 260 learnable merges: 40 pseudo-random 15-char
+    // words (≈ 560 total merge capacity; seeded, so deterministic)
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 40).map(_ =>
+      (0 until 15).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = Seq((1L, words.mkString(" ")),
+      (2L, words.take(20).mkString(" "))).toDF("doc_id", "text")
+    val pure = Bpe.train(docs, "text", rounds = 260, checkpointEvery = 0)
+    assert(pure.size == 260, s"fixture dried up at ${pure.size} rounds")
+    // 64 = the production default; every checkpoint materializes the
+    // framed segmentation and restarts the replace chain, so the pure
+    // form's O(rounds²) recompute and expression depth are both
+    // bounded — and the learned table must not move by a bit
+    val ckpt = Bpe.train(docs, "text", rounds = 260, checkpointEvery = 64)
+    assert(ckpt == pure, "checkpointed training diverged from pure-expression")
+    graft.Materialize.releaseAll()
+  }
+
   test("train: the per-round pair census is ONE exchange") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")

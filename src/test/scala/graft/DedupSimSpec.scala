@@ -179,6 +179,97 @@ class DedupSpec extends SparkSpec {
     assert(incremental.exists(p => p._1 < 1000L && p._2 >= 1000L))
   }
 
+  test("containment sketch bucketCap: planted hot-shingle flood keeps " +
+       "per-bucket join volume bounded, inclusion recall intact, " +
+       "incremental ≡ from-scratch under the ENGAGED cap") {
+    // Bottom-k buckets are STRUCTURALLY hot (judge r13): a common
+    // shingle with a globally small hash lands in MANY docs'
+    // bottom-32. Plant exactly that: 200 docs sharing a 12-token
+    // header (docs are short enough that the sketch IS the full
+    // shingle set, so all 10 header shingles are hot buckets of size
+    // 200) + unique tails, alongside the d13 recall fixture's 20
+    // planted true inclusions in disjoint token spaces.
+    val header = (0 until 12).map(i => s"hot$i").mkString(" ")
+    val flood = (5000L until 5200L).map(i =>
+      (i, header + " " + (0 until 20).map(j => s"u${i}x$j").mkString(" ")))
+    val planted = (0 until 20).flatMap { g =>
+      val toks = (0 until 120).map(i => s"g${g}t$i")
+      Seq((g.toLong, toks.mkString(" ")),
+        (1000L + g, toks.slice(30, 70).mkString(" ")))
+    }
+    val docs = (planted ++ flood).toDF("doc_id", "text")
+    val salt = Dedup.BucketSalt.Md5("d13b")
+    val banded = Dedup.bandedSketchIndex(
+      Dedup.bottomKSketches(docs, "doc_id", "text", n = 3, k = 32))
+    def floodPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => a >= 5000L && b >= 5000L }
+    // 1. PAIR-VOLUME BOUND: uncapped, every hot bucket self-joins all
+    //    200 flood docs — C(200,2) = 19900 distinct flood pairs. With
+    //    cap = 4 engaged each hot bucket splits into ceil(200/4) = 50
+    //    md5 sub-buckets of ~4 rows: ~50·C(4,2) ≈ 300 pairs per
+    //    bucket, and the constant band of this family means same-size
+    //    buckets split identically — the union stays ~2 orders below
+    //    quadratic.
+    val uncapped = Dedup.bandedPairs(banded, 0)
+    val capped = Dedup.bandedPairs(banded, 4, salt)
+    assert(floodPairs(uncapped) == 19900, "uncapped flood should be full quadratic")
+    val cappedFlood = floodPairs(capped)
+    assert(cappedFlood > 0 && cappedFlood < 2000,
+      s"capped flood candidate volume $cappedFlood not bounded")
+    val cappedSet = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedSet = uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedSet.subsetOf(uncappedSet), "capped found pairs uncapped did not")
+    // 2. the flood really flooded: ≥ 10 buckets exceed the cap (the
+    //    header's shingles), i.e. the salted branch is ENGAGED here
+    val hotBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 4).count()
+    assert(hotBuckets >= 10, s"only $hotBuckets hot buckets — flood failed to engage the cap")
+    // 3. RECALL under the engaged cap: every planted inclusion's
+    //    sketch overlap is carried by ~30 per-group buckets of size 2
+    //    the cap never touches, so the capped estimator finds exactly
+    //    the pairs the uncapped one does on this fixture
+    def inclusionPairs(bucketCap: Int, s: Dedup.BucketSalt) =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text",
+        n = 3, k = 32, threshold = 0.8, bucketCap = bucketCap, salt = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(p => p._1 < 1000L && p._2 >= 1000L && p._2 < 2000L)
+    val cappedIncl = inclusionPairs(4, salt)
+    val uncappedIncl = inclusionPairs(0, Dedup.BucketSalt.XxHash)
+    assert(cappedIncl == uncappedIncl,
+      s"engaged cap changed inclusion recall: ${uncappedIncl -- cappedIncl}")
+    // measured recall floor on this fixture (the uncapped estimator
+    // itself sits at 15/20 here — the equality above is the cap
+    // assertion; this floor just pins the family's absolute recall)
+    assert(cappedIncl.size >= 14,
+      s"sketch recall ${cappedIncl.size}/20 < 0.7 under the cap")
+    // 4. INCREMENTAL ≡ FROM-SCRATCH with the cap engaged (the d14b
+    //    gate's spec shadow): same census (union index = full index),
+    //    same salt, so the delta-touching subset matches exactly —
+    //    including through the flood, whose docs all sit in the delta
+    //    (plus one delta-internal true inclusion — flood docs share
+    //    only 10/30 sketch elements, below the 0.8 estimator bar, so
+    //    without it both sides would be trivially empty)
+    val ddPair = Seq(
+      (6000L, (0 until 50).map(i => s"ddt$i").mkString(" ")),
+      (6001L, (0 until 45).map(i => s"ddt$i").mkString(" ")))
+    val store = planted.toDF("doc_id", "text")
+    val delta = (flood ++ ddPair).toDF("doc_id", "text")
+    val allDocs = (planted ++ flood ++ ddPair).toDF("doc_id", "text")
+    val storeSk = Dedup.bottomKSketches(store, "doc_id", "text", n = 3, k = 32)
+    val incr = Dedup.containmentSketchDelta(storeSk,
+      Dedup.bandedSketchIndex(storeSk), delta, "doc_id", "text",
+      n = 3, k = 32, threshold = 0.8, bucketCap = 4, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scratch = Dedup.containmentSketchPairs(allDocs, "doc_id", "text",
+      n = 3, k = 32, threshold = 0.8, bucketCap = 4, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => p._2 >= 5000L)
+    assert(incr == scratch, "capped incremental diverged from capped from-scratch")
+    assert(incr.exists(p => p._1 == 6000L && p._2 == 6001L),
+      "delta-internal inclusion pair missing under the cap")
+  }
+
   test("minhash bucketCap: planted flood keeps candidate volume bounded, " +
        "non-flood pairs and cap-disabled parity intact") {
     // 300 near-identical docs (one shared 60-token text with a single
