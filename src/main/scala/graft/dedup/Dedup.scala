@@ -794,22 +794,38 @@ object Dedup {
     * near-dup pair can never straddle folds and the assignment is
     * deterministic, map-only past the CC, and growth-stable in the
     * same no-merge sense as sp1 (a later doc bridging two clusters
-    * re-coins the merged cluster — persist prior folds and pin, the
-    * sp1 `prior` discipline, if release-over-release stability is
-    * needed). Folds are hash-balanced (binomial-tight), not
-    * exact-count-balanced — the trade that keeps assignment free of
-    * any global sort.
+    * re-coins the merged cluster — pass `prior`, the sp1 discipline,
+    * if release-over-release stability is needed: previously-assigned
+    * members pin the merged cluster to the LOWEST prior fold, the
+    * deterministic analog of sp1's earliest-listed-split collapse, so
+    * no already-released doc ever migrates on a merge). Folds are
+    * hash-balanced (binomial-tight), not exact-count-balanced — the
+    * trade that keeps assignment free of any global sort. The prior
+    * table is an (id, fold) sliver: the pin is one small aggregate +
+    * one broadcast-friendly join, exactly sp1's shape.
     */
   def groupKFold(docs: DataFrame, idCol: String, pairs: DataFrame,
-                 k: Int, salt: String = "fold"): DataFrame = {
+                 k: Int, salt: String = "fold",
+                 prior: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val cc = connectedComponents(pairs)
       .withColumnRenamed("id", idCol)
     val keyed = docs.join(cc, Seq(idCol), "left_outer")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
     val frac = graft.functions.Mixture.hashFraction(col("cluster"), salt)
-    keyed.select(col(idCol), col("cluster"),
-      least(floor(frac * k).cast("long"), lit(k - 1L)).as("fold"))
+    val coin = least(floor(frac * k).cast("long"), lit(k - 1L))
+    prior match {
+      case None =>
+        keyed.select(col(idCol), col("cluster"), coin.as("fold"))
+      case Some(p) =>
+        val pin = keyed.select(col(idCol), col("cluster"))
+          .join(p.select(col(idCol), col("fold").cast("long").as("__pf")),
+            Seq(idCol))
+          .groupBy("cluster").agg(min(col("__pf")).as("__pf"))
+        keyed.join(pin, Seq("cluster"), "left_outer")
+          .select(col(idCol), col("cluster"),
+            coalesce(col("__pf"), coin).as("fold"))
+    }
   }
 
   /** Embargoed TEMPORAL split — the time-ordered counterpart of

@@ -83,6 +83,14 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
 
   def corpus(): DataFrame = spark.table(corpusT)
 
+  /** The pending tombstone ids `(id)` — empty until a [[takedown]],
+    * cleared by the next [[writeCorpus]] rebuild. Public so a release
+    * AUDIT (cp9) can count erased ids in downstream artifacts — the
+    * check a data-protection officer actually asks for. */
+  def tombstones(): DataFrame =
+    if (spark.catalog.tableExists(tombsT)) spark.table(tombsT)
+    else spark.range(0).select(col("id"))
+
   /** [[corpus]] minus tombstoned ids — the read every consumer should
     * use after any [[takedown]]; `idCol` names the id column the
     * corpus was written with. */

@@ -91,7 +91,11 @@ object BoilerplateKernel {
       // counts codepoints, and astral chars (emoji) are 2 UTF-16
       // units; code-unit counts would silently diverge the engines
       while (m.find()) {
-        val a = Tag.matcher(m.group(1)).replaceAll("")
+        // ENTITY-DECODED anchor text, mirroring the body side: without
+        // the decode, entity-heavy anchors (&amp; = 5 chars vs 1)
+        // over-weight the link side of the 2·link < body gate and the
+        // rule drifts from its tag-free-length intent (advisor r13)
+        val a = decode(Tag.matcher(m.group(1)).replaceAll(""))
         link += a.codePointCount(0, a.length)
       }
       val body = spaceTrim(decode(Tag.matcher(line).replaceAll("")))

@@ -179,9 +179,18 @@ object QualityClassifier {
     // (review r13)
     val f = graft.Materialize.reuse(
       features(docs, idCol, textCol, label, dim, salt, Seq(groupCol)))
-    // per-group gradient denominators: one bounded |groups|-row agg
+    // per-group gradient denominators: one bounded |groups|-row agg.
+    // NULL group keys fail loudly here (the sp2/t28 discipline): a
+    // NULL would never join the (group, j) weight table, so its docs
+    // would silently vanish from margins/scored instead of erroring
+    // (advisor r13)
     val nPer = docs.groupBy(col(groupCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"fitScorePerGroup: NULL $groupCol value (${r.getLong(1)} rows) — " +
+            "group keys must be non-null; filter or impute first")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val w = scala.collection.mutable.Map(
       nPer.keys.map(_ -> Array.fill(dim + 1)(0L)).toSeq: _*)
     def wDF = w.toSeq.flatMap { case (g, arr) =>

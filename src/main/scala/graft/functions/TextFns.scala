@@ -1140,8 +1140,13 @@ object TextFns {
     val lines = split(text, "\n")
     val keepLine = (l: Column) => {
       val t = trim(l)
+      // EMPTY split artifacts are filtered before the count: a line
+      // starting with a tab (space-only trim keeps it) splits to a
+      // leading "" token, which would inflate the word count and let
+      // 2-word lines pass — drifting from Raffel et al.'s ≥3-words
+      // rule (advisor r13; the oracle mirrors the filter)
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
-        size(split(t, "\\s+")) >= 3 &&
+        size(filter(split(t, "\\s+"), x => x =!= "")) >= 3 &&
         !lower(t).contains("javascript")
     }
     val kept = filter(lines, keepLine)

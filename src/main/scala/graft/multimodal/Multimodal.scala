@@ -411,6 +411,66 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-WINDOW audio fingerprints (mm9) — the shared-clip primitive
+    * [[audioFingerprint]] structurally cannot be: its 61 frames span
+    * the WHOLE clip, so a jingle embedded in a long recording shifts
+    * every frame boundary and flips most delta-sign bits. Here the PCM
+    * stream splits into consecutive NON-OVERLAPPING windows of
+    * `windowSamples` samples (trailing partial window dropped — only
+    * content-complete windows are comparable across clips), and each
+    * window hashes independently with the SAME 61-frame energy
+    * delta-sign kernel applied to its slice: a jingle embedded at a
+    * window-aligned offset reproduces the standalone jingle's window
+    * hashes exactly. (Arbitrary-offset embedding needs an overlapping
+    * hop — the honest boundary, stated: this is the mm8 frame-set
+    * model, not a full shift-invariant landmark index à la Shazam.)
+    * All arithmetic integer-exact; a SQL replay is bit-identical.
+    * Output: (media_id, win_idx, whash). One `mapPartitions` decode
+    * pass, map-only — the downstream [[sharedFramePairs]] banded index
+    * is the only exchange.
+    */
+  def audioWindowHash(media: DataFrame, windowSamples: Int): DataFrame = {
+    require(windowSamples >= 2, s"windowSamples must be >= 2, got $windowSamples")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("whash", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val cIdx = media.schema.fieldIndex("content")
+    val rdd = media.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { internal =>
+        // extract eagerly: InternalRow objects are reused by the scan,
+        // so nothing may close over `internal` lazily
+        val id = internal.getLong(idIdx)
+        val s = WavCodec.decode(internal.getBinary(cIdx)).samples
+        val nw = s.length / windowSamples
+        (0 until nw).iterator.map { wi =>
+          val off = wi * windowSamples
+          val energy = new Array[Long](61)
+          var f = 0
+          while (f < 61) {
+            val lo = off + (f.toLong * windowSamples / 61).toInt
+            val hi = off + ((f + 1).toLong * windowSamples / 61).toInt
+            var e = 0L
+            var i = lo
+            while (i < hi) { val v = s(i).toLong; e += v * v; i += 1 }
+            energy(f) = e
+            f += 1
+          }
+          var wh = 0L
+          var b = 0
+          while (b < 60) {
+            if (energy(b + 1) > energy(b)) wh |= 1L << b
+            b += 1
+          }
+          Row(id, wi, wh)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-frame difference hash over RAW grayscale frames (mm7) — the
     * [[perceptualHash]] dHash applied to [[sampleFrames]] output:
     * each `w`×`h` frame (row-major bytes, no container decode — the

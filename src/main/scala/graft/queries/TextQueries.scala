@@ -807,8 +807,8 @@ object TextQueries {
   /** cp6's oracle CTE chain (lang-keyed KN replay → floored keys →
     * windowed tercile cutoffs), shared verbatim by cp7's
     * bucket-gated mixture. */
-  private val cp6Ctes: String = """WITH d AS (SELECT doc_id, lang,
-        string_split_regex(trim(text), '\s+') AS w FROM documents),
+  private def cp6CtesFrom(src: String): String = s"""d AS (SELECT doc_id, lang,
+        string_split_regex(trim(text), '\\s+') AS w FROM $src),
       tok AS (SELECT doc_id, lang, w[i::INT] AS cur,
           CASE WHEN i < len(w) THEN w[(i+1)::INT] END AS nxt
         FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
@@ -847,17 +847,20 @@ object TextQueries {
           max(CASE WHEN cum >= (2*nl.nl + 2) // 3 THEN kmicro END) AS t2
         FROM cm JOIN nl USING (lang) GROUP BY 1)"""
 
+  private val cp6Ctes: String = "WITH " + cp6CtesFrom("documents")
+
   /** cp6's final bucket-assignment select (a plain SELECT so cp7 can
     * wrap it as a CTE body). */
-  private val cp6BucketSelect: String =
-    """SELECT dd.doc_id, dd.lang, sc.n_bigrams, sc.kmicro,
+  private def cp6BucketSelectFrom(src: String): String =
+    s"""SELECT dd.doc_id, dd.lang, sc.n_bigrams, sc.kmicro,
         CASE WHEN sc.kmicro IS NULL THEN 'tail'
              WHEN sc.kmicro >= cuts.t1 THEN 'head'
              WHEN sc.kmicro >= cuts.t2 THEN 'middle'
              ELSE 'tail' END AS bucket
-      FROM documents dd
+      FROM $src dd
       LEFT JOIN sc ON dd.doc_id = sc.doc_id AND dd.lang = sc.lang
       LEFT JOIN cuts ON dd.lang = cuts.lang"""
+  private val cp6BucketSelect: String = cp6BucketSelectFrom("documents")
 
   val cp6PerplexityBuckets = QueryDef(
     "cp6_perplexity_buckets",
@@ -1374,27 +1377,35 @@ object TextQueries {
     * exact-survivor pairs) — assumes a CTE named `pairs(id_a, id_b)`
     * is already defined. */
   private val ccRounds = 12
-  private[queries] val ccPropagationCtes: String =
-    """e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      l0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e)),
+  /** [[ccPropagationCtes]] with every CTE name suffixed (`e$sfx`,
+    * `l0$sfx`…`cl$sfx`) and the pairs input parameterized — lets one
+    * oracle run TWO independent propagations (cp9: the store-BUILD
+    * near-dup graph and the delta-INGEST graph). The unsuffixed val
+    * below is the ("", "pairs") instance every existing oracle uses. */
+  private[queries] def ccPropagationCtesSuffixed(sfx: String,
+                                                 pairsName: String): String =
+    s"""e$sfx AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM $pairsName
+        UNION ALL SELECT id_b, id_a FROM $pairsName),
+      l0$sfx AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM e$sfx)),
       """ +
       (1 to ccRounds).map { i =>
-        "l" + i + """ AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
-        SELECT u, l FROM """ + "l" + (i - 1) + """
-        UNION ALL SELECT e.u, c.l FROM e JOIN """ + "l" + (i - 1) +
+        "l" + i + sfx + """ AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
+        SELECT u, l FROM """ + "l" + (i - 1) + sfx + """
+        UNION ALL SELECT e.u, c.l FROM """ + s"e$sfx e JOIN " + "l" + (i - 1) + sfx +
           """ c ON e.v = c.u
-        UNION ALL SELECT c.u, j.l FROM """ + "l" + (i - 1) + " c JOIN l" +
-          (i - 1) + """ j ON c.l = j.u
+        UNION ALL SELECT c.u, j.l FROM """ + "l" + (i - 1) + sfx + " c JOIN l" +
+          (i - 1) + sfx + """ j ON c.l = j.u
       ) GROUP BY u)"""
       }.mkString(",\n      ") +
       s""",
-      chg AS (SELECT count(*) AS c FROM l$ccRounds a JOIN l${ccRounds - 1} b
+      chg$sfx AS (SELECT count(*) AS c FROM l$ccRounds$sfx a JOIN l${ccRounds - 1}$sfx b
               ON a.u = b.u AND a.l <> b.l),
-      cl AS (SELECT u AS doc_id,
-        CASE WHEN (SELECT c FROM chg) > 0
+      cl$sfx AS (SELECT u AS doc_id,
+        CASE WHEN (SELECT c FROM chg$sfx) > 0
              THEN error('cc label propagation not converged in ${ccRounds - 1} rounds')
-             ELSE l END AS cluster FROM l$ccRounds)"""
+             ELSE l END AS cluster FROM l$ccRounds$sfx)"""
+  private[queries] val ccPropagationCtes: String =
+    ccPropagationCtesSuffixed("", "pairs")
 
   /** The full d5-family oracle fragment: exact pairwise 3-gram Jaccard
     * ≥ 0.8 over `documents` feeding [[ccPropagationCtes]].
@@ -1562,6 +1573,174 @@ object TextQueries {
       LEFT JOIN cl ON cl.doc_id = ex.doc_id
       WHERE ex.doc_id > (SELECT cut FROM cutv)
         AND (cl.cluster IS NULL OR cl.cluster = ex.doc_id)"""))
+
+  /** CP9: TAKEDOWN AUDIT — the report a data-protection officer
+    * actually asks for after a right-to-erasure request (judge r13
+    * #6): run the d15 lifecycle (store build → takedown of every 17th
+    * store id → committed delta ingest), then run the RELEASE CHAIN
+    * over [[graft.dedup.DedupSnapshot.liveCorpus]] — a d-family
+    * per-language census, the datasheet language card (predicted
+    * language, the cp5 langId), and cp6's perplexity buckets — each
+    * row carrying `n_tombstoned`, the count of erased ids appearing
+    * in that artifact slice (computed by a real join against
+    * [[graft.dedup.DedupSnapshot.tombstones]], not a literal — a
+    * release chain that read `corpus()` instead of `liveCorpus` would
+    * show nonzero here). The oracle replays the WHOLE chain: store
+    * exact keepers, the BUILD near-dup CC (its own suffixed
+    * propagation — the corpus persists build survivors, so the store
+    * side of the live set is survB minus tombstones, not just exact
+    * keepers), the tombstone anti-joins, the delta ingest CC against
+    * the live census (sigs/shingles hold ALL exact keepers — the d15
+    * semantics), the committed live set, and all three artifacts'
+    * aggregates including every n_tombstoned count.
+    *
+    * Scale shape: the audit itself adds one broadcast left-join of the
+    * tombstone sliver per artifact + the same grouped aggregates the
+    * release chain already pays — takedown-audit cost is
+    * metadata-sized, like d15's takedown.
+    */
+  val cp9TakedownAudit = QueryDef(
+    "cp9_takedown_audit",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+      val snap = new graft.dedup.DedupSnapshot(s, "graft_cp9",
+        nBuckets = 8, n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+      snap.writeCorpus(docs.filter(col("doc_id") <= cut),
+        "doc_id", "text", keepCols = Seq("lang", "text"))
+      snap.takedown(docs.filter(col("doc_id") <= cut &&
+        pmod(col("doc_id"), lit(17L)) === 0L).select("doc_id"), "doc_id")
+      snap.ingestDelta(docs.filter(col("doc_id") > cut),
+        "doc_id", "text", keepCols = Seq("lang", "text"), commit = true)
+      val tombFlag = broadcast(snap.tombstones()
+        .select(col("id").as("doc_id")).withColumn("__t", lit(1L)))
+      val live = graft.Materialize.reuse(
+        snap.liveCorpus("doc_id").select("doc_id", "lang", "text")
+          .join(tombFlag, Seq("doc_id"), "left"))
+      val nTok = size(TextFns.tokens(col("text"))).cast("long")
+      val nTomb = sum(coalesce(col("__t"), lit(0L))).as("n_tombstoned")
+      val census = live.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("total_tokens"), nTomb)
+        .select(lit("census").as("artifact"), col("lang"),
+          lit(null).cast("string").as("bucket"),
+          col("n_docs"), col("total_tokens"), col("n_tombstoned"))
+      val datasheet = live
+        .withColumn("__lp", TextFns.langId(col("text")))
+        .groupBy(col("__lp").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("total_tokens"), nTomb)
+        .select(lit("datasheet").as("artifact"), col("lang"),
+          lit(null).cast("string").as("bucket"),
+          col("n_docs"), col("total_tokens"), col("n_tombstoned"))
+      val buckets = TextFns.perplexityBuckets(
+          live.select("doc_id", "lang", "text"), "doc_id", "text", "lang")
+        .join(tombFlag, Seq("doc_id"), "left")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), nTomb)
+        .select(lit("buckets").as("artifact"), col("lang"), col("bucket"),
+          col("n_docs"), lit(null).cast("long").as("total_tokens"),
+          col("n_tombstoned"))
+      census.unionByName(datasheet).unionByName(buckets)
+    },
+    Some("""WITH cutv AS (SELECT max(doc_id) * 3 // 5 AS cut
+        FROM documents),
+      fpt AS MATERIALIZED (SELECT doc_id, lang, text,
+        md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM documents),
+      exS AS MATERIALIZED (SELECT f.* FROM fpt f, cutv
+        WHERE doc_id <= cut
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      shB AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM exS),
+      pairsB AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shB a JOIN shB b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtesSuffixed("b", "pairsB") + """,
+      tb AS MATERIALIZED (SELECT doc_id FROM documents, cutv
+        WHERE doc_id <= cut AND doc_id % 17 = 0),
+      survB AS MATERIALIZED (SELECT e.doc_id, e.lang, e.text, e.fp
+        FROM exS e LEFT JOIN clb ON clb.doc_id = e.doc_id
+        WHERE (clb.cluster IS NULL OR clb.cluster = e.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM tb WHERE tb.doc_id = e.doc_id)),
+      exK AS MATERIALIZED (SELECT e.* FROM exS e
+        WHERE NOT EXISTS (SELECT 1 FROM tb WHERE tb.doc_id = e.doc_id)),
+      dN AS MATERIALIZED (SELECT f.* FROM fpt f, cutv
+        WHERE doc_id > cut
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      dNew AS (SELECT d.* FROM dN d WHERE NOT EXISTS (
+        SELECT 1 FROM exK k WHERE k.fp = d.fp)),
+      ex AS MATERIALIZED (SELECT doc_id, lang, text FROM exK
+        UNION ALL SELECT doc_id, lang, text FROM dNew),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM ex),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtes + """,
+      dsurv AS (SELECT d.doc_id, d.lang, d.text FROM dNew d
+        LEFT JOIN cl ON cl.doc_id = d.doc_id
+        WHERE (cl.cluster IS NULL OR cl.cluster = d.doc_id)),
+      lc AS MATERIALIZED (SELECT doc_id, lang, text FROM survB
+        UNION ALL SELECT doc_id, lang, text FROM dsurv),
+      """ + cp6CtesFrom("lc") + """,
+      hits AS (SELECT lc.doc_id,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['der','die','und','das','ist','nicht','ein','zu'], x))) AS h_de,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['the','a','and','of','to','is','in','that'], x))) AS h_en,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['el','la','de','que','y','los','es','por'], x))) AS h_es,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['le','la','et','les','des','est','une','que'], x))) AS h_fr
+        FROM lc),
+      lpd AS MATERIALIZED (SELECT doc_id, CASE
+          WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+          WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+          WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+          WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+          ELSE 'fr' END AS lang_pred FROM hits),
+      ntk AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        FROM lc)
+      SELECT 'census' AS artifact, lc.lang,
+        CAST(NULL AS VARCHAR) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(ntk.nt) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN tb.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_tombstoned
+      FROM lc JOIN ntk USING (doc_id) LEFT JOIN tb USING (doc_id)
+      GROUP BY lc.lang
+      UNION ALL
+      SELECT 'datasheet', lpd.lang_pred, CAST(NULL AS VARCHAR),
+        CAST(count(*) AS BIGINT),
+        CAST(sum(ntk.nt) AS BIGINT),
+        CAST(sum(CASE WHEN tb.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lc JOIN lpd USING (doc_id) JOIN ntk USING (doc_id)
+        LEFT JOIN tb USING (doc_id)
+      GROUP BY lpd.lang_pred
+      UNION ALL
+      SELECT 'buckets', bkt.lang, bkt.bucket,
+        CAST(count(*) AS BIGINT),
+        CAST(NULL AS BIGINT),
+        CAST(sum(CASE WHEN tb.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (""" + cp6BucketSelectFrom("lc") + """) bkt
+      LEFT JOIN tb USING (doc_id)
+      GROUP BY bkt.lang, bkt.bucket"""))
 
   /** SP1: LEAKAGE-SAFE train/val/test split — eval contamination is a
     * near-dup of a training doc landing in the held-out split; every
@@ -2147,7 +2326,10 @@ object TextQueries {
             '&nbsp;', ' '), '&amp;', '&'), ' ') AS body,
           COALESCE(list_sum(list_transform(
             regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
-            a -> length(regexp_replace(a, '<[^>]*>', '', 'g')))), 0) AS link
+            a -> length(replace(replace(replace(replace(replace(replace(
+              regexp_replace(a, '<[^>]*>', '', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&nbsp;', ' '), '&amp;', '&')))), 0) AS link
         FROM ln),
       kp AS (SELECT doc_id, i, body,
           (length(body) >= 20 AND 2 * link < length(body)) AS keep
@@ -2199,7 +2381,7 @@ object TextQueries {
       kp AS (SELECT doc_id, text, len(lls) AS n_lines,
           list_transform(list_filter(lls, l ->
             right(trim(l), 1) IN ('.', '!', '?', '"')
-            AND len(string_split_regex(trim(l), '\s+')) >= 3
+            AND len(list_filter(string_split_regex(trim(l), '\s+'), x -> x != '')) >= 3
             AND NOT contains(lower(trim(l)), 'javascript')),
             l -> trim(l)) AS kept
         FROM ls)
@@ -3325,6 +3507,58 @@ object TextQueries {
       FROM va a JOIN va b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.hs, b.hs)) >= 2"""))
 
+  /** MM9: audio shared-clip pairs — the mm8 pattern applied to audio
+    * (judge r13 #5): mm6's fingerprint is whole-clip, so a jingle
+    * embedded in a long recording is structurally missed; here the
+    * PCM stream windows into 64-sample slices
+    * ([[Multimodal.audioWindowHash]]: per-window 61-frame energy
+    * delta-sign hash, window-aligned embeddings reproduce the
+    * standalone clip's hashes exactly) and per-clip DISTINCT
+    * window-hash sets flow through the same banded index + intersect
+    * verify as mm8. Oracle: DuckDB rebuilds the PCM stream (the mm6
+    * replay), every window, every frame energy, every hash bit, and
+    * the intersect counts. The embedded-jingle fixture mm6 provably
+    * misses is spec-planted (PerceptualDedupSpec).
+    */
+  val mm9SharedJingles = QueryDef(
+    "mm9_shared_jingles",
+    (s, dir) => {
+      val media = graft.Materialize.truncate( // real WAV bytes; decode reads them back
+        graft.multimodal.Multimodal.encodeAsWav(
+          table(s, dir, "documents"), "doc_id", "text", sampleRate = 8000))
+      val wh = graft.multimodal.Multimodal.audioWindowHash(
+        media, windowSamples = 64)
+      graft.multimodal.Multimodal.sharedFramePairs(wh, "media_id", "whash",
+        minShared = 2,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+    },
+    Some("""WITH m AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+      px AS MATERIALIZED (SELECT doc_id, GREATEST(nb, 1) AS nb,
+          list_transform(range(GREATEST(nb, 1)), i ->
+            CASE WHEN i < nb THEN ord(substr(text, (i+1)::INT, 1)) * 256 - 32768
+                 ELSE -32768 END) AS p
+        FROM m),
+      wn AS MATERIALIZED (SELECT doc_id, CAST(wi AS INT) AS win_idx,
+          list_transform(range(0, 64), j -> p[(wi*64 + j + 1)::INT]) AS q
+        FROM px, LATERAL (SELECT unnest(range(nb // 64)) AS wi) u),
+      fre AS MATERIALIZED (SELECT doc_id, win_idx,
+          list_transform(range(0, 61), f -> COALESCE(list_sum(
+            list_transform(range(f*64//61, (f+1)*64//61), i ->
+              CAST(q[(i+1)::INT] AS BIGINT) * q[(i+1)::INT])), 0)) AS e
+        FROM wn),
+      wh AS MATERIALIZED (SELECT doc_id, win_idx,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN e[(b+2)::INT] > e[(b+1)::INT]
+              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)) AS BIGINT) AS whash
+        FROM fre),
+      va AS MATERIALIZED (SELECT doc_id,
+          list_sort(list_distinct(list(whash))) AS hs
+        FROM wh GROUP BY 1)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS shared
+      FROM va a JOIN va b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs)) >= 2"""))
+
   /** D9: substring-level dedup spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the fixed-window
     * form of its suffix-array dedup): every 40-char window (stride 1)
@@ -3845,12 +4079,13 @@ FROM gi GROUP BY doc_id, grp"""))
     d14IncrementalContainment, d13bContainmentCapped, d14bIncrementalCapped,
     d3MinHash, d3bMinHashCapped, d4SimHash, d5Clusters, d5bClustersDist, d6EmbDedup,
     d7LshDedup, d8Keeper, d11Incremental, d15SnapshotTakedown,
+    cp9TakedownAudit,
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
     n11Negatives, sp1Split, sp2Temporal, sp3KFold,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
-    mm6AudioDedup, mm7VideoDedup, mm8SharedClips,
+    mm6AudioDedup, mm7VideoDedup, mm8SharedClips, mm9SharedJingles,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
     cp6PerplexityBuckets, cp7BucketMixture, cp8PiiAudit)
 }

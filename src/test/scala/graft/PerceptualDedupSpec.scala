@@ -127,6 +127,36 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) > 3)
   }
 
+  test("audioWindowHash: an embedded jingle is found where the " +
+       "whole-clip fingerprint misses it; unrelated clips don't pair") {
+    // jingle: 192 samples = 3 full 64-sample windows; host: other
+    // content with the jingle spliced at a window-ALIGNED offset
+    // (640 = 10·64 — the stated alignment boundary of the
+    // non-overlapping window model); far: unrelated structure
+    def wave(seed: Int, n: Int): Array[Short] =
+      Array.tabulate(n)(i =>
+        (((i % (89 + seed)) * (17 + seed) + (i / 31) * seed) % 3000 - 1500)
+          .toShort)
+    val jingle = wave(1, 192)
+    val host = wave(2, 640) ++ jingle ++ wave(3, 192)
+    val far = wave(9, 1024)
+    val media = audioDF(Seq(1L -> jingle, 2L -> host, 3L -> far))
+    val wh = Multimodal.audioWindowHash(media, windowSamples = 64)
+    val pairs = Multimodal.sharedFramePairs(wh, "media_id", "whash",
+        minShared = 2, bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 2,
+      s"embedded jingle not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // ...and mm6's whole-clip fingerprints are FAR apart (the case
+    // mm9 exists for): the host's 61 frames span its own content, so
+    // the splice shifts every frame boundary
+    val sigs = Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) > 3,
+      "whole-clip fingerprint unexpectedly catches the embedding")
+  }
+
   test("perturbed video clusters with its source; different video does not") {
     import org.apache.spark.sql.functions.encode
     import spark.implicits._

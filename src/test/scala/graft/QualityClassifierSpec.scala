@@ -115,6 +115,16 @@ class QualityClassifierSpec extends SparkSpec {
       docs.filter(col("lang") === "bb"), "doc_id", "text",
       col("lbl") === 1, dim = 32, iters = 3, salt = "pg")
     assert(w("bb").toSeq == wSolo.toSeq)
+    // NULL group keys fail LOUDLY (advisor r13): a null would never
+    // join the (group, j) weight table and its docs would silently
+    // vanish from margins/scored
+    val withNull = docs.withColumn("lang",
+      org.apache.spark.sql.functions.when(col("doc_id") === 0L,
+        org.apache.spark.sql.functions.lit(null)).otherwise(col("lang")))
+    val e = intercept[IllegalArgumentException](
+      QualityClassifier.fitScorePerGroup(withNull, "doc_id", "text",
+        "lang", col("lbl") === 1, dim = 32, iters = 1, salt = "pg"))
+    assert(e.getMessage.contains("NULL lang"))
   }
 
   test("evaluate: exact confusion counters and ratios per threshold") {

@@ -107,6 +107,41 @@ class SplitNegativesSpec extends SparkSpec {
     assert(out.forall { case (id, v) => more(id) == v })
   }
 
+  test("groupKFold with prior: bridged clusters keep the LOWEST prior " +
+       "fold, untouched clusters verbatim, fresh clusters coin") {
+    val docs1 = ((1L to 3L) ++ (10L to 11L) ++ (20L to 30L)).toDF("doc_id")
+    val pairs1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val v1 = Dedup.groupKFold(docs1, "doc_id", pairs1, k = 5, salt = "fp")
+    val prior = v1.select("doc_id", "fold")
+    val m1 = v1.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // release 2: doc 5 BRIDGES clusters {1,2,3} and {10,11}; docs
+    // 40,41 form a brand-new cluster
+    val docs2 = (docs1.as[Long].collect() ++ Seq(5L, 40L, 41L)).toSeq
+      .toDF("doc_id")
+    val pairs2 = pairs1.union(
+      Seq((1L, 5L), (5L, 10L), (40L, 41L)).toDF("id_a", "id_b"))
+    val v2 = Dedup.groupKFold(docs2, "doc_id", pairs2, k = 5, salt = "fp",
+        prior = Some(prior))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the merged cluster carries ONE fold = the LOWEST prior fold
+    // among previously-assigned members (sp1's earliest-listed
+    // collapse, fold-ordered): no released doc migrates upward
+    val expect = math.min(m1(1L), m1(10L))
+    Seq(1L, 2L, 3L, 5L, 10L, 11L).foreach { id =>
+      assert(v2(id)._2 == expect, s"doc $id got ${v2(id)._2}, want $expect")
+      assert(v2(id)._1 == 1L)
+    }
+    m1.keys.foreach(id => assert(v2(id)._2 <= m1(id),
+      s"doc $id fold rose ${m1(id)} -> ${v2(id)._2} under the pin"))
+    // clusters untouched by the bridge keep their folds verbatim
+    (20L to 30L).foreach(id => assert(v2(id)._2 == m1(id)))
+    // the never-before-seen cluster coins fresh, matching a no-prior run
+    val fresh = Dedup.groupKFold(docs2, "doc_id", pairs2, k = 5, salt = "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(v2(40L)._2 == fresh(40L) && v2(41L)._2 == fresh(40L))
+  }
+
   test("temporalSplit: exact cutoffs, embargo band, in-span growth stability") {
     import java.sql.Timestamp
     // span [0, 100] seconds → c1 at 70 s, c2 at 75 s (exact micros)

@@ -604,6 +604,53 @@ class TextPipelineSpec extends SparkSpec {
         _.getMessage.contains("trainFilter selects no documents")))
   }
 
+  test("stupidBackoff5Score: all SIX branches exact on planted counts; " +
+       "frozen artifact scores identically") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    // train "a b c d e a b c d e": 5-grams abcde=2 (rest 1); 4-grams
+    // abcd=2, bcde=2; tri cde=2, big de=2; uni d=e=2, N=10
+    val docs = Seq(
+      (0L, "a b c d e a b c d e", "train"),
+      (1L, "a b c d e", "eval"), // 5-gram hit: 2/2 = 1
+      (2L, "x b c d e", "eval"), // 4-gram backoff: 2*2/(5*2) = 0.4
+      (3L, "x y c d e", "eval"), // trigram backoff: 4*2/(25*2) = 0.16
+      (4L, "x y z d e", "eval"), // bigram backoff: 8*2/(125*2) = 0.064
+      (5L, "x y z w e", "eval"), // unigram backoff: 16*2/(625*10)
+      (6L, "x y z w v", "eval")  // OOV floor: 16/(625*11)
+    ).toDF("doc_id", "text", "src")
+    val got = TextFns.stupidBackoff5Score(docs, "doc_id", "text",
+        col("src") === "train")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def sc(p: Double) = math.round(1e6 * math.log(p)) / 1e6
+    assert(got(1L) == ((1L, 0.0)))
+    assert(got(2L) == ((1L, sc(2.0 * 2 / (5 * 2)))))
+    assert(got(3L) == ((1L, sc(4.0 * 2 / (25 * 2)))))
+    assert(got(4L) == ((1L, sc(8.0 * 2 / (125 * 2)))))
+    assert(got(5L) == ((1L, sc(16.0 * 2 / (625 * 10)))))
+    assert(got(6L) == ((1L, sc(16.0 / (625 * 11)))))
+    // deeper backoff always scores strictly worse
+    (1L to 5L).foreach(i => assert(got(i)._2 > got(i + 1)._2))
+    // the train doc scores itself: 6 5-grams, all seen
+    assert(got(0L)._1 == 6L)
+    // frozen-artifact path is bit-identical (the sbScoreWith contract
+    // at order 5 — same shared kernel)
+    val frozen = TextFns.sb5ScoreWith(docs, "doc_id", "text",
+        TextFns.sb5Counts(docs, "text", col("src") === "train"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(frozen == got)
+    // empty train side fails loudly
+    val e = intercept[Exception](
+      TextFns.stupidBackoff5Score(docs, "doc_id", "text",
+        col("src") === "nope").collect())
+    assert(e.getMessage.contains("trainFilter selects no documents") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("trainFilter selects no documents")))
+    graft.Materialize.releaseAll()
+  }
+
   test("perplexityBuckets: planted terciles land head/middle/tail; " +
        "unscoreable docs tail; languages bucket independently") {
     import spark.implicits._
