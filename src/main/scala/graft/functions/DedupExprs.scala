@@ -266,3 +266,94 @@ case class SimHashMd5(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
     copy(child = newChild)
 }
+
+/** Bottom-k sketch kernel (d13 family) — static so generated code can
+  * call it. Semantics are EXACTLY the former HOF pipeline
+  * `slice(array_sort(array_distinct(transform(grams, g ->
+  * conv(substring(md5('prefix' || g), 1, 15), 16, 10)))), 1, k)` plus
+  * the distinct COUNT: the first 15 hex digits of an md5 are its top
+  * 60 bits, i.e. `(first-8-digest-bytes as unsigned BE) >>> 4` — one
+  * MessageDigest call per shingle with NO hex-string render, no
+  * `conv` base parse, no boxed intermediate arrays. Measured: the
+  * sketch build was 9 s of d13's 12.5 s at sf0.1 under the HOF form.
+  * The oracle contract is untouched — DuckDB still rebuilds every
+  * value from `md5()` hex (DedupSimSpec pins kernel ≡ HOF on a
+  * fixture with multi-byte UTF-8 tokens).
+  */
+object SketchKernel {
+  def sketch(tokens: ArrayData, n: Int, k: Int,
+             prefix: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = tokens.numElements()
+    val cnt = m - n + 1
+    val empty = UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, empty))
+    val tb = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      md.reset()
+      md.update(prefix)
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val be =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      hs(i) = be >>> 4
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var dct = 0
+    i = 0
+    while (i < cnt) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(dct) = hs(i); dct += 1 }
+      i += 1
+    }
+    val kk = if (k < dct) k else dct
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      dct.toLong,
+      UnsafeArrayData.fromPrimitiveArray(
+        java.util.Arrays.copyOfRange(hs, 0, kk))))
+  }
+}
+
+/** `bottomk_sketch(tokens)` → struct(sz: bigint, sk: array<bigint>) —
+  * distinct-shingle count + the k smallest 60-bit md5 shingle hashes.
+  */
+case class BottomKSketch(child: Expression, n: Int, k: Int, prefix: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && k >= 1)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sz", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sk",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "bottomk_sketch"
+
+  @transient private lazy val prefixBytes =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchKernel.sketch(v.asInstanceOf[ArrayData], n, k, prefixBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("sketchPrefix", prefixBytes, "byte[]")
+    val cls = SketchKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $cls.sketch($v, $n, $k, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BottomKSketch =
+    copy(child = newChild)
+}

@@ -179,6 +179,41 @@ class DedupSpec extends SparkSpec {
     assert(incremental.exists(p => p._1 < 1000L && p._2 >= 1000L))
   }
 
+  test("bottomKSketches kernel: bit-identical to the md5-hex/conv HOF " +
+       "expression, including multi-byte UTF-8 tokens") {
+    // the d13 fixture shape + non-ASCII tokens (md5 runs over UTF-8
+    // BYTES in both the kernel and Spark's md5(); a code-unit slip
+    // would diverge here), + a short doc (< n tokens -> no sketch)
+    val docs = Seq(
+      (1L, (0 until 50).map(i => s"tok$i").mkString(" ")),
+      (2L, "café naïve 東京 résumé straße " +
+        (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, "ab cd")).toDF("doc_id", "text")
+    val got = Dedup.bottomKSketches(docs, "doc_id", "text", n = 3, k = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    // the former HOF pipeline, inline (the oracle's exact arithmetic)
+    val gram = expr("transform(sequence(0, size(__t) - 3), i -> " +
+      "concat_ws(' ', element_at(__t, i + 1), element_at(__t, i + 2), " +
+      "element_at(__t, i + 3)))")
+    val hashes = transform(col("__g"), s =>
+      conv(substring(md5(concat(lit("d13:"), s)), 1, 15), 16, 10).cast("long"))
+    val want = docs
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        when(size(col("__t")) >= 3, gram)
+          .otherwise(expr("CAST(array() AS array<string>)")).as("__g"))
+      .select(col("doc_id"), array_sort(array_distinct(hashes)).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("doc_id"), size(col("__h")).cast("long").as("sz"),
+        slice(col("__h"), 1, 32).as("sk"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got == want, s"kernel diverged from HOF: got $got want $want")
+    assert(!got.contains(3L) && got.contains(2L))
+  }
+
   test("containment sketch bucketCap: planted hot-shingle flood keeps " +
        "per-bucket join volume bounded, inclusion recall intact, " +
        "incremental ≡ from-scratch under the ENGAGED cap") {
