@@ -421,16 +421,23 @@ object Multimodal {
     * window hashes independently with the SAME 61-frame energy
     * delta-sign kernel applied to its slice: a jingle embedded at a
     * window-aligned offset reproduces the standalone jingle's window
-    * hashes exactly. (Arbitrary-offset embedding needs an overlapping
-    * hop — the honest boundary, stated: this is the mm8 frame-set
-    * model, not a full shift-invariant landmark index à la Shazam.)
+    * hashes exactly. `hop` < `windowSamples` gives OVERLAPPING
+    * windows (offsets 0, hop, 2·hop… — row volume ×
+    * windowSamples/hop): an embedding aligned to the finer hop grid
+    * is caught too; full shift-invariance is hop = 1 or a landmark
+    * index à la Shazam — the stated boundary. A search can hop the
+    * PROBE side finely while the indexed corpus stays non-overlapping
+    * (the classic asymmetric-hop trick), since equal content hashes
+    * equally regardless of which side produced it.
     * All arithmetic integer-exact; a SQL replay is bit-identical.
-    * Output: (media_id, win_idx, whash). One `mapPartitions` decode
-    * pass, map-only — the downstream [[sharedFramePairs]] banded index
-    * is the only exchange.
+    * Output: (media_id, win_idx, whash); `win_idx` = offset ÷ hop.
+    * One `mapPartitions` decode pass, map-only — the downstream
+    * [[sharedFramePairs]] banded index is the only exchange.
     */
-  def audioWindowHash(media: DataFrame, windowSamples: Int): DataFrame = {
+  def audioWindowHash(media: DataFrame, windowSamples: Int,
+                      hop: Int = 0): DataFrame = {
     require(windowSamples >= 2, s"windowSamples must be >= 2, got $windowSamples")
+    val hopN = if (hop <= 0) windowSamples else hop
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -444,9 +451,10 @@ object Multimodal {
         // so nothing may close over `internal` lazily
         val id = internal.getLong(idIdx)
         val s = WavCodec.decode(internal.getBinary(cIdx)).samples
-        val nw = s.length / windowSamples
+        val nw = if (s.length < windowSamples) 0
+                 else (s.length - windowSamples) / hopN + 1
         (0 until nw).iterator.map { wi =>
-          val off = wi * windowSamples
+          val off = wi * hopN
           val energy = new Array[Long](61)
           var f = 0
           while (f < 61) {

@@ -155,6 +155,20 @@ class PerceptualDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) > 3,
       "whole-clip fingerprint unexpectedly catches the embedding")
+    // OVERLAPPING hop closes the alignment boundary half-way: a
+    // jingle at offset 608 = 19·32 is NOT on the 64 grid (hop = 64
+    // misses it on the host side) but IS on the 32 grid (hop = 32
+    // finds it)
+    val host32 = wave(2, 608) ++ jingle ++ wave(3, 224)
+    val media32 = audioDF(Seq(1L -> jingle, 2L -> host32, 3L -> far))
+    def sharedAt(hop: Int) = Multimodal.sharedFramePairs(
+        Multimodal.audioWindowHash(media32, windowSamples = 64, hop = hop),
+        "media_id", "whash", minShared = 2, bucketCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sharedAt(64).contains((1L, 2L)),
+      "64-aligned windows should miss the 32-aligned embedding")
+    assert(sharedAt(32).contains((1L, 2L)),
+      "hop=32 should catch the 32-aligned embedding")
   }
 
   test("perturbed video clusters with its source; different video does not") {
