@@ -271,6 +271,29 @@ object Streaming {
       }
       .start()
 
+  /** [[lmScoreSink]] at order 5 — the t28b artifact
+    * ([[graft.functions.TextFns.Sb5Counts]]) through the same
+    * per-batch scoped-cache + exactly-once overwrite-partition
+    * discipline; every score rides
+    * [[graft.functions.TextFns.sb5ScoreWith]], the ONE 5-gram kernel
+    * shared with batch t28b, so online ≡ offline structurally.
+    */
+  def lm5ScoreSink(docs: DataFrame, idCol: String, textCol: String,
+                   counts: graft.functions.TextFns.Sb5Counts,
+                   outPath: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) graft.Materialize.inScope {
+          graft.functions.TextFns
+            .sb5ScoreWith(batch.toDF(), idCol, textCol, counts)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+      }
+      .start()
+
   /** Streamed ANN INGEST (n13) — the last offline/online gap in the
     * similarity family: each micro-batch of arriving vectors runs
     * [[graft.similarity.Similarity.PersistedIndex.append]] — map-only

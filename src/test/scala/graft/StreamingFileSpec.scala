@@ -310,6 +310,41 @@ class StreamingFileSpec extends SparkSpec {
       "streamed LM scores must be bit-identical to the batch kernel")
   }
 
+  test("5-gram LM-score stream ≡ batch sb5ScoreWith under frozen counts, " +
+       "across restart") {
+    import graft.functions.TextFns
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "source")
+    val counts = TextFns.sb5Counts(docs, "text",
+      col("source").isin("src0", "src1", "src2"))
+    val expected = TextFns.sb5ScoreWith(docs, "doc_id", "text", counts)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def runOnce(): Unit = {
+      val q = Streaming.lm5ScoreSink(
+        spark.readStream.schema(schema).parquet(in),
+        "doc_id", "text", counts, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint picks up only the delta
+    val streamed = spark.read.parquet(out + "/batch=*")
+      .select("doc_id", "n_5grams", "sb5_score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed.size == expected.size, "every doc scored exactly once")
+    assert(streamed == expected,
+      "streamed 5-gram scores must be bit-identical to the batch kernel")
+  }
+
   test("ANN-ingest stream ≡ batch append across restart; tombstones honored mid-stream") {
     import graft.similarity.Similarity
     import Similarity.PersistedIndex
