@@ -58,6 +58,50 @@ object Decontaminate {
       .withColumn("contamination", frac(col("n_contaminated"), col("n_shingles")))
   }
 
+  /** EVAL-side contamination report (t30) — the direction [[ngramOverlap]]
+    * deliberately does not cover: per EVAL document, the fraction of
+    * its distinct n-grams that appear anywhere in the TRAIN corpus,
+    * plus a `dirty` gate — the GPT-3 App. C / PaLM "clean eval subset"
+    * analysis a release runs to decide which benchmark numbers are
+    * trustworthy. Semantically this is `ngramOverlap(eval, train)`,
+    * and the spec pins that equality — but that call would broadcast
+    * the TRAIN gram set, which at 100 TB does not exist as a
+    * broadcastable object. The scale shape here inverts the
+    * asymmetry: the EVAL gram set (a sliver — eval suites are at most
+    * millions of n-grams) broadcasts INTO the train scan as a
+    * map-side semi-join, so train text never shuffles and the only
+    * train-wide exchange carries the semi-join survivors into a
+    * map-combined distinct whose result (`hitGrams` ⊆ eval grams) is
+    * itself a broadcastable sliver. The `dirty` gate thresholds the
+    * RAW ratio (rounding display-only — the jaccardPairs discipline).
+    *
+    * @return one row per eval doc: id, n_shingles, n_hit, overlap
+    *         (4 dp), dirty.
+    */
+  def evalContamination(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3,
+                        dirtyAt: Double = 0.2): DataFrame = {
+    val evalSh = graft.Materialize.reuse(
+      eval.select(col(idCol), TextFns.shingles(col(textCol), n).as("__sh")))
+    val evalGrams = evalSh.select(explode(col("__sh")).as("__g")).distinct()
+    val hitGrams = train
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__g"))
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val raw = col("n_hit").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    evalSh
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        explode_outer(col("__sh")).as("__g"))
+      .join(broadcast(hitGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(first("n_shingles").as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        round(raw, 4).as("overlap"), (raw >= dirtyAt).as("dirty"))
+  }
+
   /** Bloom-prefiltered decontamination — the shape for when the
     * benchmark set has outgrown executor memory (so [[ngramOverlap]]'s
     * broadcast is off the table) but the corpus-side exchange into a

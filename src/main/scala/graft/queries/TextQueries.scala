@@ -159,6 +159,47 @@ object TextQueries {
     },
     t6Decontam.oracle)
 
+  /** T30: EVAL-side contamination report — per eval doc, the fraction
+    * of ITS n-grams appearing anywhere in train + a dirty gate at the
+    * RAW ratio ([[Decontaminate.evalContamination]]: the GPT-3 App. C
+    * clean-eval-subset analysis; t6 reports the TRAIN side). Scale
+    * shape inverted from t6: the EVAL gram sliver broadcasts into the
+    * train scan — train text never shuffles, which
+    * `ngramOverlap(eval, train)` could not promise (it would
+    * broadcast the train grams). Spec pins equality with that
+    * role-swapped call.
+    */
+  val t30EvalContamination = QueryDef(
+    "t30_eval_contamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Decontaminate.evalContamination(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        "doc_id", "text", n = 3, dirtyAt = 0.2)
+    },
+    Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+        i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+             string_split_regex(trim(text),'\s+')[i+2])) AS s
+      FROM documents),
+      ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+      evg AS (SELECT DISTINCT unnest(s) AS g FROM ev),
+      tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+      hitg AS (SELECT DISTINCT g FROM (
+        SELECT unnest(s) AS g FROM tr) t JOIN evg USING (g)),
+      hx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM (
+        SELECT doc_id, unnest(s) AS g FROM ev) e JOIN hitg USING (g)
+        GROUP BY doc_id)
+      SELECT e.doc_id, CAST(len(e.s) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        ROUND(COALESCE(h.n_hit, 0)::DOUBLE / GREATEST(len(e.s), 1), 4)
+          AS overlap,
+        (COALESCE(h.n_hit, 0)::DOUBLE / GREATEST(len(e.s), 1)) >= 0.2
+          AS dirty
+      FROM ev e LEFT JOIN hx h USING (doc_id)"""))
+
   /** T7: Gopher-style repetition quality rules — duplicate-word,
     * duplicate-bigram, and top-token fractions per document
     * ([[TextFns.repetitionStats]]; Rae et al. 2021 §A1.1).
@@ -4066,7 +4107,8 @@ FROM gi GROUP BY doc_id, grp"""))
   val all: Seq[QueryDef] = Seq(
     cp1Profile, cp2Temperature, cp3TopTerms,
     t1Tokens, t2Quality, t3LangId, t4Fingerprint, t5TermStats,
-    t6Decontam, t6bDecontamBloom, t7Repetition, t8Pii, t9Mixture,
+    t6Decontam, t6bDecontamBloom, t30EvalContamination,
+    t7Repetition, t8Pii, t9Mixture,
     t29EpochShuffle, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t26Boilerplate,

@@ -46,6 +46,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("evalContamination: planted dirty/partial/clean eval docs; " +
+       "equals role-swapped ngramOverlap on hit counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other training text entirely here today"),
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (97L, "the quick brown fox jumps"),        // all 3 grams in train → dirty
+      (194L, "over the lazy cat sits quietly here"), // 1 of 5 grams (0.2) → dirty at ≥0.2
+      (291L, "totally novel unseen benchmark content"), // clean
+      (388L, "xy zq")                            // shingle-less
+    ).toDF("doc_id", "text")
+    val r = Decontaminate.evalContamination(train, eval, "doc_id", "text",
+        n = 3, dirtyAt = 0.2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(97L, 194L, 291L, 388L))
+    assert(r(0).getLong(2) == 3 && r(0).getDouble(3) == 1.0 && r(0).getBoolean(4))
+    assert(r(1).getLong(1) == 5 && r(1).getLong(2) == 1 &&
+      r(1).getDouble(3) == 0.2 && r(1).getBoolean(4)) // RAW-ratio gate at the boundary
+    assert(r(2).getLong(2) == 0 && !r(2).getBoolean(4))
+    assert(r(3).getLong(1) == 0 && r(3).getDouble(3) == 0.0 && !r(3).getBoolean(4))
+    // semantics = ngramOverlap with roles swapped (the scale shape is
+    // what differs: the broadcast must sit on the EVAL side)
+    val swapped = Decontaminate.ngramOverlap(eval, train, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getDouble(3))).toSeq == swapped.toSeq)
+  }
+
   // ----------------------------------------------------- repetition
 
   test("repetitionStats: planted duplicate words/bigrams and top token") {
