@@ -1069,9 +1069,17 @@ object TextQueries {
     */
   val d13ContainmentSketch = QueryDef(
     "d13_containment_sketch",
+    // PRODUCTION bucketCap (round 14 — retiring this family's
+    // bucketCap = 0 convention): the d3b inertness argument holds
+    // structurally here too — a (band, bucket) group can never exceed
+    // the corpus row count (5 000 at sf0.1, ~100 TB-gate SFs stay
+    // orders below 100 000), so ceil(n/cap) = 1, every row keeps
+    // sub-bucket 0 and the pair set equals the uncapped one BY
+    // CONSTRUCTION while the census/cap machinery runs through the
+    // gate. The ENGAGED split is d13b's gate + the DedupSimSpec flood.
     (s, dir) => Dedup.containmentSketchPairs(table(s, dir, "documents"),
       "doc_id", "text", n = 3, k = 32, threshold = 0.8,
-      bucketCap = 0), // oracle doesn't model the salt split (see d3)
+      bucketCap = 100000),
     Some("""WITH tk AS (SELECT doc_id,
         string_split_regex(trim(text), '\s+') AS t FROM documents),
       sh13 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
@@ -1122,7 +1130,7 @@ object TextQueries {
         Dedup.bandedSketchIndex(storeSk), // the persisted-index stand-in
         docs.filter(col("doc_id") > cut), "doc_id", "text",
         n = 3, k = 32, threshold = 0.8,
-        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+        bucketCap = 100000) // production cap, provably inert at gate SFs (see d13)
     },
     Some("""WITH tk AS (SELECT doc_id,
         string_split_regex(trim(text), '\s+') AS t FROM documents),
