@@ -860,6 +860,55 @@ object Dedup {
         .otherwise("test").as("split"))
   }
 
+  /** WALK-FORWARD (rolling-origin) cross-validation splits (sp4) —
+    * the time-series CV counterpart of [[groupKFold]], completing the
+    * split family (sp1 holdout / sp2 single temporal holdout / sp3
+    * k-fold / sp4 walk-forward): k expanding-origin folds, each
+    * training strictly before its origin `c_f`, embargoing the next
+    * `embargoPct` of the span (López de Prado 2018 §7's purge band,
+    * per fold), and testing up to the NEXT fold's origin. Events past
+    * a fold's test window are not part of that fold (a real
+    * walk-forward run hasn't seen them yet), so an event appears in
+    * between 1 and k (fold, role) rows.
+    *
+    * Cutoffs are exact integer microseconds — `c_f = lo +
+    * (hi−lo)·f ÷ (k+1)`, `e_f = c_f + (hi−lo)·embargoPct ÷ 100`,
+    * multiply before divide, one bounded 1-row (min, max) aggregate —
+    * so any engine replays them and adding rows INSIDE the span never
+    * moves a boundary (the sp2 discipline). The last fold's test
+    * window closes at `hi` INCLUSIVE so the span's final event is
+    * never silently dropped.
+    *
+    * Shape for scale: the k fold specs are a k-row broadcast; the
+    * assignment is one map-only pass per event × fold (rows ≤ k·n,
+    * k small), no window, no shuffle of events beyond what the caller
+    * does with the result.
+    */
+  def walkForwardSplits(events: DataFrame, idCol: String, tsCol: String,
+                        k: Int = 4, embargoPct: Int = 5): DataFrame = {
+    require(k >= 1 && embargoPct >= 0 && 100 / (k + 1) > embargoPct,
+      s"need k >= 1 and embargoPct < a fold span, got k=$k embargo=$embargoPct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = graft.functions.TimeFns.asMicros(events, tsCol)
+    val mm = events.agg(min(us).as("lo"), max(us).as("hi")).head
+    require(!mm.isNullAt(0), "walkForwardSplits needs a non-empty events frame")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val folds = (1 to k).map { f =>
+      val cF = lo + (hi - lo) * f / (k + 1)
+      val eF = cF + (hi - lo) * embargoPct / 100L
+      val next = if (f == k) hi + 1L else lo + (hi - lo) * (f + 1) / (k + 1)
+      (f.toLong, cF, eF, next)
+    }.toDF("fold", "__c", "__e", "__next")
+    events.select(col(idCol), us.as("__us"))
+      .crossJoin(broadcast(folds))
+      .filter(col("__us") < col("__next"))
+      .select(col(idCol), col("fold"),
+        when(col("__us") < col("__c"), "train")
+          .when(col("__us") < col("__e"), "embargo")
+          .otherwise(lit("test")).as("role"))
+  }
+
   /** SimHash near-dup candidates: Hamming distance ≤ `maxDist` found
     * by chunk-banding (pigeonhole: 4 chunks — any pair with distance
     * ≤ 3 shares a chunk). Verification via bit_count(xor).

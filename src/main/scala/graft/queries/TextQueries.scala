@@ -1872,6 +1872,34 @@ object TextQueries {
              ELSE 'test' END AS split
       FROM events"""))
 
+  /** SP4: walk-forward (rolling-origin) cross-validation — the
+    * time-series CV form completing the split family
+    * ([[Dedup.walkForwardSplits]]: k expanding-origin folds, per-fold
+    * purge/embargo band, exact integer-microsecond cutoffs, last test
+    * window closed at `hi` inclusive; events past a fold's test
+    * window are absent from that fold). Oracle replays the (min, max)
+    * span, every fold's three cutoffs with the same
+    * multiply-before-divide arithmetic, and the role CASE per
+    * (event, fold).
+    */
+  val sp4WalkForward = QueryDef(
+    "sp4_walk_forward",
+    (s, dir) => Dedup.walkForwardSplits(
+      table(s, dir, "events"), "event_id", "ts", k = 4, embargoPct = 5),
+    Some("""WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+          CAST(max(epoch_us(ts)) AS BIGINT) AS hi FROM events),
+      f AS (SELECT CAST(fv AS BIGINT) AS fold,
+          lo + (hi - lo) * fv // 5 AS c,
+          lo + (hi - lo) * fv // 5 + (hi - lo) * 5 // 100 AS e,
+          CASE WHEN fv = 4 THEN hi + 1
+               ELSE lo + (hi - lo) * (fv + 1) // 5 END AS nxt
+        FROM b, (SELECT unnest(range(1, 5)) AS fv) u)
+      SELECT e.event_id, f.fold,
+        CASE WHEN epoch_us(e.ts) < f.c THEN 'train'
+             WHEN epoch_us(e.ts) < f.e THEN 'embargo'
+             ELSE 'test' END AS role
+      FROM events e JOIN f ON epoch_us(e.ts) < f.nxt"""))
+
   /** N11: hard-negative mining for contrastive training — per anchor,
     * the top-k most-similar corpus vectors with a DIFFERENT label
     * ([[Similarity.hardNegatives]]; the exact baseline the ANN ladder
@@ -4133,7 +4161,7 @@ FROM gi GROUP BY doc_id, grp"""))
     d9Spans, d9sWinnowed, d10Removal, n1Knn, n2Lsh, n3CosPairs, n4Ivf,
     n12Recall, n5Pq,
     n6TfIdfDedup, n7IvfPq, n8Persisted, n9Incremental, n10Tombstones,
-    n11Negatives, sp1Split, sp2Temporal, sp3KFold,
+    n11Negatives, sp1Split, sp2Temporal, sp3KFold, sp4WalkForward,
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup, mm8SharedClips, mm9SharedJingles,
     p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,

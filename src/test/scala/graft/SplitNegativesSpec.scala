@@ -142,6 +142,50 @@ class SplitNegativesSpec extends SparkSpec {
     assert(v2(40L)._2 == fresh(40L) && v2(41L)._2 == fresh(40L))
   }
 
+  test("walkForwardSplits: exact per-fold cutoffs, expanding train, " +
+       "last event kept, in-span growth stability") {
+    import java.sql.Timestamp
+    def ev(ids: Seq[(Long, Long)]) = ids.map { case (id, sec) =>
+      (id, Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+    }.toDF("event_id", "ts")
+    // span [0, 100] s, k = 4, embargo 5% → fold f: origin at 20f s,
+    // embargo [20f, 20f+5), test [20f+5, 20(f+1)) — fold 4's test
+    // closes at 100 INCLUSIVE
+    val base = ev(Seq(1L -> 0L, 2L -> 19L, 3L -> 20L, 4L -> 24L,
+      5L -> 25L, 6L -> 39L, 7L -> 40L, 8L -> 85L, 9L -> 100L))
+    val r = Dedup.walkForwardSplits(base, "event_id", "ts",
+        k = 4, embargoPct = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getString(2))
+      .toMap
+    // fold 1: train < 20, embargo [20, 25), test [25, 40)
+    assert(r((1L, 1L)) == "train" && r((2L, 1L)) == "train")
+    assert(r((3L, 1L)) == "embargo" && r((4L, 1L)) == "embargo")
+    assert(r((5L, 1L)) == "test" && r((6L, 1L)) == "test")
+    // events past fold 1's test window are ABSENT from fold 1
+    assert(!r.contains((7L, 1L)) && !r.contains((9L, 1L)))
+    // expanding origin: event 6 (39 s) is test in fold 1, train in fold 2+
+    assert(r((6L, 2L)) == "train" && r((6L, 4L)) == "train")
+    // the span's last event is test in the last fold (inclusive close)
+    assert(r((9L, 4L)) == "test")
+    // event 8 (85 s) is future of fold 3 (test closes at 80 s) but
+    // test in fold 4
+    assert(r((8L, 4L)) == "test" && !r.contains((8L, 3L)))
+    // every event is in fold 4 (nothing is "future" of the last fold)
+    assert((1L to 9L).forall(id => r.contains((id, 4L))))
+    // in-span growth: adding interior rows moves no boundary
+    val grown = ev(Seq(1L -> 0L, 2L -> 19L, 3L -> 20L, 4L -> 24L,
+      5L -> 25L, 6L -> 39L, 7L -> 40L, 8L -> 85L, 9L -> 100L,
+      10L -> 50L, 11L -> 99L))
+    val r2 = Dedup.walkForwardSplits(grown, "event_id", "ts",
+        k = 4, embargoPct = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getString(2))
+      .toMap
+    assert(r.forall { case (k2, v) => r2(k2) == v })
+    intercept[IllegalArgumentException] {
+      Dedup.walkForwardSplits(base, "event_id", "ts", k = 4, embargoPct = 20)
+    }
+  }
+
   test("temporalSplit: exact cutoffs, embargo band, in-span growth stability") {
     import java.sql.Timestamp
     // span [0, 100] seconds → c1 at 70 s, c2 at 75 s (exact micros)
