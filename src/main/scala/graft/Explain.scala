@@ -39,8 +39,14 @@ object Explain {
         // sweep, so a plan dump never moves tombstone state)
         "t24b_bpe_learned_tokens", "sp3_group_kfold", "cp8_pii_audit",
         "mm8_shared_clips",
-        // round 14: ENGAGED-cap containment sketch gates
-        "d13b_containment_capped", "d14b_incremental_capped")
+        // round 14: ENGAGED-cap containment sketch gates, checkpointed
+        // BPE, 5-gram LM, audio shared clips, eval contamination,
+        // walk-forward CV (cp9 — like d15 — mutates a store under a
+        // lease: run it explicitly, never in the default sweep)
+        "d13b_containment_capped", "d14b_incremental_capped",
+        "t24c_bpe_ckpt_train", "t28b_stupid_backoff5",
+        "mm9_shared_jingles", "t30_eval_contamination",
+        "sp4_walk_forward")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
