@@ -334,9 +334,20 @@ object Dedup {
                              idCol: String, textCol: String,
                              n: Int, k: Int, threshold: Double,
                              bucketCap: Int = 100000,
-                             salt: BucketSalt = BucketSalt.XxHash): DataFrame = {
-    val dsk = graft.Materialize.reuse(
-      bottomKSketches(delta, idCol, textCol, n, k))
+                             salt: BucketSalt = BucketSalt.XxHash): DataFrame =
+    containmentSketchDeltaFromSketches(storeSketches, storeIndex,
+      graft.Materialize.reuse(bottomKSketches(delta, idCol, textCol, n, k)),
+      k, threshold, bucketCap, salt)
+
+  /** [[containmentSketchDelta]] over PRE-BUILT delta sketches `(id,
+    * sz, sk)` — the entry point [[SketchStore.ingestDelta]] needs so
+    * the delta is sketched ONCE for both the probe and the commit
+    * (and the streamed sink's replay path can substitute the fresh
+    * copy for already-committed rows). Caller owns `dsk`'s caching. */
+  private[dedup] def containmentSketchDeltaFromSketches(
+      storeSketches: DataFrame, storeIndex: DataFrame, dsk: DataFrame,
+      k: Int, threshold: Double, bucketCap: Int,
+      salt: BucketSalt): DataFrame = {
     val allIdx = storeIndex.unionByName(bandedSketchIndex(dsk))
     val pairs = asymmetricBandedPairs(bandedSketchIndex(dsk), allIdx,
       bucketCap, salt)
@@ -801,7 +812,15 @@ object Dedup {
     * if release-over-release stability is needed: previously-assigned
     * members pin the merged cluster to the LOWEST prior fold, the
     * deterministic analog of sp1's earliest-listed-split collapse, so
-    * no already-released doc ever migrates on a merge). Folds are
+    * no doc ever migrates UPWARD on a merge. Residual churn remains
+    * for the higher-fold cluster's members: when two prior clusters
+    * bridge, the higher fold's docs collapse DOWN to the lower fold
+    * (the spec pins exactly this — folds can only decrease), so a
+    * previously-released test-fold doc can land in another fold's
+    * train slice across releases; callers needing hard immutability
+    * must tombstone bridged docs instead. Prior folds are validated
+    * in-plan: a null or out-of-range (≥ k) prior fold raises rather
+    * than silently re-coining (the sp2 discipline). Folds are
     * hash-balanced (binomial-tight), not exact-count-balanced — the
     * trade that keeps assignment free of any global sort. The prior
     * table is an (id, fold) sliver: the pin is one small aggregate +
@@ -821,9 +840,17 @@ object Dedup {
       case None =>
         keyed.select(col(idCol), col("cluster"), coin.as("fold"))
       case Some(p) =>
+        // validate the prior sliver in-plan: a prior table built with a
+        // larger k (fold >= this k) or carrying null folds must fail
+        // loudly, not silently re-coin / emit out-of-range folds
+        val pfChecked = when(col("__pf").isNull || col("__pf") >= k,
+          raise_error(concat(lit(s"groupKFold: prior fold out of range for k=$k: "),
+            coalesce(col("__pf").cast("string"), lit("NULL")))))
+          .otherwise(col("__pf"))
         val pin = keyed.select(col(idCol), col("cluster"))
           .join(p.select(col(idCol), col("fold").cast("long").as("__pf")),
             Seq(idCol))
+          .select(col("cluster"), pfChecked.as("__pf"))
           .groupBy("cluster").agg(min(col("__pf")).as("__pf"))
         keyed.join(pin, Seq("cluster"), "left_outer")
           .select(col(idCol), col("cluster"),
@@ -886,8 +913,12 @@ object Dedup {
     */
   def walkForwardSplits(events: DataFrame, idCol: String, tsCol: String,
                         k: Int = 4, embargoPct: Int = 5): DataFrame = {
-    require(k >= 1 && embargoPct >= 0 && 100 / (k + 1) > embargoPct,
-      s"need k >= 1 and embargoPct < a fold span, got k=$k embargo=$embargoPct")
+    // exact condition e_f < c_{f+1}: embargoPct/100 < 1/(k+1), checked
+    // multiply-first so integer division can't over-reject (the old
+    // 100/(k+1) > embargoPct form rejected embargoPct=0 for k >= 100
+    // and valid embargoPct=33 at k=2 — advisor r14)
+    require(k >= 1 && embargoPct >= 0 && embargoPct * (k + 1) < 100,
+      s"need k >= 1 and embargoPct*(k+1) < 100, got k=$k embargo=$embargoPct")
     val spark = events.sparkSession
     import spark.implicits._
     val us = graft.functions.TimeFns.asMicros(events, tsCol)

@@ -295,3 +295,114 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
     }
   }
 }
+
+/** Persisted artifacts of the CONTAINMENT-SKETCH family (d13/d14) —
+  * the [[DedupSnapshot]] discipline applied to the bottom-k sketches:
+  * two catalog tables written once at corpus build and probed by
+  * every refresh, so the store is never re-sketched (the d14
+  * contract, now with a durable home instead of caller-held frames):
+  *
+  *  - `<prefix>_sk`    (id, sz, sk array<bigint>), bucketed by id —
+  *    the [[Dedup.bottomKSketches]] table (verify side).
+  *  - `<prefix>_skidx` (id, band, bucket), bucketed by bucket — its
+  *    [[Dedup.bandedSketchIndex]] (probe side; bucketed on the join
+  *    key, so delta probes read store slivers with no exchange).
+  *
+  * [[ingestDelta]] returns the delta-touching inclusion pairs
+  * (bit-identical to a batch [[Dedup.containmentSketchDelta]] against
+  * the same artifacts) and, with `commit = true`, advances both
+  * tables under the single-writer lease with delta-sized appends.
+  *
+  * Replay determinism (the at-least-once `foreachBatch` contract of
+  * [[graft.streaming.Streaming.sketchIngestSink]]): the store side is
+  * id-ANTI-JOINED against the incoming delta before the union, so a
+  * replayed batch whose commit already landed probes EXACTLY the
+  * pre-commit artifact state (its own committed rows are replaced by
+  * the fresh delta copies, never doubled — doubled sketch rows would
+  * duplicate pair rows through the estimate join) and recomputes the
+  * identical pair set; `idempotentCommit` then lands zero rows. The
+  * anti-join costs one broadcast of the delta id sliver per batch.
+  */
+final class SketchStore(val spark: SparkSession, val prefix: String,
+                        val nBuckets: Int = 8, val n: Int = 3,
+                        val k: Int = 32, val threshold: Double = 0.8,
+                        val bucketCap: Int = 100000,
+                        val salt: Dedup.BucketSalt = Dedup.BucketSalt.XxHash) {
+  private val skT = s"${prefix}_sk"
+  private val idxT = s"${prefix}_skidx"
+
+  private def lockPath = graft.store.WriteLease.lockPathFor(
+    spark.conf.get("spark.sql.warehouse.dir") + s"/graft-sketch-$prefix")
+
+  private def locked[T](op: String)(body: => T): T = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.WriteLease.withLease(fs, lockPath, op)(body)
+  }
+
+  private def writeBucketed(df: DataFrame, tbl: String,
+                            keys: Seq[String], mode: SaveMode): Unit = {
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(tbl)
+    // foreachBatch clones the session (see DedupSnapshot.writeBucketed)
+    spark.catalog.refreshTable(tbl)
+  }
+
+  def sketches(): DataFrame = spark.table(skT)
+  def index(): DataFrame = spark.table(idxT)
+
+  /** Full (re)build: sketch `docs` once, persist table + index. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Unit =
+    locked("sketch-build") {
+      Seq(skT, idxT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val sk = graft.Materialize.reuse(
+        Dedup.bottomKSketches(docs, idCol, textCol, n, k))
+      writeBucketed(sk, skT, Seq("id"), SaveMode.ErrorIfExists)
+      writeBucketed(Dedup.bandedSketchIndex(sk), idxT, Seq("bucket"),
+        SaveMode.ErrorIfExists)
+    }
+
+  /** Probe the store with a delta and return the delta-touching
+    * inclusion pairs (id_a, id_b, c_est). With `commit = true` the
+    * delta's sketch + index rows append under the lease;
+    * `idempotentCommit` anti-joins each append by id first (the
+    * replayed-batch path). */
+  def ingestDelta(delta: DataFrame, idCol: String, textCol: String,
+                  commit: Boolean = false,
+                  idempotentCommit: Boolean = false): DataFrame = {
+    // commit path truncates (the DedupSnapshot recache discipline: the
+    // appends below update the very tables the pair plan reads)
+    val matz: DataFrame => DataFrame =
+      if (commit) graft.Materialize.truncate else graft.Materialize.reuse
+    val dsk = matz(Dedup.bottomKSketches(delta, idCol, textCol, n, k))
+    val dIds = dsk.select(col("id"))
+    // replay determinism: a delta row already committed by a crashed
+    // attempt must not appear on BOTH sides of the union
+    def minusDelta(df: DataFrame): DataFrame =
+      df.join(broadcast(dIds), Seq("id"), "left_anti")
+    val pairs = Dedup.containmentSketchDeltaFromSketches(
+      minusDelta(sketches()), minusDelta(index()), dsk,
+      k, threshold, bucketCap, salt)
+    if (!commit) pairs
+    else locked("sketch-commit") {
+      val out = graft.Materialize.truncate(pairs)
+      def appendFresh(df: DataFrame, tbl: String, keys: Seq[String]): Unit = {
+        val fresh =
+          if (!idempotentCommit) df
+          else graft.Materialize.truncate(df.join(
+            spark.table(tbl).select(col("id")), Seq("id"), "left_anti"))
+        writeBucketed(fresh, tbl, keys, SaveMode.Append)
+      }
+      appendFresh(dsk, skT, Seq("id"))
+      appendFresh(Dedup.bandedSketchIndex(dsk), idxT, Seq("bucket"))
+      out
+    }
+  }
+}

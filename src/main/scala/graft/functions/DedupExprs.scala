@@ -289,9 +289,18 @@ object SketchKernel {
     if (cnt <= 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, empty))
+    // null elements stay null here and are SKIPPED when a gram is
+    // rendered — concat_ws semantics, matching the HOF pipeline this
+    // kernel replaced (its grams came from concat_ws, which ignores
+    // nulls). tokens() never emits nulls, but the declared input type
+    // ArrayType(StringType) admits containsNull, so a future nullable
+    // caller must degrade like the HOF form, not NPE (advisor r14).
     val tb = new Array[Array[Byte]](m)
     var i = 0
-    while (i < m) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    while (i < m) {
+      tb(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = new Array[Long](cnt)
     i = 0
@@ -299,9 +308,13 @@ object SketchKernel {
       md.reset()
       md.update(prefix)
       var j = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(tb(i + j))
+        if (tb(i + j) != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(tb(i + j))
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -312,4 +312,38 @@ object QualityClassifier {
           .otherwise((col("r2") - col("np") * (col("np") + lit(1L))).cast("double")
             / (lit(2L) * col("np") * col("nn")).cast("double")), 6).as("auc"))
   }
+
+  /** Calibration curve / reliability diagram (t22b) — the third panel
+    * of the eval card beside [[evaluate]]'s operating points and
+    * [[auc]]'s ranking metric: predicted-probability bins vs the
+    * empirical positive rate inside each bin (Niculescu-Mizil &
+    * Caruana 2005's standard diagnostic — a well-calibrated filter
+    * has pos_rate ≈ mean_score per bin, and a deployment picking a
+    * probability threshold needs this, not just ranking quality).
+    *
+    * Exactness: scores are integer micro-units, so `bin =
+    * min(score_micro div (10⁶/bins), bins−1)` is pure integer
+    * arithmetic (the top bin is closed — a score of exactly 1.0
+    * belongs to it, not to a phantom bins-th bin); per-bin counters
+    * are exact integer sums; the two ratios are one final double
+    * division each, rounded at 6 (the t22 convention). Empty bins are
+    * absent in both engines (group-by over observed bins only).
+    *
+    * Shape for scale: ONE map-combined aggregate over the scored
+    * frame into ≤ `bins` rows — no window, no distinct table, no
+    * second pass. */
+  def calibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must be >= 2 and divide 1e6, got $bins")
+    val w = 1000000L / bins
+    scored
+      .groupBy(least(expr(s"score_micro div $w"), lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum("score_micro").as("__sm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sm").cast("double") / (lit(1e6) * col("n")), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
 }

@@ -943,13 +943,23 @@ object TextFns {
     sb5CountsOfTokens(graft.Materialize.reuse(
       docs.filter(trainFilter).select(tokens(col(textCol)).as("__w"))))
 
-  private def gramCensus(base: DataFrame, k: Int): DataFrame = {
+  private def gramCensus(base: DataFrame, k: Int): DataFrame =
+    gramCensusKeyed(base, k, Nil)
+
+  /** Order-`k` gram TYPE census over a `(keyCols..., __w)` token-array
+    * base, map-combined, grouped per key (empty keys = one global
+    * census — [[gramCensus]]). The keyed form is what per-language LMs
+    * batch on (the t20b discipline: per-key counts are independent, so
+    * one grouped aggregation replaces |keys| separate jobs). */
+  private def gramCensusKeyed(base: DataFrame, k: Int,
+                              keyCols: Seq[String]): DataFrame = {
+    val kc = keyCols.map(col)
     val cols = (0 until k).map(j => col(s"__z.g$j").as(s"__w${j + 1}"))
     graft.Materialize.reuse(
-      base.select(explode(sbZipN(size(col("__w")), k)).as("__z"))
-        .select(cols: _*)
+      base.select(kc :+ explode(sbZipN(size(col("__w")), k)).as("__z"): _*)
+        .select(kc ++ cols: _*)
         .filter(col(s"__w$k").isNotNull)
-        .groupBy((1 to k).map(j => col(s"__w$j")): _*)
+        .groupBy(kc ++ (1 to k).map(j => col(s"__w$j")): _*)
         .agg(count(lit(1)).as(s"__c$k")))
   }
 
@@ -1049,6 +1059,131 @@ object TextFns {
     sb5ScoreUnder(tok5, idCol, counts)
   }
 
+  /** Interpolated Kneser-Ney 5-GRAM LM score (t25b) — the model the
+    * CCNet filter actually ships (Wenzek et al. 2020 §3.3: a KenLM
+    * 5-gram with Kneser-Ney smoothing; t25 was its bigram form and
+    * t28b the 5-gram-but-stupid-backoff form — this closes the
+    * matrix). Standard interpolated KN (Chen & Goodman 1998 §4.1.6),
+    * absolute discount D = 3/4 at every level, continuation counts
+    * below the top order, self-scored (the LM trains on the corpus it
+    * scores, t25's convention — so every count a scored 5-gram needs
+    * is ≥ 1 by containment and no max(·,0) branch is live):
+    *
+    *   P₅(w₅|w₁..w₄) = (c₅−D)/ctx₅ + D·λ₅/ctx₅ · P₄
+    *   Pₖ(w₅|·)      = (aₖ−D)/ctxₖ + D·λₖ/ctxₖ · Pₖ₋₁   (k = 4,3,2)
+    *   P₁(w₅)        = a₁/N₂                    (continuation unigram)
+    *
+    * where at the top c₅ = raw 5-gram count, ctx₅ = Σ_w c₅ over the
+    * 4-context, λ₅ = distinct continuations of the 4-context; at
+    * lower order k the count aₖ is the CONTINUATION count — the
+    * number of distinct (k+1)-gram TYPES ending in the scored k-gram
+    * (Kneser-Ney's "how many contexts has it completed", computed
+    * from the (k+1)-gram census) — ctxₖ its middle-grouped total, λₖ
+    * the distinct-last-word count of that middle group; a₁ = distinct
+    * bigram types ending in w₅, N₂ = total bigram types (t25's n1b/N
+    * pair verbatim).
+    *
+    * Determinism contract: every count is an exact integer off one of
+    * the four gram-type censuses; with D = 3/4 each level folds to
+    * `(4a−3 + 3·λ·P₋)/(4·ctx)` — the only float ops are the
+    * int→double casts (exact below 2⁵³), one multiply-add chain and
+    * one division per level (IEEE basic ops, correctly rounded, so
+    * bit-identical in any engine given the same expression tree —
+    * the oracle mirrors the tree node for node), and the
+    * micro-quantized ln (t18's gate-proven pattern).
+    *
+    * Shape for scale: four map-combined TYPE censuses off ONE
+    * materialized token base (the t28b shape); the nine count
+    * attachments are equi-joins of census SLIVERS against the 5-gram
+    * type table (vocab-bounded, a fraction of the corpus); the single
+    * corpus-sized exchange is the final (id, 5-gram) → log-prob join
+    * + rollup, t25/t28b's audited tail. Corpus text never shuffles.
+    */
+  def knFiveGramLmScore(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    kn5Sums(docs, idCol, textCol, Nil)
+      .select(col(idCol), col("n_5grams"),
+        (col("__s").cast("double") / (lit(1e6) * col("n_5grams")))
+          .as("kn5_score"))
+
+  /** Keyed core of the interpolated-KN 5-gram score — ONE
+    * implementation of the level algebra per `keyCols` group (empty =
+    * one global LM; `Seq(langCol)` = cp6b's per-language form), the
+    * [[knBigramSums]] discipline at order 5. Returns
+    * `(idCol, keyCols..., n_5grams, __s)`. */
+  private[graft] def kn5Sums(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             keyCols: Seq[String]): DataFrame = {
+    val kc = keyCols.map(col)
+    val base = graft.Materialize.reuse(
+      docs.select((col(idCol) +: kc) :+ tokens(col(textCol)).as("__w"): _*))
+    val noId = base.select(kc :+ col("__w"): _*)
+    // the four raw gram-type censuses (2..5); the 5-gram census IS the
+    // scored-type table (self-scoring: types scored = types seen)
+    val g5 = gramCensusKeyed(noId, 5, keyCols)
+    val g4 = gramCensusKeyed(noId, 4, keyCols)
+    val g3 = gramCensusKeyed(noId, 3, keyCols)
+    val g2 = gramCensusKeyed(noId, 2, keyCols)
+    val w = (1 to 5).map(j => s"__w$j")
+    // top level: context totals + distinct continuations off g5
+    val pre5 = g5.groupBy(kc ++ w.take(4).map(col): _*)
+      .agg(sum("__c5").as("__ctx5"), count(lit(1)).as("__lam5"))
+    // level-4 continuation counts: g5 types grouped by suffix/middle
+    val suf4 = g5.groupBy(kc ++ w.drop(1).map(col): _*)
+      .agg(count(lit(1)).as("__a4"))
+    val mid4 = g5.groupBy(kc ++ w.slice(1, 4).map(col): _*)
+      .agg(count(lit(1)).as("__ctx4"), countDistinct(col("__w5")).as("__lam4"))
+    // level-3 off g4 (positions shift right: g4's (2,3,4) ≡ scored (3,4,5))
+    val suf3 = g4.groupBy(kc :+ col("__w2").as("__w3")
+        :+ col("__w3").as("__w4") :+ col("__w4").as("__w5"): _*)
+      .agg(count(lit(1)).as("__a3"))
+    val mid3 = g4.groupBy(kc :+ col("__w2").as("__w3")
+        :+ col("__w3").as("__w4"): _*)
+      .agg(count(lit(1)).as("__ctx3"), countDistinct(col("__w4")).as("__lam3"))
+    // level-2 off g3
+    val suf2 = g3.groupBy(kc :+ col("__w2").as("__w4")
+        :+ col("__w3").as("__w5"): _*)
+      .agg(count(lit(1)).as("__a2"))
+    val mid2 = g3.groupBy(kc :+ col("__w2").as("__w4"): _*)
+      .agg(count(lit(1)).as("__ctx2"), countDistinct(col("__w3")).as("__lam2"))
+    // continuation unigram off g2 (t25's n1b / N pair)
+    val suf1 = g2.groupBy(kc :+ col("__w2").as("__w5"): _*)
+      .agg(count(lit(1)).as("__a1"))
+    val nb = if (keyCols.isEmpty) g2.agg(count(lit(1)).as("__nb"))
+      else g2.groupBy(kc: _*).agg(count(lit(1)).as("__nb"))
+    // the level fold: P = (4a−3 + 3λP₋) / (4·ctx), all-integer inputs
+    def level(a: Column, lam: Column, ctx: Column, prev: Column): Column =
+      ((lit(4L) * a - lit(3L)).cast("double") +
+        lit(3.0) * lam.cast("double") * prev) /
+        (lit(4L) * ctx).cast("double")
+    val p1 = col("__a1").cast("double") / col("__nb").cast("double")
+    val p5 = level(col("__c5"), col("__lam5"), col("__ctx5"),
+      level(col("__a4"), col("__lam4"), col("__ctx4"),
+        level(col("__a3"), col("__lam3"), col("__ctx3"),
+          level(col("__a2"), col("__lam2"), col("__ctx2"), p1))))
+    val lpBase = g5
+      .join(pre5, keyCols ++ w.take(4))
+      .join(suf4, keyCols ++ w.drop(1))
+      .join(mid4, keyCols ++ w.slice(1, 4))
+      .join(suf3, keyCols ++ w.slice(2, 5))
+      .join(mid3, keyCols ++ w.slice(2, 4))
+      .join(suf2, keyCols ++ w.slice(3, 5))
+      .join(mid2, keyCols :+ "__w4")
+      .join(suf1, keyCols :+ "__w5")
+    val lpN = if (keyCols.isEmpty) lpBase.crossJoin(broadcast(nb))
+      else lpBase.join(broadcast(nb), keyCols)
+    val lp = lpN.select(kc ++ w.map(col)
+      :+ round(lit(1e6) * log(p5)).cast("long").as("__lp"): _*)
+    val tok5 = base.select((col(idCol) +: kc)
+        :+ explode(sbZipN(size(col("__w")), 5)).as("__z"): _*)
+      .select((col(idCol) +: kc) ++ (0 until 5).map(
+        j => col(s"__z.g$j").as(s"__w${j + 1}")): _*)
+      .filter(col("__w5").isNotNull)
+    tok5.join(lp, keyCols ++ w)
+      .groupBy(col(idCol) +: kc: _*)
+      .agg(count(lit(1)).as("n_5grams"), sum("__lp").as("__s"))
+  }
+
   /** CCNet perplexity buckets (cp6) — the head/middle/tail corpus
     * structure CCNet actually SHIPS (Wenzek et al. 2020 §3.3: score
     * every document with a per-language LM, cut each language into
@@ -1081,12 +1216,38 @@ object TextFns {
     * exchanges; no global sort of documents exists.
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-                        langCol: String): DataFrame = {
+                        langCol: String): DataFrame =
+    tercileBuckets(docs, idCol, langCol,
+      knBigramSums(docs, idCol, textCol, Seq(langCol)), "n_bigrams")
+
+  /** CCNet perplexity buckets at ORDER 5 (cp6b) — [[perplexityBuckets]]
+    * with the per-language LM swapped from the bigram KN to the
+    * interpolated-KN 5-GRAM ([[kn5Sums]] keyed by language), so the
+    * head/middle/tail release structure matches Wenzek et al. 2020's
+    * actual artifact (a 5-gram KN KenLM per language) rather than a
+    * bigram approximation of it. Identical tercile machinery — one
+    * shared implementation, the cuts cannot drift between orders.
+    * Docs with < 5 tokens have no 5-gram → NULL score → `tail` (the
+    * conservative call for an unjudgeable doc, cp6's convention).
+    */
+  def perplexityBuckets5(docs: DataFrame, idCol: String, textCol: String,
+                         langCol: String): DataFrame =
+    tercileBuckets(docs, idCol, langCol,
+      kn5Sums(docs, idCol, textCol, Seq(langCol)), "n_5grams")
+
+  /** THE shared tercile-cut machinery of the cp6 family: floored
+    * per-doc micro keys, per-language running counts over the bounded
+    * DISTINCT (lang, kmicro) table, integer-ceiling cutoffs, value-cut
+    * ties, NULL-score → tail. `sums` must carry
+    * `(idCol, langCol, nCol, __s)` — [[knBigramSums]] / [[kn5Sums]]
+    * shape. */
+  private def tercileBuckets(docs: DataFrame, idCol: String,
+                             langCol: String, sums: DataFrame,
+                             nCol: String): DataFrame = {
     val scored = graft.Materialize.reuse(
-      knBigramSums(docs, idCol, textCol, Seq(langCol))
-        .select(col(idCol), col(langCol), col("n_bigrams"),
-          floor(col("__s").cast("double") / col("n_bigrams"))
-            .cast("long").as("kmicro")))
+      sums.select(col(idCol), col(langCol), col(nCol),
+        floor(col("__s").cast("double") / col(nCol))
+          .cast("long").as("kmicro")))
     val dist = scored.groupBy(langCol, "kmicro").agg(count(lit(1)).as("__cnt"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol).orderBy(col("kmicro").desc)
@@ -1102,7 +1263,7 @@ object TextFns {
     docs.select(col(idCol), col(langCol))
       .join(scored, Seq(idCol, langCol), "left")
       .join(broadcast(cuts), Seq(langCol), "left")
-      .select(col(idCol), col(langCol), col("n_bigrams"),
+      .select(col(idCol), col(langCol), col(nCol),
         col("kmicro"),
         when(col("kmicro").isNull, lit("tail"))
           .when(col("kmicro") >= col("__t1"), lit("head"))

@@ -214,6 +214,40 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(3L) && got.contains(2L))
   }
 
+  test("bottomKSketches kernel: null array elements are skipped like " +
+       "concat_ws (HOF parity), not NPE'd") {
+    // tokens() never emits nulls, but ArrayType(StringType) admits
+    // containsNull — a nullable caller must degrade like the HOF form
+    // (whose grams came from concat_ws, which ignores nulls): advisor
+    // r14. Fixture: arrays with a null mid-window / at the edges.
+    val rows = Seq(
+      (1L, Seq[String]("a", "b", null, "c", "d", "e")),
+      (2L, Seq[String](null, "x", "y", "z", null)),
+      (3L, Seq[String]("a", "b", "c", "d", "e", "f")))
+    val df = rows.toDF("doc_id", "toks")
+    val kernel = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.BottomKSketch(
+        org.apache.spark.sql.GraftSqlShims.expression(col("toks")), 3, 32, "d13:"))
+    val got = df.select(col("doc_id"), kernel.as("s"))
+      .select(col("doc_id"), col("s.sz"), col("s.sk"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    // the HOF pipeline the kernel replaced: concat_ws-rendered grams
+    val gram = expr("transform(sequence(0, size(toks) - 3), i -> " +
+      "concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), " +
+      "element_at(toks, i + 3)))")
+    val hashes = transform(col("__g"), s =>
+      conv(substring(md5(concat(lit("d13:"), s)), 1, 15), 16, 10).cast("long"))
+    val want = df
+      .select(col("doc_id"), gram.as("__g"))
+      .select(col("doc_id"), array_sort(array_distinct(hashes)).as("__h"))
+      .select(col("doc_id"), size(col("__h")).cast("long").as("sz"),
+        slice(col("__h"), 1, 32).as("sk"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(got == want, s"null-element kernel diverged: got $got want $want")
+  }
+
   test("containment sketch bucketCap: planted hot-shingle flood keeps " +
        "per-bucket join volume bounded, inclusion recall intact, " +
        "incremental ≡ from-scratch under the ENGAGED cap") {

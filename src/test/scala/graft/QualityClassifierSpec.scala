@@ -165,4 +165,28 @@ class QualityClassifierSpec extends SparkSpec {
       .head()
     assert(one.getLong(1) == 0L && one.getDouble(2) == 0.0)
   }
+
+  test("calibration: exact hand-computed bins; top bin closed at 1.0; " +
+       "empty bins absent") {
+    import spark.implicits._
+    // bin 0 [0, 100k): 150k?? no — 50k neg → n=1 pos=0
+    // bin 1 [100k, 200k): 150k pos + 120k neg → n=2 pos=1
+    // bin 9 [900k, 1M]: 950k pos + 1.0 EXACTLY (closed top) → n=2 pos=2
+    val scored = Seq(
+      (1L, 0L, 50000L), (2L, 1L, 150000L), (3L, 0L, 120000L),
+      (4L, 1L, 950000L), (5L, 1L, 1000000L)
+    ).toDF("doc_id", "label", "score_micro")
+    val r = QualityClassifier.calibration(scored)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(0L, 1L, 9L), s"bins ${r.keySet}") // empties absent
+    assert(r(0L) == ((1L, 0L, 0.05, 0.0)))
+    // mean_score bin 1 = (150000+120000)/(2e6) = 0.135
+    assert(r(1L) == ((2L, 1L, 0.135, 0.5)))
+    // 1.0 joins bin 9 (closed), mean = 1950000/2e6 = 0.975
+    assert(r(9L) == ((2L, 2L, 0.975, 1.0)))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.calibration(scored, bins = 7) // 7 ∤ 1e6
+    }
+  }
 }

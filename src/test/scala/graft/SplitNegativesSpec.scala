@@ -184,6 +184,42 @@ class SplitNegativesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.walkForwardSplits(base, "event_id", "ts", k = 4, embargoPct = 20)
     }
+    // guard is the EXACT condition embargoPct·(k+1) < 100 (advisor
+    // r14: the integer-divided 100/(k+1) form over-rejected): k=2
+    // embargo=33 is valid (33·3 = 99 < 100), k=2 embargo=34 is not,
+    // and embargo=0 stays valid at any k, including k ≥ 100
+    Dedup.walkForwardSplits(base, "event_id", "ts", k = 2, embargoPct = 33)
+    Dedup.walkForwardSplits(base, "event_id", "ts", k = 120, embargoPct = 0)
+    intercept[IllegalArgumentException] {
+      Dedup.walkForwardSplits(base, "event_id", "ts", k = 2, embargoPct = 34)
+    }
+  }
+
+  test("groupKFold prior validation: out-of-range and null prior folds " +
+       "raise in-plan instead of silently re-coining") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // a prior built with a LARGER k (fold 7 >= this k=3) must fail
+    val bigK = Seq((1L, 7L)).toDF("doc_id", "fold")
+    val e1 = intercept[Exception] {
+      Dedup.groupKFold(docs, "doc_id", pairs, k = 3, salt = "gv",
+        prior = Some(bigK)).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("out of range"))
+    // a NULL prior fold must fail, not fall back to the coin
+    val nullF = Seq((java.lang.Long.valueOf(1L), null: java.lang.Long))
+      .toDF("doc_id", "fold")
+    val e2 = intercept[Exception] {
+      Dedup.groupKFold(docs, "doc_id", pairs, k = 3, salt = "gv",
+        prior = Some(nullF)).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("out of range"))
+    // in-range priors still pin (regression guard for the new check)
+    val ok = Seq((1L, 2L)).toDF("doc_id", "fold")
+    val v = Dedup.groupKFold(docs, "doc_id", pairs, k = 3, salt = "gv",
+        prior = Some(ok))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(v(1L) == 2L && v(2L) == 2L)
   }
 
   test("temporalSplit: exact cutoffs, embargo band, in-span growth stability") {

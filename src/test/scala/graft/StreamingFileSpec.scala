@@ -241,6 +241,47 @@ class StreamingFileSpec extends SparkSpec {
     assert(snap.corpus().count() == stored.size) // exactly-once: no dup rows
   }
 
+  test("sketch-ingest stream ≡ batch d14 over the same files, across restart") {
+    import graft.dedup.{Dedup, SketchStore}
+    val in = tmp(); val ckpt = tmp(); val out = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    val store = docs.filter(col("doc_id") < 200)
+    val delta = docs.filter(col("doc_id") >= 200)
+    // batch reference: d14 over the WHOLE delta against the store
+    // artifacts (pairs canonicalized least/greatest, so a cross-batch
+    // d1-d2 pair and its batch-reference twin compare equal)
+    val sk = graft.Materialize.reuse(
+      Dedup.bottomKSketches(store, "doc_id", "text", n = 3, k = 32))
+    val want = Dedup.containmentSketchDelta(sk, Dedup.bandedSketchIndex(sk),
+        delta, "doc_id", "text", n = 3, k = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ss = new SketchStore(spark, "graft_spec_sketch", nBuckets = 4)
+    ss.build(store, "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def runOnce(): Unit = {
+      val q = Streaming.sketchIngestSink(
+        spark.readStream.schema(schema).parquet(in),
+        ss, "doc_id", "text", out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") >= 350)
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint picks up only the delta
+    val got = spark.read.parquet(out).select("id_a", "id_b", "c_est")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && want.nonEmpty,
+      s"streamed pairs (${got.size}) must equal batch d14 (${want.size})")
+    // artifacts advanced exactly-once: one sketch row per ingested doc
+    val nSk = ss.sketches().count()
+    assert(nSk == ss.sketches().select("id").distinct().count())
+  }
+
   test("classifier-score stream ≡ batch scoreWith on the same files, across restart") {
     import graft.functions.QualityClassifier
     val in = tmp(); val out = tmp(); val ckpt = tmp()

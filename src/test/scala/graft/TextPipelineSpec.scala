@@ -759,6 +759,48 @@ class TextPipelineSpec extends SparkSpec {
       s"KN margin $knGap should exceed add-one margin $aoGap")
   }
 
+  test("knFiveGramLmScore: exact nested level fold on planted counts; " +
+       "short docs absent") {
+    import graft.functions.TextFns
+    // doc 1 "a b c d e a b c d e": g5 types abcde(2), bcdea, cdeab,
+    // deabc, eabcd; by symmetry every derived count in the ladder is 1
+    // for every type (hand-derived in full), nb = 5 bigram types.
+    // doc 2 "a b" only bumps the OCCURRENCE count of bigram ab — every
+    // KN quantity here is a TYPE count, so the ladder is untouched —
+    // and, at 2 tokens, doc 2 has no 5-gram and must be absent.
+    val docs = Seq((1L, "a b c d e a b c d e"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextFns.knFiveGramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def level(a: Long, lam: Long, ctx: Long, prev: Double): Double =
+      ((4 * a - 3).toDouble + 3.0 * lam.toDouble * prev) / (4 * ctx).toDouble
+    val p1 = 1.0 / 5.0                    // a1=1 / nb=5
+    val p4 = level(1, 1, 1, level(1, 1, 1, level(1, 1, 1, p1)))
+    val lpTop = math.round(1e6 * math.log(level(2, 1, 2, p4)))  // abcde
+    val lpOne = math.round(1e6 * math.log(level(1, 1, 1, p4)))  // the rest
+    // 6 scored 5-grams: abcde twice + the four singletons
+    val want = (2 * lpTop + 4 * lpOne).toDouble / (6 * 1e6)
+    assert(got(1L) == ((6L, want)), s"got $got want (6, $want)")
+    assert(!got.contains(2L))
+  }
+
+  test("knFiveGramLmScore: word salad ranks strictly below natural text " +
+       "at order 5") {
+    import graft.functions.TextFns
+    // rigid repeated chains: every 5-gram of doc 1 occurs 6 times and
+    // its whole KN ladder is dense; the salad's 5-grams are one-off
+    // novel orderings of the same frequent words, so the discounted
+    // top level is thin and the backoff mass spreads over sparse
+    // continuation ladders (Wenzek §3.3's reason for shipping order-5)
+    val real = ("the cat sat on the mat " * 6).trim
+    val salad = "mat the on cat sat the on mat cat sat"
+    val docs = Seq((1L, real), (2L, salad)).toDF("doc_id", "text")
+    val kn5 = TextFns.knFiveGramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn5(1L) > kn5(2L),
+      s"natural ${kn5(1L)} must beat salad ${kn5(2L)} at order 5")
+  }
+
   test("bm25: zero for term-free docs, exact formula on planted counts") {
     val docs = Seq((1L, "data data join"), (2L, "other words here"),
       (3L, "data")).toDF("doc_id", "text")
