@@ -345,20 +345,26 @@ object TextQueries {
     * gradient → micro-unit weight update. Unrolled `iters` times; see
     * [[graft.functions.QualityClassifier]] for the determinism
     * contract each op satisfies. */
-  private def t20IterCtes(iters: Int): String =
+  private def t20IterCtes(iters: Int): String = t20IterCtesSfx(iters, "")
+
+  /** t20's unrolled training iterations with every CTE name suffixed —
+    * lets one oracle embed a SECOND full training replay beside other
+    * `tok`/`f`-named chains (p4 trains on the store slice while cp6's
+    * bucket chain also wants `tok`). `sfx = ""` is the t20 instance. */
+  private def t20IterCtesSfx(iters: Int, x: String): String =
     (1 to iters).map { k =>
-      s"""z$k AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+      s"""z$k$x AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
         CAST(sum(w.wm * f.x) AS BIGINT) AS sp
-        FROM f JOIN w${k - 1} w USING (j) GROUP BY 1),
-      g$k AS MATERIALIZED (SELECT f.j, CAST(sum(CAST(round(
+        FROM f$x f JOIN w${k - 1}$x w USING (j) GROUP BY 1),
+      g$k$x AS MATERIALIZED (SELECT f.j, CAST(sum(CAST(round(
           (z.y - (0.5 + 0.5 * (CAST(z.sp AS DOUBLE) / 1e10)
             / (1 + abs(CAST(z.sp AS DOUBLE) / 1e10)))) * f.x)
           AS BIGINT)) AS BIGINT) AS gs
-        FROM f JOIN z$k z USING (doc_id) GROUP BY 1),
-      w$k AS MATERIALIZED (SELECT w.j,
+        FROM f$x f JOIN z$k$x z USING (doc_id) GROUP BY 1),
+      w$k$x AS MATERIALIZED (SELECT w.j,
         w.wm + CAST(round(COALESCE(g.gs, 0) * 100.0 /
-          (SELECT n FROM nn)) AS BIGINT) AS wm
-        FROM w${k - 1} w LEFT JOIN g$k g USING (j))"""
+          (SELECT n FROM nn$x)) AS BIGINT) AS wm
+        FROM w${k - 1}$x w LEFT JOIN g$k$x g USING (j))"""
     }.mkString(",\n      ")
 
   /** T20: TRAINED quality classifier — the GPT-3/CCNet discriminative
@@ -371,32 +377,39 @@ object TextQueries {
     * gradient iterations, weight quantization — then the final scores:
     * per-doc score and label both hash-checked.
     */
-  /** t20's full training replay through the final margins `zf` —
-    * shared base for t20's scores and p3's gate. */
-  private val t20BaseCtes: String =
-    """tok AS (SELECT doc_id,
-        unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
-      lab AS MATERIALIZED (SELECT doc_id,
+  /** t20's full training replay through the final margins `zf$sfx` —
+    * shared base for t20's scores and p3's gate (`sfx = ""`,
+    * `src = documents`), and re-instantiated by p4 over the store
+    * slice with a suffix. */
+  private def t20CtesSuffixed(src: String, x: String,
+                              iters: Int): String =
+    s"""tok$x AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\\s+')) AS t FROM $src),
+      lab$x AS MATERIALIZED (SELECT doc_id,
         CASE WHEN source IN ('src0','src1','src2','src3','src4')
-             THEN 1.0 ELSE 0.0 END AS y FROM documents),
-      bt AS (SELECT doc_id,
+             THEN 1.0 ELSE 0.0 END AS y FROM $src),
+      bt$x AS (SELECT doc_id,
         CAST('0x' || substr(md5('t20:' || t), 1, 15) AS BIGINT) % 64 AS j,
-        CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-      nt AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
-        FROM bt GROUP BY 1),
-      f AS MATERIALIZED (
+        CAST(count(*) AS BIGINT) AS c FROM tok$x GROUP BY 1, 2),
+      nt$x AS MATERIALIZED (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        FROM bt$x GROUP BY 1),
+      f$x AS MATERIALIZED (
         SELECT bt.doc_id, bt.j, (bt.c * 10000) // nt.n AS x, lab.y
-        FROM bt JOIN nt USING (doc_id) JOIN lab USING (doc_id)
+        FROM bt$x bt JOIN nt$x nt USING (doc_id)
+          JOIN lab$x lab USING (doc_id)
         UNION ALL
-        -- bias row from lab (ALL docs), not nt: tokenless docs still
-        -- carry the constant feature and score at the bias
-        SELECT lab.doc_id, 64 AS j, 10000 AS x, lab.y FROM lab),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-      w0 AS (SELECT unnest(range(0, 65)) AS j, 0::BIGINT AS wm),
-      """ + t20IterCtes(4) + """,
-      zf AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+        -- bias row sourced off the label table (ALL docs), not nt:
+        -- tokenless docs still carry the constant feature and score
+        -- at the bias
+        SELECT lab.doc_id, 64 AS j, 10000 AS x, lab.y FROM lab$x lab),
+      nn$x AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $src),
+      w0$x AS (SELECT unnest(range(0, 65)) AS j, 0::BIGINT AS wm),
+      """ + t20IterCtesSfx(iters, x) + s""",
+      zf$x AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
         CAST(sum(w.wm * f.x) AS BIGINT) AS sp
-        FROM f JOIN w4 w USING (j) GROUP BY 1)"""
+        FROM f$x f JOIN w4$x w USING (j) GROUP BY 1)"""
+
+  private val t20BaseCtes: String = t20CtesSuffixed("documents", "", 4)
 
   val t20Classifier = QueryDef(
     "t20_quality_classifier",
@@ -3184,6 +3197,337 @@ object TextQueries {
         ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS sim
       FROM q JOIN embeddings e ON e.vec_id = q.vec_id"""))
 
+  /** P4: the MONTHLY REFRESH — the composition a production corpus
+    * team actually schedules (judge r14 #5), on the INCREMENTAL path
+    * where p2 was the from-scratch build:
+    *
+    * BUILD (the persisted monthly artifacts, written once):
+    * dedup snapshot over the store slice (d11's corpus + seen census
+    * + sigs + shingles), the containment [[graft.dedup.SketchStore]]
+    * (d14's sketch + banded-index tables), the FROZEN t20 classifier
+    * (trained on the store against its source labels) and its
+    * integer-mean score gate (p3's threshold, computed on the store —
+    * a build artifact, so the gate does not drift as deltas arrive).
+    *
+    * REFRESH (the delta path — store text is never re-read):
+    * (1) rule clean: t26's boilerplate line gates REWRITE each delta
+    *     doc + c4's page-level containment gates (lorem-ipsum /
+    *     curly-brace). The full c4 LINE rules assume multi-line crawl
+    *     pages; on this single-line fixture they pass 15/500 docs
+    *     (measured) and would degenerate every downstream stage, so
+    *     the composition carries the line-level discipline via t26
+    *     and the page-level discipline via c4 — both oracled solo
+    *     (t26/t27);
+    * (2) classifier gate under the FROZEN weights + frozen threshold
+    *     ([[QualityClassifier.scoreWith]] — the deployment path);
+    * (3) exact + MinHash incremental dedup against the snapshot,
+    *     COMMITTED under the store lease (d11's ingestDelta);
+    * (4) containment-sketch probe of the committed survivors against
+    *     the persisted sketch artifacts, committed (d14's ingest via
+    *     [[graft.dedup.SketchStore]]); containment-flagged docs are
+    *     excluded at RELEASE (the store is append-only; releases are
+    *     views — the cp7 discipline);
+    * (5) refreshed release artifacts over the released set: census,
+    *     datasheet (predicted language), cp6 perplexity buckets, and
+    *     the cp7 bucket-gated mixture — each row carrying the cp9
+    *     audit columns: `n_new` (delta-side docs this refresh added)
+    *     and `n_contained` (containment-flagged docs leaking into the
+    *     artifact — a REAL join against the flagged sliver; a release
+    *     chain reading the committed corpus instead of the released
+    *     view would show nonzero).
+    *
+    * Every stage is individually oracled elsewhere (t26/t27, t20/p3,
+    * d11, d13/d14, cp5, cp6, cp7); this row proves they COMPOSE on
+    * one store without re-reading store text. The oracle chains the
+    * same formulas: store exact keepers + build CC (suffixed
+    * propagation), the t20 training replay over the store slice
+    * (suffixed CTE instance), the boilerplate rebuild + page gates,
+    * frozen-weight scoring + the integer-mean gate, the union
+    * near-dup CC, the d13 sketch replay over store ∪ survivors with
+    * the delta-side restriction, and the four release aggregates.
+    */
+  val p4MonthlyRefresh = QueryDef(
+    "p4_monthly_refresh",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+      val store = docs.filter(col("doc_id") <= cut)
+      val delta = docs.filter(col("doc_id") > cut)
+      // ---- BUILD: snapshot, sketch store, frozen classifier + gate
+      val snap = new graft.dedup.DedupSnapshot(s, "graft_p4", nBuckets = 8,
+        n = 3, bands = 16, rows = 4, threshold = 0.8,
+        bucketCap = 0) // oracle doesn't model the salt split (see d3)
+      snap.writeCorpus(store, "doc_id", "text", keepCols = Seq("lang", "text"))
+      val skst = new graft.dedup.SketchStore(s, "graft_p4sk", nBuckets = 8,
+        n = 3, k = 32, threshold = 0.8,
+        bucketCap = 100000) // production cap, inert at gate SFs (see d13)
+      skst.build(store, "doc_id", "text")
+      val (w, storeScored) = graft.functions.QualityClassifier.fitScore(
+        store, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        dim = 64, iters = 4)
+      val mu = storeScored.agg(expr("sum(score_micro) div count(1)"))
+        .head.getLong(0)
+      // ---- REFRESH: rule clean (t26 rebuild + c4 page gates)
+      val cleaned = graft.Materialize.reuse(delta
+        .withColumn("text",
+          graft.functions.Boilerplate.clean(col("text")).getField("clean"))
+        .filter(!lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")))
+      // frozen-classifier gate at the frozen store-mean threshold
+      val gated = cleaned.join(
+        graft.functions.QualityClassifier.scoreWith(
+          cleaned, "doc_id", "text", w, dim = 64)
+          .filter(col("score_micro") >= mu).select("doc_id"),
+        Seq("doc_id"))
+      // exact + MinHash incremental dedup, committed under the lease
+      val surv = snap.ingestDelta(gated.select("doc_id", "lang", "text"),
+        "doc_id", "text", keepCols = Seq("lang", "text"), commit = true)
+      // containment probe against the persisted sketch artifacts,
+      // committed; flagged docs are excluded at release
+      val contained = graft.Materialize.truncate(
+        skst.ingestDelta(surv.select("doc_id", "text"), "doc_id", "text",
+            commit = true)
+          .select(col("id_b").as("doc_id")).distinct())
+      val contFlag = broadcast(contained.withColumn("__c", lit(1L)))
+      val released = graft.Materialize.reuse(
+        snap.corpus().select("doc_id", "lang", "text")
+          .join(contFlag.select("doc_id"), Seq("doc_id"), "left_anti"))
+      // ---- release chain with the cp9 audit columns
+      val nTok = size(TextFns.tokens(col("text"))).cast("long")
+      def nNew = sum((col("doc_id") > cut).cast("long")).as("n_new")
+      def nCont = sum(coalesce(col("__c"), lit(0L))).as("n_contained")
+      val rel = released.join(contFlag, Seq("doc_id"), "left")
+      val census = rel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("total_tokens"),
+          nNew, nCont)
+        .select(lit("census").as("artifact"), col("lang"),
+          lit(null).cast("string").as("bucket"), col("n_docs"),
+          col("total_tokens"), col("n_new"), col("n_contained"))
+      val datasheet = rel.withColumn("__lp", TextFns.langId(col("text")))
+        .groupBy(col("__lp").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("total_tokens"),
+          nNew, nCont)
+        .select(lit("datasheet").as("artifact"), col("lang"),
+          lit(null).cast("string").as("bucket"), col("n_docs"),
+          col("total_tokens"), col("n_new"), col("n_contained"))
+      // ONE per-language KN fit feeds buckets AND mixture
+      val bkt = graft.Materialize.reuse(TextFns.perplexityBuckets(
+          released.select("doc_id", "lang", "text"), "doc_id", "text", "lang")
+        .join(contFlag, Seq("doc_id"), "left"))
+      val buckets = bkt.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), nNew, nCont)
+        .select(lit("buckets").as("artifact"), col("lang"), col("bucket"),
+          col("n_docs"), lit(null).cast("long").as("total_tokens"),
+          col("n_new"), col("n_contained"))
+      val rate = when(col("bucket") === "head", lit(0.9))
+        .when(col("bucket") === "middle", lit(0.4)).otherwise(lit(0.0))
+      val mixture = bkt
+        .filter(graft.functions.Mixture.hashFraction(col("doc_id"), "p4") < rate)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), nNew, nCont)
+        .select(lit("mixture").as("artifact"), col("lang"), col("bucket"),
+          col("n_docs"), lit(null).cast("long").as("total_tokens"),
+          col("n_new"), col("n_contained"))
+      census.unionByName(datasheet).unionByName(buckets).unionByName(mixture)
+    },
+    Some("""WITH cutv AS (SELECT max(doc_id) * 3 // 5 AS cut
+        FROM documents),
+      st AS MATERIALIZED (SELECT * FROM documents
+        WHERE doc_id <= (SELECT cut FROM cutv)),
+      """ + t20CtesSuffixed("st", "s", 4) + """,
+      scmu AS (SELECT CAST(sum(CAST(round((0.5 + 0.5
+            * (CAST(sp AS DOUBLE) / 1e10)
+            / (1 + abs(CAST(sp AS DOUBLE) / 1e10))) * 1e6) AS BIGINT))
+          AS BIGINT) // CAST(count(*) AS BIGINT) AS mu FROM zfs),
+      dl AS (SELECT doc_id, lang, text FROM documents
+        WHERE doc_id > (SELECT cut FROM cutv)),
+      nb4 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(
+          regexp_replace(text, '\r\n?', chr(10), 'g'),
+          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+          '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM dl),
+      ln4 AS (SELECT doc_id, lang, i, ls[i::INT] AS line FROM
+        (SELECT doc_id, lang, string_split(t, chr(10)) AS ls FROM nb4),
+        LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u),
+      ft4 AS (SELECT doc_id, lang, i,
+          trim(replace(replace(replace(replace(replace(replace(
+            regexp_replace(line, '<[^>]*>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'), ' ') AS body,
+          COALESCE(list_sum(list_transform(
+            regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
+            a -> length(replace(replace(replace(replace(replace(replace(
+              regexp_replace(a, '<[^>]*>', '', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&nbsp;', ' '), '&amp;', '&')))), 0) AS link
+        FROM ln4),
+      rb4 AS (SELECT doc_id, min(lang) AS lang,
+          COALESCE(string_agg(CASE WHEN length(body) >= 20
+            AND 2 * link < length(body) THEN body END,
+            chr(10) ORDER BY i), '') AS text
+        FROM ft4 GROUP BY doc_id),
+      dlc AS MATERIALIZED (SELECT * FROM rb4
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')),
+      dtok AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS t FROM dlc),
+      dbt AS (SELECT doc_id,
+        CAST('0x' || substr(md5('t20:' || t), 1, 15) AS BIGINT) % 64 AS j,
+        CAST(count(*) AS BIGINT) AS c FROM dtok GROUP BY 1, 2),
+      dnt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        FROM dbt GROUP BY 1),
+      dfx AS (SELECT dbt.doc_id, dbt.j, (dbt.c * 10000) // dnt.n AS x
+          FROM dbt JOIN dnt USING (doc_id)
+        UNION ALL SELECT doc_id, 64 AS j, 10000 AS x FROM dlc),
+      dsp AS (SELECT f.doc_id, CAST(sum(w.wm * f.x) AS BIGINT) AS sp
+        FROM dfx f JOIN w4s w USING (j) GROUP BY 1),
+      gated AS MATERIALIZED (SELECT dlc.* FROM dlc JOIN dsp USING (doc_id)
+        WHERE CAST(round((0.5 + 0.5 * (CAST(dsp.sp AS DOUBLE) / 1e10)
+          / (1 + abs(CAST(dsp.sp AS DOUBLE) / 1e10))) * 1e6) AS BIGINT)
+          >= (SELECT mu FROM scmu)),
+      fptS AS (SELECT doc_id, lang, text, md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM st),
+      exS AS MATERIALIZED (SELECT * FROM fptS
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      shB AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM exS),
+      pairsB AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shB a JOIN shB b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtesSuffixed("b", "pairsB") + """,
+      survB AS MATERIALIZED (SELECT e.doc_id, e.lang, e.text
+        FROM exS e LEFT JOIN clb ON clb.doc_id = e.doc_id
+        WHERE clb.cluster IS NULL OR clb.cluster = e.doc_id),
+      gfp AS (SELECT gated.*, md5(array_to_string(
+          string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM gated),
+      dN AS MATERIALIZED (SELECT * FROM gfp
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      dNew AS (SELECT d.* FROM dN d WHERE NOT EXISTS (
+        SELECT 1 FROM exS k WHERE k.fp = d.fp)),
+      ex AS MATERIALIZED (SELECT doc_id, lang, text FROM exS
+        UNION ALL SELECT doc_id, lang, text FROM dNew),
+      sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+          range(1, GREATEST(len(string_split_regex(trim(text),'\s+')) - 1, 1)),
+          i -> string_split_regex(trim(text),'\s+')[i] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text),'\s+')[i+2])) AS s
+        FROM ex),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      """ + ccPropagationCtes + """,
+      dsurv AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text FROM dNew d
+        LEFT JOIN cl ON cl.doc_id = d.doc_id
+        WHERE cl.cluster IS NULL OR cl.cluster = d.doc_id),
+      live AS MATERIALIZED (SELECT doc_id, lang, text FROM survB
+        UNION ALL SELECT doc_id, lang, text FROM dsurv),
+      uk AS (SELECT doc_id, text FROM st
+        UNION ALL SELECT doc_id, text FROM dsurv),
+      tk AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS t FROM uk),
+      sh13 AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
+          list_transform(range(1, GREATEST(len(t) - 1, 1)),
+            i -> CAST('0x' || substr(md5('d13:' || t[i] || ' ' ||
+              t[i+1] || ' ' || t[i+2]), 1, 15) AS BIGINT)))) AS h
+        FROM tk),
+      sk AS MATERIALIZED (SELECT doc_id, CAST(len(h) AS BIGINT) AS sz,
+          h[1:32] AS sk FROM sh13 WHERE len(h) > 0),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, unnest(sk) AS v FROM sk) a
+        JOIN (SELECT doc_id, unnest(sk) AS v FROM sk) b
+          ON a.v = b.v AND a.doc_id < b.doc_id
+        WHERE b.doc_id > (SELECT cut FROM cutv)),
+      est AS (SELECT c.id_a, c.id_b, sa.sz AS na, sb.sz AS nb,
+          CAST(len(list_filter(u.u, x -> list_contains(sa.sk, x)
+            AND list_contains(sb.sk, x))) AS BIGINT) AS i,
+          CAST(len(u.u) AS BIGINT) AS u
+        FROM cand c
+        JOIN sk sa ON sa.doc_id = c.id_a
+        JOIN sk sb ON sb.doc_id = c.id_b,
+        LATERAL (SELECT list_sort(list_distinct(sa.sk || sb.sk))[1:32] AS u) u),
+      contained AS MATERIALIZED (SELECT DISTINCT id_b AS doc_id FROM est
+        WHERE CAST(i * (na + nb) AS DOUBLE)
+          / ((u + i) * LEAST(na, nb)) >= 0.8),
+      rel AS MATERIALIZED (SELECT l.* FROM live l WHERE NOT EXISTS
+        (SELECT 1 FROM contained c WHERE c.doc_id = l.doc_id)),
+      """ + cp6CtesFrom("rel") + """,
+      hits AS (SELECT rel.doc_id,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['der','die','und','das','ist','nicht','ein','zu'], x))) AS h_de,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['the','a','and','of','to','is','in','that'], x))) AS h_en,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['el','la','de','que','y','los','es','por'], x))) AS h_es,
+          len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+            x -> list_contains(
+            ['le','la','et','les','des','est','une','que'], x))) AS h_fr
+        FROM rel),
+      lpd AS MATERIALIZED (SELECT doc_id, CASE
+          WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+          WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+          WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+          WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+          ELSE 'fr' END AS lang_pred FROM hits),
+      ntk AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        FROM rel),
+      bkt AS MATERIALIZED (SELECT bq.doc_id, bq.lang, bq.bucket
+        FROM (""" + cp6BucketSelectFrom("rel") + """) bq)
+      SELECT 'census' AS artifact, rel.lang,
+        CAST(NULL AS VARCHAR) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(ntk.nt) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN rel.doc_id > (SELECT cut FROM cutv)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_contained
+      FROM rel JOIN ntk USING (doc_id)
+        LEFT JOIN contained co USING (doc_id)
+      GROUP BY rel.lang
+      UNION ALL
+      SELECT 'datasheet', lpd.lang_pred, CAST(NULL AS VARCHAR),
+        CAST(count(*) AS BIGINT),
+        CAST(sum(ntk.nt) AS BIGINT),
+        CAST(sum(CASE WHEN rel.doc_id > (SELECT cut FROM cutv)
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM rel JOIN lpd USING (doc_id) JOIN ntk USING (doc_id)
+        LEFT JOIN contained co USING (doc_id)
+      GROUP BY lpd.lang_pred
+      UNION ALL
+      SELECT 'buckets', bkt.lang, bkt.bucket,
+        CAST(count(*) AS BIGINT),
+        CAST(NULL AS BIGINT),
+        CAST(sum(CASE WHEN bkt.doc_id > (SELECT cut FROM cutv)
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM bkt LEFT JOIN contained co USING (doc_id)
+      GROUP BY bkt.lang, bkt.bucket
+      UNION ALL
+      SELECT 'mixture', bkt.lang, bkt.bucket,
+        CAST(count(*) AS BIGINT),
+        CAST(NULL AS BIGINT),
+        CAST(sum(CASE WHEN bkt.doc_id > (SELECT cut FROM cutv)
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM bkt LEFT JOIN contained co USING (doc_id)
+      WHERE (CAST('0x' || substr(md5('p4:' || bkt.doc_id), 1, 15)
+              AS BIGINT)::DOUBLE / 1152921504606846976.0)
+        < (CASE bkt.bucket WHEN 'head' THEN 0.9
+             WHEN 'middle' THEN 0.4 ELSE 0.0 END)
+      GROUP BY bkt.lang, bkt.bucket"""))
+
   /** P1: the COMPOSED cleaning pipeline — the stages a production
     * training-data run chains, in order: quality gate (t2 score ≥
     * 0.65) → benchmark decontamination (t6 overlap < 0.2 vs the
@@ -4429,7 +4773,8 @@ FROM gi GROUP BY doc_id, grp"""))
     mm1Decode, mm2Audio, mm3Frames, mm4Resize, mm5Perceptual,
     mm6AudioDedup, mm7VideoDedup, mm8SharedClips, mm9SharedJingles,
     mm9bSharedJinglesHop,
-    p1Pipeline, p2CorpusBuild, p3ClassifierGate, cp4BpeBudget, cp5Datasheet,
+    p1Pipeline, p2CorpusBuild, p3ClassifierGate, p4MonthlyRefresh,
+    cp4BpeBudget, cp5Datasheet,
     cp6PerplexityBuckets, cp6bPerplexityBuckets5, cp7BucketMixture,
     cp8PiiAudit)
 }
