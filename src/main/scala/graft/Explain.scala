@@ -46,7 +46,15 @@ object Explain {
         "d13b_containment_capped", "d14b_incremental_capped",
         "t24c_bpe_ckpt_train", "t28b_stupid_backoff5",
         "mm9_shared_jingles", "t30_eval_contamination",
-        "sp4_walk_forward")
+        "sp4_walk_forward",
+        // round 15: KN 5-gram LM (+ 5-gram buckets), overlapping-hop
+        // audio gate, engaged-cap SimHash gate, calibration curve,
+        // batched BPE training (p4 — like cp9/d15 — builds and mutates
+        // stores under leases: run it explicitly, never in the default
+        // sweep)
+        "t25b_kn5_lm", "cp6b_perplexity_buckets5",
+        "mm9b_shared_jingles_hop", "d4b_simhash_capped",
+        "t22b_calibration", "t24d_bpe_batched_train")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

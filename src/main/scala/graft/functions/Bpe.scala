@@ -195,6 +195,175 @@ object Bpe {
       .toDF("rk", "a", "b", "c")
   }
 
+  /** BATCHED multi-merge training (t24d, judge r14 #7) — cut the one
+    * driver round-trip per merge that [[train]] inherits from
+    * Sennrich's sequential argmax: per census, apply the LONGEST SAFE
+    * PREFIX of the top-`batchMax` pairs in one go, where "safe" is a
+    * census-sliver-checkable condition under which the batch is
+    * PROVABLY equal to that many sequential rounds. At 32k merges the
+    * sequential form is ~32k small jobs dominated by scheduling; this
+    * cuts the job count by the mean accepted-prefix length while
+    * emitting the bit-identical merges table (spec-pinned on planted
+    * interacting fixtures; the t24d gate row pins it against t24's
+    * sequential DuckDB replay).
+    *
+    * == Safety conditions (checked when accepting pᵢ, count cᵢ) ==
+    *
+    *  1. SYMBOL-DISJOINT: {aᵢ, bᵢ} shares no symbol with any accepted
+    *     pⱼ — an accepted merge can then neither destroy nor create an
+    *     (aᵢ, bᵢ) adjacency (a merge replaces two symbols with one; it
+    *     only removes adjacencies that CONSUME aᵢ or bᵢ, and only
+    *     creates adjacencies INVOLVING its product), so cᵢ is exactly
+    *     pᵢ's count in every intermediate sequential census.
+    *  2. CONCAT-SAFE: no accepted product aⱼbⱼ equals aᵢ or bᵢ (and
+    *     aᵢbᵢ equals no accepted symbol) — a product that collides
+    *     with another batch pair's symbol would let one replace
+    *     manufacture the other's pattern, breaking commutativity.
+    *  3. CREATED-PAIR BOUND: every census pair OUTSIDE the accepted
+    *     prefix that touches any accepted symbol has count < cᵢ. A
+    *     pair created by merging pⱼ — (x, aⱼbⱼ) or (aⱼbⱼ, y) — has
+    *     count ≤ the OLD count of its parent (x, aⱼ) / (bⱼ, y), which
+    *     this bounds strictly below every remaining batched count, so
+    *     no created pair can beat (or tie) a batched pair at its
+    *     sequential step. A parent can only be INSIDE the prefix (and
+    *     so escape this bound) via shared symbols — excluded by 1 —
+    *     or by being pⱼ itself, which happens exactly for…
+    *  4. …SELF-PAIRS: aⱼ = bⱼ ("a a a a" runs) ENDS the batch — its
+    *     merge creates (aⱼbⱼ, aⱼ)-shaped pairs whose parent is pⱼ
+    *     itself with count cⱼ ≥ anything later, so nothing may be
+    *     accepted after it (the spec's planted "ababab…" fixture
+    *     catches precisely this: (ab,ab) then (abab,abab) manufacture
+    *     successors that outrank the rest of the old census).
+    *
+    * Under 1–3 the sequential argmax at step i is exactly pᵢ: old
+    * pairs ranked above pᵢ are precisely p₁..pᵢ₋₁ (top-prefix order;
+    * old counts never increase under merges), created pairs are
+    * strictly dominated, and pᵢ's own count is untouched. p₁ is
+    * always accepted, so progress is guaranteed; the prefix stops at
+    * the first rejection (a later non-adjacent pair may NOT be taken
+    * — a skipped pair would itself be the argmax at the next step).
+    * `batchMax = 1` degenerates to [[train]] exactly.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+                   batchMax: Int = 16,
+                   checkpointEvery: Int = 64): Seq[LearnedMerge] =
+    trainBatchedWithSizes(docs, textCol, rounds, batchMax,
+      checkpointEvery)._1
+
+  /** [[trainBatched]] also reporting each round's accepted-prefix
+    * length (spec instrumentation: planted interacting fixtures must
+    * show size-1 rounds, non-interacting ones sizes > 1). */
+  private[graft] def trainBatchedWithSizes(
+      docs: DataFrame, textCol: String, rounds: Int, batchMax: Int,
+      checkpointEvery: Int): (Seq[LearnedMerge], Seq[Int]) = {
+    require(rounds >= 1 && batchMax >= 1,
+      s"need rounds >= 1 and batchMax >= 1, got $rounds/$batchMax")
+    val vocab = graft.Materialize.reuse(
+      docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("s", regexp_replace(col("w"), "(.)", "\u0001$1\u0001"))
+        .select("cnt", "s"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cur: DataFrame = vocab
+    var sCol: org.apache.spark.sql.Column = col("s")
+    var sinceCkpt = 0
+    var done = false
+    while (learned.size < rounds && !done) {
+      val want = math.min(batchMax, rounds - learned.size)
+      // ONE materialized census per batch round feeds both the top-k
+      // collect and the touching-pair maxima — the two driver actions
+      // cost one census computation, not two
+      val (top, touchMax) = graft.Materialize.withReuse(
+        pairCensus(cur, sCol)) { cen =>
+        val t = cen.orderBy(col("c").desc, col("a"), col("b"))
+          .limit(want).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (t.isEmpty) (t, Map.empty[String, Long])
+        else {
+          // for every symbol of the top sliver: the max count among
+          // census pairs OUTSIDE the sliver that touch it (condition 3
+          // folds the top sliver's own non-accepted rows back in
+          // driver-side, where the accepted set is known)
+          val syms = t.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+          val notTop = not(t.map(p =>
+            col("a") === p._1 && col("b") === p._2).reduce(_ || _))
+          val tm = cen.filter(notTop)
+            .select(explode(array(
+              struct(col("a").as("sym"), col("c")),
+              struct(col("b").as("sym"), col("c")))).as("e"))
+            .select(col("e.sym").as("sym"), col("e.c").as("c"))
+            .filter(col("sym").isin(syms: _*))
+            .groupBy("sym").agg(max("c").as("m"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          (t, tm)
+        }
+      }
+      if (top.isEmpty) done = true
+      else {
+        // greedy prefix acceptance under conditions 1-3
+        val accepted = scala.collection.mutable.ArrayBuffer(top.head)
+        var i = 1
+        var stop = false
+        while (i < top.length && !stop) {
+          val (ai, bi, ci) = top(i)
+          val accSyms = accepted.flatMap(p => Seq(p._1, p._2)).toSet
+          val accProds = accepted.map(p => p._1 + p._2).toSet
+          // condition 4: an accepted self-pair ends the batch
+          val noSelfBefore = accepted.forall(p => p._1 != p._2)
+          val disjoint = noSelfBefore && !accSyms(ai) && !accSyms(bi)
+          val concatSafe = !accProds(ai) && !accProds(bi) &&
+            !accSyms(ai + bi) && !accepted.exists(p =>
+              p._1 == ai + bi || p._2 == ai + bi)
+          // condition 3 over the would-be accepted set (incl. pᵢ):
+          // touching pairs outside it must stay strictly below cᵢ —
+          // top-sliver rows beyond the prefix fold back in here
+          def cond3 = {
+            val symsAll = (accepted :+ top(i)).flatMap(p => Seq(p._1, p._2)).toSet
+            val inPrefix = (accepted :+ top(i)).map(p => (p._1, p._2)).toSet
+            val fromCensus = symsAll.exists(s => touchMax.getOrElse(s, -1L) >= ci)
+            val fromTop = top.exists { p =>
+              !inPrefix((p._1, p._2)) &&
+                (symsAll(p._1) || symsAll(p._2)) && p._3 >= ci
+            }
+            !fromCensus && !fromTop
+          }
+          if (disjoint && concatSafe && cond3) { accepted += top(i); i += 1 }
+          else stop = true
+        }
+        sizes += accepted.size
+        accepted.foreach { case (a, b, c) =>
+          learned += LearnedMerge(learned.size, a, b, c)
+          sCol = call_function("replace", sCol,
+            lit("\u0001" + a + "\u0001\u0001" + b + "\u0001"),
+            lit("\u0001" + a + b + "\u0001"))
+        }
+        sinceCkpt += accepted.size
+        if (checkpointEvery > 0 && sinceCkpt >= checkpointEvery &&
+            learned.size < rounds) {
+          cur = graft.Materialize.truncate(
+            cur.select(col("cnt"), sCol.as("s"))
+              .filter(size(split(col("s").substr(lit(2),
+                length(col("s")) - 2), "\u0001\u0001")) >= 2))
+          sCol = col("s")
+          sinceCkpt = 0
+        }
+      }
+    }
+    (learned.toSeq, sizes.toSeq)
+  }
+
+  /** [[trainBatched]] packaged as the t24 query form. */
+  def trainBatchedDF(docs: DataFrame, textCol: String, rounds: Int,
+                     batchMax: Int = 16,
+                     checkpointEvery: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBatched(docs, textCol, rounds, batchMax, checkpointEvery)
+      .map(m => (m.rank.toLong, m.a, m.b, m.count))
+      .toDF("rk", "a", "b", "c")
+  }
+
   /** Per-document BPE token counts over a corpus: tokenize the
     * DISTINCT vocabulary once, join counts back through the tf table.
     * Returns `(idCol, n_ws_tokens, n_bpe_tokens)`.

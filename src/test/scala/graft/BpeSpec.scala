@@ -103,6 +103,39 @@ class BpeSpec extends SparkSpec {
     graft.Materialize.releaseAll()
   }
 
+  test("trainBatched: multi-merge ≡ sequential on interacting AND " +
+       "non-interacting fixtures; batching actually engages") {
+    import spark.implicits._
+    // INTERACTING fixture: every top pair shares symbols / products
+    // with the next ("ababab…" makes (a,b) dominant, then (ab,ab) —
+    // the product of rule 1 IS a symbol of rule 2, so concat-safety
+    // forces m = 1 there), pinning the guards rather than the happy
+    // path
+    val inter = Seq((1L, ("ab" * 12 + " ") * 3 + "ab"),
+      (2L, "ababab ab ab")).toDF("doc_id", "text")
+    val seqI = Bpe.train(inter, "text", rounds = 6)
+    val (batI, sizesI) = Bpe.trainBatchedWithSizes(inter, "text",
+      rounds = 6, batchMax = 8, checkpointEvery = 64)
+    assert(batI == seqI, s"interacting fixture diverged: $batI vs $seqI")
+    assert(sizesI.contains(1), s"expected forced m=1 rounds, got $sizesI")
+    // MIXED pseudo-random fixture (the 260-round corpus): equality at
+    // depth, and the accepted prefix must exceed 1 somewhere — the
+    // batching is real, not a degenerate always-1
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 40).map(_ =>
+      (0 until 15).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = Seq((1L, words.mkString(" ")),
+      (2L, words.take(20).mkString(" "))).toDF("doc_id", "text")
+    val seqR = Bpe.train(docs, "text", rounds = 120)
+    val (batR, sizesR) = Bpe.trainBatchedWithSizes(docs, "text",
+      rounds = 120, batchMax = 8, checkpointEvery = 64)
+    assert(batR == seqR, "batched training diverged from sequential")
+    assert(sizesR.exists(_ > 1),
+      s"batching never engaged (all prefixes 1): $sizesR")
+    assert(sizesR.sum == 120 && batR.size == 120)
+    graft.Materialize.releaseAll()
+  }
+
   test("train: the per-round pair census is ONE exchange") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma alpha")).toDF("doc_id", "text")
