@@ -219,15 +219,26 @@ object Bpe {
     *     aᵢbᵢ equals no accepted symbol) — a product that collides
     *     with another batch pair's symbol would let one replace
     *     manufacture the other's pattern, breaking commutativity.
-    *  3. CREATED-PAIR BOUND: every census pair OUTSIDE the accepted
-    *     prefix that touches any accepted symbol has count < cᵢ. A
+    *  3. CREATED-PAIR BOUND (directional): every census pair OUTSIDE
+    *     the accepted prefix whose RIGHT element is some accepted aⱼ,
+    *     or whose LEFT element is some accepted bⱼ, has count < cᵢ. A
     *     pair created by merging pⱼ — (x, aⱼbⱼ) or (aⱼbⱼ, y) — has
-    *     count ≤ the OLD count of its parent (x, aⱼ) / (bⱼ, y), which
-    *     this bounds strictly below every remaining batched count, so
-    *     no created pair can beat (or tie) a batched pair at its
-    *     sequential step. A parent can only be INSIDE the prefix (and
-    *     so escape this bound) via shared symbols — excluded by 1 —
-    *     or by being pⱼ itself, which happens exactly for…
+    *     count ≤ the OLD count of its parent (x, aⱼ) / (bⱼ, y): a
+    *     parent always carries aⱼ on the right or bⱼ on the left, so
+    *     the directional maxima bound every creation strictly below
+    *     every remaining batched count and no created pair can beat
+    *     (or tie) a batched pair at its sequential step. (Bounding
+    *     ALL pairs touching accepted symbols would be sound but
+    *     needlessly strict — on natural text the hot symbols appear
+    *     in many high-count pairs as NON-parent neighbors, and the
+    *     batch would almost never engage.) Chained creations stay
+    *     bounded: an intermediate parent like (bⱼ, aₖ) never gains
+    *     count mid-batch (gains require an accepted product as one of
+    *     its elements — excluded by 2), so the induction closes on
+    *     the OLD census maxima. A parent can only be INSIDE the
+    *     prefix (and so escape this bound) via shared symbols —
+    *     excluded by 1 — or by being pⱼ itself, which happens exactly
+    *     for…
     *  4. …SELF-PAIRS: aⱼ = bⱼ ("a a a a" runs) ENDS the batch — its
     *     merge creates (aⱼbⱼ, aⱼ)-shaped pairs whose parent is pⱼ
     *     itself with count cⱼ ≥ anything later, so nothing may be
@@ -271,40 +282,68 @@ object Bpe {
     var done = false
     while (learned.size < rounds && !done) {
       val want = math.min(batchMax, rounds - learned.size)
-      // ONE materialized census per batch round feeds both the top-k
-      // collect and the touching-pair maxima — the two driver actions
-      // cost one census computation, not two
-      val (top, touchMax) = graft.Materialize.withReuse(
-        pairCensus(cur, sCol)) { cen =>
-        val t = cen.orderBy(col("c").desc, col("a"), col("b"))
-          .limit(want).collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        if (t.isEmpty) (t, Map.empty[String, Long])
-        else {
-          // for every symbol of the top sliver: the max count among
-          // census pairs OUTSIDE the sliver that touch it (condition 3
-          // folds the top sliver's own non-accepted rows back in
-          // driver-side, where the accepted set is known)
-          val syms = t.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
-          val notTop = not(t.map(p =>
-            col("a") === p._1 && col("b") === p._2).reduce(_ || _))
-          val tm = cen.filter(notTop)
-            .select(explode(array(
-              struct(col("a").as("sym"), col("c")),
-              struct(col("b").as("sym"), col("c")))).as("e"))
-            .select(col("e.sym").as("sym"), col("e.c").as("c"))
-            .filter(col("sym").isin(syms: _*))
-            .groupBy("sym").agg(max("c").as("m"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          (t, tm)
+      val cen = pairCensus(cur, sCol)
+      val top = cen.orderBy(col("c").desc, col("a"), col("b"))
+        .limit(want).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // the accepted set is a PREFIX, so it extends past p₁ only if
+      // (p₁, p₂) pass conditions 1/2/4 — decidable driver-side from
+      // the collected sliver. A round that can't extend (common early,
+      // when the hottest pairs chain into each other) therefore pays
+      // exactly [[train]]'s one census job; the touching-maxima job
+      // below runs only when a real batch is possible (and then its
+      // extra census evaluation is amortized by the ≥ 1 sequential
+      // rounds the batch replaces).
+      val canExtend = top.length >= 2 && {
+        val (a1, b1, _) = top(0); val (a2, b2, c2) = top(1)
+        val structural = a1 != b1 &&
+          Set(a1, b1).intersect(Set(a2, b2)).isEmpty &&
+          a1 + b1 != a2 && a1 + b1 != b2 &&
+          a2 + b2 != a1 && a2 + b2 != b1
+        // cond3's top-sliver component is free driver-side: a top pair
+        // outside {p₁, p₂} carrying a directional parent symbol at
+        // count ≥ c₂ already dooms the minimal extension, so the
+        // touching-maxima job is skipped (on natural text most m = 1
+        // rounds are decided right here — measured: without this the
+        // 30-round gate run pays ~2 jobs/round and lands SLOWER than
+        // sequential)
+        structural && !top.drop(2).exists { p =>
+          (p._2 == a1 || p._2 == a2 || p._1 == b1 || p._1 == b2) &&
+            p._3 >= c2
         }
       }
+      // directional maxima over census pairs OUTSIDE the top sliver:
+      // ("R", sym) = max count with sym as RIGHT element (parents of
+      // (x, sym·) creations), ("L", sym) = max with sym on the LEFT
+      // (parents of (·sym, y) creations). Condition 3 folds the top
+      // sliver's own non-accepted rows back in driver-side, where the
+      // accepted set is known.
+      val touchMax: Map[(String, String), Long] =
+        if (!canExtend) Map.empty
+        else {
+          val syms = top.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+          val notTop = not(top.map(p =>
+            col("a") === p._1 && col("b") === p._2).reduce(_ || _))
+          cen.filter(notTop)
+            .select(explode(array(
+              struct(lit("L").as("side"), col("a").as("sym"), col("c")),
+              struct(lit("R").as("side"), col("b").as("sym"), col("c")))).as("e"))
+            .select(col("e.side").as("side"), col("e.sym").as("sym"),
+              col("e.c").as("c"))
+            .filter(col("sym").isin(syms: _*))
+            .groupBy("side", "sym").agg(max("c").as("m"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        }
       if (top.isEmpty) done = true
       else {
-        // greedy prefix acceptance under conditions 1-3
+        // greedy prefix acceptance under conditions 1-4 (skipped
+        // entirely when the driver-side (p₁, p₂) check already fixed
+        // m = 1 — an empty touchMax must never reach cond3, which
+        // would read absent symbols as unbounded-safe)
         val accepted = scala.collection.mutable.ArrayBuffer(top.head)
         var i = 1
-        var stop = false
+        var stop = !canExtend
         while (i < top.length && !stop) {
           val (ai, bi, ci) = top(i)
           val accSyms = accepted.flatMap(p => Seq(p._1, p._2)).toSet
@@ -316,15 +355,21 @@ object Bpe {
             !accSyms(ai + bi) && !accepted.exists(p =>
               p._1 == ai + bi || p._2 == ai + bi)
           // condition 3 over the would-be accepted set (incl. pᵢ):
-          // touching pairs outside it must stay strictly below cᵢ —
-          // top-sliver rows beyond the prefix fold back in here
+          // DIRECTIONAL parent pairs outside it must stay strictly
+          // below cᵢ — right-element = some accepted aⱼ, or
+          // left-element = some accepted bⱼ; top-sliver rows beyond
+          // the prefix fold back in here
           def cond3 = {
-            val symsAll = (accepted :+ top(i)).flatMap(p => Seq(p._1, p._2)).toSet
-            val inPrefix = (accepted :+ top(i)).map(p => (p._1, p._2)).toSet
-            val fromCensus = symsAll.exists(s => touchMax.getOrElse(s, -1L) >= ci)
+            val pref = accepted :+ top(i)
+            val lefts = pref.map(_._1).toSet   // the aⱼs
+            val rights = pref.map(_._2).toSet  // the bⱼs
+            val inPrefix = pref.map(p => (p._1, p._2)).toSet
+            val fromCensus =
+              lefts.exists(s => touchMax.getOrElse(("R", s), -1L) >= ci) ||
+              rights.exists(s => touchMax.getOrElse(("L", s), -1L) >= ci)
             val fromTop = top.exists { p =>
               !inPrefix((p._1, p._2)) &&
-                (symsAll(p._1) || symsAll(p._2)) && p._3 >= ci
+                (lefts(p._2) || rights(p._1)) && p._3 >= ci
             }
             !fromCensus && !fromTop
           }
