@@ -384,9 +384,15 @@ final class SketchStore(val spark: SparkSession, val prefix: String,
     val dsk = matz(Dedup.bottomKSketches(delta, idCol, textCol, n, k))
     val dIds = dsk.select(col("id"))
     // replay determinism: a delta row already committed by a crashed
-    // attempt must not appear on BOTH sides of the union
+    // attempt must not appear on BOTH sides of the union. No broadcast
+    // HINT: the anti-join key set is the WHOLE delta id column — a
+    // micro-batch is sliver-sized and AQE broadcasts it, but a bulk
+    // monthly delta (10⁹ rows) must fall back to a hash anti-join,
+    // which a forced broadcast would OOM instead (the tombstone
+    // slivers elsewhere are bounded by takedown volume; this one is
+    // bounded only by the caller's batch size)
     def minusDelta(df: DataFrame): DataFrame =
-      df.join(broadcast(dIds), Seq("id"), "left_anti")
+      df.join(dIds, Seq("id"), "left_anti")
     val pairs = Dedup.containmentSketchDeltaFromSketches(
       minusDelta(sketches()), minusDelta(index()), dsk,
       k, threshold, bucketCap, salt)
