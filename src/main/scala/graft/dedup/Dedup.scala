@@ -841,9 +841,12 @@ object Dedup {
         keyed.select(col(idCol), col("cluster"), coin.as("fold"))
       case Some(p) =>
         // validate the prior sliver in-plan: a prior table built with a
-        // larger k (fold >= this k) or carrying null folds must fail
-        // loudly, not silently re-coin / emit out-of-range folds
-        val pfChecked = when(col("__pf").isNull || col("__pf") >= k,
+        // larger k (fold >= this k), carrying null folds, or corrupt
+        // negative folds must fail loudly, not silently re-coin /
+        // emit out-of-range folds (min() would otherwise PREFER a
+        // negative fold and pin the whole cluster to it)
+        val pfChecked = when(
+          col("__pf").isNull || col("__pf") < 0 || col("__pf") >= k,
           raise_error(concat(lit(s"groupKFold: prior fold out of range for k=$k: "),
             coalesce(col("__pf").cast("string"), lit("NULL")))))
           .otherwise(col("__pf"))

@@ -234,8 +234,10 @@ object Bpe {
     *     batch would almost never engage.) Chained creations stay
     *     bounded: an intermediate parent like (bⱼ, aₖ) never gains
     *     count mid-batch (gains require an accepted product as one of
-    *     its elements — excluded by 2), so the induction closes on
-    *     the OLD census maxima. A parent can only be INSIDE the
+    *     its elements — excluded by 2 for products minted INSIDE the
+    *     batch, and by condition 5 below when the product string
+    *     PRE-EXISTS as a vocabulary symbol), so the induction closes
+    *     on the OLD census maxima. A parent can only be INSIDE the
     *     prefix (and so escape this bound) via shared symbols —
     *     excluded by 1 — or by being pⱼ itself, which happens exactly
     *     for…
@@ -245,6 +247,17 @@ object Bpe {
     *     accepted after it (the spec's planted "ababab…" fixture
     *     catches precisely this: (ab,ab) then (abab,abab) manufacture
     *     successors that outrank the rest of the old census).
+    *  5. PRE-EXISTING PRODUCTS: if an accepted product aⱼbⱼ already
+    *     occurs as an element of some census pair (distinct merge
+    *     paths can mint the same string — "a"+"bc" vs "ab"+"c"), the
+    *     merge's created adjacencies FOLD into the existing
+    *     (x, aⱼbⱼ)/(aⱼbⱼ, y) rows; each part is individually below cᵢ
+    *     (old side by cond-3's bound were it checked, created side by
+    *     3) but their SUM may overtake a later accepted pair. Such a
+    *     pair therefore ends the batch (accepting it LAST is exact —
+    *     the fold only affects steps after its own). Detected via the
+    *     touching-maxima census filter extended with candidate
+    *     products plus a top-sliver scan.
     *
     * Under 1–3 the sequential argmax at step i is exactly pᵢ: old
     * pairs ranked above pᵢ are precisely p₁..pᵢ₋₁ (top-prefix order;
@@ -321,7 +334,15 @@ object Bpe {
       val touchMax: Map[(String, String), Long] =
         if (!canExtend) Map.empty
         else {
-          val syms = top.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+          // candidate PRODUCTS ride along in the filter: a product
+          // a+b that already occurs as a census-pair element is a
+          // pre-existing vocabulary symbol (distinct merge paths can
+          // yield the same string), and applying that merge folds its
+          // created adjacencies into the existing (x, prod)/(prod, y)
+          // rows — a summed count cond3's per-part bounds don't cover.
+          // The acceptance loop ends the batch after such a pair.
+          val syms = (top.flatMap(p => Seq(p._1, p._2)) ++
+            top.map(p => p._1 + p._2)).distinct.toSeq
           val notTop = not(top.map(p =>
             col("a") === p._1 && col("b") === p._2).reduce(_ || _))
           cen.filter(notTop)
@@ -350,7 +371,21 @@ object Bpe {
           val accProds = accepted.map(p => p._1 + p._2).toSet
           // condition 4: an accepted self-pair ends the batch
           val noSelfBefore = accepted.forall(p => p._1 != p._2)
-          val disjoint = noSelfBefore && !accSyms(ai) && !accSyms(bi)
+          // condition 5: an accepted pair whose product PRE-EXISTS as
+          // a census-pair element ends the batch — applying it folds
+          // created adjacencies into the existing (x, prod)/(prod, y)
+          // counts, whose SUM can overtake cᵢ even when each part
+          // individually stays below it (so cond3 alone is blind to
+          // it). Accepting such a pair LAST is still sequential-exact:
+          // the fold only affects counts at steps after its own.
+          val noPreExistProdBefore = accepted.forall { p =>
+            val prod = p._1 + p._2
+            !touchMax.contains(("L", prod)) &&
+              !touchMax.contains(("R", prod)) &&
+              !top.exists(q => q._1 == prod || q._2 == prod)
+          }
+          val disjoint = noSelfBefore && noPreExistProdBefore &&
+            !accSyms(ai) && !accSyms(bi)
           val concatSafe = !accProds(ai) && !accProds(bi) &&
             !accSyms(ai + bi) && !accepted.exists(p =>
               p._1 == ai + bi || p._2 == ai + bi)
