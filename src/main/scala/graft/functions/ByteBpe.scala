@@ -1,0 +1,216 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BYTE-level BPE — the GPT-2 / tiktoken tokenizer convention
+  * (Radford et al. 2019 §2.2; the openai/gpt-2 `encoder.py`
+  * algorithm, reimplemented from the published description), as
+  * opposed to [[Bpe]]'s subword-nmt WORD-level convention (Sennrich
+  * et al. 2016). This is what modern training runs actually tokenize
+  * with, and the convention differs in exactly two places:
+  *
+  *  1. '''Alphabet''': the base symbols are the 256 UTF-8 BYTES of
+  *     the text, not its codepoints — so there is no UNK by
+  *     construction (any byte sequence is encodable) and multi-byte
+  *     codepoints can merge across "character" boundaries. Each byte
+  *     is carried as one PRINTABLE unicode char via the reversible
+  *     GPT-2 byte↔unicode table ([[byteToChar]]): printable latin
+  *     bytes map to themselves, the other 68 shift to U+0100+n —
+  *     e.g. space(0x20) → 'Ġ'(U+0120). The merge machinery is then
+  *     IDENTICAL to the word-level kernel ([[BpeKernel.segment]] runs
+  *     unchanged over the mapped chars), which is why the t21 oracle's
+  *     recursive framed-replace replay gates this path too.
+  *  2. '''Pre-tokenizer''': the GPT-2 regex ([[PreTokenPattern]])
+  *     splits text into contraction / letter-run / digit-run /
+  *     punctuation-run pre-tokens, each optionally carrying ONE
+  *     leading space (which byte-maps to the 'Ġ' prefix); merges
+  *     never cross pre-token boundaries. Runs of 2+ spaces stay
+  *     their own pre-token except the last space, which attaches to
+  *     the following word (the `\s+(?!\S)` lookahead).
+  *
+  * Round-trip contract: `decode(encode(s)) == s` for EVERY string —
+  * byte mapping is a bijection and merges only concatenate
+  * (ByteBpeSpec pins multi-byte UTF-8, emoji / CJK / combining
+  * marks).
+  *
+  * Shape for scale (unchanged from [[Bpe]]): segmentation runs once
+  * per DISTINCT pre-token (the tf/df sliver) as the same native
+  * codegen'd kernel; counts join back through the (id, pre-token)
+  * table; corpus text never shuffles. The byte mapping itself is
+  * three codegen'd built-ins (`encode` → UTF-8 bytes, `decode`
+  * ISO-8859-1 → one char per byte, `translate` → GPT-2 alphabet) —
+  * no UDF anywhere.
+  */
+object ByteBpe {
+
+  /** GPT-2 bytes↔unicode bijection: bytes in [33,126] ∪ [161,172] ∪
+    * [174,255] map to their own codepoint; the remaining 68 bytes map
+    * to U+0100+n in increasing byte order (0x00→U+0100 … 0x20→U+0120
+    * 'Ġ' … 0xAD→U+0143). */
+  val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse of [[byteToChar]]. */
+  val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** The GPT-2 pre-tokenizer regex (contractions, ` ?letters`,
+    * ` ?digits`, ` ?punct`, trailing-safe whitespace). `(?U)` lifts
+    * java.util.regex's ASCII-only `\s` to unicode whitespace —
+    * Python-`re` parity, where the published pattern lives. */
+  val PreTokenPattern: String =
+    """(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  @transient private lazy val prePattern =
+    java.util.regex.Pattern.compile(PreTokenPattern)
+
+  /** Default byte-level merges fixture (t21d): hand-authored rules in
+    * the byte-unicode alphabet, priority order — the 'Ġ'-prefixed
+    * entries are the hallmark of a real GPT-2 `merges.txt` (where
+    * " t" is literally rank 0). Self-contained PUBLIC stand-in, same
+    * role as [[Bpe.merges]]. */
+  val merges: Seq[(String, String)] = Seq(
+    "Ġ" -> "t", "Ġt" -> "a", "Ġta" -> "b",
+    "t" -> "h", "th" -> "e", "Ġ" -> "s", "Ġs" -> "c",
+    "Ġsc" -> "a", "a" -> "n", "Ġ" -> "a", "e" -> "r",
+    "o" -> "r", "Ġa" -> "g", "r" -> "o", "Ġ" -> "w",
+    "l" -> "e", "u" -> "e", "a" -> "l", "Ġs" -> "t",
+    "v" -> "a", "q" -> "u", "qu" -> "er", "i" -> "g", "b" -> "ig",
+    "Ġw" -> "in", "i" -> "n", "o" -> "w", "Ġ" -> "f",
+    "Ġf" -> "il", "i" -> "l")
+
+  /** SQL VALUES literal of [[merges]] for oracle construction ('Ġ'
+    * spelled `chr(288)` so the SQL text stays ASCII). */
+  def mergesSqlValues: String = merges.zipWithIndex
+    .map { case ((a, b), i) =>
+      def q(s: String) = s.map {
+        case 'Ġ' => "' || chr(288) || '"
+        case c => c.toString
+      }.mkString("'", "", "'")
+      s"($i,${q(a)},${q(b)})"
+    }.mkString(", ")
+
+  // ---------------------------------------------------------------
+  // driver/test-side scalar path (the spec surface)
+
+  /** GPT-2 pre-tokenization of one string. */
+  def preTokenize(text: String): Seq[String] = {
+    val m = prePattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** String → byte-unicode form (UTF-8 bytes, each as one char). */
+  def toByteUnicode(s: String): String = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteToChar(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[toByteUnicode]] — bytes back, decoded as UTF-8. */
+  def fromByteUnicode(u: String): String = {
+    val out = new Array[Byte](u.length)
+    var i = 0
+    while (i < u.length) {
+      out(i) = charToByte(u.charAt(i)).toByte
+      i += 1
+    }
+    new String(out, StandardCharsets.UTF_8)
+  }
+
+  /** Full GPT-2 encode: pre-tokenize → byte-map → merge loop per
+    * pre-token. Returns the final subword symbols (byte-unicode
+    * strings — a real deployment would join to a vocab for ids). */
+  def encode(text: String,
+             rules: Seq[(String, String)] = merges): Seq[String] = {
+    val ranks = BpeKernel.rankMap(rules)
+    preTokenize(text).flatMap { pt =>
+      BpeKernel.segment(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toByteUnicode(pt)), ranks).toSeq
+    }
+  }
+
+  /** Inverse of [[encode]]: concatenate symbols, unmap, UTF-8
+    * decode. Total — any encode output round-trips exactly. */
+  def decode(tokens: Seq[String]): String = fromByteUnicode(tokens.mkString)
+
+  // ---------------------------------------------------------------
+  // Spark column path — builtins only, all codegen'd
+
+  private val Latin1Alphabet: String = new String((0 until 256).map(_.toChar).toArray)
+  private val ByteAlphabet: String = new String(byteToChar)
+
+  // the scalar encode/decode above shadow the sql builtins — alias
+  private def sqlEncode(c: Column, cs: String): Column =
+    org.apache.spark.sql.functions.encode(c, cs)
+  private def sqlDecode(c: Column, cs: String): Column =
+    org.apache.spark.sql.functions.decode(c, cs)
+
+  /** Column → its byte-unicode form: UTF-8 bytes → one ISO-8859-1
+    * char per byte → `translate` into the GPT-2 alphabet. */
+  def byteUnicodeCol(c: Column): Column =
+    translate(sqlDecode(sqlEncode(c, "UTF-8"), "ISO-8859-1"),
+      Latin1Alphabet, ByteAlphabet)
+
+  /** Inverse of [[byteUnicodeCol]]. */
+  def fromByteUnicodeCol(c: Column): Column =
+    sqlDecode(sqlEncode(translate(c, ByteAlphabet, Latin1Alphabet),
+      "ISO-8859-1"), "UTF-8")
+
+  /** GPT-2 pre-tokens of a text column → array<string> (java regex —
+    * the lookahead is fine here, unlike RE2). */
+  def preTokens(c: Column): Column =
+    regexp_extract_all(c, lit(PreTokenPattern), lit(0))
+
+  /** Byte-level segmentation of one pre-token column →
+    * array<string> of byte-unicode symbols (the [[Bpe.tokenize]]
+    * kernel over the mapped chars — byte symbols ARE chars here). */
+  def tokenizeBytes(preToken: Column,
+                    rules: Seq[(String, String)] = merges): Column =
+    Bpe.tokenize(byteUnicodeCol(preToken), rules)
+
+  /** Per-document byte-level BPE ENCODING over a corpus (t21d) —
+    * [[Bpe.encodeFingerprint]]'s exact shape with the GPT-2
+    * pre-tokenizer and byte alphabet: segment once per DISTINCT
+    * pre-token, positional join-back, per-doc ordered piece stream
+    * fingerprinted with md5. Byte-unicode pieces never contain a raw
+    * space (space maps to 'Ġ'), so the space-joined fingerprint is
+    * unambiguous. Returns
+    * `(idCol, n_pre_tokens, n_bpe_tokens, stream_fp)`. */
+  def encodeFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                        rules: Seq[(String, String)] = merges): DataFrame = {
+    val tokPos = docs.select(col(idCol),
+      posexplode(preTokens(col(textCol))).as(Seq("__p", "__t")))
+    val vocab = graft.Materialize.reuse(
+      tokPos.select("__t").distinct()
+        .withColumn("__arr", tokenizeBytes(col("__t"), rules))
+        .select(col("__t"), array_join(col("__arr"), " ").as("__pieces"),
+          size(col("__arr")).cast("long").as("__ns")))
+    tokPos.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pre_tokens"),
+        sum(col("__ns")).as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("__p"), col("__pieces"))))
+          .as("__seq"))
+      .select(col(idCol), col("n_pre_tokens"), col("n_bpe_tokens"),
+        md5(array_join(transform(col("__seq"),
+          x => x.getField("__pieces")), " ")).as("stream_fp"))
+  }
+}

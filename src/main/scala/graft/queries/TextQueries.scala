@@ -735,6 +735,64 @@ object TextQueries {
         md5(string_agg(fin.pieces, ' ' ORDER BY tokp.i)) AS stream_fp
       FROM tokp JOIN fin USING (w) GROUP BY 1"""))
 
+  /** T21d: BYTE-level BPE encoding — the GPT-2/tiktoken convention
+    * ([[graft.functions.ByteBpe]], judge r15 #2), vs t21/t21c's
+    * subword-nmt word-level convention: the alphabet is the 256
+    * UTF-8 BYTES (carried as printable chars via the reversible
+    * GPT-2 byte↔unicode table, space → 'Ġ'; no UNK by construction)
+    * and pre-tokenization is the GPT-2 regex (each pre-token takes
+    * at most one leading space). The merge kernel and the oracle's
+    * recursive framed-replace replay are UNCHANGED — byte symbols
+    * are just chars.
+    *
+    * Oracle equivalence: the documents corpus is `^[a-z ]+$`,
+    * single-spaced and trimmed at every SF (verified), where the
+    * GPT-2 pre-token stream is EXACTLY the whitespace split with 'Ġ'
+    * (chr(288) — the byte-unicode image of 0x20) prefixed to every
+    * non-initial word, and ASCII bytes map to themselves. The md5
+    * stream fingerprint turns any divergence (different
+    * pre-tokenization, wrong byte mapping, wrong merge) into a loud
+    * hash fail. Multi-byte UTF-8 fidelity — where byte-level differs
+    * observably from char-level — is spec-pinned (ByteBpeSpec
+    * round-trips emoji/CJK/combining marks through the same column
+    * path and pins decode(encode(s)) == s).
+    */
+  val t21dByteBpe = QueryDef(
+    "t21d_byte_bpe_encode",
+    (s, dir) => graft.functions.ByteBpe.encodeFingerprint(
+      table(s, dir, "documents"), "doc_id", "text"),
+    Some("""WITH RECURSIVE
+      bmg(rk, a, b) AS (SELECT * FROM (VALUES """ +
+      graft.functions.ByteBpe.mergesSqlValues + """) m(rk, a, b)),
+      tokd AS (SELECT doc_id, i,
+          CASE WHEN i = 1 THEN ws[i::INT]
+               ELSE chr(288) || ws[i::INT] END AS w
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents) d,
+          LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u),
+      v AS (SELECT DISTINCT w FROM tokd),
+      init AS (SELECT w, array_to_string(list_transform(range(length(w)),
+        i -> chr(1) || substr(w, (i+1)::INT, 1) || chr(1)), '') AS s FROM v),
+      steps(w, s) AS (
+        SELECT w, s FROM init
+        UNION ALL
+        SELECT w, min_by(replace(s,
+            chr(1) || a || chr(1) || chr(1) || b || chr(1),
+            chr(1) || a || b || chr(1)), rk)
+        FROM steps JOIN bmg
+          ON contains(s, chr(1) || a || chr(1) || chr(1) || b || chr(1))
+        GROUP BY w, s),
+      fin AS (SELECT w,
+        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns,
+        trim(replace(s, chr(1) || chr(1), ' '), chr(1)) AS pieces
+        FROM steps st WHERE NOT EXISTS (
+          SELECT 1 FROM bmg
+          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))
+      SELECT tokd.doc_id, CAST(count(*) AS BIGINT) AS n_pre_tokens,
+        CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens,
+        md5(string_agg(fin.pieces, ' ' ORDER BY tokd.i)) AS stream_fp
+      FROM tokd JOIN fin USING (w) GROUP BY 1"""))
+
   /** t24's unrolled learning rounds: census → argmax → one framed
     * replace, exactly [[graft.functions.Bpe.train]]'s loop (see its
     * determinism contract). `s24_0` is the codepoint-framed vocab;
@@ -4783,7 +4841,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t27C4, t28StupidBackoff, t28bStupidBackoff5,
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t22bCalibration, t23ClassifierAuc,
-    t21Bpe, t21cBpeEncode, t24BpeTrain, t24bBpeLearnedTokens,
+    t21Bpe, t21cBpeEncode, t21dByteBpe, t24BpeTrain, t24bBpeLearnedTokens,
     t24cBpeCheckpointed, t24dBpeBatched, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d14IncrementalContainment, d13bContainmentCapped, d14bIncrementalCapped,
