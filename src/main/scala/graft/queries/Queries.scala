@@ -260,7 +260,8 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, e3Cross, e5Coords, v1Sweep, v2Throughput, v4Multi, v6Tolerant, c6Cases, m9Missing, c1Dense,
     c2Explode, p7AutoXyz) ++ StoreReduceQueries.all ++ TextQueries.all ++
-    LifecycleQueries.all ++ ComplexQueries.all ++ ClusterQueries.all
+    LifecycleQueries.all ++ ComplexQueries.all ++ ClusterQueries.all ++
+    WetQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

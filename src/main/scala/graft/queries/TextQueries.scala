@@ -2538,20 +2538,15 @@ object TextQueries {
     * exact counters, md5 of the rebuilt article text) identically on
     * every document.
     */
-  val t26Boilerplate = QueryDef(
-    "t26_boilerplate",
-    (s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.Boilerplate.clean(col("text")).as("b"))
-      .select(col("doc_id"),
-        col("b.n_kept").cast("long").as("n_kept"),
-        col("b.n_dropped").cast("long").as("n_dropped"),
-        length(col("b.clean")).cast("long").as("clean_chars"),
-        md5(col("b.clean")).as("clean_fp")),
-    Some("""WITH nb AS (SELECT doc_id, regexp_replace(regexp_replace(
+  /** t26's rule replay CTEs (nb→ls→ln→ft→kp: script/style strip, tag
+    * strip + entity decode per line, the ≥20-char and 2·link<body
+    * gates) over `src` — shared by t26's gate and wet2's raw-WET
+    * composition. */
+  private[queries] def t26CleanCtes(src: String): String =
+    s"""nb AS (SELECT doc_id, regexp_replace(regexp_replace(
           regexp_replace(text, '\r\n?', chr(10), 'g'),
           '(?is)<script[^>]*>.*?</script>', '', 'g'),
-          '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM documents),
+          '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM $src),
       ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nb),
       ln AS (SELECT doc_id, i, ls[i::INT] AS line FROM ls,
         LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u),
@@ -2569,7 +2564,19 @@ object TextQueries {
         FROM ln),
       kp AS (SELECT doc_id, i, body,
           (length(body) >= 20 AND 2 * link < length(body)) AS keep
-        FROM ft)
+        FROM ft)"""
+
+  val t26Boilerplate = QueryDef(
+    "t26_boilerplate",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Boilerplate.clean(col("text")).as("b"))
+      .select(col("doc_id"),
+        col("b.n_kept").cast("long").as("n_kept"),
+        col("b.n_dropped").cast("long").as("n_dropped"),
+        length(col("b.clean")).cast("long").as("clean_chars"),
+        md5(col("b.clean")).as("clean_fp")),
+    Some("WITH " + t26CleanCtes("documents") + """
       SELECT doc_id,
         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,

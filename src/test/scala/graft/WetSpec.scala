@@ -1,0 +1,182 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.{Wet, WetSink}
+import org.apache.spark.sql.functions._
+
+/** [[Wet]] — WARC/WET parsing against HAND-BUILT byte layouts written
+  * independently of [[WetSink]] (the PngCodec/ZarrSource fixture
+  * discipline: the reader must decode bytes it did not produce),
+  * plus the sink round-trip and its determinism contract.
+  */
+class WetSpec extends SparkSpec {
+
+  /** Build one raw WARC record from explicit header lines (the test's
+    * OWN layout — not WetSink's writer). */
+  private def rawRecord(headers: Seq[String], block: Array[Byte]): Array[Byte] = {
+    val head = (headers :+ s"Content-Length: ${block.length}")
+      .mkString("", "\r\n", "\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    head ++ block ++ "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+  }
+
+  private def gzMembers(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  test("hand-built multi-record gzip fixture: headers in any order, extras ignored") {
+    val block1 = "extracted page text\nsecond line".getBytes(StandardCharsets.UTF_8)
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq(
+        "WARC/1.0",                        // 1.0 accepted too
+        "WARC-Type: warcinfo",
+        "WARC-Date: 2020-05-06T07:08:09Z",
+        "WARC-Record-ID: <urn:uuid:aaa>",
+        "Content-Type: application/warc-fields"),
+        "software: handmade\r\n".getBytes(StandardCharsets.US_ASCII)),
+      rawRecord(Seq(
+        "WARC/1.1",
+        "WARC-Record-ID: <urn:uuid:bbb>",  // order ≠ WetSink's
+        "WARC-Block-Digest: sha1:ignored", // extra header tolerated
+        "WARC-Target-URI: http://x.test/p1",
+        "Content-Type: text/plain",
+        "WARC-Date: 2021-01-02T03:04:05Z",
+        "WARC-Type: conversion"),
+        block1)))
+    val recs = Wet.records(fixture, "fix1").toSeq
+    assert(recs.map(_.warc_type) == Seq("warcinfo", "conversion"))
+    assert(recs.map(_.record_ix) == Seq(0, 1))
+    val c = recs(1)
+    assert(c.target_uri == "http://x.test/p1")
+    assert(c.warc_date == "2021-01-02T03:04:05Z")
+    assert(c.record_id == "<urn:uuid:bbb>")
+    assert(c.content_length == block1.length)
+    assert(c.text == "extracted page text\nsecond line")
+    assert(recs.head.target_uri == "") // warcinfo has no URI
+  }
+
+  test("Content-Length framing: a block containing 'WARC/1.0' does not resync") {
+    val tricky = "fake header ahead\r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody"
+      .getBytes(StandardCharsets.UTF_8)
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.1", "WARC-Type: conversion",
+        "WARC-Target-URI: http://x.test/a"), tricky),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: conversion",
+        "WARC-Target-URI: http://x.test/b"), "after".getBytes)))
+    val recs = Wet.records(fixture, "fix2").toSeq
+    assert(recs.size == 2)
+    assert(recs(0).text == new String(tricky, StandardCharsets.UTF_8))
+    assert(recs(1).target_uri == "http://x.test/b")
+    assert(recs(1).text == "after")
+  }
+
+  test("Content-Length counts BYTES: multi-byte UTF-8 block") {
+    val s = "héllo 😀 世界"
+    val block = s.getBytes(StandardCharsets.UTF_8)
+    assert(block.length > s.length) // the point of the test
+    val fixture = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: conversion",
+        "WARC-Target-URI: http://x.test/u"), block)))
+    val r = Wet.records(fixture, "fix3").toSeq.head
+    assert(r.content_length == block.length)
+    assert(r.text == s)
+  }
+
+  test("plain (uncompressed) input and bare-LF line endings accepted") {
+    val raw = ("WARC/1.1\nWARC-Type: conversion\n" +
+      "WARC-Target-URI: http://x.test/lf\nContent-Length: 4\n\nbody\n\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    val r = Wet.records(raw, "fix4").toSeq
+    assert(r.size == 1 && r.head.text == "body" &&
+      r.head.target_uri == "http://x.test/lf")
+  }
+
+  test("malformed inputs fail loudly") {
+    // truncated content block
+    val trunc = {
+      val full = gzMembers(Seq(rawRecord(
+        Seq("WARC/1.1", "WARC-Type: conversion"),
+        ("x" * 500).getBytes)))
+      full // gzip of full record, but lie about the length inside:
+    }
+    val lying = gzMembers(Seq(
+      ("WARC/1.1\r\nWARC-Type: conversion\r\nContent-Length: 99\r\n\r\nshort"
+        ).getBytes(StandardCharsets.US_ASCII)))
+    val e1 = intercept[java.io.EOFException] {
+      Wet.records(lying, "fixT").toSeq
+    }
+    assert(e1.getMessage.contains("fixT") &&
+      e1.getMessage.contains("truncated"))
+    assert(trunc.nonEmpty)
+    // missing Content-Length
+    val noLen = gzMembers(Seq(
+      "WARC/1.1\r\nWARC-Type: conversion\r\n\r\n".getBytes(StandardCharsets.US_ASCII)))
+    val e2 = intercept[IllegalArgumentException] {
+      Wet.records(noLen, "fixN").toSeq
+    }
+    assert(e2.getMessage.contains("Content-Length"))
+    // garbage where a record header should be
+    val garbage = gzMembers(Seq("HTTP/1.1 200 OK\r\n\r\n".getBytes))
+    val e3 = intercept[IllegalArgumentException] {
+      Wet.records(garbage, "fixG").toSeq
+    }
+    assert(e3.getMessage.contains("expected WARC/1.x"))
+  }
+
+  test("sink round-trip: member-per-record, warcinfo lead, deterministic bytes") {
+    import spark.implicits._
+    val docs = (0L until 37L)
+      .map(i => (s"http://x.test/doc/$i", s"text body $i with € and 😀"))
+      .toDF("uri", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wetspec").toString
+    WetSink.write(docs, dir + "/w", "uri", "text", numFiles = 3)
+    val files = new java.io.File(dir + "/w").listFiles().sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      Seq("part-00000.warc.wet.gz", "part-00001.warc.wet.gz",
+        "part-00002.warc.wet.gz"))
+    // member-per-record: Java gzip's fixed 10-byte header once per record+warcinfo
+    val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte)
+    val allRecs = files.flatMap { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val recs = Wet.records(bytes, f.getName).toSeq
+      val members = bytes.sliding(header.length).count(_.sameElements(header))
+      assert(members == recs.size,
+        s"${f.getName}: ${recs.size} records but $members gzip members")
+      // warcinfo leads, conversions sorted by uri
+      assert(recs.head.warc_type == "warcinfo" && recs.head.record_ix == 0)
+      val uris = recs.tail.map(_.target_uri)
+      assert(recs.tail.forall(_.warc_type == "conversion"))
+      assert(uris == uris.sorted)
+      recs
+    }
+    assert(allRecs.count(_.warc_type == "conversion") == 37)
+    // round-trip through the DataFrame reader: text + byte lengths exact
+    val back = Wet.read(spark, dir + "/w/*.warc.wet.gz")
+      .filter(col("warc_type") === "conversion")
+      .select("target_uri", "text", "content_length")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    (0L until 37L).foreach { i =>
+      val (t, cl) = back(s"http://x.test/doc/$i")
+      assert(t == s"text body $i with € and 😀")
+      assert(cl == t.getBytes(StandardCharsets.UTF_8).length)
+    }
+    // determinism: a second write produces byte-identical files
+    WetSink.write(docs, dir + "/w2", "uri", "text", numFiles = 3)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val again = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir + s"/w2/${f.getName}").toPath)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath), again),
+        s"file ${f.getName} not byte-deterministic")
+    }
+  }
+}
