@@ -487,4 +487,141 @@ class StreamingFileSpec extends SparkSpec {
       assert(total == batch)
     } finally q.stop()
   }
+
+  test("wet-clean stream ≡ batch Wet.read + rule clean, across restart") {
+    import graft.sources.{Wet, WetSink}
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val goodLines = (1 to 6).map(i =>
+      s"this is fine sentence number $i about data quality and structure.")
+    def page(extra: String*): String = (goodLines ++ extra).mkString("\n")
+    def mkWet(docs: Seq[(String, String)], name: String): Unit = {
+      val stage = tmp()
+      WetSink.write(docs.toDF("uri", "text"), stage, "uri", "text",
+        numFiles = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage, "part-00000.warc.wet.gz"),
+        java.nio.file.Paths.get(in, name))
+    }
+    mkWet(Seq(
+      ("http://x.test/good1", page()),
+      ("http://x.test/lorem", page("and then Lorem Ipsum dolor sit amet.")),
+      ("http://x.test/chrome", goodLines.take(3).mkString("\n") +
+        "\n<script>var x = 1;</script>\n<a href=\"/n\">nav nav nav nav nav</a>")),
+      "crawl-0001.warc.wet.gz")
+    def runOnce(): Unit = {
+      val q = Streaming.wetCleanStream(
+        spark.readStream.format("binaryFile")
+          .schema(graft.streaming.Streaming.BinaryFileSchema)
+          .option("pathGlobFilter", "*.warc.wet.gz").load(in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    mkWet(Seq(                      // arrives while the stream is DOWN
+      ("http://x.test/good2", page("one more closing sentence for the second file.")),
+      ("http://x.test/short", "too short.")),
+      "crawl-0002.warc.wet.gz")
+    runOnce()                       // restart from checkpoint
+    val got = spark.read.parquet(out).select("target_uri", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // batch reference: the same parse + the same stateless chain
+    val want = Streaming.ruleCleanStream(
+      Wet.read(spark, in + "/*.warc.wet.gz")
+        .filter(col("warc_type") === "conversion")
+        .select("target_uri", "text"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, s"stream (${got.size}) must equal batch (${want.size})")
+    assert(got.map(_._1) == Set("http://x.test/good1", "http://x.test/good2"),
+      "page gates: lorem/chrome/short pages dropped, good pages kept")
+  }
+
+  test("streamed monthly refresh ≡ batch p4 refresh, with a crash between the two commits") {
+    import graft.dedup.{DedupSnapshot, SketchStore}
+    import graft.functions.QualityClassifier
+    val in = tmp(); val ckpt = tmp(); val pairsOut = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val cut = docs.agg(max("doc_id")).head.getLong(0) * 3 / 5
+    val store = docs.filter(col("doc_id") <= cut)
+    val delta = docs.filter(col("doc_id") > cut).select("doc_id", "lang", "text")
+    // ---- shared frozen build artifacts (p4's build stage)
+    val (w, storeScored) = QualityClassifier.fitScore(store, "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      dim = 64, iters = 4)
+    val mu = storeScored.agg(expr("sum(score_micro) div count(1)"))
+      .head.getLong(0)
+    def build(tag: String): (DedupSnapshot, SketchStore) = {
+      val snap = new DedupSnapshot(spark, tag, nBuckets = 4,
+        n = 3, bands = 16, rows = 4, threshold = 0.8, bucketCap = 100000)
+      snap.writeCorpus(store, "doc_id", "text", keepCols = Seq("lang", "text"))
+      val skst = new SketchStore(spark, tag + "sk", nBuckets = 4,
+        n = 3, k = 32, threshold = 0.8, bucketCap = 100000)
+      skst.build(store, "doc_id", "text")
+      (snap, skst)
+    }
+    // ---- batch reference: p4's refresh chain over the WHOLE delta
+    val (snapB, skstB) = build("graft_refb")
+    val cleanedB = graft.Materialize.reuse(delta
+      .withColumn("text",
+        graft.functions.Boilerplate.clean(col("text")).getField("clean"))
+      .filter(!lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{")))
+    val gatedB = cleanedB.join(
+      QualityClassifier.scoreWith(cleanedB, "doc_id", "text", w, dim = 64)
+        .filter(col("score_micro") >= mu).select("doc_id"), Seq("doc_id"))
+    val survB = snapB.ingestDelta(gatedB.select("doc_id", "lang", "text"),
+      "doc_id", "text", keepCols = Seq("lang", "text"), commit = true)
+    val pairsB = skstB.ingestDelta(survB.select("doc_id", "text"),
+        "doc_id", "text", commit = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusB = snapB.corpus().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // ---- streamed run: two files, a crash INJECTED between the two
+    // leased commits of the first batch, restart, second file
+    val (snapS, skstS) = build("graft_refs")
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING")
+    def runOnce(fault: Boolean): Option[Throwable] = {
+      val q = Streaming.refreshSink(
+        spark.readStream.schema(schema).parquet(in),
+        snapS, skstS, w, mu, "doc_id", "text", Seq("lang", "text"),
+        pairsOut, ckpt,
+        faultPoint = () =>
+          if (fault && boom.getAndSet(false))
+            throw new RuntimeException("injected crash between commits"))
+      try { q.processAllAvailable(); q.stop(); None }
+      catch { case e: Throwable => try q.stop() catch { case _: Throwable => }; Some(e) }
+    }
+    val mid = delta.agg(expr("percentile_approx(doc_id, 0.5)")).head
+      .get(0).toString.toLong
+    delta.filter(col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(in)
+    val failed = runOnce(fault = true)
+    assert(failed.isDefined, "the injected crash must surface through the query")
+    runOnce(fault = false)   // restart: replay lands the missed commit
+    delta.filter(col("doc_id") > mid).coalesce(1).write.mode("append").parquet(in)
+    runOnce(fault = false)
+    // ---- convergence: stores and release artifacts equal
+    val corpusS = snapS.corpus().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(corpusS == corpusB,
+      s"streamed corpus (${corpusS.size}) must equal batch (${corpusB.size})")
+    assert(snapS.corpus().count() == corpusS.size) // exactly-once, no dup rows
+    val pairsS = spark.read.parquet(pairsOut).select("id_a", "id_b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsS == pairsB,
+      s"streamed containment pairs (${pairsS.size}) must equal batch (${pairsB.size})")
+    assert(corpusS.size > store.count().toInt, "some delta docs must land")
+    // the release VIEW (corpus minus containment-flagged) matches too
+    def release(snap: DedupSnapshot, pairs: Set[(Long, Long)]): Set[Long] = {
+      val flagged = pairs.flatMap(p => Seq(p._1, p._2))
+        .filter(_ > cut)
+      snap.corpus().select("doc_id").collect().map(_.getLong(0))
+        .filterNot(flagged).toSet
+    }
+    assert(release(snapS, pairsS) == release(snapB, pairsB))
+  }
 }
