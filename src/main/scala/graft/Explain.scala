@@ -54,7 +54,12 @@ object Explain {
         // sweep)
         "t25b_kn5_lm", "cp6b_perplexity_buckets5",
         "mm9b_shared_jingles_hop", "d4b_simhash_capped",
-        "t22b_calibration", "t24d_bpe_batched_train")
+        "t22b_calibration", "t24d_bpe_batched_train",
+        // round 16: WET record parse + raw-WET rule clean (both write
+        // to a fresh scratch dir, safe in the default sweep),
+        // byte-level BPE encoding
+        "wet1_warc_records", "wet2_wet_rule_clean",
+        "t21d_byte_bpe_encode")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
