@@ -139,7 +139,6 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, rounds: Int,
             checkpointEvery: Int = 64): Seq[LearnedMerge] = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val vocab = graft.Materialize.reuse(
       docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -148,6 +147,18 @@ object Bpe {
         // per-char framing)
         .withColumn("s", regexp_replace(col("w"), "(.)", "\u0001$1\u0001"))
         .select("cnt", "s"))
+    trainFromVocab(vocab, rounds, checkpointEvery)
+  }
+
+  /** [[train]]'s census → argmax → replace loop over an ALREADY
+    * framed `(cnt, s)` vocabulary — the alphabet-agnostic core, so
+    * [[ByteBpe.train]] runs the IDENTICAL loop over byte-unicode
+    * framed pre-tokens (the loop only sees framed strings; a "symbol"
+    * is whatever the framing says it is). */
+  private[functions] def trainFromVocab(
+      vocab: DataFrame, rounds: Int,
+      checkpointEvery: Int): Seq[LearnedMerge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
     var cur: DataFrame = vocab
     var sCol: org.apache.spark.sql.Column = col("s")

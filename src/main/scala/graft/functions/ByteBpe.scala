@@ -186,6 +186,41 @@ object ByteBpe {
                     rules: Seq[(String, String)] = merges): Column =
     Bpe.tokenize(byteUnicodeCol(preToken), rules)
 
+  /** LEARN a byte-level merges table from the corpus — the training
+    * side of the GPT-2 convention (t24e): [[Bpe.trainFromVocab]]'s
+    * exact census → argmax → replace loop (bit-identical semantics,
+    * same framing, same tie-break) over the byte-unicode framed
+    * DISTINCT PRE-TOKEN vocabulary instead of the whitespace-word
+    * one. Learned rules are byte-unicode pairs — 'Ġ'-prefixed
+    * entries appear naturally (a real GPT-2 merges.txt opens with
+    * "Ġ t"-shaped rules), and [[encode]]/[[tokenizeBytes]] apply
+    * them directly. Same scale shape as [[Bpe.train]]: one
+    * map-combined census exchange + one TakeOrdered(1) driver row
+    * per round over the vocab sliver.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            checkpointEvery: Int = 64): Seq[Bpe.LearnedMerge] = {
+    val vocab = graft.Materialize.reuse(
+      docs.select(explode(preTokens(col(textCol))).as("pt"))
+        .groupBy("pt").agg(count(lit(1)).as("cnt"))
+        // frame per CHAR of the byte-unicode form: byte symbols ARE
+        // single chars, so the word-level framing carries over
+        .withColumn("s", regexp_replace(byteUnicodeCol(col("pt")),
+          "(.)", "\u0001$1\u0001"))
+        .select("cnt", "s"))
+    Bpe.trainFromVocab(vocab, rounds, checkpointEvery)
+  }
+
+  /** [[train]] packaged as the t24e query form. */
+  def trainDF(docs: DataFrame, textCol: String, rounds: Int,
+              checkpointEvery: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, rounds, checkpointEvery)
+      .map(m => (m.rank.toLong, m.a, m.b, m.count))
+      .toDF("rk", "a", "b", "c")
+  }
+
   /** Per-document byte-level BPE ENCODING over a corpus (t21d) —
     * [[Bpe.encodeFingerprint]]'s exact shape with the GPT-2
     * pre-tokenizer and byte alphabet: segment once per DISTINCT

@@ -855,6 +855,45 @@ object TextQueries {
     Some("WITH " + t24BaseCtes(T24Rounds) + "\n      " +
       t24RulesSelect(T24Rounds)))
 
+  /** t24's unrolled rounds seeded from the BYTE-level vocabulary: the
+    * GPT-2 pre-token stream (t21d's verified whitespace-split +
+    * chr(288) prefix equivalence on this `^[a-z ]+$` corpus), framed
+    * per byte-unicode char — then [[t24RoundCtes]] verbatim. */
+  private def t24eBaseCtes(rounds: Int): String =
+    """tok24 AS (SELECT doc_id,
+        CASE WHEN i = 1 THEN ws[i::INT]
+             ELSE chr(288) || ws[i::INT] END AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u),
+      v24 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok24 GROUP BY 1),
+      s24_0 AS MATERIALIZED (SELECT w, cnt,
+        array_to_string(list_transform(range(length(w)),
+          i -> chr(1) || substr(w, (i+1)::INT, 1) || chr(1)), '') AS s
+        FROM v24),
+      """ + t24RoundCtes(rounds)
+
+  /** T24e: BYTE-level BPE merge TRAINING — the training side of
+    * t21d's GPT-2 convention ([[graft.functions.ByteBpe.train]]):
+    * t24's exact Sennrich census → argmax → replace loop
+    * ([[graft.functions.Bpe.trainFromVocab]], the alphabet-agnostic
+    * core both paths share) over the byte-unicode framed GPT-2
+    * PRE-TOKEN vocabulary instead of the whitespace-word one.
+    * Learned rules are byte-unicode pairs — 'Ġ'-prefixed entries
+    * arise naturally, exactly how a real GPT-2 merges.txt opens with
+    * "Ġ t". Oracle: the unrolled t24 rounds verbatim, seeded from
+    * the byte-level vocabulary; one moved rule or count
+    * hash-mismatches (rules AND their electing counts are the
+    * output).
+    */
+  val t24eByteBpeTrain = QueryDef(
+    "t24e_byte_bpe_train",
+    (s, dir) => graft.functions.ByteBpe.trainDF(
+      table(s, dir, "documents"), "text", rounds = T24Rounds),
+    Some("WITH " + t24eBaseCtes(T24Rounds) + "\n      " +
+      t24RulesSelect(T24Rounds)))
+
   /** T24c: BPE training on the CHECKPOINTED segmentation path (judge
     * r13 #3) — `checkpointEvery = 8`, so the 30 gate rounds cross
     * three materialization boundaries ([[graft.Materialize.truncate]]:
@@ -4849,7 +4888,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t22bCalibration, t23ClassifierAuc,
     t21Bpe, t21cBpeEncode, t21dByteBpe, t24BpeTrain, t24bBpeLearnedTokens,
-    t24cBpeCheckpointed, t24dBpeBatched, d1Exact,
+    t24cBpeCheckpointed, t24dBpeBatched, t24eByteBpeTrain, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d14IncrementalContainment, d13bContainmentCapped, d14bIncrementalCapped,
     d3MinHash, d3bMinHashCapped, d4SimHash, d4bSimHashCapped,

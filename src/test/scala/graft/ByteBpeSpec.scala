@@ -153,6 +153,37 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
+  test("train: byte-level learning shares the word-level loop and learns 'Ġ' rules") {
+    import spark.implicits._
+    // one word per doc, ASCII, no spaces: GPT-2 pre-tokens == the
+    // words and byte-unicode is the identity, so byte-level training
+    // must equal word-level training EXACTLY (shared trainFromVocab)
+    val solo = Seq.fill(4)("the").zipWithIndex ++
+      Seq.fill(3)("tab").zipWithIndex ++ Seq.fill(2)("xy").zipWithIndex
+    val soloDf = solo.zipWithIndex
+      .map { case ((w, _), i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val wordRules = Bpe.train(soloDf, "text", rounds = 4)
+    val byteRules = ByteBpe.train(soloDf, "text", rounds = 4)
+    assert(byteRules.map(m => (m.a, m.b, m.count)) ==
+      wordRules.map(m => (m.a, m.b, m.count)))
+    // multi-word docs: the space marker enters the alphabet and
+    // 'Ġ'-prefixed merges get learned (a real merges.txt's shape).
+    // "the tq" ×4: pre-tokens "the"×4, "Ġtq"×4 -> round counts:
+    // (t,h)=4 (h,e)=4 (Ġ,t)=4 (t,q)=4 -> lexicographic min is (Ġ,t)
+    // ('Ġ' = U+0120 sorts after ascii... bytewise UTF-8 'Ġ' > 't').
+    // Hand-check instead: ascii pairs sort before 'Ġ' ones, so round0
+    // = (h,e)? order: (h,e) < (t,h) < (t,q) < (Ġ,t). Round 0 -> (h,e).
+    val docs = (0L until 4L).map(i => (i, "the tq")).toDF("doc_id", "text")
+    val rules = ByteBpe.train(docs, "text", rounds = 4)
+    assert(rules.head.a == "h" && rules.head.b == "e" && rules.head.count == 4)
+    assert(rules.exists(m => m.a.contains('Ġ') || m.b.contains('Ġ')),
+      s"expected a 'Ġ'-prefixed learned rule, got ${rules.map(m => (m.a, m.b))}")
+    // and the learned rules APPLY through the byte-level encoder
+    val enc = ByteBpe.encode("the tq", rules.map(m => (m.a, m.b)))
+    assert(ByteBpe.decode(enc) == "the tq")
+    assert(enc.size < "Ġthe tq".length) // merges actually engaged
+  }
+
   test("mergesSqlValues spells 'Ġ' as chr(288) and stays ASCII") {
     val sql = ByteBpe.mergesSqlValues
     assert(sql.forall(_ < 128), "oracle VALUES literal must be ASCII")
