@@ -59,7 +59,8 @@ object Explain {
         // to a fresh scratch dir, safe in the default sweep),
         // byte-level BPE encoding
         "wet1_warc_records", "wet2_wet_rule_clean",
-        "t21d_byte_bpe_encode")
+        "t21d_byte_bpe_encode", "t24e_byte_bpe_train",
+        "t24f_byte_learned_tokens")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -221,6 +221,24 @@ object ByteBpe {
       .toDF("rk", "a", "b", "c")
   }
 
+  /** Per-document byte-level BPE token counts over a corpus —
+    * [[Bpe.tokenCount]]'s exact shape with the GPT-2 pre-tokenizer
+    * and byte alphabet: segment once per DISTINCT pre-token, join
+    * counts back through the (id, pre-token, tf) table. Returns
+    * `(idCol, n_pre_tokens, n_bpe_tokens)`. */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String,
+                 rules: Seq[(String, String)] = merges): DataFrame = {
+    val tf = graft.Materialize.reuse(
+      docs.select(col(idCol), explode(preTokens(col(textCol))).as("__t"))
+        .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c")))
+    val vocab = tf.select("__t").distinct()
+      .withColumn("__ns", size(tokenizeBytes(col("__t"), rules)).cast("long"))
+    tf.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_pre_tokens"),
+        sum(col("__c") * col("__ns")).as("n_bpe_tokens"))
+  }
+
   /** Per-document byte-level BPE ENCODING over a corpus (t21d) —
     * [[Bpe.encodeFingerprint]]'s exact shape with the GPT-2
     * pre-tokenizer and byte alphabet: segment once per DISTINCT

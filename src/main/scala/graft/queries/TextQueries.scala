@@ -894,6 +894,44 @@ object TextQueries {
     Some("WITH " + t24eBaseCtes(T24Rounds) + "\n      " +
       t24RulesSelect(T24Rounds)))
 
+  /** T24f: byte-level learn → apply composed end to end (t24b's
+    * composition at the byte level): train the t24e merges, then
+    * count every document's byte-level BPE tokens under the LEARNED
+    * table ([[graft.functions.ByteBpe.tokenCount]] — one kernel call
+    * per distinct pre-token). Oracle: the t24e unrolled rounds build
+    * the merges CTE, then the t21 recursive apply replays it over
+    * the same byte-framed vocabulary.
+    */
+  val t24fByteLearnedTokens = QueryDef(
+    "t24f_byte_learned_tokens",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val learned = graft.functions.ByteBpe.train(docs, "text",
+        rounds = T24Rounds)
+      graft.functions.ByteBpe.tokenCount(docs, "doc_id", "text",
+        learned.map(m => (m.a, m.b)))
+    },
+    Some("WITH RECURSIVE\n      " + t24eBaseCtes(T24Rounds) + """,
+      bmg(rk, a, b) AS (SELECT rk, a, b FROM (
+        """ + t24RulesSelect(T24Rounds) + """)),
+      steps(w, s) AS (
+        SELECT w, s FROM s24_0
+        UNION ALL
+        SELECT w, min_by(replace(s,
+            chr(1) || a || chr(1) || chr(1) || b || chr(1),
+            chr(1) || a || b || chr(1)), rk)
+        FROM steps JOIN bmg
+          ON contains(s, chr(1) || a || chr(1) || chr(1) || b || chr(1))
+        GROUP BY w, s),
+      fin AS (SELECT w,
+        (length(s) - length(replace(s, chr(1), ''))) // 2 AS ns
+        FROM steps st WHERE NOT EXISTS (
+          SELECT 1 FROM bmg
+          WHERE contains(st.s, chr(1) || a || chr(1) || chr(1) || b || chr(1))))
+      SELECT tok24.doc_id, CAST(count(*) AS BIGINT) AS n_pre_tokens,
+        CAST(sum(fin.ns) AS BIGINT) AS n_bpe_tokens
+      FROM tok24 JOIN fin USING (w) GROUP BY 1"""))
+
   /** T24c: BPE training on the CHECKPOINTED segmentation path (judge
     * r13 #3) — `checkpointEvery = 8`, so the 30 gate rounds cross
     * three materialization boundaries ([[graft.Materialize.truncate]]:
@@ -4888,7 +4926,8 @@ FROM gi GROUP BY doc_id, grp"""))
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t22bCalibration, t23ClassifierAuc,
     t21Bpe, t21cBpeEncode, t21dByteBpe, t24BpeTrain, t24bBpeLearnedTokens,
-    t24cBpeCheckpointed, t24dBpeBatched, t24eByteBpeTrain, d1Exact,
+    t24cBpeCheckpointed, t24dBpeBatched, t24eByteBpeTrain,
+    t24fByteLearnedTokens, d1Exact,
     d1bSurvivors, d2Jaccard, d12Containment, d13ContainmentSketch,
     d14IncrementalContainment, d13bContainmentCapped, d14bIncrementalCapped,
     d3MinHash, d3bMinHashCapped, d4SimHash, d4bSimHashCapped,
