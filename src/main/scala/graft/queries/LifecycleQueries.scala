@@ -14,7 +14,9 @@ import Queries.table
   */
 object LifecycleQueries {
 
-  private def freshDir(name: String): String = {
+  /** Fresh per-query scratch dir under the shared `/tmp/graft-q-*`
+    * convention (also used by [[WetQueries]]). */
+  private[queries] def freshDir(name: String): String = {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft-q-$name"
     val p = new java.io.File(d)
     if (p.exists()) {

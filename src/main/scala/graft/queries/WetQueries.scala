@@ -15,19 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object WetQueries {
 
-  private def freshDir(name: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft-q-$name"
-    val p = new java.io.File(d)
-    if (p.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(p)
-    }
-    p.mkdirs()
-    d
-  }
+  private def freshDir(name: String): String =
+    LifecycleQueries.freshDir(name) // shared /tmp/graft-q-* convention
 
   private def writeWet(s: org.apache.spark.sql.SparkSession, dir: String,
                        tag: String): String = {

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -67,14 +66,106 @@ object Wet {
   /** Parse one WET file's bytes (gzip multi-member or plain) into a
     * STREAMING record iterator. Malformed input fails loudly with the
     * offending offset context — a consistent-but-wrong parse would be
-    * undetectable downstream. */
+    * undetectable downstream. The gunzip is the STRICT member walker
+    * below, not `GZIPInputStream`: the JDK class silently treats a
+    * corrupt next-member header or trailing garbage as clean EOF
+    * ('ignore malformed trailing data'), which on a half-downloaded
+    * 150 MB crawl file would silently drop every record after the
+    * cut. */
   def records(bytes: Array[Byte], path: String): Iterator[WetRecord] = {
-    val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
-        new GZIPInputStream(raw, 64 * 1024)
-      else raw
+        new MemberStream(bytes, path)
+      else new ByteArrayInputStream(bytes)
     new RecordIterator(in, path)
+  }
+
+  /** Strict multi-member gunzip over an in-memory gzip file: decodes
+    * one member at a time (a WET member is one record — bounded
+    * memory), verifying the RFC 1952 header, the deflate stream, the
+    * CRC32 AND the ISIZE of every member, and the exact byte offsets
+    * between members — truncation, corruption, or trailing garbage
+    * all fail loudly with the offending offset, where
+    * `GZIPInputStream` would return a silently shortened stream. */
+  private final class MemberStream(bytes: Array[Byte], path: String)
+      extends InputStream {
+    private var off = 0            // compressed-stream cursor
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+
+    private def le32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+
+    /** Decode the next member into `cur`; false at exact clean end. */
+    private def nextMember(): Boolean = {
+      if (off == bytes.length) return false
+      require(bytes.length - off >= 10,
+        s"$path: truncated gzip member header at offset $off")
+      require(bytes(off) == GzipMagic0 && bytes(off + 1) == GzipMagic1,
+        s"$path: expected a gzip member at offset $off — corrupt or " +
+          "trailing garbage")
+      require(bytes(off + 2) == 8,
+        s"$path: unsupported gzip compression method ${bytes(off + 2)} " +
+          s"at offset $off")
+      val flg = bytes(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val out = new java.io.ByteArrayOutputStream(64 * 1024)
+        val buf = new Array[Byte](64 * 1024)
+        val crc = new java.util.zip.CRC32
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                throw new java.io.IOException(
+                  s"$path: corrupt deflate data in gzip member at " +
+                    s"offset $off", e)
+            }
+          if (n == 0 && inf.needsInput()) throw new EOFException(
+            s"$path: truncated deflate stream in gzip member at offset $off")
+          out.write(buf, 0, n)
+          crc.update(buf, 0, n)
+        }
+        val q = p + ((bytes.length - p) - inf.getRemaining)
+        require(bytes.length - q >= 8,
+          s"$path: truncated gzip trailer at offset $q")
+        require(crc.getValue == le32(q),
+          s"$path: gzip CRC32 mismatch in member at offset $off")
+        cur = out.toByteArray
+        require((cur.length & 0xffffffffL) == le32(q + 4),
+          s"$path: gzip ISIZE mismatch in member at offset $off")
+        off = q + 8
+        pos = 0
+        true
+      } finally inf.end() // release the native zlib state promptly
+    }
+
+    override def read(): Int = {
+      while (pos == cur.length) if (!nextMember()) return -1
+      val b = cur(pos) & 0xff
+      pos += 1
+      b
+    }
+
+    override def read(b: Array[Byte], o: Int, l: Int): Int = {
+      if (l == 0) return 0
+      while (pos == cur.length) if (!nextMember()) return -1
+      val n = math.min(l, cur.length - pos)
+      System.arraycopy(cur, pos, b, o, n)
+      pos += n
+      n
+    }
   }
 
   /** Read WET files matching `pattern` into
@@ -128,6 +219,19 @@ object Wet {
 
     private def advance(): Unit = {
       if (finished) return
+      try advanceImpl()
+      catch {
+        case t: Throwable =>
+          // stay terminal after a parse failure (a retried hasNext must
+          // not re-enter the mid-record stream and yield garbage) and
+          // release the stream promptly, not at GC
+          finished = true
+          try in.close() catch { case _: Throwable => }
+          throw t
+      }
+    }
+
+    private def advanceImpl(): Unit = {
       // skip inter-record blank lines (the \r\n\r\n record trailer)
       var line = readLine()
       while (line.exists(_.isEmpty)) line = readLine()
@@ -206,10 +310,23 @@ object WetSink {
       s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20)}>"
   }
 
+  /** Shields the shared file stream from the per-member
+    * `GZIPOutputStream.close()` — which is the only call that ends
+    * the native zlib Deflater (finish() alone leaks one Deflater per
+    * record until GC, a native-memory exhaustion at crawl scale). */
+  private final class NonClosingOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    // FilterOutputStream's 3-arg write loops byte-at-a-time — delegate
+    override def write(b: Array[Byte], o: Int, l: Int): Unit = out.write(b, o, l)
+    override def close(): Unit = flush()
+  }
+
   private def gzipMember(out: java.io.OutputStream, payload: Array[Byte]): Unit = {
-    val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new NonClosingOutputStream(out), 64 * 1024)
     gz.write(payload)
-    gz.finish() // complete THIS member without closing the file stream
+    gz.close() // completes THIS member and ends its Deflater; the
+               // close-shield keeps the file stream open
   }
 
   private def record(warcType: String, uri: String, date: String,
@@ -248,10 +365,17 @@ object WetSink {
       .repartition(numFiles, col("uri"))
       .sortWithinPartitions("uri")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(dir, f"part-$pid%05d.warc.wet.gz")
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = new java.io.File(dir, f"part-$pid%05d.warc.wet.gz")
+        // attempt-scoped temp + atomic rename: a retried or
+        // speculative duplicate attempt must never interleave bytes
+        // into the committed file (content is deterministic, so a
+        // replacing rename from either attempt commits the same bytes)
+        val tmp = new java.io.File(dir,
+          f"part-$pid%05d.warc.wet.gz.inprogress-${tc.taskAttemptId()}")
         val out = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(f), 256 * 1024)
+          new java.io.FileOutputStream(tmp), 256 * 1024)
         try {
           gzipMember(out, record("warcinfo", "", date,
             "application/warc-fields",
@@ -263,7 +387,15 @@ object WetSink {
             gzipMember(out, record("conversion", uri, date, "text/plain",
               text.getBytes(StandardCharsets.UTF_8)))
           }
-        } finally out.close()
+          out.close()
+          java.nio.file.Files.move(tmp.toPath, fin.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } finally {
+          try out.close() catch { case _: Throwable => }
+          tmp.delete() // no-op after a successful move
+        }
       }
   }
 }

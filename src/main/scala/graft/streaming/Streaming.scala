@@ -476,6 +476,13 @@ object Streaming {
       }
       .start()
 
+  /** The `binaryFile` source's fixed schema — streaming file sources
+    * require it EXPLICITLY (`readStream.format("binaryFile")
+    * .schema(BinaryFileSchema)`), unlike the batch reader. */
+  val BinaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+
   /** Raw WET files → cleaned docs as ONE stream (judge r15 #1's
     * composition): a `binaryFile` file-source of `*.warc.wet.gz`
     * files, the SAME streaming record parse batch reads use
@@ -488,13 +495,6 @@ object Streaming {
     * stream-with-restart ≡ batch `Wet.read` + rule clean). Emits
     * `(target_uri, text)` with `text` rewritten to the cleaned
     * article. */
-  /** The `binaryFile` source's fixed schema — streaming file sources
-    * require it EXPLICITLY (`readStream.format("binaryFile")
-    * .schema(BinaryFileSchema)`), unlike the batch reader. */
-  val BinaryFileSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-
   def wetCleanStream(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._

@@ -131,6 +131,43 @@ class WetSpec extends SparkSpec {
     assert(e3.getMessage.contains("expected WARC/1.x"))
   }
 
+  test("strict gunzip: truncation/garbage/corruption between members fails loudly") {
+    // GZIPInputStream would silently treat ALL of these as clean EOF
+    // after the first member — the strict member walker must not
+    val good = rawRecord(Seq("WARC/1.1", "WARC-Type: conversion",
+      "WARC-Target-URI: http://x.test/ok"), "fine".getBytes)
+    val twoMembers = gzMembers(Seq(good, good))
+    // (a) trailing garbage after a valid member
+    val garbageTail = gzMembers(Seq(good)) ++ "not gzip at all".getBytes
+    val e1 = intercept[IllegalArgumentException] {
+      Wet.records(garbageTail, "fixTG").toSeq
+    }
+    assert(e1.getMessage.contains("offset") &&
+      e1.getMessage.contains("fixTG"))
+    // (b) second member cut mid-stream (a half-downloaded crawl file)
+    val cut = twoMembers.take(twoMembers.length - 15)
+    val e2 = intercept[Exception] { Wet.records(cut, "fixCut").toSeq }
+    assert(e2.getMessage.contains("fixCut") &&
+      (e2.getMessage.contains("truncated") || e2.getMessage.contains("offset")))
+    // (c) a flipped byte inside the second member's deflate data
+    val flipped = twoMembers.clone()
+    flipped(twoMembers.length - 30) = (flipped(twoMembers.length - 30) ^ 0x5a).toByte
+    val e3 = intercept[Exception] { Wet.records(flipped, "fixFlip").toSeq }
+    assert(e3.getMessage.contains("fixFlip"))
+    // (d) a flipped CRC byte (deflate intact, checksum wrong)
+    val badCrc = twoMembers.clone()
+    badCrc(twoMembers.length - 7) = (badCrc(twoMembers.length - 7) ^ 0x01).toByte
+    val e4 = intercept[Exception] { Wet.records(badCrc, "fixCrc").toSeq }
+    assert(e4.getMessage.contains("fixCrc"))
+    // control: the untouched two-member file parses both records
+    assert(Wet.records(twoMembers, "fixOk").size == 2)
+    // after a parse failure the iterator stays terminal (no garbage
+    // records from a re-entered mid-record stream)
+    val it = Wet.records(garbageTail, "fixTerm")
+    intercept[Exception] { while (it.hasNext) it.next() }
+    assert(!it.hasNext)
+  }
+
   test("sink round-trip: member-per-record, warcinfo lead, deterministic bytes") {
     import spark.implicits._
     val docs = (0L until 37L)
