@@ -46,6 +46,12 @@ def main(outdir, sfdir, only=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
+    # Several registered queries share one oracle verbatim (d3/d3b,
+    # d4/d4b: capped vs uncapped plans gated against the SAME exact
+    # pair set). The d4 brute-force FNV fold is the sweep's dominant
+    # oracle cost at sf0.1 — compute each DISTINCT SQL text once and
+    # reuse the materialized result for every query that carries it.
+    sqlcache = {}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
@@ -54,9 +60,14 @@ def main(outdir, sfdir, only=None):
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             scols = spark_rel.columns
             srows = spark_rel.fetchall()
-            orel = con.sql(sql)
-            ocols = orel.columns
-            orows = orel.fetchall()
+            if sql in sqlcache:
+                ocols, orows, otypes_l = sqlcache[sql]
+            else:
+                orel = con.sql(sql)
+                ocols = orel.columns
+                orows = orel.fetchall()
+                otypes_l = list(map(str, orel.types))
+                sqlcache[sql] = (ocols, orows, otypes_l)
             if sorted(scols) != sorted(ocols):
                 print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
                 nfail += 1
@@ -70,7 +81,7 @@ def main(outdir, sfdir, only=None):
             # a type asymmetry passes THIS duckdb-symmetric compare but
             # fails the driver's. Surface it here.
             stypes = dict(zip(scols, map(str, spark_rel.types)))
-            otypes = dict(zip(ocols, map(str, orel.types)))
+            otypes = dict(zip(ocols, otypes_l))
             for c in ocols:
                 st, ot = stypes.get(c), otypes.get(c)
                 if st != ot or "HUGEINT" in str(ot) or "DECIMAL" in str(ot) \

@@ -60,7 +60,11 @@ object Explain {
         // byte-level BPE encoding
         "wet1_warc_records", "wet2_wet_rule_clean",
         "t21d_byte_bpe_encode", "t24e_byte_bpe_train",
-        "t24f_byte_learned_tokens")
+        "t24f_byte_learned_tokens",
+        // round 16 (cont.): URL canonicalization family, mergeable
+        // bottom-k quantile sketch
+        "wet3_url_normalize", "wet4_url_dedup", "wet5_host_profile",
+        "a2b_quantile_sketch")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

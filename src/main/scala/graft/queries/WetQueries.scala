@@ -89,5 +89,152 @@ object WetQueries {
       WHERE NOT contains(lower(clean), 'lorem ipsum')
         AND NOT contains(clean, '{')"""))
 
-  val all: Seq[QueryDef] = Seq(wet1Records, wet2RuleClean)
+  // ---------------------------------------------------- URL curation
+
+  /** The messy-URL fixture: a deterministic crawl-shaped URL built
+    * from doc_id ONLY, constructed identically on both engines, so
+    * the gate checks the NORMALIZER, not the generator. Every
+    * [[graft.functions.UrlFns.normalizeUrl]] rule is exercised by a
+    * residue class: scheme case + default-vs-real port (%2, %3, %17),
+    * userinfo (%11), `www.` mirror (%3), trailing root dot (%13),
+    * duplicate + trailing slashes (always + %5), unsorted params with
+    * tracking keys (%4), fragment (%6). */
+  private def messyUrl(c: org.apache.spark.sql.Column) = concat(
+    when(c % 2 === 0, "HTTP").otherwise(lit("https")), lit("://"),
+    when(c % 11 === 0, "u:p@").otherwise(lit("")),
+    when(c % 3 === 1, "WWW.").otherwise(lit("")),
+    lit("Site"), (c % 7).cast("string"), lit(".Example.COM"),
+    when(c % 13 === 0, ".").otherwise(lit("")),
+    when(c % 17 === 0, ":8080")
+      .when(c % 3 === 0, when(c % 2 === 0, ":80").otherwise(":443"))
+      .otherwise(lit("")),
+    lit("//p"), (c % 10).cast("string"), lit("//x"),
+    when(c % 5 === 0, "/").otherwise(lit("")),
+    when(c % 4 === 0, "?b=2&a=1&utm_source=feed")
+      .when(c % 4 === 1, "?a=1&b=2")
+      .when(c % 4 === 2, "?utm_campaign=z")
+      .otherwise(lit("")),
+    when(c % 6 === 0, "#sec").otherwise(lit("")))
+
+  /** DuckDB replay of the same messy-URL construction + the full
+    * normalization chain, ending in a `norm(doc_id, n_chars, host,
+    * url_norm)` CTE the three gates share. Step order and regexes
+    * mirror [[graft.functions.UrlFns]] exactly (DuckDB needs the
+    * explicit 'g' flag where Spark's regexp_replace is always-all,
+    * and `\1` where Spark writes `$1`). */
+  private val urlNormCtes: String = """raw AS (SELECT doc_id, n_chars,
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      (CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END) ||
+      (CASE WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END) ||
+      'Site' || (doc_id % 7) || '.Example.COM' ||
+      (CASE WHEN doc_id % 13 = 0 THEN '.' ELSE '' END) ||
+      (CASE WHEN doc_id % 17 = 0 THEN ':8080'
+            WHEN doc_id % 3 = 0 THEN
+              (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+            ELSE '' END) ||
+      '//p' || (doc_id % 10) || '//x' ||
+      (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=feed'
+            WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+            WHEN doc_id % 4 = 2 THEN '?utm_campaign=z'
+            ELSE '' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+    u1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u
+      FROM raw),
+    pr AS (SELECT doc_id, n_chars, u,
+      lower(regexp_extract(u,
+        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1)) AS scheme,
+      regexp_extract(u,
+        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 2) AS auth,
+      regexp_extract(u,
+        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) AS p0,
+      regexp_extract(u, '\?(.*)$', 1) AS q0
+      FROM u1),
+    hx AS (SELECT doc_id, n_chars, scheme, p0, q0,
+      regexp_replace(regexp_replace(CASE
+        WHEN scheme = 'http' THEN regexp_replace(
+          lower(regexp_replace(auth, '^[^@]*@', '')), ':80$', '')
+        WHEN scheme = 'https' THEN regexp_replace(
+          lower(regexp_replace(auth, '^[^@]*@', '')), ':443$', '')
+        ELSE lower(regexp_replace(auth, '^[^@]*@', '')) END,
+        '\.(:[0-9]+)?$', '\1'), '^www\.', '') AS host
+      FROM pr),
+    px AS (SELECT doc_id, n_chars, scheme, host, q0,
+      CASE WHEN pp = '/' THEN pp ELSE regexp_replace(pp, '/$', '') END AS path
+      FROM (SELECT *, CASE WHEN pc = '' THEN '/' ELSE pc END AS pp
+        FROM (SELECT *, regexp_replace(p0, '/{2,}', '/', 'g') AS pc
+          FROM hx))),
+    qx AS (SELECT doc_id, n_chars, scheme, host, path,
+      COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+          '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS qn
+      FROM px),
+    norm AS (SELECT doc_id, n_chars, host,
+      scheme || '://' || host || path ||
+        (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm
+      FROM qx)"""
+
+  /** WET3: URL canonicalization gate — every normalization rule
+    * (scheme/host case, userinfo, default-port, trailing dot, `www.`,
+    * slash collapse, tracking-param drop + byte-sort, fragment)
+    * hash-checked per document against the independent DuckDB replay.
+    */
+  val wet3UrlNormalize = QueryDef(
+    "wet3_url_normalize",
+    (s, dir) => {
+      import graft.functions.UrlFns
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), UrlFns.normalizeUrl(col("url")).as("url_norm"),
+          UrlFns.hostOf(col("url")).as("host"))
+    },
+    Some(s"WITH $urlNormCtes SELECT doc_id, url_norm, host FROM norm"))
+
+  /** WET4: URL-level dedup — the FIRST dedup stage of a crawl
+    * pipeline (cheaper than any content hash; kills scheme/tracking/
+    * mirror aliases before text ever loads). Survivor = min doc_id
+    * per canonical URL, the d1 exact-dedup convention. One map-
+    * combined aggregate on the normalized key; text never shuffles
+    * (only the ~100-char canonical URL does). */
+  val wet4UrlDedup = QueryDef(
+    "wet4_url_dedup",
+    (s, dir) => {
+      import graft.functions.UrlFns
+      Queries.table(s, dir, "documents")
+        .select(UrlFns.normalizeUrl(messyUrl(col("doc_id"))).as("url_norm"),
+          col("doc_id"))
+        .groupBy("url_norm")
+        .agg(min("doc_id").as("survivor_id"),
+          count(lit(1)).as("n_dups"))
+    },
+    Some(s"""WITH $urlNormCtes
+      SELECT url_norm, MIN(doc_id) AS survivor_id,
+        CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM norm GROUP BY url_norm"""))
+
+  /** WET5: per-host crawl profile — the blocklist/quota artifact
+    * (docs, distinct canonical URLs, bytes per host) curation teams
+    * rank hosts by. Same one-aggregate shape as wet4. */
+  val wet5HostProfile = QueryDef(
+    "wet5_host_profile",
+    (s, dir) => {
+      import graft.functions.UrlFns
+      val u = messyUrl(col("doc_id"))
+      Queries.table(s, dir, "documents")
+        .select(UrlFns.hostOf(u).as("host"),
+          UrlFns.normalizeUrl(u).as("url_norm"), col("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("url_norm").as("n_urls"),
+          sum("n_chars").as("total_chars"))
+    },
+    Some(s"""WITH $urlNormCtes
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM norm GROUP BY host"""))
+
+  val all: Seq[QueryDef] = Seq(wet1Records, wet2RuleClean,
+    wet3UrlNormalize, wet4UrlDedup, wet5HostProfile)
 }
