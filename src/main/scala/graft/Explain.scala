@@ -64,7 +64,7 @@ object Explain {
         // round 16 (cont.): URL canonicalization family, mergeable
         // bottom-k quantile sketch
         "wet3_url_normalize", "wet4_url_dedup", "wet5_host_profile",
-        "a2b_quantile_sketch")
+        "wet6_host_gate", "a2b_quantile_sketch")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -235,6 +235,47 @@ object WetQueries {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM norm GROUP BY host"""))
 
+  /** WET6: host gate — the curation step wet5's profile feeds
+    * (RefinedWeb/C4 convention): over the URL-dedup SURVIVOR set,
+    * drop blocklisted hosts outright and cap each remaining host at a
+    * per-host document QUOTA (deterministic: the quota lowest
+    * survivor doc_ids per host win). The composed chain
+    * parse → canonical URL → URL dedup → host gate is the whole
+    * crawl-curation front end before any text operator runs.
+    *
+    * Shape for scale: survivor aggregate (one exchange on the
+    * canonical-URL key) → per-HOST window rank (one exchange on
+    * host — partitioned, never global) → filter. Both exchanged keys
+    * are metadata-width; document text is never read (the scan prunes
+    * to doc_id). A skew-flooded host costs one hot window partition
+    * bounded by that host's survivor count — the cap exists precisely
+    * to bound what flows DOWNSTREAM of it. */
+  val wet6HostGate = QueryDef(
+    "wet6_host_gate",
+    (s, dir) => {
+      import graft.functions.UrlFns
+      import org.apache.spark.sql.expressions.Window
+      val quota = 8
+      val u = messyUrl(col("doc_id"))
+      val survivors = Queries.table(s, dir, "documents")
+        .select(UrlFns.normalizeUrl(u).as("url_norm"),
+          UrlFns.hostOf(u).as("host"), col("doc_id"))
+        .groupBy("url_norm", "host")
+        .agg(min("doc_id").as("doc_id"))
+      survivors
+        .filter(col("host") =!= "site0.example.com")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("host").orderBy("doc_id")))
+        .filter(col("__rk") <= quota)
+        .select(col("doc_id"), col("host"))
+    },
+    Some(s"""WITH $urlNormCtes,
+      sv AS (SELECT url_norm, host, MIN(doc_id) AS doc_id
+        FROM norm GROUP BY url_norm, host)
+      SELECT doc_id, host FROM sv
+      WHERE host <> 'site0.example.com'
+      QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 8"""))
+
   val all: Seq[QueryDef] = Seq(wet1Records, wet2RuleClean,
-    wet3UrlNormalize, wet4UrlDedup, wet5HostProfile)
+    wet3UrlNormalize, wet4UrlDedup, wet5HostProfile, wet6HostGate)
 }
