@@ -74,6 +74,26 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming URL-level dedup (round 16) — the wet4 batch operator
+    * for a continuously-arriving crawl: state keys on the CANONICAL
+    * URL ([[graft.functions.UrlFns.normalizeUrl]] — the same
+    * codegen'd normalization chain the batch gate runs, so a URL
+    * deduplicates identically online and offline) and ages out past
+    * the watermark horizon, the [[dedupStream]] discipline. This is
+    * the crawl front end's FIRST dedup: scheme/tracking/mirror
+    * aliases die on a ~100-char key before any text operator —
+    * upstream of [[wetCleanStream]]'s rule chain the way wet4 sits
+    * upstream of wet2 in batch. State is arrival-rate × horizon
+    * bounded; the batch pass stays the authority across horizons.
+    */
+  def urlDedupStream(docs: DataFrame, tsCol: String, urlCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__u", graft.functions.UrlFns.normalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__u")
+      .drop("__u")
+
   /** Streaming CLEANING: the full p1 batch pipeline applied to a
     * continuously-arriving corpus — quality gate, PII redaction,
     * watermark-horizon exact dedup on the REDACTED text (docs

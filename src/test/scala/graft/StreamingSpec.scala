@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlDedupStream: canonical-URL aliases dedup within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streaming.urlDedupStream(
+      input.toDF().toDF("ts", "url"), "ts", "url", watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // four aliases of one canonical URL (case, default port,
+      // tracking param, fragment + www) + one genuinely distinct URL
+      input.addData(
+        (ts(1), "HTTP://Example.COM/a?b=2&a=1"),
+        (ts(2), "http://example.com:80/a?a=1&b=2&utm_source=x"),
+        (ts(3), "http://www.example.com/a/?b=2&a=1#frag"),
+        (ts(4), "http://example.com/other"),
+        (ts(5), "http://example.com/a?a=1&b=2"))
+      q.processAllAvailable()
+      val urls = spark.table("url_dedup_stream").select("url").collect()
+        .map(_.getString(0)).toSeq.sorted
+      assert(urls.size == 2)
+      assert(urls.contains("http://example.com/other"))
+      // batch agreement: the survivors' canonical forms equal the
+      // batch-normalized distinct set
+      import spark.implicits._
+      val batchCanon = Seq("HTTP://Example.COM/a?b=2&a=1",
+        "http://example.com:80/a?a=1&b=2&utm_source=x",
+        "http://www.example.com/a/?b=2&a=1#frag",
+        "http://example.com/other",
+        "http://example.com/a?a=1&b=2").toDF("url")
+        .select(graft.functions.UrlFns.normalizeUrl(col("url")).as("u"))
+        .distinct().as[String].collect().toSet
+      val streamCanon = urls.map(u => Seq(u).toDF("url")
+        .select(graft.functions.UrlFns.normalizeUrl(col("url")).as("u"))
+        .as[String].collect().head).toSet
+      assert(streamCanon == batchCanon)
+    } finally q.stop()
+  }
+
   test("harvestSink: micro-batches merge into a partitioned store, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-hsink").toString
