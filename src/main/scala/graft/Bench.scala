@@ -131,17 +131,27 @@ object Bench {
     val dataRatio =
       if (doScaling) dirBytes(sfDir).toDouble / math.max(dirBytes(scaleDir), 1L)
       else 1.0
+    // a pass that FAILED must never contribute its (short) elapsed time
+    // to a scaling median (judge r16 #5): failed passes are dropped from
+    // the median and the query is surfaced in `scaling_failed`
+    val scalingFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val scaling: Seq[(String, Double)] =
       if (!doScaling) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => scalingExclude(q._1))
         .flatMap { case (name, fn) =>
           val (_, okWarm) = once(spark, name, fn, scaleDir) // codegen for small plans
-          if (!okWarm) None
+          if (!okWarm) { scalingFailed += name; None }
           else {
-            val small = median(Seq.fill(ScalingN)(once(spark, name, fn, scaleDir)._1))
-            results.find(_._1 == name).collect { case (_, med, _, _, _, true) if small > 0 =>
-              name -> math.rint(med / small * 100) / 100
+            val runs = Seq.fill(ScalingN)(once(spark, name, fn, scaleDir))
+            val okTs = runs.collect { case (t, true) => t }
+            if (okTs.size < runs.size) scalingFailed += name
+            if (okTs.isEmpty) None
+            else {
+              val small = median(okTs)
+              results.find(_._1 == name).collect { case (_, med, _, _, _, true) if small > 0 =>
+                name -> math.rint(med / small * 100) / 100
+              }
             }
           }
         }
@@ -180,11 +190,13 @@ object Bench {
     val scalingJson = scaling.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val scalingFailedJson =
+      scalingFailed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, _, _, _, true) => v }.sum)
     val cold = r3(results.collect { case (_, _, c, _, _, true) => c }.sum)
     val nQueries = results.size
     val dr = math.rint(dataRatio * 100) / 100
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
     // stdout: ONE compact line (~1.7 KB at 64 queries) — a 2 KB stdout
@@ -193,7 +205,7 @@ object Bench {
     // only in bench_full.json). If the registry ever grows the line
     // past the tail budget, drop the per-query map from stdout too —
     // a parseable total beats a truncated map.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}"""
     println(
       if (line.length <= 1900) line
       else s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")

@@ -528,7 +528,7 @@ class StreamingFileSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     // batch reference: the same parse + the same stateless chain
     val want = Streaming.ruleCleanStream(
-      Wet.read(spark, in + "/*.warc.wet.gz")
+      Wet.read(spark, in)
         .filter(col("warc_type") === "conversion")
         .select("target_uri", "text"), "text")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet

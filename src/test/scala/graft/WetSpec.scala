@@ -197,7 +197,7 @@ class WetSpec extends SparkSpec {
     }
     assert(allRecs.count(_.warc_type == "conversion") == 37)
     // round-trip through the DataFrame reader: text + byte lengths exact
-    val back = Wet.read(spark, dir + "/w/*.warc.wet.gz")
+    val back = Wet.read(spark, dir + "/w")
       .filter(col("warc_type") === "conversion")
       .select("target_uri", "text", "content_length")
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
