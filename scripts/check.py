@@ -47,14 +47,21 @@ def main(outdir, sfdir, only=None):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     # Several registered queries share one oracle verbatim (d3/d3b,
-    # d4/d4b: capped vs uncapped plans gated against the SAME exact
-    # pair set). The d4 brute-force FNV fold is the sweep's dominant
-    # oracle cost at sf0.1 — compute each DISTINCT SQL text once and
-    # reuse the materialized result for every query that carries it.
+    # d4/d4b, a2b/a2c: capped vs uncapped / merged vs whole plans gated
+    # against the SAME result). The d4 brute-force FNV fold is the
+    # sweep's dominant oracle cost at sf0.1 — compute each DISTINCT SQL
+    # text once and reuse the materialized result for every query that
+    # carries it. Only MULTI-USE texts are cached, and an entry is
+    # freed after its last user runs — a single-use oracle's rows
+    # (e.g. wet3's per-document output at sf0.1) must not sit in
+    # memory for the rest of the sweep (advisor r16).
+    to_run = [(n, s) for n, s in sorted(oracles.items())
+              if not only or n in only]
+    uses = {}
+    for _, s in to_run:
+        uses[s] = uses.get(s, 0) + 1
     sqlcache = {}
-    for name, sql in sorted(oracles.items()):
-        if only and name not in only:
-            continue
+    for name, sql in to_run:
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -67,7 +74,11 @@ def main(outdir, sfdir, only=None):
                 ocols = orel.columns
                 orows = orel.fetchall()
                 otypes_l = list(map(str, orel.types))
-                sqlcache[sql] = (ocols, orows, otypes_l)
+                if uses[sql] > 1:  # cache multi-use texts only
+                    sqlcache[sql] = (ocols, orows, otypes_l)
+            uses[sql] -= 1
+            if uses[sql] == 0:
+                sqlcache.pop(sql, None)  # free after the last user
             if sorted(scols) != sorted(ocols):
                 print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
                 nfail += 1

@@ -104,6 +104,45 @@ object ByteBpe {
       s"($i,${q(a)},${q(b)})"
     }.mkString(", ")
 
+  /** GPT-2 token-ID vocabulary (t21e — the `encoder.json` shape a
+    * training run consumes): ids 0-255 are the byte-unicode base
+    * alphabet IN BYTE ORDER, then one id per merge rank (256+rank).
+    * A duplicate merged symbol (possible in a hand-authored rules
+    * table; a real merges.txt has none) keeps its LOWEST id, so the
+    * map is a function. */
+  def idVocab(rules: Seq[(String, String)] = merges): Map[String, Int] = {
+    val base = (0 until 256).map(b => byteToChar(b).toString -> b)
+    val merged = rules.zipWithIndex
+      .map { case ((a, b), i) => (a + b) -> (256 + i) }
+    (base ++ merged).groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+  }
+
+  /** SQL VALUES literal of [[idVocab]] — `(id, sym)` rows; non-ASCII
+    * and quote chars spelled `chr(n)` so the SQL text stays ASCII. */
+  def idVocabSqlValues(rules: Seq[(String, String)] = merges): String =
+    idVocab(rules).toSeq.sortBy(_._2).map { case (s, i) =>
+      val q = s.map { c =>
+        if (c == '\'') "''"
+        else if (c >= 32 && c < 127) c.toString
+        else s"' || chr(${c.toInt}) || '"
+      }.mkString("'", "", "'")
+      s"($i,$q)"
+    }.mkString(", ")
+
+  /** Scalar id encode — [[encode]] then the [[idVocab]] lookup. */
+  def encodeIds(text: String,
+                rules: Seq[(String, String)] = merges): Seq[Int] = {
+    val v = idVocab(rules)
+    encode(text, rules).map(v)
+  }
+
+  /** Inverse of [[encodeIds]]. */
+  def decodeIds(ids: Seq[Int],
+                rules: Seq[(String, String)] = merges): String = {
+    val inv = idVocab(rules).map(_.swap)
+    decode(ids.map(inv))
+  }
+
   // ---------------------------------------------------------------
   // driver/test-side scalar path (the spec surface)
 
@@ -265,5 +304,42 @@ object ByteBpe {
       .select(col(idCol), col("n_pre_tokens"), col("n_bpe_tokens"),
         md5(array_join(transform(col("__seq"),
           x => x.getField("__pieces")), " ")).as("stream_fp"))
+  }
+
+  /** Per-document token-ID stream over a corpus (t21e — the bridge
+    * from [[encodeFingerprint]]'s symbol pieces to the integer ids a
+    * training run consumes): the same segment-once-per-DISTINCT-
+    * pre-token shape, with each piece mapped through the [[idVocab]]
+    * rank join — here a ~(256+rank) literal map the executor holds,
+    * `element_at` per piece (never a corpus-shaped join). A symbol
+    * missing from the vocab is IMPOSSIBLE by construction
+    * (segmentation only emits base chars and merge products); if it
+    * ever happened the -1 sentinel fails the hash gate loudly rather
+    * than `array_join` silently skipping a null. Returns
+    * `(idCol, n_pre_tokens, n_bpe_tokens, id_stream_fp)` where the
+    * fingerprint is md5 over the space-joined decimal id stream in
+    * document order. */
+  def encodeIdFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                          rules: Seq[(String, String)] = merges): DataFrame = {
+    val idMap = typedlit(idVocab(rules))
+    val tokPos = docs.select(col(idCol),
+      posexplode(preTokens(col(textCol))).as(Seq("__p", "__t")))
+    val vocab = graft.Materialize.reuse(
+      tokPos.select("__t").distinct()
+        .withColumn("__arr", tokenizeBytes(col("__t"), rules))
+        .select(col("__t"),
+          array_join(transform(col("__arr"),
+            x => coalesce(element_at(idMap, x), lit(-1)).cast("string")),
+            " ").as("__ids"),
+          size(col("__arr")).cast("long").as("__ns")))
+    tokPos.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pre_tokens"),
+        sum(col("__ns")).as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("__p"), col("__ids"))))
+          .as("__seq"))
+      .select(col(idCol), col("n_pre_tokens"), col("n_bpe_tokens"),
+        md5(array_join(transform(col("__seq"),
+          x => x.getField("__ids")), " ")).as("id_stream_fp"))
   }
 }

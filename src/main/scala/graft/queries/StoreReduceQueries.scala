@@ -205,6 +205,44 @@ object StoreReduceQueries {
         FROM q"""
     })
 
+  /** A2c: MERGED-STORE quantile sketch (judge r16 #6) — the sketch as
+    * a persisted, mergeable harvest artifact: the table splits into
+    * two halves (even/odd orderkey), each half's per-group
+    * [[graft.stats.BottomKStateAgg]] STATE persists to its own store
+    * directory, the two stores load back and merge
+    * ([[graft.stats.QuantileSketch.mergeStates]]), and the quartiles
+    * come off the MERGED sample. The oracle is a2b's SQL VERBATIM:
+    * bottom-k of the union ≡ merge of the halves' bottom-k's is the
+    * exact property the gate certifies (a textually identical oracle
+    * also lets check.py memoize the pair). */
+  val a2cQuantileSketchMerge = QueryDef(
+    "a2c_quantile_sketch_merged",
+    (s, dir) => {
+      import graft.stats.QuantileSketch
+      val key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      val li = table(s, dir, "lineitem")
+      val out = LifecycleQueries.freshDir("a2c")
+      Seq(0, 1).foreach { half =>
+        li.filter(col("l_orderkey") % 2 === half)
+          .groupBy("l_returnflag")
+          .agg(QuantileSketch.stateColumn(key, col("l_quantity"), 256)
+            .as("sk"))
+          .write.mode("overwrite").parquet(s"$out/half$half")
+      }
+      val states = s.read.parquet(s"$out/half0")
+        .unionByName(s.read.parquet(s"$out/half1"))
+      val merged = QuantileSketch.mergeStates(states,
+        Seq("l_returnflag"), "sk", 256)
+      val xs = QuantileSketch.sampleOf(col("sk"))
+      merged.select(col("l_returnflag"),
+        size(xs).cast("long").as("n_sample"),
+        round(QuantileSketch.quantileAt(xs, 0.25), 4).as("p25"),
+        round(QuantileSketch.quantileAt(xs, 0.5), 4).as("p50"),
+        round(QuantileSketch.quantileAt(xs, 0.75), 4).as("p75"))
+    },
+    a2bQuantileSketch.oracle)
+
   /** A3: mean ± std band. Same rounding class as a4 (engine-native
     * round of avg±std; sqrt terms don't land on .00005 ties). */
   val a3Std = QueryDef(
@@ -403,6 +441,6 @@ object StoreReduceQueries {
 
   val all: Seq[QueryDef] = Seq(p2Melt, p3Stack, f3Trimna, m12Align,
     m1Merge, m2Overwrite, m3OldWins, f2Missing, f4Holes, a1Median,
-    a2Band, a2bQuantileSketch, a3Std, a4Stderr,
+    a2Band, a2bQuantileSketch, a2cQuantileSketchMerge, a3Std, a4Stderr,
     a5Hist, a6Range, a8TopK, e7Sample, s1Welford, s2Cov, s3Cov)
 }

@@ -190,4 +190,69 @@ class ByteBpeSpec extends SparkSpec {
     assert(sql.contains("chr(288)"))
     assert(ByteBpe.merges.exists(_._1.contains('Ġ')))
   }
+
+  test("idVocab: 256 base ids in byte order, 256+rank per merge, lowest id wins dups") {
+    val v = ByteBpe.idVocab()
+    // every base byte's symbol carries its own byte value as id
+    (0 until 256).foreach { b =>
+      assert(v(ByteBpe.byteToChar(b).toString) == b)
+    }
+    assert(v("Ġ") == 0x20) // space's byte-unicode image keeps id 32
+    // merge products get 256+rank; the fixture's rank-0 product
+    assert(v("Ġt") == 256)
+    // ids are unique (the map is injective after min-dedup)
+    assert(v.values.toSeq.distinct.size == v.size)
+    // all ids in [0, 256 + |merges|)
+    assert(v.values.forall(i => i >= 0 && i < 256 + ByteBpe.merges.size))
+  }
+
+  test("encodeIds golden + decodeIds round trip") {
+    // "the tab" under the fixture merges: encode gives the symbol
+    // pieces; ids must be exactly their vocab ranks, in order
+    val text = "the tab"
+    val pieces = ByteBpe.encode(text)
+    val v = ByteBpe.idVocab()
+    assert(ByteBpe.encodeIds(text) == pieces.map(v))
+    // hand-derived: "the" = (t,h)@rk3 + (th,e)@rk4 -> one piece, id 260;
+    // " tab" = (Ġ,t)@rk0 + (Ġt,a)@rk1 + (Ġta,b)@rk2 -> one piece, id 258
+    assert(ByteBpe.encodeIds(text) == Seq(260, 258))
+    assert(ByteBpe.decodeIds(ByteBpe.encodeIds(text)) == text)
+    // multi-byte UTF-8: every byte falls back to its base id when no
+    // merge applies — ids are the raw UTF-8 bytes
+    val emoji = "😀"
+    val ids = ByteBpe.encodeIds(emoji)
+    assert(ids == emoji.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(_ & 0xff).toSeq)
+    assert(ByteBpe.decodeIds(ids) == emoji)
+  }
+
+  test("encodeIdFingerprint: ids match the scalar encode per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the table was scanned"),
+      (2L, "a quer ran over rows"),
+      (3L, "big win for fil the")).toDF("doc_id", "text")
+    val got = ByteBpe.encodeIdFingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val pre = ByteBpe.preTokenize(text)
+      val ids = ByteBpe.encodeIds(text)
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(" ")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(got(id) == ((pre.size.toLong, ids.size.toLong, fp)),
+        s"doc $id mismatch")
+    }
+  }
+
+  test("idVocabSqlValues stays ASCII and spells shifted bytes as chr(n)") {
+    val sql = ByteBpe.idVocabSqlValues()
+    assert(sql.forall(_ < 128))
+    assert(sql.contains("(32,'' || chr(288) || '')")) // Ġ row
+    assert(sql.contains("(97,a)") == false) // symbols are quoted
+    assert(sql.contains("(97,'a')"))
+  }
 }

@@ -537,6 +537,63 @@ class StreamingFileSpec extends SparkSpec {
       "page gates: lorem/chrome/short pages dropped, good pages kept")
   }
 
+  test("host-gate stream: blocklist + per-host quota, state across restart") {
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, url STRING")
+    def url(i: Long): String =
+      if (i % 7 == 3) s"https://bad.example.com/p$i"
+      else s"https://h${i % 3}.example.com//p$i?utm_source=feed&a=1"
+    def writeBatch(ids: Seq[Long], late: Boolean): Unit = {
+      val rows = ids.map(i => (i, url(i))) ++
+        (if (late) ids.map(i => (1000L + i, s"https://late.example.com/q$i"))
+         else Nil)
+      rows.toDF("doc_id", "url").coalesce(1).write.mode("append").parquet(in)
+    }
+    def runOnce(): Unit = {
+      val q = Streaming.hostGateStream(
+        spark.readStream.schema(schema).parquet(in),
+        "doc_id", "url", quota = 4, blocklist = Set("bad.example.com"))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeBatch(0L until 20L, late = false)
+    runOnce()
+    writeBatch(20L until 40L, late = true) // arrives while the stream is
+    runOnce()                              // DOWN + a brand-new host
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("id"),
+        r.getAs[String]("url")))
+    // blocklisted host never admitted
+    assert(!got.exists(_._1 == "bad.example.com"))
+    // per-host admission COUNTS = min(quota, survivors) — the quota
+    // semantics hold whatever the arrival order
+    val all = (0L until 40L).filterNot(_ % 7 == 3)
+    val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val wantCounts = all.groupBy(i => s"h${i % 3}.example.com").view
+      .mapValues(x => math.min(4, x.size)).toMap +
+      ("late.example.com" -> 4)
+    assert(counts == wantCounts)
+    // determinism boundary, pinned: each h-host fills its quota inside
+    // file 1 (ordered arrival), so the admitted SET ≡ the batch gate's
+    // lowest-quota-ids; state across restart admits NOTHING more for
+    // those hosts from file 2
+    val perHost = got.filter(_._1.startsWith("h")).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val wantIds = all.filter(_ < 20)
+      .groupBy(i => s"h${i % 3}.example.com").view
+      .mapValues(_.sorted.take(4).toSeq).toMap
+    assert(perHost == wantIds)
+    // the host seen only AFTER the restart still fills its quota
+    assert(got.filter(_._1 == "late.example.com").map(_._2).sorted.toSeq ==
+      (1020L to 1023L))
+    // admitted urls carry the CANONICAL form (tracking dropped,
+    // slashes collapsed) — the gate keys and emits the wet4 key
+    assert(got.filter(_._1.startsWith("h")).forall(g =>
+      !g._3.contains("utm") && !g._3.contains("//p")))
+  }
+
   test("streamed monthly refresh ≡ batch p4 refresh, with a crash between the two commits") {
     import graft.dedup.{DedupSnapshot, SketchStore}
     import graft.functions.QualityClassifier

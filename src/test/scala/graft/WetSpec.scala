@@ -216,4 +216,150 @@ class WetSpec extends SparkSpec {
         s"file ${f.getName} not byte-deterministic")
     }
   }
+
+  // ------------------------------------------- WARC response records
+
+  /** One HTTP message block from explicit parts — the test's OWN
+    * layout, independent of [[WetSink.httpBlock]]. */
+  private def httpMsg(status: String, headers: Seq[String],
+                      body: Array[Byte]): Array[Byte] =
+    (status +: headers).mkString("", "\r\n", "\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body
+
+  test("hand-built response records: envelope split, statuses, binary/empty bodies") {
+    val binBody = Array.tabulate[Byte](256)(_.toByte) // every octet once
+    val crlfBody = "first\r\n\r\nsecond".getBytes(StandardCharsets.US_ASCII)
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.0", "WARC-Type: warcinfo"),
+        "software: handmade\r\n".getBytes(StandardCharsets.US_ASCII)),
+      // a real WARC interleaves request records — skipped by TYPE, not
+      // by failing to parse (their block is an HTTP message too)
+      rawRecord(Seq("WARC/1.1", "WARC-Type: request",
+        "WARC-Target-URI: http://x.test/p"),
+        "GET /p HTTP/1.1\r\nHost: x.test\r\n\r\n".getBytes),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/p",
+        "WARC-Date: 2021-01-02T03:04:05Z"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Server: handmade", "content-type: text/html; charset=utf-8"),
+          "<html>ok</html>".getBytes(StandardCharsets.UTF_8))),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/redir"),
+        httpMsg("HTTP/1.1 301 Moved Permanently",
+          Seq("Location: http://y.test/"), Array.emptyByteArray)),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/bin"),
+        httpMsg("HTTP/1.1 304 Not Modified",
+          Seq("Content-Type: application/octet-stream"), binBody)),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/crlf"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/plain"),
+          crlfBody))))
+    val rs = Wet.responses(fixture, "fixR").toSeq
+    // warcinfo + request walked and skipped; record_ix still counts them
+    assert(rs.map(_.http_status) == Seq(200, 301, 304, 200))
+    assert(rs.map(_.record_ix) == Seq(2, 3, 4, 5))
+    val ok = rs(0)
+    assert(ok.target_uri == "http://x.test/p")
+    assert(ok.warc_date == "2021-01-02T03:04:05Z")
+    assert(ok.http_content_type == "text/html; charset=utf-8") // case-insensitive name
+    assert(new String(ok.body, StandardCharsets.UTF_8) == "<html>ok</html>")
+    assert(ok.header_bytes + ok.body.length == ok.content_length)
+    val redir = rs(1)
+    assert(redir.body.isEmpty && redir.http_content_type == "")
+    assert(redir.header_bytes == redir.content_length)
+    assert(rs(2).body.toSeq == binBody.toSeq) // binary-safe payload
+    // the split is at the FIRST CRLFCRLF: one inside the body survives
+    assert(rs(3).body.toSeq == crlfBody.toSeq)
+  }
+
+  test("malformed response blocks fail loudly") {
+    // truncation inside the HTTP head: no CRLFCRLF boundary at all
+    val noBoundary = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/t"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/h".getBytes)))
+    val e1 = intercept[IllegalArgumentException] {
+      Wet.responses(noBoundary, "fixH").toSeq
+    }
+    assert(e1.getMessage.contains("fixH") &&
+      e1.getMessage.contains("truncated inside the HTTP head"))
+    // not an HTTP message at all
+    val notHttp = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response"),
+      "<html>no envelope</html>\r\n\r\n".getBytes)))
+    val e2 = intercept[IllegalArgumentException] {
+      Wet.responses(notHttp, "fixNH").toSeq
+    }
+    assert(e2.getMessage.contains("expected an HTTP status line"))
+    // non-numeric status code
+    val badCode = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response"),
+      "HTTP/1.1 abc OK\r\n\r\nbody".getBytes)))
+    val e3 = intercept[IllegalArgumentException] {
+      Wet.responses(badCode, "fixBC").toSeq
+    }
+    assert(e3.getMessage.contains("malformed HTTP status code"))
+  }
+
+  test("response sink round-trip: statuses, missing Content-Type, empty bodies, determinism") {
+    import spark.implicits._
+    val docs = (0L until 23L).map { i =>
+      val status = if (i % 5 == 0) 301 else if (i % 7 == 3) 404 else 200
+      val ctype = if (status == 301) "" else "text/html; charset=UTF-8"
+      val body = if (status == 301) "" else s"<html>page $i with €</html>"
+      (s"http://x.test/doc/$i", status, ctype, body)
+    }.toDF("uri", "status", "ctype", "body")
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
+    WetSink.writeResponses(docs, dir + "/w", "uri", "status", "ctype", "body",
+      numFiles = 2)
+    val back = graft.sources.Wet.readResponses(spark, dir + "/w")
+      .collect().map { r =>
+        r.getAs[String]("target_uri") ->
+          ((r.getAs[Int]("http_status"), r.getAs[String]("http_content_type"),
+            new String(r.getAs[Array[Byte]]("body"), StandardCharsets.UTF_8)))
+      }.toMap
+    assert(back.size == 23)
+    (0L until 23L).foreach { i =>
+      val (st, ct, bd) = back(s"http://x.test/doc/$i")
+      val wantSt = if (i % 5 == 0) 301 else if (i % 7 == 3) 404 else 200
+      assert(st == wantSt)
+      if (wantSt == 301) assert(ct == "" && bd == "")
+      else assert(ct == "text/html; charset=UTF-8" &&
+        bd == s"<html>page $i with €</html>")
+    }
+    // determinism: a second write produces byte-identical files
+    WetSink.writeResponses(docs, dir + "/w2", "uri", "status", "ctype", "body",
+      numFiles = 2)
+    new java.io.File(dir + "/w").listFiles().sortBy(_.getName).foreach { f =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(
+          new java.io.File(dir + s"/w2/${f.getName}").toPath)),
+        s"${f.getName} not byte-deterministic")
+    }
+  }
+
+  test("oversized-file guard names the file and the fix") {
+    val dir = java.nio.file.Files.createTempDirectory("wetbig").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ok.warc.wet.gz"),
+      gzMembers(Seq(rawRecord(
+        Seq("WARC/1.1", "WARC-Type: conversion"), "fine".getBytes))))
+    // the guard is a metadata (length) pre-check — simulate the
+    // pathological file cheaply with a sparse file, no 2 GiB of I/O
+    val big = java.nio.file.Paths.get(dir, "huge.warc.wet.gz")
+    val ch = java.nio.channels.FileChannel.open(big,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.position(Wet.MaxFileBytes) // one byte past the cell cap
+      ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    } finally ch.close()
+    val e = intercept[IllegalArgumentException] {
+      Wet.read(spark, dir)
+    }
+    assert(e.getMessage.contains("huge.warc.wet.gz") &&
+      e.getMessage.contains("2 GiB") && e.getMessage.contains("split"))
+  }
 }
