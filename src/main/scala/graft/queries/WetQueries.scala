@@ -99,9 +99,13 @@ object WetQueries {
     * kernel provably drops (title/nav/footer/closing all strip to
     * < 20 chars), so `clean(html(text)) == clean(text)` by the line
     * independence of the rule gates — the wet7b oracle equivalence.
-    * Both engines rebuild the identical bytes, so the wet7 oracle
-    * checks the SPLIT (status line, optional header, CRLFCRLF
-    * boundary) by pure position arithmetic. */
+    * The 404s additionally ship `Transfer-Encoding: chunked` (their
+    * constant 40-byte body as a 26+14 chunk pair) — the reader must
+    * DE-CHUNK to pass, and the oracle rebuilds the wire framing for
+    * the length arithmetic while hashing the DECODED body. Both
+    * engines rebuild the identical bytes, so the wet7 oracle checks
+    * the SPLIT (status line, optional header, CRLFCRLF boundary,
+    * chunk walk) by pure position arithmetic. */
   private def writeWarc(s: org.apache.spark.sql.SparkSession, dir: String,
                         tag: String): String = {
     val c = col("doc_id")
@@ -120,10 +124,12 @@ object WetQueries {
           .otherwise(lit("text/html; charset=UTF-8")).as("ctype"),
         when(status === 301, "")
           .when(status === 404, "<html><body>page not found</body></html>")
-          .otherwise(html).as("body"))
+          .otherwise(html).as("body"),
+        (status === 404).as("chunked"))
     val out = freshDir(tag)
     graft.sources.WetSink.writeResponses(docs, out,
-      "uri", "status", "ctype", "body")
+      "uri", "status", "ctype", "body", chunkedCol = "chunked",
+      chunkSize = 26)
     out
   }
 
@@ -152,8 +158,17 @@ object WetQueries {
       'HTTP/1.1 ' || status || ' ' || reason || chr(13) || chr(10) ||
       (CASE WHEN ctype = '' THEN ''
             ELSE 'Content-Type: ' || ctype || chr(13) || chr(10) END) ||
-      'Content-Length: ' || CAST(octet_length(encode(body)) AS VARCHAR) ||
-      chr(13) || chr(10) || chr(13) || chr(10) AS env
+      (CASE WHEN status = 404 THEN 'Transfer-Encoding: chunked'
+            ELSE 'Content-Length: ' ||
+              CAST(octet_length(encode(body)) AS VARCHAR) END) ||
+      chr(13) || chr(10) || chr(13) || chr(10) AS env,
+      CASE WHEN status = 404 THEN
+        '1a' || chr(13) || chr(10) || substr(body, 1, 26) ||
+        chr(13) || chr(10) ||
+        'e' || chr(13) || chr(10) || substr(body, 27) ||
+        chr(13) || chr(10) ||
+        '0' || chr(13) || chr(10) || chr(13) || chr(10)
+      ELSE body END AS wire
       FROM b7)"""
 
   /** WET7: WARC `response` record parse (judge r16 #1 — the PRIMARY
@@ -161,11 +176,12 @@ object WetQueries {
     * first CRLFCRLF with the status line, optional Content-Type, and
     * the exact payload bytes recovered. Every parsed field is an
     * octet-arithmetic function of the fixture, so the oracle rebuilds
-    * envelope + body strings and checks
-    * `header_bytes + body_bytes == content_length` implicitly by
-    * hashing all three. Binary-safe payloads, header-before-body
-    * truncation, 30x statuses and empty bodies are additionally
-    * spec-pinned on hand-built byte layouts (WetSpec). */
+    * envelope + WIRE body strings (the 404s are chunked: wire ≠
+    * payload) and checks the framing arithmetic implicitly by hashing
+    * all of them. Binary-safe payloads, header-before-body
+    * truncation, 30x statuses, empty bodies and chunked edge shapes
+    * are additionally spec-pinned on hand-built byte layouts
+    * (WetSpec). */
   val wet7WarcResponses = QueryDef(
     "wet7_warc_responses",
     (s, dir) => {
@@ -181,7 +197,7 @@ object WetQueries {
     Some(s"""WITH $warcCtes
       SELECT 'http://example.org/doc/' || doc_id AS target_uri,
         status AS http_status, ctype AS content_type,
-        CAST(octet_length(encode(env)) + octet_length(encode(body))
+        CAST(octet_length(encode(env)) + octet_length(encode(wire))
           AS BIGINT) AS content_length,
         CAST(octet_length(encode(env)) AS BIGINT) AS header_bytes,
         CAST(octet_length(encode(body)) AS BIGINT) AS body_bytes,

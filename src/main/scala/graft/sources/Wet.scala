@@ -127,7 +127,13 @@ object Wet {
   /** Split one response block at its first CRLFCRLF (RFC 9112 §2.1
     * message framing). The HTTP head is ISO-8859-1-decoded (header
     * octets are latin-1-safe per RFC 9110 §5.5); the payload stays
-    * raw bytes. */
+    * raw bytes. A `Transfer-Encoding: chunked` payload — how a large
+    * share of real crawl responses arrive, and WARC stores the bytes
+    * AS TRANSMITTED — is de-chunked here (RFC 9112 §7.1), so
+    * downstream consumers always see the real payload, never chunk
+    * framing interleaved with their HTML. (`Content-Encoding: gzip`
+    * payloads are surfaced as-is under their Content-Type — body
+    * compression is a content property, not message framing.) */
   private def parseResponse(r: RawRecord): WarcResponse = {
     val b = r.block
     var split = -1
@@ -155,16 +161,62 @@ object Wet {
     require(codeStr.nonEmpty && codeStr.forall(_.isDigit),
       s"${r.path}: record ${r.ix}: malformed HTTP status code '$codeStr'")
     var ctype = ""
+    var chunked = false
     lines.iterator.drop(1).foreach { h =>
       val ci = h.indexOf(':')
       require(ci > 0,
         s"${r.path}: record ${r.ix}: malformed HTTP header line '${h.take(40)}'")
-      if (h.substring(0, ci).trim.equalsIgnoreCase("content-type"))
+      val name = h.substring(0, ci).trim
+      if (name.equalsIgnoreCase("content-type"))
         ctype = h.substring(ci + 1).trim
+      else if (name.equalsIgnoreCase("transfer-encoding") &&
+          h.substring(ci + 1).trim.equalsIgnoreCase("chunked"))
+        chunked = true
     }
-    val body = java.util.Arrays.copyOfRange(b, split + 4, b.length)
+    val body =
+      if (chunked) dechunk(b, split + 4, r)
+      else java.util.Arrays.copyOfRange(b, split + 4, b.length)
     WarcResponse(r.path, r.ix, r.uri, r.date, r.rid, r.clen,
       codeStr.toInt, ctype, split + 4L, body)
+  }
+
+  /** RFC 9112 §7.1 chunked-body decode: `hex-size[;ext]CRLF data CRLF`
+    * repeating to a zero-size last chunk; trailer fields after it are
+    * tolerated and ignored (they are message metadata, not payload).
+    * Truncation, a malformed size line, or a missing chunk-data CRLF
+    * fail loudly with record context — the strict-gunzip discipline. */
+  private def dechunk(b: Array[Byte], from: Int, r: RawRecord): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length - from, 16))
+    var i = from
+    def ctx = s"${r.path}: record ${r.ix}"
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(16)
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) {
+        sb.append((b(i) & 0xff).toChar); i += 1
+      }
+      require(i + 1 < b.length, s"$ctx: truncated chunk header in chunked body")
+      i += 2
+      sb.toString
+    }
+    var done = false
+    while (!done) {
+      val hexs = readLine().split(";")(0).trim
+      require(hexs.nonEmpty && hexs.forall(c => Character.digit(c, 16) >= 0),
+        s"$ctx: malformed chunk size '${hexs.take(20)}' in chunked body")
+      val n = java.lang.Long.parseLong(hexs, 16)
+      require(n <= Int.MaxValue, s"$ctx: chunk > 2 GiB")
+      if (n == 0) done = true
+      else {
+        require(i + n + 2 <= b.length,
+          s"$ctx: truncated $n-byte chunk after ${out.size} payload bytes")
+        out.write(b, i, n.toInt)
+        i += n.toInt
+        require(b(i) == '\r' && b(i + 1) == '\n',
+          s"$ctx: missing CRLF after a $n-byte chunk")
+        i += 2
+      }
+    }
+    out.toByteArray
   }
 
   /** Strict multi-member gunzip over an in-memory gzip file: decodes
@@ -535,13 +587,8 @@ object WetSink {
     }
   }
 
-  /** The HTTP message bytes of one response block (RFC 9112 framing):
-    * status line, `Content-Type` (when non-empty) + `Content-Length`
-    * headers, CRLFCRLF, payload. Deterministic reason phrases per
-    * status class keep gate fixtures replayable by position
-    * arithmetic. */
-  def httpBlock(status: Int, contentType: String,
-                body: Array[Byte]): Array[Byte] = {
+  private def httpHead(status: Int, contentType: String,
+                       framing: String): Array[Byte] = {
     val reason = status match {
       case 200 => "OK"
       case 301 => "Moved Permanently"
@@ -555,12 +602,48 @@ object WetSink {
       .append("\r\n")
     if (contentType.nonEmpty)
       sb.append("Content-Type: ").append(contentType).append("\r\n")
-    sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
-    val head = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    sb.append(framing).append("\r\n\r\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** The HTTP message bytes of one response block (RFC 9112 framing):
+    * status line, `Content-Type` (when non-empty) + `Content-Length`
+    * headers, CRLFCRLF, payload. Deterministic reason phrases per
+    * status class keep gate fixtures replayable by position
+    * arithmetic. */
+  def httpBlock(status: Int, contentType: String,
+                body: Array[Byte]): Array[Byte] = {
+    val head = httpHead(status, contentType, s"Content-Length: ${body.length}")
     val out = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(body, 0, out, head.length, body.length)
     out
+  }
+
+  /** [[httpBlock]]'s `Transfer-Encoding: chunked` form — how a large
+    * share of real responses arrive on the wire (and therefore in a
+    * WARC): the payload splits into `chunkSize`-byte chunks, each
+    * framed `lowercase-hex CRLF data CRLF`, ending `0 CRLF CRLF`.
+    * Deterministic for a fixed `chunkSize`, so gate fixtures replay. */
+  def httpChunkedBlock(status: Int, contentType: String,
+                       body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val head = httpHead(status, contentType, "Transfer-Encoding: chunked")
+    val out = new java.io.ByteArrayOutputStream(head.length + body.length + 64)
+    out.write(head, 0, head.length)
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunkSize, body.length - off)
+      out.write(java.lang.Integer.toHexString(n)
+        .getBytes(StandardCharsets.US_ASCII))
+      out.write('\r'); out.write('\n')
+      out.write(body, off, n)
+      out.write('\r'); out.write('\n')
+      off += n
+    }
+    out.write('0'); out.write('\r'); out.write('\n')
+    out.write('\r'); out.write('\n')
+    out.toByteArray
   }
 
   /** Write `docs(uriCol, statusCol, ctypeCol, bodyCol)` as `numFiles`
@@ -569,20 +652,29 @@ object WetSink {
     * in the [[httpBlock]] HTTP envelope inside a
     * `application/http; msgtype=response` WARC block. `bodyCol` is
     * BINARY (binary-safe payloads round-trip; gate fixtures encode
-    * UTF-8 HTML). */
+    * UTF-8 HTML). When `chunkedCol` names a boolean column, true rows
+    * write their payload `Transfer-Encoding: chunked`
+    * ([[httpChunkedBlock]] at `chunkSize`) — the as-transmitted wire
+    * form the reader must de-chunk. */
   def writeResponses(docs: DataFrame, dir: String, uriCol: String,
                      statusCol: String, ctypeCol: String, bodyCol: String,
                      date: String = "2026-01-01T00:00:00Z",
-                     numFiles: Int = 4): Unit = {
-    import org.apache.spark.sql.functions.col
+                     numFiles: Int = 4,
+                     chunkedCol: String = "", chunkSize: Int = 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val chunkedFlag =
+      if (chunkedCol.nonEmpty) col(chunkedCol).cast("boolean")
+      else lit(false)
     writeFiles(docs.select(col(uriCol).as("uri"), col(statusCol).cast("int"),
-        col(ctypeCol), col(bodyCol).cast("binary")),
+        col(ctypeCol), col(bodyCol).cast("binary"), chunkedFlag.as("__ch")),
       dir, ".warc.gz", "WARC File Format 1.1", date, numFiles) { r =>
       val body = if (r.isNullAt(3)) Array.emptyByteArray
         else r.getAs[Array[Byte]](3)
+      val chunked = !r.isNullAt(4) && r.getBoolean(4)
       record("response", r.getString(0), date,
         "application/http; msgtype=response",
-        httpBlock(r.getInt(1), r.getString(2), body))
+        if (chunked) httpChunkedBlock(r.getInt(1), r.getString(2), body, chunkSize)
+        else httpBlock(r.getInt(1), r.getString(2), body))
     }
   }
 }

@@ -580,6 +580,32 @@ object Streaming {
     ruleCleanStream(recs, "text")
   }
 
+  /** Raw WARC `response` files → boilerplate-cleaned docs as ONE
+    * stream (round 17 — [[wetCleanStream]]'s composition for the
+    * PRIMARY Common Crawl artifact, completing the streamed front end
+    * for pipelines that do NOT trust CC's own text extraction): a
+    * `binaryFile` file-source of `*.warc.gz` files, the SAME
+    * streaming response parse batch `readResponses` uses
+    * ([[graft.sources.Wet.responses]] flatMapped per file), the
+    * status-200 + `text/html` gate, UTF-8 body decode, then
+    * [[ruleCleanStream]]'s full t26 → t27 chain over the HTML.
+    * Everything after the source is a stateless map — online ≡
+    * offline STRUCTURAL, exactly-once reduces to the file source's
+    * checkpoint (StreamingFileSpec pins stream-with-restart ≡ batch
+    * `readResponses` + the same chain). Emits `(target_uri, text)`
+    * with `text` the cleaned article. */
+  def warcCleanStream(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => graft.sources.Wet.responses(b, p) }
+      .filter(col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri"), col("body").cast("string").as("text"))
+    ruleCleanStream(recs, "text")
+  }
+
   /** Streamed MONTHLY REFRESH (judge r15 #5) — p4's whole delta path
     * as ONE `foreachBatch` chain: the t26 rule rebuild + page gates
     * (stateless column kernels), the FROZEN-classifier gate at the

@@ -537,6 +537,64 @@ class StreamingFileSpec extends SparkSpec {
       "page gates: lorem/chrome/short pages dropped, good pages kept")
   }
 
+  test("warc-clean stream ≡ batch readResponses + rule clean, across restart") {
+    import graft.sources.{Wet, WetSink}
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val goodLines = (1 to 6).map(i =>
+      s"this is fine sentence number $i about data quality and structure.")
+    def page(extra: String*): String = (goodLines ++ extra).mkString("\n")
+    def html(body: String): String =
+      s"<html><body>\n$body\n<nav><a href=\"/\">Home</a> nav</nav>\n</body></html>"
+    val htmlCt = "text/html; charset=UTF-8"
+    def mkWarc(docs: Seq[(String, Int, String, String)], name: String): Unit = {
+      val stage = tmp()
+      WetSink.writeResponses(docs.toDF("uri", "status", "ctype", "body"),
+        stage, "uri", "status", "ctype", "body", numFiles = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage, "part-00000.warc.gz"),
+        java.nio.file.Paths.get(in, name))
+    }
+    mkWarc(Seq(
+      ("http://x.test/good1", 200, htmlCt, html(page())),
+      ("http://x.test/miss", 404, htmlCt,
+        "<html><body>page not found</body></html>"),
+      ("http://x.test/redir", 301, "", ""),
+      ("http://x.test/lorem", 200, htmlCt,
+        html(page("and then Lorem Ipsum dolor sit amet appears in this sentence.")))),
+      "crawl-0001.warc.gz")
+    def runOnce(): Unit = {
+      val q = Streaming.warcCleanStream(
+        spark.readStream.format("binaryFile")
+          .schema(graft.streaming.Streaming.BinaryFileSchema)
+          .option("pathGlobFilter", "*.warc.gz").load(in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    mkWarc(Seq(                     // arrives while the stream is DOWN
+      ("http://x.test/good2", 200, htmlCt,
+        html(page("one more closing sentence for the second file today.")))),
+      "crawl-0002.warc.gz")
+    runOnce()                       // restart from checkpoint
+    val got = spark.read.parquet(out).select("target_uri", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // batch reference: the same parse + the same stateless chain
+    val want = Streaming.ruleCleanStream(
+      Wet.readResponses(spark, in)
+        .filter(col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("target_uri"), col("body").cast("string").as("text")),
+      "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, s"stream (${got.size}) must equal batch (${want.size})")
+    assert(got.map(_._1) == Set("http://x.test/good1", "http://x.test/good2"),
+      "status/ctype + page gates: 404/301/lorem dropped, good pages kept")
+    // the boilerplate actually fired: html chrome is gone
+    assert(got.forall { case (_, t) => !t.contains("<") })
+  }
+
   test("host-gate stream: blocklist + per-host quota, state across restart") {
     val in = tmp(); val out = tmp(); val ckpt = tmp()
     val schema = org.apache.spark.sql.types.StructType.fromDDL(

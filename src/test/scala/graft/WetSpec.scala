@@ -340,6 +340,56 @@ class WetSpec extends SparkSpec {
     }
   }
 
+  test("chunked response bodies decode per RFC 9112 §7.1") {
+    // hand-built chunked framing, independent of httpChunkedBlock: two
+    // chunks (one with a size extension), a trailer field after the
+    // last chunk (tolerated, ignored), and uppercase hex
+    val wire = "7;ext=a\r\nhello c\r\n12\r\nhunked crawl world\r\n" +
+      "0\r\nX-Trailer: ok\r\n\r\n"
+    def resp(body: Array[Byte], uri: String) = rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response", s"WARC-Target-URI: $uri"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/plain", "transfer-encoding: Chunked"),
+        body))
+    val fixture = gzMembers(Seq(
+      resp(wire.getBytes(StandardCharsets.ISO_8859_1), "http://x.test/c"),
+      resp("0\r\n\r\n".getBytes, "http://x.test/empty")))
+    val rs = Wet.responses(fixture, "fixC").toSeq
+    assert(new String(rs(0).body, StandardCharsets.UTF_8) ==
+      "hello chunked crawl world")
+    assert(rs(1).body.isEmpty)
+    // malformed chunked bodies fail loudly
+    def bad(body: String) = intercept[IllegalArgumentException] {
+      Wet.responses(gzMembers(Seq(resp(body.getBytes, "http://x.test/b"))),
+        "fixBad").toSeq
+    }
+    assert(bad("zz\r\ndata\r\n0\r\n\r\n").getMessage
+      .contains("malformed chunk size"))
+    assert(bad("10\r\nshort\r\n0\r\n\r\n").getMessage
+      .contains("truncated")) // 0x10=16 bytes promised, 5 present
+    assert(bad("5\r\nhelloXX0\r\n\r\n").getMessage
+      .contains("missing CRLF after"))
+  }
+
+  test("chunked sink round-trip: httpChunkedBlock framing decodes back") {
+    import spark.implicits._
+    val body = ("x" * 30) + "€😀" + ("y" * 20) // multi-byte across chunks
+    val docs = Seq(("http://x.test/ck", 200, "text/html; charset=UTF-8",
+      body, true)).toDF("uri", "status", "ctype", "body", "chunked")
+    val dir = java.nio.file.Files.createTempDirectory("warcck").toString
+    WetSink.writeResponses(docs, dir, "uri", "status", "ctype", "body",
+      numFiles = 1, chunkedCol = "chunked", chunkSize = 26)
+    val r = graft.sources.Wet.readResponses(spark, dir).collect().head
+    assert(new String(r.getAs[Array[Byte]]("body"),
+      StandardCharsets.UTF_8) == body)
+    // wire framing is larger than the payload: the envelope split plus
+    // chunk walk accounted for every block byte (strict readExactly
+    // would have failed otherwise)
+    assert(r.getAs[Long]("content_length") >
+      r.getAs[Long]("header_bytes") +
+        body.getBytes(StandardCharsets.UTF_8).length)
+  }
+
   test("oversized-file guard names the file and the fix") {
     val dir = java.nio.file.Files.createTempDirectory("wetbig").toString
     java.nio.file.Files.write(
