@@ -106,25 +106,35 @@ object WetQueries {
     * engines rebuild the identical bytes, so the wet7 oracle checks
     * the SPLIT (status line, optional header, CRLFCRLF boundary,
     * chunk walk) by pure position arithmetic. */
-  private def writeWarc(s: org.apache.spark.sql.SparkSession, dir: String,
-                        tag: String): String = {
+  private def respStatus(c: org.apache.spark.sql.Column) =
+    when(c % 10 === 7, 404).when(c % 9 === 4, 301).otherwise(200)
+
+  /** The 200-page HTML wrapper — every wrapper line provably strips
+    * below the t26 20-char gate (see [[writeWarc]] doc). */
+  private def pageHtml(c: org.apache.spark.sql.Column) = concat(
+    lit("<html><head><title>doc "), c.cast("string"),
+    lit("</title></head><body>\n" +
+      "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>\n"),
+    col("text"),
+    lit("\n<footer>(c) example.org</footer>\n</body></html>"))
+
+  private def respBody(c: org.apache.spark.sql.Column) = {
+    val status = respStatus(c)
+    when(status === 301, "")
+      .when(status === 404, "<html><body>page not found</body></html>")
+      .otherwise(pageHtml(c))
+  }
+
+  private def writeWarcWith(s: org.apache.spark.sql.SparkSession,
+                            dir: String, tag: String,
+                            uri: org.apache.spark.sql.Column): String = {
     val c = col("doc_id")
-    val status = when(c % 10 === 7, 404)
-      .when(c % 9 === 4, 301).otherwise(200)
-    val html = concat(
-      lit("<html><head><title>doc "), c.cast("string"),
-      lit("</title></head><body>\n" +
-        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>\n"),
-      col("text"),
-      lit("\n<footer>(c) example.org</footer>\n</body></html>"))
+    val status = respStatus(c)
     val docs = Queries.table(s, dir, "documents")
-      .select(concat(lit("http://example.org/doc/"), c).as("uri"),
-        status.as("status"),
+      .select(uri.as("uri"), status.as("status"),
         when(status === 301, "")
           .otherwise(lit("text/html; charset=UTF-8")).as("ctype"),
-        when(status === 301, "")
-          .when(status === 404, "<html><body>page not found</body></html>")
-          .otherwise(html).as("body"),
+        respBody(c).as("body"),
         (status === 404).as("chunked"))
     val out = freshDir(tag)
     graft.sources.WetSink.writeResponses(docs, out,
@@ -132,6 +142,11 @@ object WetQueries {
       chunkSize = 26)
     out
   }
+
+  private def writeWarc(s: org.apache.spark.sql.SparkSession, dir: String,
+                        tag: String): String =
+    writeWarcWith(s, dir, tag,
+      concat(lit("http://example.org/doc/"), col("doc_id")))
 
   /** Shared oracle CTEs rebuilding the wet7 fixture: the HTTP body,
     * Content-Type, reason phrase, and the exact envelope string —
@@ -239,6 +254,66 @@ object WetQueries {
         md5(clean) AS clean_fp
       FROM cl
       WHERE NOT (doc_id % 10 = 7 OR doc_id % 9 = 4)"""))
+
+  /** WET8: the COMPLETE batch crawl front end as ONE plan (the p1/p2
+    * composition discipline for the crawl family): WARC `response`
+    * parse → status-200 + `text/html` gate → boilerplate rebuild +
+    * page-level containment gates → canonical-host blocklist + quota
+    * gate. The fixture's target URIs are MESSY (scheme/www/host case,
+    * default ports, tracking params) with the doc id in the path, so
+    * the host gate runs over [[graft.functions.UrlFns.hostOf]]'s
+    * canonical key — the chain a 100 TB ingest actually executes,
+    * with text only ever read inside the map stage and only
+    * (doc_id, host, n_clean_chars) ever exchanged. Oracle: the shared
+    * t26 replay + the same residue construction + QUALIFY rank. */
+  val wet8FrontEnd = QueryDef(
+    "wet8_crawl_front_end",
+    (s, dir) => {
+      import graft.functions.UrlFns
+      import org.apache.spark.sql.expressions.Window
+      val c = col("doc_id")
+      val messyUri = concat(
+        when(c % 2 === 0, "HTTP").otherwise(lit("https")), lit("://"),
+        when(c % 3 === 1, "WWW.").otherwise(lit("")),
+        lit("Site"), (c % 7).cast("string"), lit(".Example.COM"),
+        when(c % 3 === 0, when(c % 2 === 0, ":80").otherwise(":443"))
+          .otherwise(lit("")),
+        lit("/doc/"), c,
+        when(c % 4 === 0, "?utm_source=feed").otherwise(lit("")))
+      val out = writeWarcWith(s, dir, "wet8", messyUri)
+      val cleaned = graft.sources.Wet.readResponses(s, out)
+        .filter(col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .withColumn("clean", graft.functions.Boilerplate
+          .clean(col("body").cast("string")).getField("clean"))
+        .filter(!lower(col("clean")).contains("lorem ipsum") &&
+          !col("clean").contains("{"))
+        .select(regexp_extract(col("target_uri"), "doc/(\\d+)", 1)
+          .cast("long").as("doc_id"),
+          graft.functions.UrlFns.hostOf(col("target_uri")).as("host"),
+          length(col("clean")).cast("long").as("n_clean_chars"))
+      cleaned
+        .filter(col("host") =!= "site0.example.com")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("host").orderBy("doc_id")))
+        .filter(col("__rk") <= 8)
+        .select("doc_id", "host", "n_clean_chars")
+    },
+    Some("WITH " + TextQueries.t26CleanCtes("documents") + """,
+      cl AS (SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN keep THEN body END,
+            chr(10) ORDER BY i), '') AS clean
+        FROM kp GROUP BY doc_id),
+      cand AS (SELECT doc_id,
+          'site' || (doc_id % 7) || '.example.com' AS host,
+          CAST(length(clean) AS BIGINT) AS n_clean_chars
+        FROM cl
+        WHERE NOT (doc_id % 10 = 7 OR doc_id % 9 = 4)
+          AND NOT contains(lower(clean), 'lorem ipsum')
+          AND NOT contains(clean, '{'))
+      SELECT doc_id, host, n_clean_chars FROM cand
+      WHERE host <> 'site0.example.com'
+      QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 8"""))
 
   // ---------------------------------------------------- URL curation
 
@@ -469,5 +544,5 @@ object WetQueries {
 
   val all: Seq[QueryDef] = Seq(wet1Records, wet2RuleClean,
     wet3UrlNormalize, wet3bPctDotNormalize, wet4UrlDedup, wet5HostProfile,
-    wet6HostGate, wet7WarcResponses, wet7bWarcClean)
+    wet6HostGate, wet7WarcResponses, wet7bWarcClean, wet8FrontEnd)
 }

@@ -69,9 +69,15 @@ object Wet {
     * on. `body` is the RAW payload bytes — binary-safe (images and
     * gzip-encoded payloads appear in real crawls); decode to text only
     * under a textual Content-Type. `header_bytes` is the envelope size
-    * (status line + headers + the CRLFCRLF), so
-    * `header_bytes + body.length == content_length` always — the
-    * position arithmetic the wet7 oracle replays. */
+    * (status line + headers + the CRLFCRLF), so for identity-framed
+    * payloads `header_bytes + body.length == content_length` — the
+    * position arithmetic the wet7 oracle replays. `warc_truncated`
+    * carries the record's `WARC-Truncated` reason (`"length"` /
+    * `"time"` / … — Common Crawl cuts payloads at ~1 MiB and DECLARES
+    * it with this header; empty when absent): a pipeline must know a
+    * body is a prefix before hashing or deduplicating it, and a
+    * DECLARED truncation downgrades the chunk-walk errors to
+    * best-effort (see [[Wet.responses]]). */
   final case class WarcResponse(
       warc_path: String,
       record_ix: Int,
@@ -82,11 +88,13 @@ object Wet {
       http_status: Int,
       http_content_type: String,
       header_bytes: Long,
+      warc_truncated: String,
       body: Array[Byte])
 
   /** One raw record: WARC headers + the UNDECODED content block. */
   private final case class RawRecord(path: String, ix: Int, warcType: String,
-      uri: String, date: String, rid: String, clen: Long, block: Array[Byte])
+      uri: String, date: String, rid: String, clen: Long,
+      truncated: String, block: Array[Byte])
 
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
@@ -174,46 +182,57 @@ object Wet {
         chunked = true
     }
     val body =
-      if (chunked) dechunk(b, split + 4, r)
+      if (chunked) dechunk(b, split + 4, r, tolerate = r.truncated.nonEmpty)
       else java.util.Arrays.copyOfRange(b, split + 4, b.length)
     WarcResponse(r.path, r.ix, r.uri, r.date, r.rid, r.clen,
-      codeStr.toInt, ctype, split + 4L, body)
+      codeStr.toInt, ctype, split + 4L, r.truncated, body)
   }
 
   /** RFC 9112 §7.1 chunked-body decode: `hex-size[;ext]CRLF data CRLF`
     * repeating to a zero-size last chunk; trailer fields after it are
     * tolerated and ignored (they are message metadata, not payload).
     * Truncation, a malformed size line, or a missing chunk-data CRLF
-    * fail loudly with record context — the strict-gunzip discipline. */
-  private def dechunk(b: Array[Byte], from: Int, r: RawRecord): Array[Byte] = {
+    * fail loudly with record context — the strict-gunzip discipline —
+    * UNLESS the record DECLARES its truncation (`WARC-Truncated`,
+    * Common Crawl's ~1 MiB payload cut, which lands mid-chunk): a
+    * declared cut decodes best-effort to the truncation point, because
+    * the prefix is exactly what the archive stored and the flag rides
+    * the row for downstream judgment. */
+  private def dechunk(b: Array[Byte], from: Int, r: RawRecord,
+                      tolerate: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(b.length - from, 16))
     var i = from
     def ctx = s"${r.path}: record ${r.ix}"
-    def readLine(): String = {
+    var done = false
+    while (!done) {
+      // chunk-size line
       val sb = new java.lang.StringBuilder(16)
       while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) {
         sb.append((b(i) & 0xff).toChar); i += 1
       }
-      require(i + 1 < b.length, s"$ctx: truncated chunk header in chunked body")
-      i += 2
-      sb.toString
-    }
-    var done = false
-    while (!done) {
-      val hexs = readLine().split(";")(0).trim
-      require(hexs.nonEmpty && hexs.forall(c => Character.digit(c, 16) >= 0),
-        s"$ctx: malformed chunk size '${hexs.take(20)}' in chunked body")
-      val n = java.lang.Long.parseLong(hexs, 16)
-      require(n <= Int.MaxValue, s"$ctx: chunk > 2 GiB")
-      if (n == 0) done = true
-      else {
-        require(i + n + 2 <= b.length,
-          s"$ctx: truncated $n-byte chunk after ${out.size} payload bytes")
-        out.write(b, i, n.toInt)
-        i += n.toInt
-        require(b(i) == '\r' && b(i + 1) == '\n',
-          s"$ctx: missing CRLF after a $n-byte chunk")
+      if (i + 1 >= b.length) {
+        require(tolerate, s"$ctx: truncated chunk header in chunked body")
+        done = true
+      } else {
         i += 2
+        val hexs = sb.toString.split(";")(0).trim
+        require(hexs.nonEmpty && hexs.forall(c => Character.digit(c, 16) >= 0),
+          s"$ctx: malformed chunk size '${hexs.take(20)}' in chunked body")
+        val n = java.lang.Long.parseLong(hexs, 16)
+        require(n <= Int.MaxValue, s"$ctx: chunk > 2 GiB")
+        if (n == 0) done = true
+        else if (i + n + 2 > b.length) {
+          require(tolerate,
+            s"$ctx: truncated $n-byte chunk after ${out.size} payload bytes")
+          out.write(b, i, math.max(math.min(n.toInt, b.length - i), 0))
+          done = true
+        } else {
+          out.write(b, i, n.toInt)
+          i += n.toInt
+          require(b(i) == '\r' && b(i + 1) == '\n',
+            s"$ctx: missing CRLF after a $n-byte chunk")
+          i += 2
+        }
       }
     }
     out.toByteArray
@@ -419,7 +438,7 @@ object Wet {
         case None =>
           finished = true; in.close()
         case Some(v) if v == "WARC/1.0" || v == "WARC/1.1" =>
-          var warcType, uri, date, rid = ""
+          var warcType, uri, date, rid, trunc = ""
           var clen = -1L
           var h = readLine().getOrElse(throw new EOFException(
             s"$path: EOF inside record ${ix + 1} headers"))
@@ -432,6 +451,7 @@ object Wet {
               case "warc-target-uri" => uri = value
               case "warc-date" => date = value
               case "warc-record-id" => rid = value
+              case "warc-truncated" => trunc = value
               case "content-length" => clen = value.toLong
               case _ => // Content-Type etc.: carried but not modeled
             }
@@ -442,7 +462,8 @@ object Wet {
             s"$path: record ${ix + 1} has no Content-Length header")
           val block = readExactly(clen)
           ix += 1
-          nextRec = RawRecord(path, ix, warcType, uri, date, rid, clen, block)
+          nextRec = RawRecord(path, ix, warcType, uri, date, rid, clen,
+            trunc, block)
         case Some(other) =>
           throw new IllegalArgumentException(
             s"$path: expected WARC/1.x record header after record $ix, " +

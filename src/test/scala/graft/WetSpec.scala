@@ -371,6 +371,28 @@ class WetSpec extends SparkSpec {
       .contains("missing CRLF after"))
   }
 
+  test("WARC-Truncated: declared cuts decode best-effort, flag surfaced") {
+    // Common Crawl cuts payloads at ~1 MiB and DECLARES it; the cut
+    // lands mid-chunk, so the chunk walk must keep the stored prefix
+    // instead of failing the file (only UNDECLARED truncation is loud)
+    val cutWire = "1a\r\n<html><body>page not fo" // 23 of 26 promised bytes
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/cut", "WARC-Truncated: length"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html", "Transfer-Encoding: chunked"),
+          cutWire.getBytes(StandardCharsets.ISO_8859_1))),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/ok"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/html"),
+          "<html>fine</html>".getBytes))))
+    val rs = Wet.responses(fixture, "fixTr").toSeq
+    assert(rs(0).warc_truncated == "length")
+    assert(new String(rs(0).body, StandardCharsets.UTF_8) ==
+      "<html><body>page not fo")
+    assert(rs(1).warc_truncated == "")
+  }
+
   test("chunked sink round-trip: httpChunkedBlock framing decodes back") {
     import spark.implicits._
     val body = ("x" * 30) + "€😀" + ("y" * 20) // multi-byte across chunks
