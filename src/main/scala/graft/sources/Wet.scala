@@ -255,6 +255,14 @@ object Wet {
       (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
         ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
 
+    /** Decode the next member; returns (payload, startOffset, endOffset)
+      * in the COMPRESSED stream, or None at clean end. The payload
+      * array is reused storage — consume it before the next call. */
+    def nextMemberBounds(): Option[(Array[Byte], Int, Int)] = {
+      val start = off
+      if (!nextMember()) None else Some((cur, start, off))
+    }
+
     /** Decode the next member into `cur`; false at exact clean end. */
     private def nextMember(): Boolean = {
       if (off == bytes.length) return false
@@ -361,6 +369,92 @@ object Wet {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (p, b) => records(b, p) }
+      .toDF()
+  }
+
+  /** One row of a per-record member index (see [[index]]). */
+  final case class WarcIndexEntry(
+      warc_path: String,
+      record_ix: Int,
+      offset: Long,
+      length: Long,
+      warc_type: String,
+      target_uri: String)
+
+  /** Build the per-record OFFSET INDEX of one record-at-time-
+    * compressed WARC/WET file — the CDX / `cluster.idx` pattern
+    * Common Crawl itself ships: because each record is its own gzip
+    * member (the WARC 1.1 annex convention [[WetSink]] writes and CC
+    * follows), member offsets ARE record offsets, and a slice
+    * `[offset, offset+length)` is a complete one-record gzip stream
+    * that [[readAt]] decodes WITHOUT touching the rest of the file.
+    * At crawl scale this is how a pipeline re-reads the handful of
+    * records a downstream audit names (a takedown, a dedup survivor
+    * probe) out of 150 MB files — seek + one member, not a scan.
+    * Building the index is one strict-verified decode pass (the same
+    * member walker as [[records]] — CRC/ISIZE/offset checks
+    * included); a member holding ≠ 1 record fails loudly, because a
+    * per-record index over coalesced members would silently lie. */
+  def index(bytes: Array[Byte], path: String): Seq[WarcIndexEntry] = {
+    require(bytes.length >= 2 && bytes(0) == GzipMagic0 &&
+      bytes(1) == GzipMagic1,
+      s"$path: a member index needs record-at-time gzip input " +
+        "(a plain file is already byte-addressable)")
+    val ms = new MemberStream(bytes, path)
+    val out = Seq.newBuilder[WarcIndexEntry]
+    var ix = 0
+    var bounds = ms.nextMemberBounds()
+    while (bounds.isDefined) {
+      val (payload, start, end) = bounds.get
+      val recs =
+        new RecordIterator(new ByteArrayInputStream(payload), path).toVector
+      require(recs.size == 1,
+        s"$path: gzip member at offset $start holds ${recs.size} records " +
+          "— not record-at-time compression; a per-record index would lie")
+      out += WarcIndexEntry(path, ix, start.toLong, (end - start).toLong,
+        recs.head.warcType, recs.head.uri)
+      ix += 1
+      bounds = ms.nextMemberBounds()
+    }
+    out.result()
+  }
+
+  /** Random-access read of ONE indexed record: the `[offset,
+    * offset+length)` slice of a record-at-time file is itself a valid
+    * gzip stream, so the ordinary strict parse applies to just that
+    * member. */
+  def readAt(bytes: Array[Byte], path: String, offset: Long,
+             length: Long): WetRecord = {
+    val recs = records(java.util.Arrays.copyOfRange(bytes,
+      offset.toInt, (offset + length).toInt), path).toVector
+    require(recs.size == 1,
+      s"$path: slice [$offset, ${offset + length}) holds ${recs.size} records")
+    recs.head
+  }
+
+  /** [[readAt]] for a `response` record slice (envelope split +
+    * de-chunk applied). */
+  def responseAt(bytes: Array[Byte], path: String, offset: Long,
+                 length: Long): WarcResponse = {
+    val rs = responses(java.util.Arrays.copyOfRange(bytes,
+      offset.toInt, (offset + length).toInt), path).toVector
+    require(rs.size == 1,
+      s"$path: slice [$offset, ${offset + length}) holds ${rs.size} " +
+        "response records")
+    rs.head
+  }
+
+  /** [[index]] over every file under `dir` matching `glob` — one task
+    * per file, the [[read]] discipline; the resulting table IS the
+    * crawl's seek index (persist it next to the archive). */
+  def indexFiles(spark: SparkSession, dir: String,
+                 glob: String = "*.warc.wet.gz"): DataFrame = {
+    import spark.implicits._
+    guardFileSizes(spark, dir, glob)
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => index(b, p) }
       .toDF()
   }
 

@@ -652,6 +652,87 @@ class StreamingFileSpec extends SparkSpec {
       !g._3.contains("utm") && !g._3.contains("//p")))
   }
 
+  test("streamed crawl front end end-to-end: warc-clean -> url-dedup -> host-gate") {
+    // The full streamed ingest as TWO checkpointed stages with a
+    // parquet handoff: flatMapGroupsWithState may not follow another
+    // stateful operator inside one query (Spark's multi-stateful
+    // support covers window chains, not arbitrary FMGS), and the
+    // handoff is the production shape anyway — each stage restarts
+    // independently on its own checkpoint.
+    import graft.sources.WetSink
+    val in = tmp(); val mid = tmp(); val out = tmp()
+    val ckpt1 = tmp(); val ckpt2 = tmp()
+    val goodLines = (1 to 6).map(i =>
+      s"this is fine sentence number $i about data quality and structure.")
+    def html(id: Long): String =
+      s"<html><body>\n${goodLines.mkString("\n")}\nthis page carries document number $id in its closing line.\n</body></html>"
+    val ct = "text/html; charset=UTF-8"
+    def mkWarc(rows: Seq[(String, Long)], name: String): Unit = {
+      val stage = tmp()
+      WetSink.writeResponses(
+        rows.map { case (u, id) => (u, 200, ct, html(id)) }
+          .toDF("uri", "status", "ctype", "body"),
+        stage, "uri", "status", "ctype", "body", numFiles = 1)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage, "part-00000.warc.gz"),
+        java.nio.file.Paths.get(in, name))
+    }
+    // file 1: one canonical-URL alias pair (doc 1), three h0 docs
+    // (quota 2), one blocklisted host, one h1 doc
+    mkWarc(Seq(
+      ("HTTPS://H0.Example.COM:443/doc/1?utm_source=f", 1L),
+      ("https://www.h0.example.com/doc/1", 1L), // same canonical URL
+      ("https://h0.example.com/doc/2", 2L),
+      ("https://h0.example.com/doc/3", 3L),
+      ("https://bad.example.com/doc/9", 9L),
+      ("https://h1.example.com/doc/4", 4L)), "crawl-0001.warc.gz")
+    def stage1(): Unit = {
+      val q = Streaming.urlDedupStream(
+        Streaming.warcCleanStream(
+          spark.readStream.format("binaryFile")
+            .schema(graft.streaming.Streaming.BinaryFileSchema)
+            .option("pathGlobFilter", "*.warc.gz").load(in))
+          .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00"))),
+        "ts", "target_uri")
+        .writeStream.format("parquet")
+        .option("path", mid).option("checkpointLocation", ckpt1).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def stage2(): Unit = {
+      val q = Streaming.hostGateStream(
+        spark.readStream.schema(org.apache.spark.sql.types.StructType
+          .fromDDL("target_uri STRING, text STRING, ts TIMESTAMP"))
+          .parquet(mid)
+          .withColumn("doc_id",
+            regexp_extract(col("target_uri"), "doc/(\\d+)", 1).cast("long")),
+        "doc_id", "target_uri", quota = 2,
+        blocklist = Set("bad.example.com"))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt2).start()
+      q.processAllAvailable(); q.stop()
+    }
+    stage1(); stage2()
+    // file 2 arrives with both stages DOWN: a replayed canonical URL
+    // (url-dedup state must drop it), an h0 doc over quota (host-gate
+    // state must reject), and a fresh h1 doc (admitted)
+    mkWarc(Seq(
+      ("https://h0.example.com/doc/1?utm_campaign=x", 1L), // canonical dup
+      ("https://h0.example.com/doc/5", 5L),                // over quota
+      ("https://h1.example.com/doc/6", 6L)), "crawl-0002.warc.gz")
+    stage1(); stage2()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("id"))).toSet
+    assert(got == Set(("h0.example.com", 1L), ("h0.example.com", 2L),
+      ("h1.example.com", 4L), ("h1.example.com", 6L)),
+      s"got $got")
+    // and the admitted urls are canonical (the alias pair collapsed to
+    // one key; whichever alias won, its canonical form is identical)
+    val urls = spark.read.parquet(out).collect()
+      .map(_.getAs[String]("url")).toSet
+    assert(urls.contains("https://h0.example.com/doc/1"))
+    assert(urls.forall(u => !u.contains("utm") && !u.contains("www.")))
+  }
+
   test("streamed monthly refresh ≡ batch p4 refresh, with a crash between the two commits") {
     import graft.dedup.{DedupSnapshot, SketchStore}
     import graft.functions.QualityClassifier

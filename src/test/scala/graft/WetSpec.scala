@@ -412,6 +412,45 @@ class WetSpec extends SparkSpec {
         body.getBytes(StandardCharsets.UTF_8).length)
   }
 
+  test("member index: offsets cover the file and round-trip to random-access reads") {
+    import spark.implicits._
+    val docs = (0L until 12L)
+      .map(i => (s"http://x.test/doc/$i", s"indexed body $i with € text"))
+      .toDF("uri", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wetidx").toString
+    WetSink.write(docs, dir, "uri", "text", numFiles = 1)
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "part-00000.warc.wet.gz").toPath)
+    val idx = Wet.index(bytes, "f")
+    val full = Wet.records(bytes, "f").toSeq
+    assert(idx.size == full.size && idx.size == 13) // warcinfo + 12
+    assert(idx.head.offset == 0 && idx.head.warc_type == "warcinfo")
+    // members tile the file exactly: end(i) == start(i+1), last == EOF
+    assert(idx.map(e => e.offset + e.length) ==
+      idx.tail.map(_.offset) :+ bytes.length.toLong)
+    idx.zip(full).foreach { case (e, r) =>
+      assert(e.record_ix == r.record_ix && e.target_uri == r.target_uri)
+      val one = Wet.readAt(bytes, "f", e.offset, e.length)
+      assert(one.record_ix == 0) // slice-local ordinal
+      assert(one.target_uri == r.target_uri && one.text == r.text)
+    }
+    // the DataFrame form carries the same rows
+    val dfIdx = Wet.indexFiles(spark, dir).collect()
+    assert(dfIdx.length == 13)
+    // a COALESCED member (two records in one member) must fail loudly —
+    // a per-record index over it would lie
+    val rec = rawRecord(Seq("WARC/1.1", "WARC-Type: conversion",
+      "WARC-Target-URI: http://x.test/a"), "aa".getBytes)
+    val coalesced = gzMembers(Seq(rec ++ rec))
+    val e1 = intercept[IllegalArgumentException] { Wet.index(coalesced, "fx") }
+    assert(e1.getMessage.contains("holds 2 records"))
+    // plain (uncompressed) input rejected with the actionable message
+    val e2 = intercept[IllegalArgumentException] {
+      Wet.index("WARC/1.1\r\n".getBytes, "fp")
+    }
+    assert(e2.getMessage.contains("record-at-time"))
+  }
+
   test("oversized-file guard names the file and the fix") {
     val dir = java.nio.file.Files.createTempDirectory("wetbig").toString
     java.nio.file.Files.write(
