@@ -208,7 +208,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}"""
     println(
       if (line.length <= 1900) line
-      else s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"failed":$failed,"scaling_flags":$flagsJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
+      else s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }
