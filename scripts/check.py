@@ -62,6 +62,9 @@ def main(outdir, sfdir, only=None):
         uses[s] = uses.get(s, 0) + 1
     sqlcache = {}
     for name, sql in to_run:
+        # decrement happens in `finally`: an exception path (missing
+        # spark output, oracle error) must still release this user's
+        # claim, or a shared entry could outlive its last user
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -76,9 +79,6 @@ def main(outdir, sfdir, only=None):
                 otypes_l = list(map(str, orel.types))
                 if uses[sql] > 1:  # cache multi-use texts only
                     sqlcache[sql] = (ocols, orows, otypes_l)
-            uses[sql] -= 1
-            if uses[sql] == 0:
-                sqlcache.pop(sql, None)  # free after the last user
             if sorted(scols) != sorted(ocols):
                 print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
                 nfail += 1
@@ -118,6 +118,10 @@ def main(outdir, sfdir, only=None):
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             nfail += 1
+        finally:
+            uses[sql] -= 1
+            if uses[sql] == 0:
+                sqlcache.pop(sql, None)  # free after the last user
     print(f"== {npass} pass / {nfail} fail ==")
     return 1 if nfail else 0
 

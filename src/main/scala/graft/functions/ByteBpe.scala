@@ -287,13 +287,26 @@ object ByteBpe {
     * unambiguous. Returns
     * `(idCol, n_pre_tokens, n_bpe_tokens, stream_fp)`. */
   def encodeFingerprint(docs: DataFrame, idCol: String, textCol: String,
-                        rules: Seq[(String, String)] = merges): DataFrame = {
+                        rules: Seq[(String, String)] = merges): DataFrame =
+    fingerprintWith(docs, idCol, textCol, rules,
+      arr => array_join(arr, " "), "stream_fp")
+
+  /** The ONE segment-once-per-DISTINCT-pre-token fingerprint plan
+    * behind [[encodeFingerprint]] and [[encodeIdFingerprint]]:
+    * positional pre-token explode, cached vocab segmentation with
+    * `pieceExpr` rendering each pre-token's symbol array to its
+    * joined form (symbols or ids), join-back, per-doc ordered md5. */
+  private def fingerprintWith(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              rules: Seq[(String, String)],
+                              pieceExpr: Column => Column,
+                              fpName: String): DataFrame = {
     val tokPos = docs.select(col(idCol),
       posexplode(preTokens(col(textCol))).as(Seq("__p", "__t")))
     val vocab = graft.Materialize.reuse(
       tokPos.select("__t").distinct()
         .withColumn("__arr", tokenizeBytes(col("__t"), rules))
-        .select(col("__t"), array_join(col("__arr"), " ").as("__pieces"),
+        .select(col("__t"), pieceExpr(col("__arr")).as("__pieces"),
           size(col("__arr")).cast("long").as("__ns")))
     tokPos.join(vocab, Seq("__t"))
       .groupBy(col(idCol))
@@ -303,7 +316,7 @@ object ByteBpe {
           .as("__seq"))
       .select(col(idCol), col("n_pre_tokens"), col("n_bpe_tokens"),
         md5(array_join(transform(col("__seq"),
-          x => x.getField("__pieces")), " ")).as("stream_fp"))
+          x => x.getField("__pieces")), " ")).as(fpName))
   }
 
   /** Per-document token-ID stream over a corpus (t21e — the bridge
@@ -322,24 +335,9 @@ object ByteBpe {
   def encodeIdFingerprint(docs: DataFrame, idCol: String, textCol: String,
                           rules: Seq[(String, String)] = merges): DataFrame = {
     val idMap = typedlit(idVocab(rules))
-    val tokPos = docs.select(col(idCol),
-      posexplode(preTokens(col(textCol))).as(Seq("__p", "__t")))
-    val vocab = graft.Materialize.reuse(
-      tokPos.select("__t").distinct()
-        .withColumn("__arr", tokenizeBytes(col("__t"), rules))
-        .select(col("__t"),
-          array_join(transform(col("__arr"),
-            x => coalesce(element_at(idMap, x), lit(-1)).cast("string")),
-            " ").as("__ids"),
-          size(col("__arr")).cast("long").as("__ns")))
-    tokPos.join(vocab, Seq("__t"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_pre_tokens"),
-        sum(col("__ns")).as("n_bpe_tokens"),
-        array_sort(collect_list(struct(col("__p"), col("__ids"))))
-          .as("__seq"))
-      .select(col(idCol), col("n_pre_tokens"), col("n_bpe_tokens"),
-        md5(array_join(transform(col("__seq"),
-          x => x.getField("__ids")), " ")).as("id_stream_fp"))
+    fingerprintWith(docs, idCol, textCol, rules,
+      arr => array_join(transform(arr,
+        x => coalesce(element_at(idMap, x), lit(-1)).cast("string")), " "),
+      "id_stream_fp")
   }
 }

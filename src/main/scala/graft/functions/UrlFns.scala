@@ -75,8 +75,11 @@ object UrlFns {
     * Anchored at the param start; the `=` is optional (`(=|$)`) so
     * VALUELESS tracking keys (`?fbclid`, `?utm_source`) are dropped
     * too — but `refresh=1` survives (`ref` must be followed by `=`
-    * or end-of-param). */
-  val TrackingParams = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+    * or end-of-param). `\z` not `$`: Java's `$` also matches before a
+    * final newline where RE2's does not — `\z` is end-of-input on
+    * both sides of the oracle, so crawl garbage with a trailing
+    * newline cannot diverge the engines. */
+  val TrackingParams = "^(utm_[^=]*|fbclid|gclid|ref)(=|\\z)"
 
   def stripFragment(url: Column): Column = regexp_replace(url, "#.*$", "")
 

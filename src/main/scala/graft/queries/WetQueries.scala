@@ -236,7 +236,7 @@ object WetQueries {
           col("http_content_type").startsWith("text/html"))
         .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
-          col("body").cast("string").as("html"))
+          col("text").as("html")) // charset-aware decode (see WarcResponse)
         .withColumn("cl", graft.functions.Boilerplate.clean(col("html")))
         .select(col("doc_id"),
           col("cl.n_kept").cast("long").as("n_kept"),
@@ -285,7 +285,7 @@ object WetQueries {
         .filter(col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
         .withColumn("clean", graft.functions.Boilerplate
-          .clean(col("body").cast("string")).getField("clean"))
+          .clean(col("text")).getField("clean"))
         .filter(!lower(col("clean")).contains("lorem ipsum") &&
           !col("clean").contains("{"))
         .select(regexp_extract(col("target_uri"), "doc/(\\d+)", 1)

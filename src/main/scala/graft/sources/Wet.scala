@@ -68,7 +68,12 @@ object Wet {
     * and surfaces the status + Content-Type a curation pipeline gates
     * on. `body` is the RAW payload bytes — binary-safe (images and
     * gzip-encoded payloads appear in real crawls); decode to text only
-    * under a textual Content-Type. `header_bytes` is the envelope size
+    * under a textual Content-Type — `text` does exactly that: for
+    * `text/`-prefixed types it is the body decoded under the DECLARED charset
+    * (`charset=` parameter, quoted or bare; unknown or absent falls
+    * back to UTF-8 with replacement — crawl garbage must not kill a
+    * 150 MB file, and the raw bytes stay in `body` for re-decode);
+    * empty for non-text types. `header_bytes` is the envelope size
     * (status line + headers + the CRLFCRLF), so for identity-framed
     * payloads `header_bytes + body.length == content_length` — the
     * position arithmetic the wet7 oracle replays. `warc_truncated`
@@ -89,7 +94,8 @@ object Wet {
       http_content_type: String,
       header_bytes: Long,
       warc_truncated: String,
-      body: Array[Byte])
+      body: Array[Byte],
+      text: String)
 
   /** One raw record: WARC headers + the UNDECODED content block. */
   private final case class RawRecord(path: String, ix: Int, warcType: String,
@@ -155,8 +161,8 @@ object Wet {
       s"${r.path}: record ${r.ix}: no CRLFCRLF header/body boundary in the " +
         s"${r.clen}-byte HTTP block — truncated inside the HTTP head")
     val head = new String(b, 0, split, StandardCharsets.ISO_8859_1)
-    val lines = head.split("\r\n", -1)
-    val status = lines(0)
+    val raw = head.split("\r\n", -1)
+    val status = raw(0)
     require(status.startsWith("HTTP/"),
       s"${r.path}: record ${r.ix}: expected an HTTP status line, " +
         s"got '${status.take(40)}'")
@@ -168,24 +174,63 @@ object Wet {
     val codeStr = if (sp2 < 0) rest else rest.substring(0, sp2)
     require(codeStr.nonEmpty && codeStr.forall(_.isDigit),
       s"${r.path}: record ${r.ix}: malformed HTTP status code '$codeStr'")
+    // obs-fold (RFC 9112 §5.2 — legal in ARCHIVED HTTP/1.1 and present
+    // in older crawls): a line starting with SP/HTAB continues the
+    // previous header; replace the fold with one space per the spec
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    raw.iterator.drop(1).foreach { h =>
+      if (h.nonEmpty && (h.charAt(0) == ' ' || h.charAt(0) == '\t') &&
+          lines.nonEmpty)
+        lines(lines.length - 1) = lines.last + " " + h.trim
+      else lines += h
+    }
     var ctype = ""
     var chunked = false
-    lines.iterator.drop(1).foreach { h =>
+    lines.foreach { h =>
       val ci = h.indexOf(':')
       require(ci > 0,
         s"${r.path}: record ${r.ix}: malformed HTTP header line '${h.take(40)}'")
       val name = h.substring(0, ci).trim
       if (name.equalsIgnoreCase("content-type"))
         ctype = h.substring(ci + 1).trim
-      else if (name.equalsIgnoreCase("transfer-encoding") &&
-          h.substring(ci + 1).trim.equalsIgnoreCase("chunked"))
-        chunked = true
+      else if (name.equalsIgnoreCase("transfer-encoding")) {
+        // the value is a comma list; chunked is only valid as the
+        // FINAL coding (RFC 9112 §6.1) — 'gzip, chunked' is chunked
+        // framing over a gzip-coded payload. Chunked anywhere else is
+        // an illegal message: fail loudly rather than hand the
+        // consumer raw chunk framing as payload.
+        val codings = h.substring(ci + 1).split(",").map(_.trim)
+          .filter(_.nonEmpty)
+        if (codings.nonEmpty && codings.last.equalsIgnoreCase("chunked"))
+          chunked = true
+        else require(!codings.exists(_.equalsIgnoreCase("chunked")),
+          s"${r.path}: record ${r.ix}: chunked is not the final " +
+            s"transfer coding in '${h.take(60)}'")
+      }
     }
     val body =
       if (chunked) dechunk(b, split + 4, r, tolerate = r.truncated.nonEmpty)
       else java.util.Arrays.copyOfRange(b, split + 4, b.length)
+    val text =
+      if (ctype.regionMatches(true, 0, "text/", 0, 5))
+        new String(body, declaredCharset(ctype))
+      else ""
     WarcResponse(r.path, r.ix, r.uri, r.date, r.rid, r.clen,
-      codeStr.toInt, ctype, split + 4L, r.truncated, body)
+      codeStr.toInt, ctype, split + 4L, r.truncated, body, text)
+  }
+
+  /** The `charset=` parameter of a Content-Type (quoted or bare,
+    * case-insensitive), as a JVM charset; unknown/absent → UTF-8
+    * (with replacement on malformed input — see [[WarcResponse]]). */
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset=\"?([A-Za-z0-9_.:+-]+)\"?")
+
+  private def declaredCharset(ctype: String): java.nio.charset.Charset = {
+    val m = CharsetParam.matcher(ctype)
+    if (m.find()) {
+      try java.nio.charset.Charset.forName(m.group(1))
+      catch { case _: Exception => StandardCharsets.UTF_8 }
+    } else StandardCharsets.UTF_8
   }
 
   /** RFC 9112 §7.1 chunked-body decode: `hex-size[;ext]CRLF data CRLF`
@@ -218,7 +263,12 @@ object Wet {
         val hexs = sb.toString.split(";")(0).trim
         require(hexs.nonEmpty && hexs.forall(c => Character.digit(c, 16) >= 0),
           s"$ctx: malformed chunk size '${hexs.take(20)}' in chunked body")
-        val n = java.lang.Long.parseLong(hexs, 16)
+        // 8 significant hex digits bound the size at 4 GiB-1 — longer
+        // (post leading zeros) would overflow parseLong with a bare
+        // NumberFormatException that loses the record context
+        val sig = hexs.dropWhile(_ == '0')
+        require(sig.length <= 8, s"$ctx: absurd chunk size '$hexs'")
+        val n = if (sig.isEmpty) 0L else java.lang.Long.parseLong(sig, 16)
         require(n <= Int.MaxValue, s"$ctx: chunk > 2 GiB")
         if (n == 0) done = true
         else if (i + n + 2 > b.length) {
@@ -341,13 +391,20 @@ object Wet {
 
   /** Fail loudly and actionably on files the `binaryFile` source
     * cannot hold in one cell — matching the repo's other boundaries
-    * (the source's own error names an internal config, not the fix). */
+    * (the source's own error names an internal config, not the fix) —
+    * and on a glob matching NOTHING: `pathGlobFilter` silently yields
+    * an empty DataFrame where the old glob-in-path load threw, and a
+    * typo'd extension producing an empty pipeline output must not
+    * pass quietly. */
   private def guardFileSizes(spark: SparkSession, dir: String,
                              glob: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, glob)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.globStatus(p)
-    if (st != null) st.foreach { s =>
+    require(st != null && st.nonEmpty,
+      s"$dir: no files match '$glob' — nothing to read (wrong " +
+        "directory, or a WET glob pointed at WARC files / vice versa?)")
+    st.foreach { s =>
       require(s.getLen <= MaxFileBytes,
         s"${s.getPath}: ${s.getLen} bytes exceeds the 2 GiB single-file " +
           "limit of the binaryFile source — split the archive into " +

@@ -602,7 +602,7 @@ object Streaming {
       .flatMap { case (p, b) => graft.sources.Wet.responses(b, p) }
       .filter(col("http_status") === 200 &&
         col("http_content_type").startsWith("text/html"))
-      .select(col("target_uri"), col("body").cast("string").as("text"))
+      .select(col("target_uri"), col("text")) // charset-aware decode
     ruleCleanStream(recs, "text")
   }
 

@@ -585,7 +585,7 @@ class StreamingFileSpec extends SparkSpec {
       Wet.readResponses(spark, in)
         .filter(col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
-        .select(col("target_uri"), col("body").cast("string").as("text")),
+        .select(col("target_uri"), col("text")),
       "text")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == want, s"stream (${got.size}) must equal batch (${want.size})")

@@ -273,6 +273,56 @@ class WetSpec extends SparkSpec {
     assert(rs(3).body.toSeq == crlfBody.toSeq)
   }
 
+  test("TE lists, obs-fold headers, and declared charsets handled per spec") {
+    // 'gzip, chunked' is legal (chunked LAST): the framing de-chunks,
+    // the gzip transfer coding stays on the payload bytes
+    val wire = "5\r\nhello\r\n0\r\n\r\n"
+    val latin = "café ole".getBytes(StandardCharsets.ISO_8859_1)
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/te"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Transfer-Encoding: gzip, chunked"),
+          wire.getBytes(StandardCharsets.ISO_8859_1))),
+      // obs-fold: the folded continuation joins its header with a space
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/fold"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: multipart/mixed;", "\tboundary=xyz"),
+          "irrelevant".getBytes)),
+      // declared non-UTF-8 charset decodes correctly into `text`
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/latin"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html; charset=ISO-8859-1"), latin)),
+      // non-text Content-Type: text stays empty, body raw
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/bin"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: application/octet-stream"),
+          Array[Byte](0, 1, 2)))))
+    val rs = Wet.responses(fixture, "fixTE").toSeq
+    assert(new String(rs(0).body, StandardCharsets.UTF_8) == "hello")
+    assert(rs(1).http_content_type == "multipart/mixed; boundary=xyz")
+    assert(rs(2).text == "café ole") // latin-1 decoded, not mojibake
+    assert(rs(3).text == "" && rs(3).body.toSeq == Seq[Byte](0, 1, 2))
+    // chunked NOT final ('chunked, gzip') is an illegal message: loud
+    val bad = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Transfer-Encoding: chunked, gzip"), wire.getBytes))))
+    val e = intercept[IllegalArgumentException] {
+      Wet.responses(bad, "fixTEbad").toSeq
+    }
+    assert(e.getMessage.contains("not the final transfer coding"))
+  }
+
+  test("a glob matching no files fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("wetempty").toString
+    val e = intercept[IllegalArgumentException] { Wet.read(spark, dir) }
+    assert(e.getMessage.contains("no files match"))
+  }
+
   test("malformed response blocks fail loudly") {
     // truncation inside the HTTP head: no CRLFCRLF boundary at all
     val noBoundary = gzMembers(Seq(rawRecord(
