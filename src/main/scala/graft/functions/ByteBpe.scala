@@ -136,11 +136,119 @@ object ByteBpe {
     encode(text, rules).map(v)
   }
 
-  /** Inverse of [[encodeIds]]. */
+  /** Inverse of [[encodeIds]]. A duplicate merged symbol in a
+    * hand-authored rules table keeps its LOWEST id in [[idVocab]], so
+    * the orphaned higher id has no inverse — [[encodeIds]] never
+    * emits it, but a caller-supplied id stream might: fail with the
+    * id named rather than a bare NoSuchElementException. */
   def decodeIds(ids: Seq[Int],
                 rules: Seq[(String, String)] = merges): String = {
     val inv = idVocab(rules).map(_.swap)
-    decode(ids.map(inv))
+    decode(ids.map { i =>
+      inv.getOrElse(i, throw new IllegalArgumentException(
+        s"token id $i has no symbol in this vocab (size ${256 + rules.size};" +
+          " a duplicate merged symbol orphans its higher id)"))
+    })
+  }
+
+  // ---------------------------------------------------------------
+  // shipped-artifact I/O (round 18, t21f): GPT-2 distributes its
+  // tokenizer as TWO files — `merges.txt` (rank-ordered pair lines
+  // under a `#version` header) and `encoder.json` (symbol → id map).
+  // A training pipeline consumes those artifacts, not an in-repo
+  // literal table; these parse them into the [[merges]]/[[idVocab]]
+  // shapes the whole byte-BPE family already runs on, with loud
+  // failure on anything malformed (a silently mis-parsed rank
+  // reorders every merge after it).
+
+  /** The `merges.txt` text of a rules table — the shipped GPT-2
+    * layout: version header, one `A B` pair line per rank. Symbols
+    * are byte-unicode (never contain a raw space — space maps to
+    * 'Ġ'), so the two-field split is lossless. */
+  def mergesFileContent(rules: Seq[(String, String)] = merges): String =
+    "#version: 0.2\n" +
+      rules.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
+
+  /** Parse a `merges.txt` into the rank-ordered rules table. Tolerant
+    * of CRLF line endings, `#`-comment lines and blank lines (all
+    * appear in shipped/edited artifacts); LOUD, with the 1-based line
+    * number, on a data line that is not exactly two non-empty
+    * space-separated fields. */
+  def parseMergesFile(text: String): Seq[(String, String)] =
+    text.split("\n", -1).iterator.zipWithIndex
+      .map { case (l0, i) => (l0.stripSuffix("\r"), i + 1) }
+      .filter { case (l, _) => l.nonEmpty && !l.startsWith("#") }
+      .map { case (l, ln) =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s"merges.txt line $ln: expected 'A B' (two space-separated " +
+            s"symbols), got '${l.take(40)}'")
+        (parts(0), parts(1))
+      }.toSeq
+
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c >= 32 && c < 127 => sb.append(c)
+      case c => sb.append(f"\\u${c.toInt}%04x")
+    }
+    sb.toString
+  }
+
+  /** The `encoder.json` text of a vocab — id-ordered, ASCII-safe
+    * (non-ASCII symbols as `\\u` escapes; the shipped file is plain
+    * UTF-8, which [[parseEncoderJson]] reads equally). */
+  def encoderJsonContent(rules: Seq[(String, String)] = merges): String =
+    idVocab(rules).toSeq.sortBy(_._2)
+      .map { case (s, i) => "\"" + jsonEscape(s) + "\": " + i }
+      .mkString("{", ", ", "}")
+
+  /** Parse an `encoder.json` symbol → id map (jackson — shipped with
+    * Spark). Loud on non-object roots and non-integer ids. */
+  def parseEncoderJson(text: String): Map[String, Int] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    require(node != null && node.isObject,
+      "encoder.json: expected a JSON object of symbol -> id")
+    val out = Map.newBuilder[String, Int]
+    val it = node.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      val v = node.get(k)
+      require(v.isIntegralNumber && v.canConvertToInt,
+        s"encoder.json: id for symbol '${k.take(20)}' is not an " +
+          s"integer: ${v.asText().take(20)}")
+      out += k -> v.intValue()
+    }
+    out.result()
+  }
+
+  /** Load BOTH shipped artifacts and cross-validate: the
+    * `encoder.json` ids must be EXACTLY the convention the merges
+    * table implies (256 byte-order base ids, then 256+rank per merge
+    * — [[idVocab]]); any drift fails loudly naming the symbol and the
+    * rank, because an id table inconsistent with the merge table
+    * would emit well-formed-but-wrong id streams. Returns
+    * `(rules, ids)` ready for [[encodeIdFingerprint]]. */
+  def loadArtifacts(mergesText: String,
+                    encoderText: String): (Seq[(String, String)], Map[String, Int]) = {
+    val rules = parseMergesFile(mergesText)
+    val enc = parseEncoderJson(encoderText)
+    val expected = idVocab(rules)
+    expected.foreach { case (sym, id) =>
+      val got = enc.get(sym)
+      require(got.contains(id),
+        s"encoder.json: symbol '$sym' has id ${got.fold("<absent>")(_.toString)}" +
+          s", expected $id (${if (id < 256) s"base byte $id"
+          else s"256 + merge rank ${id - 256}"})")
+    }
+    enc.keys.find(!expected.contains(_)).foreach { sym =>
+      throw new IllegalArgumentException(
+        s"encoder.json: symbol '$sym' (id ${enc(sym)}) does not appear in " +
+          "merges.txt — the artifacts disagree")
+    }
+    (rules, enc)
   }
 
   // ---------------------------------------------------------------
@@ -333,8 +441,18 @@ object ByteBpe {
     * fingerprint is md5 over the space-joined decimal id stream in
     * document order. */
   def encodeIdFingerprint(docs: DataFrame, idCol: String, textCol: String,
-                          rules: Seq[(String, String)] = merges): DataFrame = {
-    val idMap = typedlit(idVocab(rules))
+                          rules: Seq[(String, String)] = merges): DataFrame =
+    encodeIdFingerprint(docs, idCol, textCol, rules, idVocab(rules))
+
+  /** [[encodeIdFingerprint]] with an EXPLICIT id table — the shipped-
+    * artifact path (t21f): `ids` comes from a parsed `encoder.json`
+    * ([[loadArtifacts]] has already proven it consistent with
+    * `rules`), so the query genuinely consumes the file's ids, not a
+    * re-derivation. */
+  def encodeIdFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                          rules: Seq[(String, String)],
+                          ids: Map[String, Int]): DataFrame = {
+    val idMap = typedlit(ids)
     fingerprintWith(docs, idCol, textCol, rules,
       arr => array_join(transform(arr,
         x => coalesce(element_at(idMap, x), lit(-1)).cast("string")), " "),

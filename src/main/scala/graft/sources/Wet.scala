@@ -66,23 +66,45 @@ object Wet {
     * message (RFC 9112 framing: status line + header lines, then the
     * payload after the first CRLFCRLF); [[Wet.responses]] splits it
     * and surfaces the status + Content-Type a curation pipeline gates
-    * on. `body` is the RAW payload bytes — binary-safe (images and
-    * gzip-encoded payloads appear in real crawls); decode to text only
-    * under a textual Content-Type — `text` does exactly that: for
-    * `text/`-prefixed types it is the body decoded under the DECLARED charset
-    * (`charset=` parameter, quoted or bare; unknown or absent falls
-    * back to UTF-8 with replacement — crawl garbage must not kill a
-    * 150 MB file, and the raw bytes stay in `body` for re-decode);
-    * empty for non-text types. `header_bytes` is the envelope size
-    * (status line + headers + the CRLFCRLF), so for identity-framed
-    * payloads `header_bytes + body.length == content_length` — the
-    * position arithmetic the wet7 oracle replays. `warc_truncated`
-    * carries the record's `WARC-Truncated` reason (`"length"` /
-    * `"time"` / … — Common Crawl cuts payloads at ~1 MiB and DECLARES
-    * it with this header; empty when absent): a pipeline must know a
-    * body is a prefix before hashing or deduplicating it, and a
-    * DECLARED truncation downgrades the chunk-walk errors to
-    * best-effort (see [[Wet.responses]]). */
+    * on. `body` is the AS-STORED payload bytes after transfer
+    * decoding (de-chunked, but NOT content-decoded) — binary-safe
+    * (images and gzip-coded payloads appear in real crawls), the
+    * bytes `WARC-Payload-Digest` covers. `http_content_encoding`
+    * surfaces the `Content-Encoding` comma list (lowercased; empty
+    * when absent) so consumers can gate on coded payloads. `text` is
+    * the payload decoded ALL the way for textual types (`text/` types,
+    * `application/xhtml+xml`, `application/xml`, `application/json`
+    * and `+xml`/`+json` suffixes — real crawl HTML is frequently
+    * served as application/xhtml+xml): content codings removed in
+    * reverse declaration order (gzip/deflate via the strict inflate
+    * discipline — loud on corrupt or truncated streams UNLESS the
+    * record declares `WARC-Truncated`, which downgrades to a
+    * best-effort prefix; `identity` is a no-op; any OTHER coding —
+    * e.g. `br`, no decoder ships here — fails loudly rather than
+    * hand mojibake to a cleaning gate), then charset-decoded under
+    * the DECLARED `charset=` parameter, falling back to a
+    * `<meta charset>` / `http-equiv` sniff of the decoded prefix,
+    * then UTF-8 with replacement (crawl garbage must not kill a
+    * 150 MB file; the as-stored bytes stay in `body` for re-decode).
+    * `text` is empty for non-textual types — content codings are
+    * only decoded on the text path. `header_bytes` is the envelope
+    * size (status line + headers + the CRLFCRLF), so for
+    * identity-framed payloads `header_bytes + body.length ==
+    * content_length` — the position arithmetic the wet7 oracle
+    * replays. `warc_truncated` carries the record's `WARC-Truncated`
+    * reason (`"length"` / `"time"` / … — Common Crawl cuts payloads
+    * at ~1 MiB and DECLARES it with this header; empty when absent):
+    * a pipeline must know a body is a prefix before hashing or
+    * deduplicating it. `digest_ok` verifies the record's
+    * `WARC-Payload-Digest` (`sha1:<base32>`, the Common Crawl
+    * convention) against sha1 of `body` — post-de-chunk,
+    * pre-content-decoding, the as-stored payload the header covers;
+    * `true` when the header is absent (nothing claimed, nothing to
+    * contradict). Policy: FLAGGED, not loud — a bit-rotted or
+    * spliced member should be dropped/requeued by the consumer, not
+    * kill the other ~50k records of a 150 MB file (declared-truncated
+    * records flag `false` naturally: the stored prefix cannot match
+    * the digest unless the archiver digested the truncated bytes). */
   final case class WarcResponse(
       warc_path: String,
       record_ix: Int,
@@ -92,15 +114,17 @@ object Wet {
       content_length: Long,
       http_status: Int,
       http_content_type: String,
+      http_content_encoding: String,
       header_bytes: Long,
       warc_truncated: String,
+      digest_ok: Boolean,
       body: Array[Byte],
       text: String)
 
   /** One raw record: WARC headers + the UNDECODED content block. */
   private final case class RawRecord(path: String, ix: Int, warcType: String,
       uri: String, date: String, rid: String, clen: Long,
-      truncated: String, block: Array[Byte])
+      truncated: String, payloadDigest: String, block: Array[Byte])
 
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
@@ -145,9 +169,12 @@ object Wet {
     * share of real crawl responses arrive, and WARC stores the bytes
     * AS TRANSMITTED — is de-chunked here (RFC 9112 §7.1), so
     * downstream consumers always see the real payload, never chunk
-    * framing interleaved with their HTML. (`Content-Encoding: gzip`
-    * payloads are surfaced as-is under their Content-Type — body
-    * compression is a content property, not message framing.) */
+    * framing interleaved with their HTML. `Content-Encoding`
+    * (gzip/deflate — CCBot accepts gzip, so coded bodies are
+    * ubiquitous in real crawl WARCs) is removed on the TEXT path
+    * only (see [[WarcResponse]]): framing-wise body compression is a
+    * content property, but a cleaning gate fed mojibake is a silent
+    * wrong answer, so textual types decode or fail loudly. */
   private def parseResponse(r: RawRecord): WarcResponse = {
     val b = r.block
     var split = -1
@@ -172,8 +199,13 @@ object Wet {
     val rest = status.substring(sp1 + 1)
     val sp2 = rest.indexOf(' ')
     val codeStr = if (sp2 < 0) rest else rest.substring(0, sp2)
-    require(codeStr.nonEmpty && codeStr.forall(_.isDigit),
-      s"${r.path}: record ${r.ix}: malformed HTTP status code '$codeStr'")
+    // ≤ 3 digits: an HTTP status is exactly 3 per RFC 9112 §4, and an
+    // unbounded all-digit run would overflow toInt with a bare
+    // NumberFormatException that loses the record context
+    require(codeStr.nonEmpty && codeStr.length <= 3 &&
+      codeStr.forall(_.isDigit),
+      s"${r.path}: record ${r.ix}: malformed HTTP status code " +
+        s"'${codeStr.take(20)}'")
     // obs-fold (RFC 9112 §5.2 — legal in ARCHIVED HTTP/1.1 and present
     // in older crawls): a line starting with SP/HTAB continues the
     // previous header; replace the fold with one space per the spec
@@ -184,54 +216,254 @@ object Wet {
         lines(lines.length - 1) = lines.last + " " + h.trim
       else lines += h
     }
+    val tolerate = r.truncated.nonEmpty
     var ctype = ""
     var chunked = false
+    var cenc = List.empty[String]
     lines.foreach { h =>
       val ci = h.indexOf(':')
-      require(ci > 0,
+      // a colonless garbage line inside a record that DECLARES its
+      // truncation is skipped (the head may be cut mid-line — same
+      // tolerance as the chunk walk); undeclared, it fails loudly
+      // per-record context intact
+      if (ci <= 0) require(tolerate,
         s"${r.path}: record ${r.ix}: malformed HTTP header line '${h.take(40)}'")
-      val name = h.substring(0, ci).trim
-      if (name.equalsIgnoreCase("content-type"))
-        ctype = h.substring(ci + 1).trim
-      else if (name.equalsIgnoreCase("transfer-encoding")) {
-        // the value is a comma list; chunked is only valid as the
-        // FINAL coding (RFC 9112 §6.1) — 'gzip, chunked' is chunked
-        // framing over a gzip-coded payload. Chunked anywhere else is
-        // an illegal message: fail loudly rather than hand the
-        // consumer raw chunk framing as payload.
-        val codings = h.substring(ci + 1).split(",").map(_.trim)
-          .filter(_.nonEmpty)
-        if (codings.nonEmpty && codings.last.equalsIgnoreCase("chunked"))
-          chunked = true
-        else require(!codings.exists(_.equalsIgnoreCase("chunked")),
-          s"${r.path}: record ${r.ix}: chunked is not the final " +
-            s"transfer coding in '${h.take(60)}'")
+      else {
+        val name = h.substring(0, ci).trim
+        if (name.equalsIgnoreCase("content-type"))
+          ctype = h.substring(ci + 1).trim
+        else if (name.equalsIgnoreCase("content-encoding"))
+          cenc = h.substring(ci + 1).split(",").iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.toLowerCase).toList
+        else if (name.equalsIgnoreCase("transfer-encoding")) {
+          // the value is a comma list; chunked is only valid as the
+          // FINAL coding (RFC 9112 §6.1) — 'gzip, chunked' is chunked
+          // framing over a gzip-coded payload. Chunked anywhere else is
+          // an illegal message: fail loudly rather than hand the
+          // consumer raw chunk framing as payload.
+          val codings = h.substring(ci + 1).split(",").map(_.trim)
+            .filter(_.nonEmpty)
+          if (codings.nonEmpty && codings.last.equalsIgnoreCase("chunked"))
+            chunked = true
+          else require(!codings.exists(_.equalsIgnoreCase("chunked")),
+            s"${r.path}: record ${r.ix}: chunked is not the final " +
+              s"transfer coding in '${h.take(60)}'")
+        }
       }
     }
     val body =
-      if (chunked) dechunk(b, split + 4, r, tolerate = r.truncated.nonEmpty)
+      if (chunked) dechunk(b, split + 4, r, tolerate)
       else java.util.Arrays.copyOfRange(b, split + 4, b.length)
+    val digestOk = verifyPayloadDigest(r, body)
     val text =
-      if (ctype.regionMatches(true, 0, "text/", 0, 5))
-        new String(body, declaredCharset(ctype))
-      else ""
+      if (isTextualType(ctype)) {
+        val decoded = contentDecode(body, cenc, r, tolerate)
+        new String(decoded, charsetOf(ctype, decoded))
+      } else ""
     WarcResponse(r.path, r.ix, r.uri, r.date, r.rid, r.clen,
-      codeStr.toInt, ctype, split + 4L, r.truncated, body, text)
+      codeStr.toInt, ctype, cenc.mkString(", "), split + 4L, r.truncated,
+      digestOk, body, text)
   }
 
-  /** The `charset=` parameter of a Content-Type (quoted or bare,
-    * case-insensitive), as a JVM charset; unknown/absent → UTF-8
-    * (with replacement on malformed input — see [[WarcResponse]]). */
-  private val CharsetParam =
-    java.util.regex.Pattern.compile("(?i)charset=\"?([A-Za-z0-9_.:+-]+)\"?")
+  /** Textual media types whose payload decodes into `text` (see
+    * [[WarcResponse]]): `text/` types, XHTML/XML/JSON and their `+xml` /
+    * `+json` structured-suffix forms (RFC 6839). */
+  private def isTextualType(ctype: String): Boolean = {
+    val semi = ctype.indexOf(';')
+    val mt = (if (semi < 0) ctype else ctype.substring(0, semi))
+      .trim.toLowerCase
+    mt.startsWith("text/") || mt == "application/xhtml+xml" ||
+      mt == "application/xml" || mt == "application/json" ||
+      mt.endsWith("+xml") || mt.endsWith("+json")
+  }
 
-  private def declaredCharset(ctype: String): java.nio.charset.Charset = {
+  /** Remove the declared content codings (REVERSE declaration order —
+    * RFC 9110 §8.4: codings list the order applied). gzip/x-gzip and
+    * deflate decode with the strict-inflate discipline (loud unless
+    * the record declares truncation — then best-effort prefix);
+    * `identity` is a no-op; anything else (br, zstd, compress — no
+    * decoder ships in this container) fails loudly: silently handing
+    * coded bytes to a charset decode is the mojibake this exists to
+    * prevent. */
+  private def contentDecode(body: Array[Byte], codings: List[String],
+                            r: RawRecord, tolerate: Boolean): Array[Byte] =
+    codings.reverse.foldLeft(body) { (cur, coding) =>
+      coding match {
+        case "identity" => cur
+        case "gzip" | "x-gzip" => gunzipPayload(cur, r, tolerate)
+        case "deflate" => inflatePayload(cur, r, tolerate)
+        case other => throw new IllegalArgumentException(
+          s"${r.path}: record ${r.ix}: no decoder for content coding " +
+            s"'$other' (Content-Encoding: ${codings.mkString(", ")}) — " +
+            "gzip/deflate/identity are supported; gate or strip such " +
+            "records upstream")
+      }
+    }
+
+  /** One-shot gunzip of a content-coded payload — the [[MemberStream]]
+    * strict walk (multi-member tolerated: RFC 9110 permits it for the
+    * gzip coding), so CRC32/ISIZE/offset corruption is loud. Under a
+    * DECLARED record truncation the stored bytes are a prefix of a
+    * valid stream: decode best-effort to the cut instead. */
+  private def gunzipPayload(body: Array[Byte], r: RawRecord,
+                            tolerate: Boolean): Array[Byte] = {
+    def ctx = s"${r.path}: record ${r.ix}"
+    require(body.length >= 2 && body(0) == GzipMagic0 && body(1) == GzipMagic1,
+      s"$ctx: Content-Encoding: gzip payload lacks the gzip magic")
+    if (!tolerate) {
+      try {
+        val ms = new MemberStream(body, ctx)
+        val out = new java.io.ByteArrayOutputStream(body.length * 4)
+        val buf = new Array[Byte](64 * 1024)
+        var n = ms.read(buf, 0, buf.length)
+        while (n >= 0) { out.write(buf, 0, n); n = ms.read(buf, 0, buf.length) }
+        out.toByteArray
+      } catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$ctx: corrupt gzip content coding: ${e.getMessage}", e)
+      }
+    } else {
+      // declared-truncated: skip the member header by hand, inflate
+      // the raw deflate prefix for whatever it yields
+      val flg = if (body.length > 3) body(3) & 0xff else 0
+      var p = 10
+      try {
+        if ((flg & 4) != 0) {
+          val xlen = (body(p) & 0xff) | ((body(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (body(p) != 0) p += 1; p += 1 }
+        if ((flg & 16) != 0) { while (body(p) != 0) p += 1; p += 1 }
+        if ((flg & 2) != 0) p += 2
+      } catch { // header itself cut — nothing decodable
+        case _: ArrayIndexOutOfBoundsException => return Array.emptyByteArray
+      }
+      if (p >= body.length) Array.emptyByteArray
+      else inflateBestEffort(body, p, raw = true)
+    }
+  }
+
+  /** RFC 9110 `deflate` coding = a zlib stream (RFC 1950); real
+    * servers are split between zlib-wrapped and raw deflate, so a
+    * zlib header-check failure retries raw (the standard tolerant
+    * read — warcio/browsers do the same). Truncation/corruption is
+    * loud unless the record declares truncation. */
+  private def inflatePayload(body: Array[Byte], r: RawRecord,
+                             tolerate: Boolean): Array[Byte] = {
+    def ctx = s"${r.path}: record ${r.ix}"
+    val raw = !(body.length >= 2 && (body(0) & 0x0f) == 8 &&
+      ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31) == 0)
+    if (tolerate) return inflateBestEffort(body, 0, raw)
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(body)
+      val out = new java.io.ByteArrayOutputStream(body.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"$ctx: corrupt deflate content coding", e)
+          }
+        if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
+          s"$ctx: truncated deflate content coding after " +
+            s"${out.size} decoded bytes (record does not declare " +
+            "WARC-Truncated)")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Best-effort inflate of a DECLARED-truncated coded payload: the
+    * decodable prefix, however far the cut allows. */
+  private def inflateBestEffort(body: Array[Byte], from: Int,
+                                raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(body, from, body.length - from)
+      val out = new java.io.ByteArrayOutputStream(
+        math.max((body.length - from) * 4, 64))
+      val buf = new Array[Byte](64 * 1024)
+      var go = true
+      while (go && !inf.finished()) {
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => go = false; 0
+        }
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput()) go = false
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Verify `WARC-Payload-Digest` against the as-stored payload
+    * (post-de-chunk, PRE-content-decoding — the digest covers the
+    * stored bytes): Common Crawl writes `sha1:<RFC 4648 base32>`.
+    * Absent header or an unrecognized algorithm label → `true`
+    * (nothing verifiable claimed); mismatch → `false`, FLAGGED not
+    * loud (see [[WarcResponse]]). */
+  private def verifyPayloadDigest(r: RawRecord, body: Array[Byte]): Boolean = {
+    val d = r.payloadDigest
+    if (d.isEmpty || !d.regionMatches(true, 0, "sha1:", 0, 5)) true
+    else {
+      val sha = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+      base32(sha).equalsIgnoreCase(d.substring(5).trim)
+    }
+  }
+
+  /** RFC 4648 base32 (uppercase, unpadded — a 20-byte sha1 is exactly
+    * 32 chars, the Common Crawl digest form). */
+  private[graft] def base32(bytes: Array[Byte]): String = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
+    var acc = 0L
+    var nbits = 0
+    bytes.foreach { b =>
+      acc = (acc << 8) | (b & 0xffL); nbits += 8
+      while (nbits >= 5) {
+        nbits -= 5
+        sb.append(alpha(((acc >> nbits) & 31).toInt))
+      }
+    }
+    if (nbits > 0) sb.append(alpha(((acc << (5 - nbits)) & 31).toInt))
+    sb.toString
+  }
+
+  /** The `<meta charset>` / `http-equiv Content-Type` sniff pattern —
+    * the HTML5 fallback when the HTTP header declares no charset
+    * (ubiquitous on real pages: servers default, documents declare). */
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,200}charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)")
+
+  /** Charset of a textual payload: the DECLARED `charset=` parameter
+    * when present; else a `<meta charset>` sniff over the first 1024
+    * decoded bytes (latin-1-scanned — charset names are ASCII, and
+    * every ASCII-compatible encoding leaves the tag readable); else
+    * UTF-8 (with replacement on malformed input). */
+  private def charsetOf(ctype: String,
+                        decoded: Array[Byte]): java.nio.charset.Charset = {
     val m = CharsetParam.matcher(ctype)
     if (m.find()) {
       try java.nio.charset.Charset.forName(m.group(1))
       catch { case _: Exception => StandardCharsets.UTF_8 }
-    } else StandardCharsets.UTF_8
+    } else {
+      val prefix = new String(decoded, 0, math.min(decoded.length, 1024),
+        StandardCharsets.ISO_8859_1)
+      val sm = MetaCharset.matcher(prefix)
+      if (sm.find()) {
+        try java.nio.charset.Charset.forName(sm.group(1))
+        catch { case _: Exception => StandardCharsets.UTF_8 }
+      } else StandardCharsets.UTF_8
+    }
   }
+
+  /** The `charset=` parameter of a Content-Type (quoted or bare,
+    * case-insensitive) — see [[charsetOf]]. */
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset=\"?([A-Za-z0-9_.:+-]+)\"?")
 
   /** RFC 9112 §7.1 chunked-body decode: `hex-size[;ext]CRLF data CRLF`
     * repeating to a zero-size last chunk; trailer fields after it are
@@ -589,7 +821,7 @@ object Wet {
         case None =>
           finished = true; in.close()
         case Some(v) if v == "WARC/1.0" || v == "WARC/1.1" =>
-          var warcType, uri, date, rid, trunc = ""
+          var warcType, uri, date, rid, trunc, pdigest = ""
           var clen = -1L
           var h = readLine().getOrElse(throw new EOFException(
             s"$path: EOF inside record ${ix + 1} headers"))
@@ -603,6 +835,7 @@ object Wet {
               case "warc-date" => date = value
               case "warc-record-id" => rid = value
               case "warc-truncated" => trunc = value
+              case "warc-payload-digest" => pdigest = value
               case "content-length" => clen = value.toLong
               case _ => // Content-Type etc.: carried but not modeled
             }
@@ -614,7 +847,7 @@ object Wet {
           val block = readExactly(clen)
           ix += 1
           nextRec = RawRecord(path, ix, warcType, uri, date, rid, clen,
-            trunc, block)
+            trunc, pdigest, block)
         case Some(other) =>
           throw new IllegalArgumentException(
             s"$path: expected WARC/1.x record header after record $ix, " +
@@ -681,7 +914,8 @@ object WetSink {
   }
 
   private def record(warcType: String, uri: String, date: String,
-                     contentType: String, block: Array[Byte]): Array[Byte] = {
+                     contentType: String, block: Array[Byte],
+                     extraWarc: Seq[String] = Nil): Array[Byte] = {
     val sb = new java.lang.StringBuilder(256)
     sb.append("WARC/1.1\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -689,6 +923,7 @@ object WetSink {
     sb.append("WARC-Date: ").append(date).append("\r\n")
     sb.append("WARC-Record-ID: ")
       .append(recordId(if (uri.nonEmpty) uri else warcType)).append("\r\n")
+    extraWarc.foreach(h => sb.append(h).append("\r\n"))
     sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(block.length).append("\r\n")
     sb.append("\r\n")
@@ -760,7 +995,8 @@ object WetSink {
   }
 
   private def httpHead(status: Int, contentType: String,
-                       framing: String): Array[Byte] = {
+                       framing: String,
+                       contentEncoding: String = ""): Array[Byte] = {
     val reason = status match {
       case 200 => "OK"
       case 301 => "Moved Permanently"
@@ -774,18 +1010,22 @@ object WetSink {
       .append("\r\n")
     if (contentType.nonEmpty)
       sb.append("Content-Type: ").append(contentType).append("\r\n")
+    if (contentEncoding.nonEmpty)
+      sb.append("Content-Encoding: ").append(contentEncoding).append("\r\n")
     sb.append(framing).append("\r\n\r\n")
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
   /** The HTTP message bytes of one response block (RFC 9112 framing):
-    * status line, `Content-Type` (when non-empty) + `Content-Length`
-    * headers, CRLFCRLF, payload. Deterministic reason phrases per
-    * status class keep gate fixtures replayable by position
-    * arithmetic. */
-  def httpBlock(status: Int, contentType: String,
-                body: Array[Byte]): Array[Byte] = {
-    val head = httpHead(status, contentType, s"Content-Length: ${body.length}")
+    * status line, `Content-Type` (when non-empty) + optional
+    * `Content-Encoding` + `Content-Length` headers, CRLFCRLF,
+    * payload (ALREADY content-coded by the caller — this builds
+    * framing only). Deterministic reason phrases per status class
+    * keep gate fixtures replayable by position arithmetic. */
+  def httpBlock(status: Int, contentType: String, body: Array[Byte],
+                contentEncoding: String = ""): Array[Byte] = {
+    val head = httpHead(status, contentType,
+      s"Content-Length: ${body.length}", contentEncoding)
     val out = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(body, 0, out, head.length, body.length)
@@ -798,9 +1038,11 @@ object WetSink {
     * framed `lowercase-hex CRLF data CRLF`, ending `0 CRLF CRLF`.
     * Deterministic for a fixed `chunkSize`, so gate fixtures replay. */
   def httpChunkedBlock(status: Int, contentType: String,
-                       body: Array[Byte], chunkSize: Int): Array[Byte] = {
+                       body: Array[Byte], chunkSize: Int,
+                       contentEncoding: String = ""): Array[Byte] = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    val head = httpHead(status, contentType, "Transfer-Encoding: chunked")
+    val head = httpHead(status, contentType, "Transfer-Encoding: chunked",
+      contentEncoding)
     val out = new java.io.ByteArrayOutputStream(head.length + body.length + 64)
     out.write(head, 0, head.length)
     var off = 0
@@ -818,6 +1060,18 @@ object WetSink {
     out.toByteArray
   }
 
+  /** Deterministic gzip of one payload (content-coding side of
+    * [[Wet.responses]]'s decode): `GZIPOutputStream` writes MTIME=0 /
+    * XFL=0 / OS=0, so the same input always yields the same bytes —
+    * gate fixtures replay. */
+  def gzipBytes(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(payload)
+    gz.close()
+    out.toByteArray
+  }
+
   /** Write `docs(uriCol, statusCol, ctypeCol, bodyCol)` as `numFiles`
     * WARC files of `response` records under `dir` — the raw-HTML
     * Common Crawl artifact (round 17): each row's payload is wrapped
@@ -827,26 +1081,46 @@ object WetSink {
     * UTF-8 HTML). When `chunkedCol` names a boolean column, true rows
     * write their payload `Transfer-Encoding: chunked`
     * ([[httpChunkedBlock]] at `chunkSize`) — the as-transmitted wire
-    * form the reader must de-chunk. */
+    * form the reader must de-chunk. When `encodingCol` names a string
+    * column, rows with value `gzip` gzip their payload and declare
+    * `Content-Encoding: gzip` (round 18 — the ubiquitous real-crawl
+    * shape; stacked with chunked, the coding applies FIRST and the
+    * chunk framing wraps the coded bytes, RFC 9112's order); other
+    * non-empty values fail loudly. Every response record carries
+    * `WARC-Payload-Digest: sha1:<base32>` over its as-stored payload
+    * (post-coding, pre-chunking — what [[Wet.responses]] verifies). */
   def writeResponses(docs: DataFrame, dir: String, uriCol: String,
                      statusCol: String, ctypeCol: String, bodyCol: String,
                      date: String = "2026-01-01T00:00:00Z",
                      numFiles: Int = 4,
-                     chunkedCol: String = "", chunkSize: Int = 1024): Unit = {
+                     chunkedCol: String = "", chunkSize: Int = 1024,
+                     encodingCol: String = ""): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val chunkedFlag =
       if (chunkedCol.nonEmpty) col(chunkedCol).cast("boolean")
       else lit(false)
+    val encoding =
+      if (encodingCol.nonEmpty) col(encodingCol).cast("string")
+      else lit("")
     writeFiles(docs.select(col(uriCol).as("uri"), col(statusCol).cast("int"),
-        col(ctypeCol), col(bodyCol).cast("binary"), chunkedFlag.as("__ch")),
+        col(ctypeCol), col(bodyCol).cast("binary"), chunkedFlag.as("__ch"),
+        encoding.as("__ce")),
       dir, ".warc.gz", "WARC File Format 1.1", date, numFiles) { r =>
-      val body = if (r.isNullAt(3)) Array.emptyByteArray
+      val raw = if (r.isNullAt(3)) Array.emptyByteArray
         else r.getAs[Array[Byte]](3)
       val chunked = !r.isNullAt(4) && r.getBoolean(4)
+      val ce = if (r.isNullAt(5)) "" else r.getString(5)
+      require(ce.isEmpty || ce == "gzip",
+        s"unsupported fixture content coding '$ce' — '' or 'gzip'")
+      val body = if (ce == "gzip") gzipBytes(raw) else raw
+      val digest = "WARC-Payload-Digest: sha1:" + Wet.base32(
+        java.security.MessageDigest.getInstance("SHA-1").digest(body))
       record("response", r.getString(0), date,
         "application/http; msgtype=response",
-        if (chunked) httpChunkedBlock(r.getInt(1), r.getString(2), body, chunkSize)
-        else httpBlock(r.getInt(1), r.getString(2), body))
+        if (chunked)
+          httpChunkedBlock(r.getInt(1), r.getString(2), body, chunkSize, ce)
+        else httpBlock(r.getInt(1), r.getString(2), body, ce),
+        extraWarc = Seq(digest))
     }
   }
 }

@@ -118,7 +118,11 @@ object Streaming {
     *
     * Scale shape: the only exchange is the groupByKey on the
     * metadata-width host; the per-batch sort is per host PER BATCH —
-    * micro-batch-bounded, never corpus-shaped.
+    * micro-batch-bounded, never corpus-shaped. The sort buffers one
+    * host's slice of one micro-batch (metadata-width rows, quota-full
+    * hosts included) — bounded by the TRIGGER INTERVAL, not the
+    * quota: a pathological single-host batch costs that batch's rows
+    * in memory, so size the trigger for the flood you expect.
     */
   def hostGateStream(docs: DataFrame, idCol: String, urlCol: String,
                      quota: Int, blocklist: Set[String]): Dataset[GatedDoc] = {

@@ -255,4 +255,94 @@ class ByteBpeSpec extends SparkSpec {
     assert(sql.contains("(97,a)") == false) // symbols are quoted
     assert(sql.contains("(97,'a')"))
   }
+
+  // ------------------------------- shipped artifacts (round 18, t21f)
+
+  test("merges.txt round trip: generated content parses back to the rules") {
+    val txt = ByteBpe.mergesFileContent()
+    assert(txt.startsWith("#version: 0.2\n"))
+    assert(ByteBpe.parseMergesFile(txt) == ByteBpe.merges)
+  }
+
+  test("parseMergesFile tolerates CRLF, comments, blank lines; loud on bad lines") {
+    val messy = "#version: 0.2\r\n\r\nĠ t\r\n# a mid-file note\nĠt a\n\nt h\r\n"
+    assert(ByteBpe.parseMergesFile(messy) ==
+      Seq("Ġ" -> "t", "Ġt" -> "a", "t" -> "h"))
+    val e1 = intercept[IllegalArgumentException] {
+      ByteBpe.parseMergesFile("Ġ t\nonefield\n")
+    }
+    assert(e1.getMessage.contains("line 2") &&
+      e1.getMessage.contains("onefield"))
+    val e2 = intercept[IllegalArgumentException] {
+      ByteBpe.parseMergesFile("a b c\n") // three fields
+    }
+    assert(e2.getMessage.contains("line 1"))
+  }
+
+  test("encoder.json round trip and id-consistency checks") {
+    val (rules, ids) = ByteBpe.loadArtifacts(
+      ByteBpe.mergesFileContent(), ByteBpe.encoderJsonContent())
+    assert(rules == ByteBpe.merges)
+    assert(ids == ByteBpe.idVocab())
+    // the generated JSON is pure ASCII (\'Ġ\' as \\u0120) but parses
+    // back to the unicode symbols
+    assert(ByteBpe.encoderJsonContent().forall(_ < 128))
+    assert(ids.contains("Ġt"))
+    // a WRONG id fails loudly naming the symbol and expectation
+    // ('Ġt' = merge rank 0 → id 256)
+    val drifted = ByteBpe.encoderJsonContent()
+      .replace("\"\\u0120t\": 256", "\"\\u0120t\": 999")
+    assert(drifted != ByteBpe.encoderJsonContent()) // the edit engaged
+    val e1 = intercept[IllegalArgumentException] {
+      ByteBpe.loadArtifacts(ByteBpe.mergesFileContent(), drifted)
+    }
+    assert(e1.getMessage.contains("expected 256") &&
+      e1.getMessage.contains("merge rank 0"))
+    // an EXTRA symbol (present in encoder.json, absent from merges)
+    val extra = ByteBpe.encoderJsonContent()
+      .replaceFirst("\\{", "{\"zzGhost\": 4096, ")
+    val e2 = intercept[IllegalArgumentException] {
+      ByteBpe.loadArtifacts(ByteBpe.mergesFileContent(), extra)
+    }
+    assert(e2.getMessage.contains("zzGhost") &&
+      e2.getMessage.contains("disagree"))
+    // a MISSING symbol
+    val missing = ByteBpe.encoderJsonContent()
+      .replace("\"\\u0120t\": 256, ", "")
+    val e3 = intercept[IllegalArgumentException] {
+      ByteBpe.loadArtifacts(ByteBpe.mergesFileContent(), missing)
+    }
+    assert(e3.getMessage.contains("<absent>"))
+    // malformed JSON / non-integer ids are loud
+    intercept[Exception] { ByteBpe.parseEncoderJson("[1,2]") }
+    intercept[IllegalArgumentException] {
+      ByteBpe.parseEncoderJson("{\"a\": 1.5}")
+    }
+  }
+
+  test("artifact-parsed tables drive the column path identically to literals") {
+    import spark.implicits._
+    val docs = Seq((1L, "the table was scanned"),
+      (2L, "a quer ran over rows")).toDF("doc_id", "text")
+    val (rules, ids) = ByteBpe.loadArtifacts(
+      ByteBpe.mergesFileContent(), ByteBpe.encoderJsonContent())
+    val viaFiles = ByteBpe.encodeIdFingerprint(docs, "doc_id", "text",
+      rules, ids).collect().map(_.toSeq).toSet
+    val viaLiteral = ByteBpe.encodeIdFingerprint(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaFiles == viaLiteral)
+  }
+
+  test("decodeIds names an orphaned id instead of a bare lookup failure") {
+    // rules with a DUPLICATE merged symbol: ranks 0 and 2 both form
+    // 'Ġt' — idVocab keeps 256, so 258 is an orphan id
+    val dup = Seq("Ġ" -> "t", "Ġt" -> "a", "Ġ" -> "t")
+    val e = intercept[IllegalArgumentException] {
+      ByteBpe.decodeIds(Seq(258), dup)
+    }
+    assert(e.getMessage.contains("258") && e.getMessage.contains("orphan"))
+    // non-orphan ids still decode
+    assert(ByteBpe.decodeIds(ByteBpe.encodeIds("the tab", dup), dup) ==
+      "the tab")
+  }
 }

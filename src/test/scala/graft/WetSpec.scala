@@ -523,4 +523,281 @@ class WetSpec extends SparkSpec {
     assert(e.getMessage.contains("huge.warc.wet.gz") &&
       e.getMessage.contains("2 GiB") && e.getMessage.contains("split"))
   }
+
+  // ------------------------------------- Content-Encoding (round 18)
+
+  private def deflateZlib(payload: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(payload); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def deflateRaw(payload: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(payload); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** RFC 9112 chunk framing over already-coded bytes (chunked is
+    * OUTERMOST — the stacking order the reader must invert). */
+  private def chunkWire(coded: Array[Byte], size: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var off = 0
+    while (off < coded.length) {
+      val n = math.min(size, coded.length - off)
+      out.write(Integer.toHexString(n).getBytes(StandardCharsets.US_ASCII))
+      out.write('\r'); out.write('\n')
+      out.write(coded, off, n)
+      out.write('\r'); out.write('\n')
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  test("Content-Encoding: gzip/deflate bodies decode into text; body keeps the as-stored bytes") {
+    val page = "<html><body>coded page</body></html>"
+    val pageBytes = page.getBytes(StandardCharsets.UTF_8)
+    val gz = graft.sources.WetSink.gzipBytes(pageBytes)
+    val fixture = gzMembers(Seq(
+      // plain gzip under Content-Length framing
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/gz"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html; charset=UTF-8",
+            "Content-Encoding: gzip"), gz)),
+      // gzip UNDER chunked framing: chunked is message framing
+      // (outermost); the de-chunked bytes are the gzip stream
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/gzch"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html; charset=UTF-8",
+            "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+          chunkWire(gz, 7))),
+      // zlib-wrapped deflate (the RFC 9110 meaning)
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/zl"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+          deflateZlib(pageBytes))),
+      // raw deflate (what many real servers actually send)
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/raw"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+          deflateRaw(pageBytes))),
+      // identity coding: a no-op, surfaced in the column
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/id"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Content-Encoding: identity"),
+          pageBytes)),
+      // multi-member gzip coding (RFC 9110 permits concatenation)
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/mm"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Content-Encoding: gzip"),
+          graft.sources.WetSink.gzipBytes("first ".getBytes) ++
+            graft.sources.WetSink.gzipBytes("second".getBytes)))))
+    val rs = Wet.responses(fixture, "fixCE").toSeq
+    assert(rs.map(_.text) ==
+      Seq(page, page, page, page, page, "first second"))
+    assert(rs.map(_.http_content_encoding) ==
+      Seq("gzip", "gzip", "deflate", "deflate", "identity", "gzip"))
+    // body is the AS-STORED payload: still coded (post-de-chunk)
+    assert(rs(0).body.toSeq == gz.toSeq)
+    assert(rs(1).body.toSeq == gz.toSeq)
+  }
+
+  test("unknown content codings fail loudly on the text path, pass through non-text") {
+    val br = Array[Byte](1, 2, 3)
+    val loud = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/br"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html", "Content-Encoding: br"), br))))
+    val e = intercept[IllegalArgumentException] {
+      Wet.responses(loud, "fixBR").toSeq
+    }
+    assert(e.getMessage.contains("no decoder for content coding 'br'"))
+    // a NON-textual type never decodes, so an unknown coding rides
+    // the body column untouched — one undecodable image must not
+    // kill a 150 MB file the pipeline only reads HTML from
+    val quiet = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/brbin"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: application/octet-stream",
+          "Content-Encoding: br"), br))))
+    val r = Wet.responses(quiet, "fixBRbin").toSeq.head
+    assert(r.text == "" && r.body.toSeq == br.toSeq &&
+      r.http_content_encoding == "br")
+  }
+
+  test("truncated gzip coding: loud undeclared, best-effort prefix under WARC-Truncated") {
+    val page = ("words " * 200).trim
+    val gz = graft.sources.WetSink.gzipBytes(
+      page.getBytes(StandardCharsets.UTF_8))
+    val cut = gz.take(gz.length / 2) // mid-deflate cut
+    val undeclared = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/cut"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html", "Content-Encoding: gzip"), cut))))
+    val e = intercept[Exception] { Wet.responses(undeclared, "fixCut").toSeq }
+    assert(e.getMessage.contains("fixCut"))
+    val declared = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/cut2",
+        "WARC-Truncated: length"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/html", "Content-Encoding: gzip"), cut))))
+    val r = Wet.responses(declared, "fixCut2").toSeq.head
+    assert(r.warc_truncated == "length")
+    // best-effort: a PREFIX of the page, not mojibake, not a crash
+    assert(r.text.nonEmpty && page.startsWith(r.text.take(32)))
+  }
+
+  test("meta-charset sniff and textual application types") {
+    val latinPage = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
+      "<body>café</body></html>"
+    val fixture = gzMembers(Seq(
+      // header declares NO charset; the page's own meta tag does —
+      // the HTML5 fallback real servers rely on
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/meta"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/html"),
+          latinPage.getBytes(StandardCharsets.ISO_8859_1))),
+      // http-equiv spelling of the same declaration
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/equiv"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/html"),
+          ("<html><head><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=iso-8859-1\"></head>" +
+            "<body>olé</body></html>")
+            .getBytes(StandardCharsets.ISO_8859_1))),
+      // application/xhtml+xml IS crawl HTML — must decode to text
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/xhtml"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: application/xhtml+xml; charset=UTF-8"),
+          "<html>xhtml page</html>".getBytes(StandardCharsets.UTF_8))),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/json"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: application/json"),
+          "{\"k\":1}".getBytes(StandardCharsets.UTF_8)))))
+    val rs = Wet.responses(fixture, "fixMeta").toSeq
+    assert(rs(0).text.contains("café"))   // sniffed latin-1, not mojibake
+    assert(rs(1).text.contains("olé"))
+    assert(rs(2).text == "<html>xhtml page</html>")
+    assert(rs(3).text == "{\"k\":1}")
+  }
+
+  test("WARC-Payload-Digest verifies the as-stored payload; mismatch flagged not loud") {
+    val body = "payload bytes".getBytes(StandardCharsets.US_ASCII)
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val good = "sha1:" + Wet.base32(sha)
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/ok",
+        s"WARC-Payload-Digest: $good"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/plain"), body)),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/bad",
+        "WARC-Payload-Digest: sha1:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/plain"), body)),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/absent"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/plain"), body)),
+      // digest covers the DE-CHUNKED payload (post-transfer-decode,
+      // pre-content-decode): chunk framing must not enter the sha1
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/chunked",
+        s"WARC-Payload-Digest: $good"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/plain", "Transfer-Encoding: chunked"),
+          chunkWire(body, 5)))))
+    val rs = Wet.responses(fixture, "fixDig").toSeq
+    assert(rs.map(_.digest_ok) == Seq(true, false, true, true))
+    assert(rs(1).text == "payload bytes") // flagged, still parsed
+  }
+
+  test("malformed status codes and colonless headers keep record context") {
+    // an 11-digit all-numeric 'status' must fail with the record
+    // context, not a bare NumberFormatException
+    val overflow = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/of"),
+      httpMsg("HTTP/1.1 99999999999 Weird", Seq("Content-Type: text/plain"),
+        "x".getBytes))))
+    val e1 = intercept[IllegalArgumentException] {
+      Wet.responses(overflow, "fixOF").toSeq
+    }
+    assert(e1.getMessage.contains("fixOF") &&
+      e1.getMessage.contains("malformed HTTP status code"))
+    // colonless garbage header: loud when the record claims integrity
+    val garbage = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/g"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type text/plain missing colon"), "x".getBytes))))
+    val e2 = intercept[IllegalArgumentException] {
+      Wet.responses(garbage, "fixG").toSeq
+    }
+    assert(e2.getMessage.contains("malformed HTTP header line"))
+    // …but SKIPPED when the record declares truncation (the head may
+    // be cut mid-line — same tolerance as the chunk walk)
+    val tolerated = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/g2",
+        "WARC-Truncated: length"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/plain", "X-Cut-Mid-Header-No-Colon"),
+        "salvaged".getBytes))))
+    val r = Wet.responses(tolerated, "fixG2").toSeq.head
+    assert(r.text == "salvaged" && r.http_content_type == "text/plain")
+  }
+
+  test("coded response sink round-trip: gzip and gzip+chunked decode back, digests verify") {
+    import spark.implicits._
+    val docs = Seq(
+      ("http://t.test/a", 200, "text/html; charset=UTF-8",
+        "<html>plain</html>", false, ""),
+      ("http://t.test/b", 200, "text/html; charset=UTF-8",
+        "<html>gzip body</html>", false, "gzip"),
+      ("http://t.test/c", 200, "text/html; charset=UTF-8",
+        "<html>gzip under chunked</html>", true, "gzip"),
+      ("http://t.test/d", 404, "text/html; charset=UTF-8",
+        "<html>gone</html>", true, ""))
+      .toDF("uri", "status", "ctype", "bodyText", "chunked", "enc")
+      .withColumn("body", org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("bodyText"), "UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("wetcoded").toString
+    graft.sources.WetSink.writeResponses(docs, dir, "uri", "status",
+      "ctype", "body", numFiles = 2, chunkedCol = "chunked",
+      chunkSize = 9, encodingCol = "enc")
+    val back = Wet.readResponses(spark, dir)
+      .select("target_uri", "http_status", "http_content_encoding",
+        "digest_ok", "text")
+      .as[(String, Int, String, Boolean, String)]
+      .collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq("http://t.test/a", "http://t.test/b",
+      "http://t.test/c", "http://t.test/d"))
+    assert(back.map(_._5).toSeq == Seq("<html>plain</html>",
+      "<html>gzip body</html>", "<html>gzip under chunked</html>",
+      "<html>gone</html>"))
+    assert(back.map(_._3).toSeq == Seq("", "gzip", "gzip", ""))
+    assert(back.forall(_._4)) // every written digest verifies
+  }
 }
