@@ -203,14 +203,21 @@ object TextFns {
     * the only exchanges are the hash partition of ~60-byte feature
     * rows to their language group and the partial-aggregated
     * (lang, fingerprint) distinct — both linear, text never shuffles.
+    * With an external `langPred` frame (round 18 — cp5 keys the card
+    * on the [[LangIdNgram]] classifier), the features still compute
+    * map-only BEFORE the id join, so the extra exchange carries
+    * ~60-byte feature rows and (id, lang_pred) pairs — never text.
     */
   def datasheet(docs: org.apache.spark.sql.DataFrame,
                 idCol: String, textCol: String,
-                stopLang: String = "en"): org.apache.spark.sql.DataFrame = {
-    val perDoc = docs
+                stopLang: String = "en",
+                langPred: Option[org.apache.spark.sql.DataFrame] = None)
+  : org.apache.spark.sql.DataFrame = {
+    val feats = docs
       .select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__t"))
       .select(
-        langIdOfTokens(col("__t")).as("lang_pred"),
+        col(idCol),
+        langIdOfTokens(col("__t")).as("__marker_pred"),
         size(col("__t")).cast("long").as("__nw"),
         fingerprint(col("__text")).as("__fp"),
         round(qualityScoreOfTokens(col("__t"), col("__text"),
@@ -220,6 +227,10 @@ object TextFns {
           greatest(size(col("__t")), lit(1)), 4).as("__dwf"),
         round(TextExprs.gramRunStats(col("__t")).getField("max_tf").cast("double") /
           greatest(size(col("__t")), lit(1)), 4).as("__ttf"))
+    val perDoc = langPred match {
+      case None => feats.withColumn("lang_pred", col("__marker_pred"))
+      case Some(lp) => feats.join(lp, Seq(idCol))
+    }
     perDoc.groupBy("lang_pred").agg(
       count(lit(1)).as("n_docs"),
       sum("__nw").as("total_tokens"),
