@@ -291,13 +291,24 @@ object Bpe {
   private[graft] def trainBatchedWithSizes(
       docs: DataFrame, textCol: String, rounds: Int, batchMax: Int,
       checkpointEvery: Int): (Seq[LearnedMerge], Seq[Int]) = {
-    require(rounds >= 1 && batchMax >= 1,
-      s"need rounds >= 1 and batchMax >= 1, got $rounds/$batchMax")
     val vocab = graft.Materialize.reuse(
       docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .withColumn("s", regexp_replace(col("w"), "(.)", "\u0001$1\u0001"))
         .select("cnt", "s"))
+    trainBatchedFromVocabWithSizes(vocab, rounds, batchMax, checkpointEvery)
+  }
+
+  /** The batched learning loop over an ALREADY-framed `(cnt, s)`
+    * vocabulary — shared by the word-level path above and
+    * [[ByteBpe.trainBatched]] (round 18: byte-level depth runs need
+    * batching too; the loop is alphabet-agnostic, only the vocab
+    * construction differs). */
+  private[functions] def trainBatchedFromVocabWithSizes(
+      vocab: DataFrame, rounds: Int, batchMax: Int,
+      checkpointEvery: Int): (Seq[LearnedMerge], Seq[Int]) = {
+    require(rounds >= 1 && batchMax >= 1,
+      s"need rounds >= 1 and batchMax >= 1, got $rounds/$batchMax")
     val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var cur: DataFrame = vocab

@@ -358,6 +358,32 @@ object ByteBpe {
     Bpe.trainFromVocab(vocab, rounds, checkpointEvery)
   }
 
+  /** [[train]]'s BATCHED form — [[Bpe.trainBatched]]'s provably-
+    * equivalent multi-merge rounds over the byte-unicode pre-token
+    * vocabulary (round 18: the depth runs that make real vocab sizes
+    * cluster-time need batching at the byte level too; the loop is
+    * shared, only the vocab construction differs — see
+    * [[Bpe.trainBatchedFromVocabWithSizes]]'s acceptance conditions
+    * for why batched ≡ sequential). */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+                   batchMax: Int = 16,
+                   checkpointEvery: Int = 64): Seq[Bpe.LearnedMerge] =
+    trainBatchedWithSizes(docs, textCol, rounds, batchMax,
+      checkpointEvery)._1
+
+  private[graft] def trainBatchedWithSizes(
+      docs: DataFrame, textCol: String, rounds: Int, batchMax: Int,
+      checkpointEvery: Int): (Seq[Bpe.LearnedMerge], Seq[Int]) = {
+    val vocab = graft.Materialize.reuse(
+      docs.select(explode(preTokens(col(textCol))).as("pt"))
+        .groupBy("pt").agg(count(lit(1)).as("cnt"))
+        .withColumn("s", regexp_replace(byteUnicodeCol(col("pt")),
+          "(.)", "\u0001$1\u0001"))
+        .select("cnt", "s"))
+    Bpe.trainBatchedFromVocabWithSizes(vocab, rounds, batchMax,
+      checkpointEvery)
+  }
+
   /** [[train]] packaged as the t24e query form. */
   def trainDF(docs: DataFrame, textCol: String, rounds: Int,
               checkpointEvery: Int = 64): DataFrame = {

@@ -747,6 +747,125 @@ object Wet {
       .toDF()
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) key of a URL — the
+    * searchable-key convention of CDX indexes (IIPC; pywb/OpenWayback
+    * consumers): lowercase, scheme and userinfo dropped, default
+    * http/https port dropped, HOST SEGMENTS REVERSED comma-joined,
+    * `)` then path (default `/`) and `?query` — so one host's records
+    * sort contiguously and a domain prefix-scans. This applies the
+    * standard transform to the URL AS GIVEN (callers wanting full
+    * RFC 3986 canonicalization run `UrlFns.normalizeUrl` upstream —
+    * the pct/dot kernels are column-side). */
+  def surtKey(url: String): String = {
+    val noFrag = { val h = url.indexOf('#'); if (h < 0) url else url.substring(0, h) }
+    val ss = noFrag.indexOf("://")
+    val (scheme, rest) =
+      if (ss > 0) (noFrag.substring(0, ss).toLowerCase, noFrag.substring(ss + 3))
+      else ("", noFrag)
+    val pathStart = rest.indexWhere(c => c == '/' || c == '?')
+    val (auth0, pathq) =
+      if (pathStart < 0) (rest, "/")
+      else (rest.substring(0, pathStart),
+        if (rest.charAt(pathStart) == '?') "/" + rest.substring(pathStart)
+        else rest.substring(pathStart))
+    val auth1 = { val at = auth0.lastIndexOf('@')
+      if (at < 0) auth0 else auth0.substring(at + 1) }
+    val host0 = auth1.toLowerCase
+    val host =
+      if (scheme == "http" && host0.endsWith(":80")) host0.dropRight(3)
+      else if (scheme == "https" && host0.endsWith(":443")) host0.dropRight(4)
+      else host0
+    val (h, port) = { val c = host.lastIndexOf(':')
+      if (c < 0 || !host.drop(c + 1).forall(_.isDigit) || c + 1 == host.length)
+        (host, "")
+      else (host.substring(0, c), host.substring(c)) }
+    h.split('.').reverse.mkString(",") + port + ")" + pathq.toLowerCase
+  }
+
+  private def jsonStr(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 32 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** CDXJ lines for one record-at-time WARC file's `response` records
+    * — the index format Common Crawl itself ships (`*.cdx.gz` +
+    * `cluster.idx`) and pywb/cdxj-indexer consume: per record,
+    * `<SURT key> <14-digit timestamp> {json}` with the conventional
+    * fields (`url`, `mime` = the bare media type, `status`, `digest`
+    * = sha1-base32 of the as-stored payload — the declared
+    * `WARC-Payload-Digest` value when present, computed otherwise —
+    * `length`/`offset` = the record's own gzip MEMBER slice from
+    * [[index]]'s strict walk, `filename`), SORTED by (key, ts) as a
+    * CDX consumer requires. Records a [[readAt]]/`responseAt` seek
+    * can then serve directly; non-response records (warcinfo /
+    * request / metadata) are walked and skipped by type, matching
+    * [[responses]]. Deterministic bytes end to end (spec-pinned
+    * golden lines). A deployment concatenates per-file outputs and
+    * merge-sorts into the crawl-level `cluster.idx` — the same
+    * discipline as [[indexFiles]]. */
+  def cdxj(bytes: Array[Byte], path: String): Seq[String] = {
+    require(bytes.length >= 2 && bytes(0) == GzipMagic0 &&
+      bytes(1) == GzipMagic1,
+      s"$path: a CDXJ index needs record-at-time gzip input")
+    val fname = path.substring(path.lastIndexOf('/') + 1)
+    val ms = new MemberStream(bytes, path)
+    val out = Vector.newBuilder[String]
+    var ix = 0
+    var bounds = ms.nextMemberBounds()
+    while (bounds.isDefined) {
+      val (payload, start, end) = bounds.get
+      val recs =
+        new RecordIterator(new ByteArrayInputStream(payload), path).toVector
+      require(recs.size == 1,
+        s"$path: gzip member at offset $start holds ${recs.size} records " +
+          "— not record-at-time compression; a per-record index would lie")
+      val raw = recs.head.copy(ix = ix)
+      if (raw.warcType == "response") {
+        val r = parseResponse(raw)
+        val ts = raw.date.filter(_.isDigit).take(14)
+        val mime = { val semi = r.http_content_type.indexOf(';')
+          val m = (if (semi < 0) r.http_content_type
+            else r.http_content_type.substring(0, semi)).trim.toLowerCase
+          if (m.isEmpty) "unk" else m }
+        val digest =
+          if (raw.payloadDigest.regionMatches(true, 0, "sha1:", 0, 5))
+            raw.payloadDigest.substring(5).trim.toUpperCase
+          else base32(java.security.MessageDigest.getInstance("SHA-1")
+            .digest(r.body))
+        out += s"${surtKey(raw.uri)} $ts {" +
+          s""""url": ${jsonStr(raw.uri)}, "mime": ${jsonStr(mime)}, """ +
+          s""""status": "${r.http_status}", "digest": "$digest", """ +
+          s""""length": "${end - start}", "offset": "$start", """ +
+          s""""filename": ${jsonStr(fname)}}"""
+      }
+      ix += 1
+      bounds = ms.nextMemberBounds()
+    }
+    out.result().sorted
+  }
+
+  /** [[cdxj]] over every WARC file under `dir` matching `glob` — one
+    * task per file, one `line` per response record. Sorted WITHIN
+    * each file (the per-file `.cdx` artifact); the crawl-level merge
+    * is the consumer's `cluster.idx` step. */
+  def cdxjFiles(spark: SparkSession, dir: String,
+                glob: String = "*.warc.gz"): DataFrame = {
+    import spark.implicits._
+    guardFileSizes(spark, dir, glob)
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => cdxj(b, p) }
+      .toDF("line")
+  }
+
   /** Read the WARC files under `dir` matching `glob` into their
     * `response` records (see [[WarcResponse]]) — one task per file,
     * raw bytes never shuffle, the [[read]] discipline. */

@@ -333,6 +333,21 @@ class ByteBpeSpec extends SparkSpec {
     assert(viaFiles == viaLiteral)
   }
 
+  test("trainBatched ≡ train at the byte level (interacting and disjoint rules)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the scan ran over the table the scan ran",
+      "a big win for the quer over rows",
+      "filter the rows filter the scan win win",
+      "numbers 123 456 123 123 and 456 again").toDF("text")
+    val rounds = 24
+    val seq = ByteBpe.train(docs, "text", rounds)
+    val bat = ByteBpe.trainBatched(docs, "text", rounds, batchMax = 8,
+      checkpointEvery = 6)
+    assert(bat.map(m => (m.rank, m.a, m.b, m.count)) ==
+      seq.map(m => (m.rank, m.a, m.b, m.count)))
+  }
+
   test("decodeIds names an orphaned id instead of a bare lookup failure") {
     // rules with a DUPLICATE merged symbol: ranks 0 and 2 both form
     // 'Ġt' — idVocab keeps 256, so 258 is an orphan id

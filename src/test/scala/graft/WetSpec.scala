@@ -769,6 +769,60 @@ class WetSpec extends SparkSpec {
     assert(r.text == "salvaged" && r.http_content_type == "text/plain")
   }
 
+  test("surtKey: the CDX searchable-key transform, golden cases") {
+    assert(Wet.surtKey("https://www.Example.COM/Path/X?b=2") ==
+      "com,example,www)/path/x?b=2")
+    assert(Wet.surtKey("http://u:p@Host.Test:80/") == "test,host)/")
+    assert(Wet.surtKey("https://a.b.c:8443/p") == "c,b,a:8443)/p")
+    assert(Wet.surtKey("http://x.test") == "test,x)/")       // bare host
+    assert(Wet.surtKey("http://x.test?q=1") == "test,x)/?q=1")
+    assert(Wet.surtKey("https://x.test:443/p#frag") == "test,x)/p")
+  }
+
+  test("cdxj: sorted searchable lines whose offset/length seek back to the record") {
+    val bodyA = "<html>aaa</html>".getBytes(StandardCharsets.UTF_8)
+    val bodyB = "<html>bbb</html>".getBytes(StandardCharsets.UTF_8)
+    val shaB = "sha1:" + Wet.base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(bodyB))
+    val fixture = gzMembers(Seq(
+      rawRecord(Seq("WARC/1.1", "WARC-Type: warcinfo"),
+        "software: handmade\r\n".getBytes(StandardCharsets.US_ASCII)),
+      // b.test FIRST in the file — output must sort a.test first
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://b.test/p2",
+        "WARC-Date: 2021-01-02T03:04:05Z",
+        s"WARC-Payload-Digest: $shaB"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html; charset=utf-8"), bodyB)),
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://a.test/p1",
+        "WARC-Date: 2021-01-02T03:04:05Z"),
+        httpMsg("HTTP/1.1 404 Not Found", Seq("Content-Type: text/html"),
+          bodyA))))
+    val lines = Wet.cdxj(fixture, "/crawl/seg/file-00001.warc.gz")
+    assert(lines.size == 2) // warcinfo skipped
+    assert(lines == lines.sorted)
+    assert(lines(0).startsWith("test,a)/p1 20210102030405 {\"url\": " +
+      "\"http://a.test/p1\", \"mime\": \"text/html\", \"status\": \"404\", "))
+    assert(lines(1).startsWith("test,b)/p2 20210102030405 {"))
+    // declared digest surfaces verbatim (uppercased); absent one is
+    // computed over the stored payload
+    assert(lines(1).contains("\"digest\": \"" + shaB.substring(5) + "\""))
+    val shaA = Wet.base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(bodyA))
+    assert(lines(0).contains("\"digest\": \"" + shaA + "\""))
+    assert(lines.forall(_.endsWith("\"filename\": \"file-00001.warc.gz\"}")))
+    // the length/offset pair IS a seekable member slice
+    val Re = """"length": "(\d+)", "offset": "(\d+)"""".r.unanchored
+    lines.foreach { l =>
+      val Re(len, off) = l
+      val r = Wet.responseAt(fixture, "seek", off.toLong, len.toLong)
+      assert(l.startsWith(Wet.surtKey(r.target_uri) + " "))
+    }
+    // deterministic bytes: a second pass is identical
+    assert(Wet.cdxj(fixture, "/crawl/seg/file-00001.warc.gz") == lines)
+  }
+
   test("coded response sink round-trip: gzip and gzip+chunked decode back, digests verify") {
     import spark.implicits._
     val docs = Seq(
