@@ -251,6 +251,78 @@ object ByteBpe {
     (rules, enc)
   }
 
+  /** The `.tiktoken` text of a vocab — tiktoken's shipped format
+    * (one `base64(token BYTES) rank` line per token, rank order):
+    * the base64 payload is the RAW byte sequence the token stands
+    * for (NOT the UTF-8 of its byte-unicode spelling — the
+    * [[charToByte]] unmap applies first). */
+  def tiktokenFileContent(rules: Seq[(String, String)] = merges): String =
+    idVocab(rules).toSeq.sortBy(_._2).map { case (sym, id) =>
+      val raw = new Array[Byte](sym.length)
+      var i = 0
+      while (i < sym.length) { raw(i) = charToByte(sym.charAt(i)).toByte; i += 1 }
+      java.util.Base64.getEncoder.encodeToString(raw) + " " + id
+    }.mkString("", "\n", "\n")
+
+  /** Parse a `.tiktoken` file into the byte-unicode symbol → id map
+    * (token bytes re-mapped through [[byteToChar]] so the result
+    * plugs into the same id machinery). Loud, with the 1-based line
+    * number, on malformed lines, bad base64, non-integer ranks and
+    * duplicate ranks/tokens. */
+  def parseTiktoken(text: String): Map[String, Int] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val seenIds = scala.collection.mutable.HashSet.empty[Int]
+    text.split("\n", -1).iterator.zipWithIndex
+      .map { case (l0, i) => (l0.stripSuffix("\r"), i + 1) }
+      .filter { case (l, _) => l.nonEmpty }
+      .foreach { case (l, ln) =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s".tiktoken line $ln: expected 'base64 rank', got '${l.take(40)}'")
+        val raw =
+          try java.util.Base64.getDecoder.decode(parts(0))
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s".tiktoken line $ln: bad base64 '${parts(0).take(30)}'", e)
+          }
+        require(parts(1).forall(_.isDigit) && parts(1).length <= 9,
+          s".tiktoken line $ln: bad rank '${parts(1).take(20)}'")
+        val id = parts(1).toInt
+        val sb = new java.lang.StringBuilder(raw.length)
+        raw.foreach(b => sb.append(byteToChar(b & 0xff)))
+        val sym = sb.toString
+        require(!out.contains(sym),
+          s".tiktoken line $ln: duplicate token (id ${out(sym)} and $id)")
+        require(seenIds.add(id), s".tiktoken line $ln: duplicate rank $id")
+        out += sym -> id
+      }
+    out.toMap
+  }
+
+  /** [[loadArtifacts]] for the merges.txt + `.tiktoken` pairing —
+    * HF-style distributions ship merges.txt, tiktoken-style ones the
+    * base64 ranks; either id artifact must agree with the merge
+    * table under the same 256+rank convention or fail loudly. */
+  def loadTiktokenArtifacts(mergesText: String, tiktokenText: String)
+  : (Seq[(String, String)], Map[String, Int]) = {
+    val rules = parseMergesFile(mergesText)
+    val enc = parseTiktoken(tiktokenText)
+    val expected = idVocab(rules)
+    expected.foreach { case (sym, id) =>
+      val got = enc.get(sym)
+      require(got.contains(id),
+        s".tiktoken: symbol '$sym' has id ${got.fold("<absent>")(_.toString)}" +
+          s", expected $id (${if (id < 256) s"base byte $id"
+          else s"256 + merge rank ${id - 256}"})")
+    }
+    enc.keys.find(!expected.contains(_)).foreach { sym =>
+      throw new IllegalArgumentException(
+        s".tiktoken: token '$sym' (id ${enc(sym)}) does not appear in " +
+          "merges.txt — the artifacts disagree")
+    }
+    (rules, enc)
+  }
+
   // ---------------------------------------------------------------
   // driver/test-side scalar path (the spec surface)
 

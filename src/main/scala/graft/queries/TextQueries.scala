@@ -920,6 +920,35 @@ object TextQueries {
     },
     t21eByteBpeIds.oracle)
 
+  /** T21g: the `.tiktoken` artifact variant of t21f (judge r17 #2
+    * stretch — tiktoken ships `base64(token bytes) rank` lines, not
+    * encoder.json): write merges.txt + the `.tiktoken` file, read
+    * the bytes back, parse + cross-validate
+    * ([[graft.functions.ByteBpe.loadTiktokenArtifacts]]), run the
+    * t21e id-stream encode on the file-parsed tables. Oracle: t21e's
+    * replay VERBATIM — artifact round-trip ≡ literal table. */
+  val t21gTiktokenArtifacts = QueryDef(
+    "t21g_tiktoken_artifacts",
+    (s, dir) => {
+      import graft.functions.ByteBpe
+      val out = LifecycleQueries.freshDir("t21g")
+      new java.io.File(out).mkdirs()
+      val mp = java.nio.file.Paths.get(out, "merges.txt")
+      val tp = java.nio.file.Paths.get(out, "vocab.tiktoken")
+      java.nio.file.Files.write(mp, ByteBpe.mergesFileContent()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(tp, ByteBpe.tiktokenFileContent()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (rules, ids) = ByteBpe.loadTiktokenArtifacts(
+        new String(java.nio.file.Files.readAllBytes(mp),
+          java.nio.charset.StandardCharsets.UTF_8),
+        new String(java.nio.file.Files.readAllBytes(tp),
+          java.nio.charset.StandardCharsets.UTF_8))
+      ByteBpe.encodeIdFingerprint(
+        table(s, dir, "documents"), "doc_id", "text", rules, ids)
+    },
+    t21eByteBpeIds.oracle)
+
   /** t24's unrolled learning rounds: census → argmax → one framed
     * replace, exactly [[graft.functions.Bpe.train]]'s loop (see its
     * determinism contract). `s24_0` is the codepoint-framed vocab;
@@ -5053,7 +5082,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t19ParaDedup, t20Classifier,
     t20bPerLang, t22ClassifierEval, t22bCalibration, t23ClassifierAuc,
     t21Bpe, t21cBpeEncode, t21dByteBpe, t21eByteBpeIds,
-    t21fTokenizerArtifacts, t24BpeTrain,
+    t21fTokenizerArtifacts, t21gTiktokenArtifacts, t24BpeTrain,
     t24bBpeLearnedTokens,
     t24cBpeCheckpointed, t24dBpeBatched, t24eByteBpeTrain,
     t24fByteLearnedTokens, d1Exact,

@@ -333,6 +333,42 @@ class ByteBpeSpec extends SparkSpec {
     assert(viaFiles == viaLiteral)
   }
 
+  test(".tiktoken round trip: base64 of RAW token bytes, ranks preserved") {
+    val txt = ByteBpe.tiktokenFileContent()
+    val ids = ByteBpe.parseTiktoken(txt)
+    assert(ids == ByteBpe.idVocab())
+    // the payload is the raw BYTES: 'Ġt' (space + t) encodes " t"
+    assert(txt.contains(
+      java.util.Base64.getEncoder.encodeToString(" t".getBytes) + " 256"))
+    val (rules, ids2) = ByteBpe.loadTiktokenArtifacts(
+      ByteBpe.mergesFileContent(), txt)
+    assert(rules == ByteBpe.merges && ids2 == ids)
+    // loud failures: bad base64, bad rank, duplicate token/rank,
+    // drifted id, extra token
+    val e1 = intercept[IllegalArgumentException] {
+      ByteBpe.parseTiktoken("!!notbase64!! 7\n")
+    }
+    assert(e1.getMessage.contains("line 1"))
+    intercept[IllegalArgumentException] {
+      ByteBpe.parseTiktoken("YQ== notanumber\n")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ByteBpe.parseTiktoken("YQ== 1\nYQ== 2\n") // 'a' twice
+    }
+    assert(e2.getMessage.contains("duplicate token"))
+    val e3 = intercept[IllegalArgumentException] {
+      ByteBpe.parseTiktoken("YQ== 1\nYg== 1\n") // rank 1 twice
+    }
+    assert(e3.getMessage.contains("duplicate rank"))
+    val drift = txt.replace(
+      java.util.Base64.getEncoder.encodeToString(" t".getBytes) + " 256",
+      java.util.Base64.getEncoder.encodeToString(" t".getBytes) + " 999")
+    val e4 = intercept[IllegalArgumentException] {
+      ByteBpe.loadTiktokenArtifacts(ByteBpe.mergesFileContent(), drift)
+    }
+    assert(e4.getMessage.contains("expected 256"))
+  }
+
   test("trainBatched ≡ train at the byte level (interacting and disjoint rules)") {
     import spark.implicits._
     val docs = Seq(
