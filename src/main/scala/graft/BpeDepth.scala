@@ -38,7 +38,11 @@ object BpeDepth {
     val t0 = System.nanoTime()
     val (learned, sizes) =
       graft.functions.ByteBpe.trainBatchedWithSizes(
-        docs, "text", rounds, batchMax, ckpt)
+        docs, "text", rounds, batchMax, ckpt,
+        progress = (merges, censuses) =>
+          if (censuses % 25 == 0)
+            println(f"[bpedepth] progress merges=$merges censuses=$censuses " +
+              f"elapsed=${(System.nanoTime() - t0) / 1e9}%.0fs"))
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[bpedepth] sf_dir=$sfDir distinct_pre_tokens=$nVocab " +
       f"merges=${learned.size} censuses=${sizes.size} " +

@@ -306,7 +306,8 @@ object Bpe {
     * construction differs). */
   private[functions] def trainBatchedFromVocabWithSizes(
       vocab: DataFrame, rounds: Int, batchMax: Int,
-      checkpointEvery: Int): (Seq[LearnedMerge], Seq[Int]) = {
+      checkpointEvery: Int,
+      progress: (Int, Int) => Unit = (_, _) => ()): (Seq[LearnedMerge], Seq[Int]) = {
     require(rounds >= 1 && batchMax >= 1,
       s"need rounds >= 1 and batchMax >= 1, got $rounds/$batchMax")
     val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
@@ -441,6 +442,7 @@ object Bpe {
             lit("\u0001" + a + b + "\u0001"))
         }
         sinceCkpt += accepted.size
+        progress(learned.size, sizes.size)
         if (checkpointEvery > 0 && sinceCkpt >= checkpointEvery &&
             learned.size < rounds) {
           cur = graft.Materialize.truncate(

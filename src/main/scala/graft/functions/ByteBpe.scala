@@ -445,7 +445,9 @@ object ByteBpe {
 
   private[graft] def trainBatchedWithSizes(
       docs: DataFrame, textCol: String, rounds: Int, batchMax: Int,
-      checkpointEvery: Int): (Seq[Bpe.LearnedMerge], Seq[Int]) = {
+      checkpointEvery: Int,
+      progress: (Int, Int) => Unit = (_, _) => ())
+  : (Seq[Bpe.LearnedMerge], Seq[Int]) = {
     val vocab = graft.Materialize.reuse(
       docs.select(explode(preTokens(col(textCol))).as("pt"))
         .groupBy("pt").agg(count(lit(1)).as("cnt"))
@@ -453,7 +455,7 @@ object ByteBpe {
           "(.)", "\u0001$1\u0001"))
         .select("cnt", "s"))
     Bpe.trainBatchedFromVocabWithSizes(vocab, rounds, batchMax,
-      checkpointEvery)
+      checkpointEvery, progress)
   }
 
   /** [[train]] packaged as the t24e query form. */

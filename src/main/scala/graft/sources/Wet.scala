@@ -290,6 +290,10 @@ object Wet {
     codings.reverse.foldLeft(body) { (cur, coding) =>
       coding match {
         case "identity" => cur
+        // an EMPTY coded payload is a real crawl shape (304/redirect
+        // with the header still declared): empty in, empty out — not
+        // a malformed-stream failure
+        case _ if cur.isEmpty => cur
         case "gzip" | "x-gzip" => gunzipPayload(cur, r, tolerate)
         case "deflate" => inflatePayload(cur, r, tolerate)
         case other => throw new IllegalArgumentException(
@@ -308,7 +312,12 @@ object Wet {
   private def gunzipPayload(body: Array[Byte], r: RawRecord,
                             tolerate: Boolean): Array[Byte] = {
     def ctx = s"${r.path}: record ${r.ix}"
-    require(body.length >= 2 && body(0) == GzipMagic0 && body(1) == GzipMagic1,
+    val hasMagic = body.length >= 2 && body(0) == GzipMagic0 &&
+      body(1) == GzipMagic1
+    // a declared truncation can cut BEFORE the member header ends —
+    // nothing decodable, best-effort empty; undeclared stays loud
+    if (!hasMagic && tolerate) return Array.emptyByteArray
+    require(hasMagic,
       s"$ctx: Content-Encoding: gzip payload lacks the gzip magic")
     if (!tolerate) {
       try {

@@ -669,6 +669,28 @@ class WetSpec extends SparkSpec {
     assert(r.text.nonEmpty && page.startsWith(r.text.take(32)))
   }
 
+  test("coded-payload edges: empty coded body, truncation before the gzip magic") {
+    val fixture = gzMembers(Seq(
+      // a 304-style record still declaring its coding over an EMPTY
+      // body — real crawl shape, must parse to empty text, not crash
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/empty"),
+        httpMsg("HTTP/1.1 304 Not Modified",
+          Seq("Content-Type: text/html", "Content-Encoding: gzip"),
+          Array.emptyByteArray)),
+      // declared truncation cut the payload to ONE byte — before the
+      // gzip magic completes: best-effort empty, not loud
+      rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/stub",
+        "WARC-Truncated: length"),
+        httpMsg("HTTP/1.1 200 OK",
+          Seq("Content-Type: text/html", "Content-Encoding: gzip"),
+          Array[Byte](0x1f)))))
+    val rs = Wet.responses(fixture, "fixEdge").toSeq
+    assert(rs(0).text == "" && rs(0).http_status == 304)
+    assert(rs(1).text == "" && rs(1).warc_truncated == "length")
+  }
+
   test("meta-charset sniff and textual application types") {
     val latinPage = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
       "<body>café</body></html>"
