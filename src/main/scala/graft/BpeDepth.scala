@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
   * merges before the pair census runs dry), so the depth run trains
   * on a deterministically ENRICHED fixture: each doc's text plus the
   * md5 hex of its doc_id — ~SF×50k distinct 32-char hex pre-tokens,
-  * the distinct-vocab scale a real corpus slice has. Usage:
+  * the distinct-vocab scale a real corpus slice has.
+  *
+  * OPS FINDING (round 18, measured): thousands of training rounds
+  * generate thousands of distinct codegen'd census plans, and the
+  * JVM's DEFAULT 240 MB code cache fills around round ~1000 — the
+  * JIT then disables compilation ("not enough contiguous free
+  * space") and throughput collapses. Run depth training with
+  * `-XX:ReservedCodeCacheSize=512m` (the routine cluster setting via
+  * `spark.driver/executor.extraJavaOptions`); with it the rate is
+  * flat to 3000 merges. Usage:
   *
   * {{{
   * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_ROUNDS=3000 \
-  *   java -cp classes:jars graft.BpeDepth
+  *   java -XX:ReservedCodeCacheSize=512m -cp classes:jars graft.BpeDepth
   * }}}
   */
 object BpeDepth {

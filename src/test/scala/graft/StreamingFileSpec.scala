@@ -546,21 +546,27 @@ class StreamingFileSpec extends SparkSpec {
     def html(body: String): String =
       s"<html><body>\n$body\n<nav><a href=\"/\">Home</a> nav</nav>\n</body></html>"
     val htmlCt = "text/html; charset=UTF-8"
-    def mkWarc(docs: Seq[(String, Int, String, String)], name: String): Unit = {
+    // rows carry (uri, status, ctype, body, chunked, enc) — the round-18
+    // coded shapes (gzip, gzip-under-chunked) ride the SAME stream
+    def mkWarc(docs: Seq[(String, Int, String, String, Boolean, String)],
+               name: String): Unit = {
       val stage = tmp()
-      WetSink.writeResponses(docs.toDF("uri", "status", "ctype", "body"),
-        stage, "uri", "status", "ctype", "body", numFiles = 1)
+      WetSink.writeResponses(
+        docs.toDF("uri", "status", "ctype", "body", "chunked", "enc"),
+        stage, "uri", "status", "ctype", "body", numFiles = 1,
+        chunkedCol = "chunked", chunkSize = 33, encodingCol = "enc")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(stage, "part-00000.warc.gz"),
         java.nio.file.Paths.get(in, name))
     }
     mkWarc(Seq(
-      ("http://x.test/good1", 200, htmlCt, html(page())),
+      ("http://x.test/good1", 200, htmlCt, html(page()), false, "gzip"),
       ("http://x.test/miss", 404, htmlCt,
-        "<html><body>page not found</body></html>"),
-      ("http://x.test/redir", 301, "", ""),
+        "<html><body>page not found</body></html>", false, ""),
+      ("http://x.test/redir", 301, "", "", false, ""),
       ("http://x.test/lorem", 200, htmlCt,
-        html(page("and then Lorem Ipsum dolor sit amet appears in this sentence.")))),
+        html(page("and then Lorem Ipsum dolor sit amet appears in this sentence.")),
+        true, "gzip")),
       "crawl-0001.warc.gz")
     def runOnce(): Unit = {
       val q = Streaming.warcCleanStream(
@@ -575,7 +581,8 @@ class StreamingFileSpec extends SparkSpec {
     runOnce()
     mkWarc(Seq(                     // arrives while the stream is DOWN
       ("http://x.test/good2", 200, htmlCt,
-        html(page("one more closing sentence for the second file today.")))),
+        html(page("one more closing sentence for the second file today.")),
+        true, "gzip")),             // coded AND chunked after restart
       "crawl-0002.warc.gz")
     runOnce()                       // restart from checkpoint
     val got = spark.read.parquet(out).select("target_uri", "text")
