@@ -170,14 +170,17 @@ object ByteBpe {
       rules.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
 
   /** Parse a `merges.txt` into the rank-ordered rules table. Tolerant
-    * of CRLF line endings, `#`-comment lines and blank lines (all
-    * appear in shipped/edited artifacts); LOUD, with the 1-based line
-    * number, on a data line that is not exactly two non-empty
-    * space-separated fields. */
+    * of CRLF line endings and blank lines; ONLY the first line is
+    * treated as the `#version` comment header (the HF tokenizers
+    * convention) — '#' (byte 0x23) is itself a legal byte-unicode
+    * symbol, so a later line like `# x` is a real rule for the pair
+    * ("#","x") and skipping it would silently shift every subsequent
+    * rank. LOUD, with the 1-based line number, on a data line that is
+    * not exactly two non-empty space-separated fields. */
   def parseMergesFile(text: String): Seq[(String, String)] =
     text.split("\n", -1).iterator.zipWithIndex
       .map { case (l0, i) => (l0.stripSuffix("\r"), i + 1) }
-      .filter { case (l, _) => l.nonEmpty && !l.startsWith("#") }
+      .filter { case (l, ln) => l.nonEmpty && !(ln == 1 && l.startsWith("#")) }
       .map { case (l, ln) =>
         val parts = l.split(" ", -1)
         require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
@@ -557,5 +560,43 @@ object ByteBpe {
       arr => array_join(transform(arr,
         x => coalesce(element_at(idMap, x), lit(-1)).cast("string")), " "),
       "id_stream_fp")
+  }
+
+  /** The MATERIAL per-document token-id stream — where
+    * [[encodeIdFingerprint]] reduces each document to an md5 for
+    * hash-gating, this returns `(idCol, ids: array<int>)`, the actual
+    * integer sequence a training-shard export writes
+    * ([[graft.sources.MegatronSink]]). Same segment-once-per-
+    * DISTINCT-pre-token shape: positional pre-token explode, cached
+    * vocab segmentation mapped through the id table, join-back,
+    * per-document ordered flatten. A symbol missing from `ids` is
+    * impossible by construction; if it ever happened the `-1`
+    * sentinel trips the sink's range check loudly rather than
+    * writing a wrapped id. */
+  def encodeIdStream(docs: DataFrame, idCol: String, textCol: String,
+                     rules: Seq[(String, String)] = merges): DataFrame =
+    encodeIdStream(docs, idCol, textCol, rules, idVocab(rules))
+
+  /** [[encodeIdStream]] with an EXPLICIT id table (the shipped-
+    * artifact path — `ids` from a parsed `encoder.json` or
+    * `.tiktoken` that [[loadArtifacts]] has already cross-validated
+    * against `rules`). */
+  def encodeIdStream(docs: DataFrame, idCol: String, textCol: String,
+                     rules: Seq[(String, String)],
+                     ids: Map[String, Int]): DataFrame = {
+    val idMap = typedlit(ids)
+    val tokPos = docs.select(col(idCol),
+      posexplode(preTokens(col(textCol))).as(Seq("__p", "__t")))
+    val vocab = graft.Materialize.reuse(
+      tokPos.select("__t").distinct()
+        .withColumn("__arr", tokenizeBytes(col("__t"), rules))
+        .select(col("__t"), transform(col("__arr"),
+          x => coalesce(element_at(idMap, x), lit(-1))).as("__ids")))
+    tokPos.join(vocab, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__ids"))))
+        .as("__seq"))
+      .select(col(idCol),
+        flatten(transform(col("__seq"), x => x.getField("__ids"))).as("ids"))
   }
 }

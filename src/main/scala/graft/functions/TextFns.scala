@@ -213,11 +213,12 @@ object TextFns {
                 stopLang: String = "en",
                 langPred: Option[org.apache.spark.sql.DataFrame] = None)
   : org.apache.spark.sql.DataFrame = {
-    val feats = docs
-      .select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__t"))
-      .select(
+    // The marker-word prediction is only computed when no external
+    // classifier frame is supplied — with langPred it would be
+    // per-document work discarded unread.
+    def feats(withMarkerPred: Boolean) = {
+      val base = Seq(
         col(idCol),
-        langIdOfTokens(col("__t")).as("__marker_pred"),
         size(col("__t")).cast("long").as("__nw"),
         fingerprint(col("__text")).as("__fp"),
         round(qualityScoreOfTokens(col("__t"), col("__text"),
@@ -227,9 +228,26 @@ object TextFns {
           greatest(size(col("__t")), lit(1)), 4).as("__dwf"),
         round(TextExprs.gramRunStats(col("__t")).getField("max_tf").cast("double") /
           greatest(size(col("__t")), lit(1)), 4).as("__ttf"))
+      val cols =
+        if (withMarkerPred) base :+ langIdOfTokens(col("__t")).as("lang_pred")
+        else base
+      docs
+        .select(col(idCol), col(textCol).as("__text"), tokens(col(textCol)).as("__t"))
+        .select(cols: _*)
+    }
     val perDoc = langPred match {
-      case None => feats.withColumn("lang_pred", col("__marker_pred"))
-      case Some(lp) => feats.join(lp, Seq(idCol))
+      case None => feats(withMarkerPred = true)
+      case Some(lp) =>
+        // Left join + loud hole: an id the supplied frame does not
+        // cover is a caller bug (the card would silently under-count
+        // its language group under an inner join), so it raises with
+        // the id named instead of dropping the row.
+        feats(withMarkerPred = false).join(lp, Seq(idCol), "left")
+          .withColumn("lang_pred",
+            when(col("lang_pred").isNull, raise_error(concat(
+              lit("datasheet: supplied langPred frame has no row for id "),
+              col(idCol).cast("string"))))
+              .otherwise(col("lang_pred")))
     }
     perDoc.groupBy("lang_pred").agg(
       count(lit(1)).as("n_docs"),

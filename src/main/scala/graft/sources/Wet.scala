@@ -353,37 +353,60 @@ object Wet {
   }
 
   /** RFC 9110 `deflate` coding = a zlib stream (RFC 1950); real
-    * servers are split between zlib-wrapped and raw deflate, so a
-    * zlib header-check failure retries raw (the standard tolerant
-    * read — warcio/browsers do the same). Truncation/corruption is
-    * loud unless the record declares truncation. */
+    * servers are split between zlib-wrapped and raw deflate. The
+    * two leading bytes pick the first attempt (zlib header check:
+    * CM=8 + checksum%31); if zlib-mode inflate then rejects the
+    * stream (a raw body whose first bytes pass the check by
+    * coincidence), it retries raw before failing — the standard
+    * tolerant read, same as warcio/browsers. Truncation/corruption
+    * is loud unless the record declares truncation; an inflate that
+    * stalls with input remaining (FDICT preset-dictionary streams —
+    * nothing on the web ships the dictionary out of band) is
+    * corrupt, never an infinite wait. */
   private def inflatePayload(body: Array[Byte], r: RawRecord,
                              tolerate: Boolean): Array[Byte] = {
     def ctx = s"${r.path}: record ${r.ix}"
-    val raw = !(body.length >= 2 && (body(0) & 0x0f) == 8 &&
-      ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31) == 0)
-    if (tolerate) return inflateBestEffort(body, 0, raw)
-    val inf = new java.util.zip.Inflater(raw)
-    try {
-      inf.setInput(body)
-      val out = new java.io.ByteArrayOutputStream(body.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      while (!inf.finished()) {
-        val n =
-          try inf.inflate(buf)
-          catch {
-            case e: java.util.zip.DataFormatException =>
-              throw new IllegalArgumentException(
-                s"$ctx: corrupt deflate content coding", e)
+    val zlibLikely = body.length >= 2 && (body(0) & 0x0f) == 8 &&
+      ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31) == 0
+    if (tolerate) return inflateBestEffort(body, 0, raw = !zlibLikely)
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(body)
+        val out = new java.io.ByteArrayOutputStream(body.length * 4)
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) {
+            if (inf.needsInput()) throw new IllegalArgumentException(
+              s"$ctx: truncated deflate content coding after " +
+                s"${out.size} decoded bytes (record does not declare " +
+                "WARC-Truncated)")
+            // needsDictionary (or any other zero-progress stall):
+            // terminal — surface as a format error so the zlib path
+            // can retry raw and the raw path fails loud.
+            throw new java.util.zip.DataFormatException(
+              "inflate stalled without consuming input " +
+                "(preset-dictionary or corrupt stream)")
           }
-        if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
-          s"$ctx: truncated deflate content coding after " +
-            s"${out.size} decoded bytes (record does not declare " +
-            "WARC-Truncated)")
-        out.write(buf, 0, n)
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    def loud(e: java.util.zip.DataFormatException): Nothing =
+      throw new IllegalArgumentException(
+        s"$ctx: corrupt deflate content coding", e)
+    if (!zlibLikely)
+      try run(raw = true)
+      catch { case e: java.util.zip.DataFormatException => loud(e) }
+    else
+      try run(raw = false)
+      catch {
+        case _: java.util.zip.DataFormatException =>
+          try run(raw = true)
+          catch { case e2: java.util.zip.DataFormatException => loud(e2) }
       }
-      out.toByteArray
-    } finally inf.end()
   }
 
   /** Best-effort inflate of a DECLARED-truncated coded payload: the
@@ -402,7 +425,10 @@ object Wet {
           case _: java.util.zip.DataFormatException => go = false; 0
         }
         if (n > 0) out.write(buf, 0, n)
-        else if (inf.needsInput()) go = false
+        // n == 0 and not finished ⇒ needsInput (ran off the cut) or
+        // needsDictionary (FDICT stall) — both terminal for a
+        // best-effort prefix read; never spin.
+        else go = false
       }
       out.toByteArray
     } finally inf.end()

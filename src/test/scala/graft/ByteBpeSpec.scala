@@ -264,8 +264,8 @@ class ByteBpeSpec extends SparkSpec {
     assert(ByteBpe.parseMergesFile(txt) == ByteBpe.merges)
   }
 
-  test("parseMergesFile tolerates CRLF, comments, blank lines; loud on bad lines") {
-    val messy = "#version: 0.2\r\n\r\nĠ t\r\n# a mid-file note\nĠt a\n\nt h\r\n"
+  test("parseMergesFile tolerates CRLF and blank lines; loud on bad lines") {
+    val messy = "#version: 0.2\r\n\r\nĠ t\r\nĠt a\n\nt h\r\n"
     assert(ByteBpe.parseMergesFile(messy) ==
       Seq("Ġ" -> "t", "Ġt" -> "a", "t" -> "h"))
     val e1 = intercept[IllegalArgumentException] {
@@ -277,6 +277,21 @@ class ByteBpeSpec extends SparkSpec {
       ByteBpe.parseMergesFile("a b c\n") // three fields
     }
     assert(e2.getMessage.contains("line 1"))
+  }
+
+  test("only line 1 is a comment: '#' is a legal symbol, mid-file '# x' is a rule") {
+    // the HF tokenizers convention — skipping every '#' line would
+    // silently drop a ("#","x") rule and shift all later ranks
+    assert(ByteBpe.parseMergesFile("#version: 0.2\nĠ t\n# x\nt h\n") ==
+      Seq("Ġ" -> "t", "#" -> "x", "t" -> "h"))
+    // a mid-file free-text note is now LOUD, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      ByteBpe.parseMergesFile("#version: 0.2\nĠ t\n# a mid-file note\n")
+    }
+    assert(e.getMessage.contains("line 3"))
+    // round trip: a rules table whose left symbol is '#' keeps its rank
+    val rules = Seq("Ġ" -> "t", "#" -> "x", "Ġt" -> "a")
+    assert(ByteBpe.parseMergesFile(ByteBpe.mergesFileContent(rules)) == rules)
   }
 
   test("encoder.json round trip and id-consistency checks") {

@@ -982,6 +982,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(de.getDouble(4) == 10.0)        // mean_tokens
   }
 
+  test("datasheet: an external langPred frame with a missing id is loud, not dropped") {
+    val docs = Seq(
+      (1L, "the cat sat of the mat and that is that"),
+      (2L, "der hund ist nicht das problem und das ist gut")
+    ).toDF("doc_id", "text")
+    // full coverage: identical card whether the prediction comes from
+    // the marker heuristic or the supplied frame carrying its values
+    val full = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang_pred")
+    val card = TextFns.datasheet(docs, "doc_id", "text", langPred = Some(full))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card == Map("en" -> 1L, "de" -> 1L))
+    // a hole in the supplied frame names the id instead of silently
+    // under-counting the language group
+    val holey = Seq((1L, "en")).toDF("doc_id", "lang_pred")
+    val e = intercept[Exception] {
+      TextFns.datasheet(docs, "doc_id", "text", langPred = Some(holey)).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("no row for id 2"), msg)
+  }
+
   test("write() produces an executable file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scripts")
     val p = ClusterScripts.write(s"$dir/sub/run.sh",

@@ -691,6 +691,57 @@ class WetSpec extends SparkSpec {
     assert(rs(1).text == "" && rs(1).warc_truncated == "length")
   }
 
+  test("deflate edge: FDICT zlib payload fails loudly (terminal, never spins)") {
+    // CMF=0x78, FLG=0x20: FDICT bit set and (0x7820 % 31 == 0) — the
+    // header check passes, then inflate() stalls on needsDictionary
+    // (returns 0 with needsInput()==false). Nothing on the web ships
+    // the dictionary out of band, so this must be terminal-loud, not
+    // an infinite loop in the task.
+    val fdict = Array[Byte](0x78, 0x20, 0xde.toByte, 0xad.toByte,
+      0xbe.toByte, 0xef.toByte, 1, 2, 3, 4)
+    val loud = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/fdict"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+        fdict))))
+    val e = intercept[IllegalArgumentException] {
+      Wet.responses(loud, "fixFdict").toSeq
+    }
+    assert(e.getMessage.contains("corrupt deflate content coding"))
+    // declared truncation → best-effort path: same stall must yield
+    // the empty prefix, not a spin
+    val declared = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/fdict2",
+        "WARC-Truncated: length"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+        fdict))))
+    val r = Wet.responses(declared, "fixFdict2").toSeq.head
+    assert(r.text == "" && r.warc_truncated == "length")
+  }
+
+  test("deflate edge: raw stream whose leading bytes pass the zlib check retries raw") {
+    // Hand-built RAW deflate: a non-final stored block whose first
+    // byte is 0x78 (BFINAL=0, BTYPE=00 — the remaining bits are
+    // padding the format ignores) followed by LEN=1. The leading pair
+    // (0x78, 0x01) passes the zlib header check (30721 % 31 == 0), so
+    // zlib-mode inflate runs first and rejects the stream; the
+    // tolerant read must then retry raw and decode "A".
+    val lookalike = Array[Byte](
+      0x78, 0x01, 0x00, 0xfe.toByte, 0xff.toByte, 'A', // stored "A"
+      0x01, 0x00, 0x00, 0xff.toByte, 0xff.toByte)      // final empty block
+    val fixture = gzMembers(Seq(rawRecord(
+      Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://x.test/lookalike"),
+      httpMsg("HTTP/1.1 200 OK",
+        Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+        lookalike))))
+    val r = Wet.responses(fixture, "fixLookalike").toSeq.head
+    assert(r.text == "A", s"expected raw retry to decode, got '${r.text}'")
+  }
+
   test("meta-charset sniff and textual application types") {
     val latinPage = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
       "<body>café</body></html>"
