@@ -63,33 +63,42 @@ object LangIdNgram {
 
   /** Per-language rank profiles from the TRAINING subset:
     * `(lang, gram, rank)` with rank 1..K by (count DESC, gram ASC).
-    * A sliver — langs × K rows — meant for [[broadcast]]. */
+    * A sliver — langs × K rows — meant for [[broadcast]], and the
+    * PERSISTABLE classifier artifact: write it as a parquet table
+    * and score any later corpus (or stream) with [[predictWith]],
+    * the Sb5Counts frozen-artifact discipline. */
   def profiles(docs: DataFrame, langCol: String, textCol: String,
                train: Column, n: Int = N, k: Int = K): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.filter(train)
-      .select(col(langCol).as("__lang"), normForm(col(textCol)).as("__s"))
-      .select(col("__lang"), explode(charNgrams(col("__s"), n)).as("__g"))
-      .groupBy("__lang", "__g").agg(count(lit(1)).as("__c"))
-      .withColumn("__rl", row_number().over(
-        Window.partitionBy("__lang").orderBy(col("__c").desc, col("__g"))))
-      .filter(col("__rl") <= k)
-      .select("__lang", "__g", "__rl")
+      .select(col(langCol).as("lang"), normForm(col(textCol)).as("__s"))
+      .select(col("lang"), explode(charNgrams(col("__s"), n)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("__c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__c").desc, col("gram"))))
+      .filter(col("rank") <= k)
+      .select("lang", "gram", "rank")
   }
 
-  /** Classify every document: `(idCol, lang_pred)`. `train` marks the
-    * labeled profile-training rows (the t28 discipline — a source
-    * subset); all rows are classified, training ones included. */
-  def predict(docs: DataFrame, idCol: String, textCol: String,
-              langCol: String, train: Column,
-              n: Int = N, k: Int = K): DataFrame = {
+  /** Classify every document under a FROZEN `(lang, gram, rank)`
+    * profile frame (a [[profiles]] output, typically read back from
+    * its persisted parquet): `(idCol, lang_pred)`. The ONE scoring
+    * kernel — [[predict]] and the streamed scoring sink
+    * ([[graft.streaming.Streaming.langIdScoreSink]]) both pass
+    * through here, so offline ≡ artifact ≡ online structurally.
+    * `k` is BOTH the per-doc profile depth and the off-profile
+    * penalty — pass the k the artifact was trained with (rank > k
+    * rows would silently never match; a shallower artifact scores
+    * with the larger penalty, Cavnar-Trenkle's own convention). */
+  def predictWith(docs: DataFrame, idCol: String, textCol: String,
+                  prof: DataFrame, n: Int = N, k: Int = K): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist the (langs × K) profile sliver: `langs` derives from it,
-    // and without the reuse Spark re-runs the whole training census
-    // once per consumer (two scans of the training subset)
-    val prof = graft.Materialize.reuse(
-      profiles(docs, langCol, textCol, train, n, k))
-    val langs = prof.select("__lang").distinct()
+    require(Seq("lang", "gram", "rank").forall(prof.columns.contains),
+      s"profile frame needs (lang, gram, rank), got " +
+        prof.columns.mkString(", "))
+    val p = prof.select(col("lang").as("__lang"), col("gram").as("__g"),
+      col("rank").as("__rl"))
+    val langs = p.select("__lang").distinct()
     val docRanks = docs
       .select(col(idCol), normForm(col(textCol)).as("__s"))
       .select(col(idCol), explode(charNgrams(col("__s"), n)).as("__g"))
@@ -100,7 +109,7 @@ object LangIdNgram {
       .select(col(idCol), col("__g"), col("__rd"))
     val dist = docRanks
       .crossJoin(broadcast(langs))
-      .join(broadcast(prof), Seq("__lang", "__g"), "left")
+      .join(broadcast(p), Seq("__lang", "__g"), "left")
       .groupBy(col(idCol), col("__lang"))
       // out-of-place distance: |rd − rl|, max penalty k off-profile
       .agg(sum(coalesce(abs(col("__rd") - col("__rl")), lit(k.toLong)))
@@ -115,4 +124,16 @@ object LangIdNgram {
       .select(col(idCol),
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
   }
+
+  /** Train-and-classify in one plan: [[profiles]] off the `train`
+    * rows (the t28 discipline — a labeled source subset), then
+    * [[predictWith]] over every document, training ones included. */
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+              langCol: String, train: Column,
+              n: Int = N, k: Int = K): DataFrame =
+    // persist the (langs × K) profile sliver: `langs` derives from it,
+    // and without the reuse Spark re-runs the whole training census
+    // once per consumer (two scans of the training subset)
+    predictWith(docs, idCol, textCol, graft.Materialize.reuse(
+      profiles(docs, langCol, textCol, train, n, k)), n, k)
 }

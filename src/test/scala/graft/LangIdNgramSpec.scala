@@ -71,12 +71,32 @@ class LangIdNgramSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     val prof = LangIdNgram.profiles(docs, "lang", "text",
       $"source" === "tr", n = 3, k = 4)
-      .orderBy("__rl").collect()
+      .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getInt(2)))
     // grams of "ababab xyz": aba(2) bab(2) ab␣(1) b␣x(1) ␣xy(1) xyz(1)
     assert(prof.length == 4) // capped at K=4
     assert(prof.take(2).toSeq == Seq(("aba", 1), ("bab", 2))) // ties: gram ASC
     assert(prof(2)._1 < prof(3)._1) // count-1 ties also gram ASC
+  }
+
+  test("predictWith: persisted profile artifact reproduces in-plan predict exactly") {
+    val docs = trainDocs.toDF("doc_id", "text", "lang", "source")
+    val inPlan = LangIdNgram.predict(docs, "doc_id", "text", "lang",
+      $"source" === "tr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid")
+    LangIdNgram.profiles(docs, "lang", "text", $"source" === "tr")
+      .write.mode("overwrite").parquet(dir.toString)
+    val frozen = spark.read.parquet(dir.toString)
+    val viaArtifact = LangIdNgram.predictWith(docs, "doc_id", "text", frozen)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaArtifact == inPlan)
+    // loud on a frame that is not a profile artifact
+    val e = intercept[IllegalArgumentException] {
+      LangIdNgram.predictWith(docs, "doc_id", "text",
+        Seq(("en", "abc")).toDF("lang", "gram"))
+    }
+    assert(e.getMessage.contains("(lang, gram, rank)"))
   }
 
   test("normalization: case, whitespace runs, and surrounding space fold away") {

@@ -386,6 +386,42 @@ class StreamingFileSpec extends SparkSpec {
       "streamed 5-gram scores must be bit-identical to the batch kernel")
   }
 
+  test("langID stream ≡ batch predictWith under a frozen profile artifact, across restart") {
+    import graft.functions.LangIdNgram
+    val in = tmp(); val out = tmp(); val ckpt = tmp(); val art = tmp()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    // profiles trained ONCE offline and persisted — the stream only
+    // scores under the frozen (lang, gram, rank) artifact
+    LangIdNgram.profiles(docs, "lang", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .write.mode("overwrite").parquet(art + "/langid_profiles")
+    val frozen = spark.read.parquet(art + "/langid_profiles")
+    val expected = LangIdNgram.predictWith(docs, "doc_id", "text", frozen)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def runOnce(): Unit = {
+      val q = Streaming.langIdScoreSink(
+        spark.readStream.schema(schema).parquet(in),
+        "doc_id", "text", frozen, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in) // arrives while DOWN
+    runOnce() // restart from checkpoint picks up only the delta
+    val streamed = spark.read.parquet(out + "/batch=*")
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.size == expected.size, "every doc classified exactly once")
+    assert(streamed == expected,
+      "streamed predictions must be identical to the batch kernel")
+  }
+
   test("ANN-ingest stream ≡ batch append across restart; tombstones honored mid-stream") {
     import graft.similarity.Similarity
     import Similarity.PersistedIndex
