@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -842,9 +842,13 @@ object Wet {
     * can then serve directly; non-response records (warcinfo /
     * request / metadata) are walked and skipped by type, matching
     * [[responses]]. Deterministic bytes end to end (spec-pinned
-    * golden lines). A deployment concatenates per-file outputs and
-    * merge-sorts into the crawl-level `cluster.idx` — the same
-    * discipline as [[indexFiles]]. */
+    * golden lines). Sorting is over the FULL LINE as bytes — for a
+    * malformed crawl URI containing a raw space this can diverge
+    * from a strict (key, ts) pair sort, and that is intentional:
+    * CDX consumers themselves sort and binary-search the files as
+    * byte strings, so the line sort IS the ecosystem convention.
+    * [[cdxjCluster]] merge-sorts per-file outputs into the
+    * crawl-level two-level artifact. */
   def cdxj(bytes: Array[Byte], path: String): Seq[String] = {
     require(bytes.length >= 2 && bytes(0) == GzipMagic0 &&
       bytes(1) == GzipMagic1,
@@ -899,6 +903,209 @@ object Wet {
       .as[(String, Array[Byte])]
       .flatMap { case (p, b) => cdxj(b, p) }
       .toDF("line")
+  }
+
+  /** One `cluster.idx` secondary-index line of a ZipNum cluster:
+    * `key` is the FIRST cdxj line's searchable key (`SURT ts`) of
+    * the gzip block at `[offset, offset+length)` inside shard
+    * `file`; `seq` is the 1-based global block number. */
+  final case class ZipnumBlockRef(key: String, file: String,
+                                  offset: Long, length: Long, seq: Long)
+
+  /** Merge-sort every per-file CDXJ index under `dir` into the
+    * TWO-LEVEL crawl artifact Common Crawl itself ships and
+    * pywb/OpenWayback binary-search: `cdx-NNNNN.gz` shards — the
+    * globally sorted lines, gzipped in INDEPENDENT members of
+    * `blockLines` lines each (the ZipNum convention: a block is
+    * seekable + decodable alone) — plus `cluster.idx`, one plain
+    * line per block: `<SURT ts>\t<shard>\t<offset>\t<length>\t<seq>`.
+    * A lookup reads cluster.idx (crawl_blocks/3000 lines — driver
+    * sized), binary-searches it, and gunzips only the named blocks
+    * ([[cdxjLookup]]) — a takedown/audit over a 64k-file crawl
+    * touches kilobytes, not the index.
+    *
+    * Shape for scale: the per-file cdxj walks stay one task per
+    * file; the merge is ONE range exchange of metadata-width lines
+    * (the terasort shape — text/bytes never shuffle) with each
+    * shard streamed by exactly one task. The line set is persisted
+    * (memory-and-disk) across the count + sort so the WARC decode
+    * runs once. Deterministic bytes: shard membership is
+    * `global_line_index / ceil(total/shards)` — a pure function of
+    * the sorted line set, not of sampling. Commit is tmp + rename
+    * per shard; `cluster.idx` is written LAST, so a crashed run
+    * never leaves a readable-but-partial cluster. */
+  def cdxjCluster(spark: SparkSession, dir: String, outDir: String,
+                  glob: String = "*.warc.gz", shards: Int = 1,
+                  blockLines: Int = 3000): Unit = {
+    import spark.implicits._
+    require(shards > 0 && blockLines > 0,
+      s"need positive shards/blockLines, got $shards/$blockLines")
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val outBase = new org.apache.hadoop.fs.Path(outDir)
+    val fsD = outBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsD.mkdirs(outBase)
+    val ds = cdxjFiles(spark, dir, glob).as[String]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = ds.count()
+      require(total > 0, s"$dir: no response records — nothing to cluster")
+      val per = (total + shards - 1) / shards
+      val part = new org.apache.spark.Partitioner {
+        def numPartitions: Int = shards
+        def getPartition(key: Any): Int =
+          key.asInstanceOf[(Long, Long)]._1.toInt
+      }
+      val summaries = ds.rdd.sortBy(identity).zipWithIndex()
+        .map { case (l, i) => ((i / per, i), l) }
+        .repartitionAndSortWithinPartitions(part)
+        .mapPartitions { it =>
+          // exactly one shard per partition by construction
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(hconf.value)
+          var shard = -1L
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var off = 0L
+          var blockIx = 0L
+          val buf = new java.io.ByteArrayOutputStream(1 << 16)
+          var gz: java.util.zip.GZIPOutputStream = null
+          var firstKey: String = null
+          var inBlock = 0
+          val sums = Seq.newBuilder[(Long, Long, String, Long, Long)]
+          def keyOf(line: String): String = {
+            val j = line.indexOf(" {")
+            if (j < 0) line else line.substring(0, j)
+          }
+          def flushBlock(): Unit = if (inBlock > 0) {
+            gz.finish(); gz.close()
+            val bytes = buf.toByteArray
+            out.write(bytes)
+            sums += ((shard, blockIx, firstKey, off, bytes.length.toLong))
+            off += bytes.length
+            blockIx += 1
+            buf.reset()
+            inBlock = 0
+            firstKey = null
+          }
+          def name(s: Long): String = f"cdx-$s%05d.gz"
+          def finish(): Unit = if (shard >= 0) {
+            flushBlock()
+            out.close()
+            val tmp = new org.apache.hadoop.fs.Path(outDir, name(shard) + ".tmp")
+            val dst = new org.apache.hadoop.fs.Path(outDir, name(shard))
+            fs.delete(dst, false)
+            require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+          }
+          while (it.hasNext) {
+            val ((s, _), line) = it.next()
+            if (s != shard) {
+              finish()
+              shard = s
+              out = fs.create(
+                new org.apache.hadoop.fs.Path(outDir, name(shard) + ".tmp"),
+                true)
+              off = 0L; blockIx = 0L
+            }
+            if (inBlock == 0) {
+              firstKey = keyOf(line)
+              gz = new java.util.zip.GZIPOutputStream(buf)
+            }
+            gz.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.write('\n')
+            inBlock += 1
+            if (inBlock == blockLines) flushBlock()
+          }
+          finish()
+          sums.result().iterator
+        }.collect()
+      // cluster.idx LAST — the commit marker; global seq in key order
+      val sb = new StringBuilder
+      summaries.sortBy(s => (s._1, s._2)).zipWithIndex.foreach {
+        case ((sh, _, key, off, len), i) =>
+          sb.append(key).append('\t').append(f"cdx-$sh%05d.gz").append('\t')
+            .append(off).append('\t').append(len).append('\t')
+            .append(i + 1).append('\n')
+      }
+      val tmp = new org.apache.hadoop.fs.Path(outDir, "cluster.idx.tmp")
+      val os = fsD.create(tmp, true)
+      try os.write(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      val dst = new org.apache.hadoop.fs.Path(outDir, "cluster.idx")
+      fsD.delete(dst, false)
+      require(fsD.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    } finally ds.unpersist()
+  }
+
+  /** Parse a cluster's `cluster.idx` (driver-side — one line per
+    * 3000-line block, small by construction). Strict: five
+    * tab-separated fields per line, numeric offset/length/seq. */
+  def clusterIndex(spark: SparkSession, outDir: String): Vector[ZipnumBlockRef] = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "cluster.idx")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$outDir: no cluster.idx — not a CDX cluster")
+    val in = fs.open(p)
+    val text =
+      try {
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    text.split("\n").filter(_.nonEmpty).toVector.zipWithIndex.map {
+      case (l, i) =>
+        val f = l.split("\t", -1)
+        require(f.length == 5,
+          s"cluster.idx line ${i + 1}: expected 5 tab-separated fields, " +
+            s"got ${f.length}: '${l.take(60)}'")
+        ZipnumBlockRef(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong)
+    }
+  }
+
+  /** Prefix lookup through the two-level cluster: binary-search
+    * `cluster.idx` for the block range that can hold keys starting
+    * with `prefix`, gunzip ONLY those blocks out of their shards
+    * (one ranged read each — the seek discipline [[readAt]]
+    * established), and return the matching cdxj lines in order.
+    * Key comparisons are byte-lexicographic, matching the sort the
+    * writer produced. */
+  def cdxjLookup(spark: SparkSession, outDir: String,
+                 prefix: String): Seq[String] = {
+    val refs = clusterIndex(spark, outDir)
+    if (refs.isEmpty) return Nil
+    val upper = prefix + '￿'
+    // first candidate: the block whose first key is the last one
+    // <= prefix (a matching line can live mid-block); last candidate:
+    // blocks whose first key is still < upper
+    var lo = refs.lastIndexWhere(_.key <= prefix)
+    if (lo < 0) lo = 0
+    val hi = refs.lastIndexWhere(_.key < upper)
+    if (hi < lo) return Nil
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = Seq.newBuilder[String]
+    refs.slice(lo, hi + 1).foreach { r =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(outDir, r.file))
+      val bytes =
+        try {
+          in.seek(r.offset)
+          val b = new Array[Byte](r.length.toInt)
+          in.readFully(b)
+          b
+        } finally in.close()
+      val gz = new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(bytes))
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = gz.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = gz.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+        .filter(_.startsWith(prefix))
+        .foreach(out += _)
+    }
+    out.result()
   }
 
   /** Read the WARC files under `dir` matching `glob` into their

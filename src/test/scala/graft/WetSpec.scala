@@ -896,6 +896,68 @@ class WetSpec extends SparkSpec {
     assert(Wet.cdxj(fixture, "/crawl/seg/file-00001.warc.gz") == lines)
   }
 
+  test("cdxjCluster: two-level ZipNum artifact — cluster.idx seek to block to responseAt") {
+    // 3 WARC files × 4 responses = 12 lines; blockLines=2, shards=2
+    // → multi-file, multi-block, multi-shard on a hand-checkable size
+    val dir = java.nio.file.Files.createTempDirectory("wetclu").toString
+    val fileBytes = scala.collection.mutable.Map[String, Array[Byte]]()
+    (0 until 3).foreach { f =>
+      val recs = (0 until 4).map { j =>
+        val host = s"h${(f * 4 + j) % 7}.test" // interleave hosts across files
+        rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+          s"WARC-Target-URI: http://$host/f$f/p$j",
+          "WARC-Date: 2021-03-04T05:06:07Z"),
+          httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/html"),
+            s"<html>doc $f-$j</html>".getBytes(StandardCharsets.UTF_8)))
+      }
+      val bytes = gzMembers(recs)
+      val name = f"crawl-$f%05d.warc.gz"
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+      fileBytes(name) = bytes
+    }
+    val out = java.nio.file.Files.createTempDirectory("wetcluOut").toString
+    Wet.cdxjCluster(spark, dir, out, shards = 2, blockLines = 2)
+    val expected = fileBytes.toSeq.flatMap { case (n, b) =>
+      Wet.cdxj(b, s"$dir/$n")
+    }.sorted
+    // the two-level artifact: every block's key/offset/length is
+    // honest — reassembling all blocks yields the global sorted lines
+    val refs = Wet.clusterIndex(spark, out)
+    assert(refs.map(_.seq) == (1L to refs.size).toVector)
+    assert(refs.map(_.key) == refs.map(_.key).sorted)
+    assert(refs.forall(r => r.file == "cdx-00000.gz" || r.file == "cdx-00001.gz"))
+    val reassembled = refs.flatMap { r =>
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, r.file))
+      val slice = java.util.Arrays.copyOfRange(raw, r.offset.toInt,
+        (r.offset + r.length).toInt)
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(slice))
+      new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    assert(reassembled == expected,
+      "concatenated blocks must reproduce the global sorted line set")
+    assert(refs.map(_.key) == expected.grouped(2).map(g =>
+      g.head.substring(0, g.head.indexOf(" {"))).toVector,
+      "each cluster.idx key is its block's first searchable key")
+    // seek path: a mid-block key (never a block's first key) resolves
+    // through cluster.idx -> one block -> its line -> responseAt
+    val target = expected(3) // 4th line: mid-block by construction
+    val key = target.substring(0, target.indexOf(" {"))
+    val hits = Wet.cdxjLookup(spark, out, key)
+    assert(hits == Seq(target))
+    val Re = """"length": "(\d+)", "offset": "(\d+)", "filename": "([^"]+)"""".r.unanchored
+    val Re(len, off, fname) = target
+    val rec = Wet.responseAt(fileBytes(fname), fname, off.toLong, len.toLong)
+    assert(key.startsWith(Wet.surtKey(rec.target_uri) + " "))
+    // host-prefix scan returns every record of that host, in order
+    val h0 = Wet.cdxjLookup(spark, out, "test,h0)")
+    assert(h0.nonEmpty && h0 == expected.filter(_.startsWith("test,h0)")))
+    // absent prefix: empty, not an error
+    assert(Wet.cdxjLookup(spark, out, "zz,absent)").isEmpty)
+  }
+
   test("coded response sink round-trip: gzip and gzip+chunked decode back, digests verify") {
     import spark.implicits._
     val docs = Seq(
