@@ -339,11 +339,18 @@ object WetQueries {
       // `documents` and is framing-blind, so a skipped decode fails
       // the boilerplate gates loudly (mojibake has no kept lines)
       val out = writeWarcWith(s, dir, "wet8", messyUri, coded = true)
+      // round 19: the extraction step is the jusText CONTEXT
+      // classifier (t26b's kernel + thresholds) — the page wrapper's
+      // title/nav/footer lines now die by CLASS (short-between-bads,
+      // link-dense nav), not merely by length, and a mid-density
+      // paragraph isolated inside chrome dies with them; the oracle
+      // replays the full wrapped-page line layout
       val cleaned = graft.sources.Wet.readResponses(s, out)
         .filter(col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
         .withColumn("clean", graft.functions.Boilerplate
-          .clean(col("text")).getField("clean"))
+          .justext(col("text"), TextQueries.justextGateCfg)
+          .getField("clean"))
         .filter(!lower(col("clean")).contains("lorem ipsum") &&
           !col("clean").contains("{"))
         .select(regexp_extract(col("target_uri"), "doc/(\\d+)", 1)
@@ -357,17 +364,20 @@ object WetQueries {
         .filter(col("__rk") <= 8)
         .select("doc_id", "host", "n_clean_chars")
     },
-    Some("WITH " + TextQueries.t26CleanCtes("documents") + """,
-      cl AS (SELECT doc_id,
-          COALESCE(string_agg(CASE WHEN keep THEN body END,
-            chr(10) ORDER BY i), '') AS clean
-        FROM kp GROUP BY doc_id),
+    Some("""WITH jxsrc AS (SELECT doc_id,
+        '<html><head><title>doc ' || doc_id ||
+        '</title></head><body>' || chr(10) ||
+        '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+        || chr(10) || text || chr(10) ||
+        '<footer>(c) example.org</footer>' || chr(10) ||
+        '</body></html>' AS text
+      FROM documents WHERE NOT (doc_id % 10 = 7 OR doc_id % 9 = 4)),""" +
+      TextQueries.justextCtes("jxsrc") + """,
       cand AS (SELECT doc_id,
           'site' || (doc_id % 7) || '.example.com' AS host,
           CAST(length(clean) AS BIGINT) AS n_clean_chars
-        FROM cl
-        WHERE NOT (doc_id % 10 = 7 OR doc_id % 9 = 4)
-          AND NOT contains(lower(clean), 'lorem ipsum')
+        FROM jxagg
+        WHERE NOT contains(lower(clean), 'lorem ipsum')
           AND NOT contains(clean, '{'))
       SELECT doc_id, host, n_clean_chars FROM cand
       WHERE host <> 'site0.example.com'

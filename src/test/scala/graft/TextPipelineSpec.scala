@@ -982,6 +982,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(de.getDouble(4) == 10.0)        // mean_tokens
   }
 
+  test("justext context pass: shorts rescued between goods, through-neargood promotion, chrome dies") {
+    import graft.functions.{Boilerplate, JustextConfig, JustextKernel}
+    val cfg = JustextConfig(lengthLow = 20, lengthHigh = 60,
+      stopLowPct = 30, stopHighPct = 32, maxLinkPct = 20,
+      stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "it"))
+    val good =
+      "the cat is in the hat and the dog is in the house of it all is a fine day in the garden now"
+    val nav = "<a href=q>home</a> | <a href=q>about</a> | <a href=q>contact</a>"
+    val ng = "the dog is of the park and it is ok" // 35 chars, density 70%
+    val s1 = "a tiny quote here"                  // 17 chars: short
+    val s3 = "short stray end"                    // short, bad context
+    // blocks: [good, short, good, bad, neargood, short, good, bad, short]
+    val page = Seq(good, s1, good, nav, ng, s1, good, nav, s3).mkString("\n")
+    val (clean, nGood, nBad, nFlipped) = JustextKernel.clean(page, cfg)
+    // context verdicts, hand-derived from the published rules:
+    //  #2 short between two goods               -> good   (rescue)
+    //  #5 neargood beside a good (pass 2)       -> good
+    //  #6 short: prev good/bad = bad, but the prev reached skipping
+    //     only shorts is NEARGOOD -> the promotion rule fires -> good
+    //  #9 short between bad and the bad boundary -> bad
+    assert((nGood, nBad, nFlipped) == ((6, 3, 3)),
+      s"got ($nGood, $nBad, $nFlipped)")
+    assert(clean == Seq(good, s1, good, ng, s1, good).mkString("\n"))
+    // neargood between two bads dies (pass 2 both-bad rule)
+    val sandwiched = Seq(nav, ng, nav).mkString("\n")
+    val r2 = JustextKernel.clean(sandwiched, cfg)
+    assert(r2._1 == "" && r2._2 == 0 && r2._3 == 3)
+    // empty text: no blocks, empty clean, zero counts
+    assert(JustextKernel.clean("", cfg) == (("", 0, 0, 0)))
+    // the column form matches the kernel
+    val viaCol = Seq((1L, page)).toDF("doc_id", "text")
+      .select(Boilerplate.justext(col("text"), cfg).as("b"))
+      .select("b.clean", "b.n_good", "b.n_bad", "b.n_flipped")
+      .collect().head
+    assert(viaCol.getString(0) == clean && viaCol.getInt(1) == 6 &&
+      viaCol.getInt(2) == 3 && viaCol.getInt(3) == 3)
+  }
+
   test("datasheet: an external langPred frame with a missing id is loud, not dropped") {
     val docs = Seq(
       (1L, "the cat sat of the mat and that is that"),
