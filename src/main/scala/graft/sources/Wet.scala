@@ -118,6 +118,8 @@ object Wet {
       header_bytes: Long,
       warc_truncated: String,
       digest_ok: Boolean,
+      robots_noindex: Boolean,
+      canonical_url: String,
       body: Array[Byte],
       text: String)
 
@@ -220,6 +222,7 @@ object Wet {
     var ctype = ""
     var chunked = false
     var cenc = List.empty[String]
+    var xRobots = List.empty[String]
     lines.foreach { h =>
       val ci = h.indexOf(':')
       // a colonless garbage line inside a record that DECLARES its
@@ -235,6 +238,8 @@ object Wet {
         else if (name.equalsIgnoreCase("content-encoding"))
           cenc = h.substring(ci + 1).split(",").iterator.map(_.trim)
             .filter(_.nonEmpty).map(_.toLowerCase).toList
+        else if (name.equalsIgnoreCase("x-robots-tag"))
+          xRobots ::= h.substring(ci + 1).trim
         else if (name.equalsIgnoreCase("transfer-encoding")) {
           // the value is a comma list; chunked is only valid as the
           // FINAL coding (RFC 9112 §6.1) — 'gzip, chunked' is chunked
@@ -260,9 +265,108 @@ object Wet {
         val decoded = contentDecode(body, cenc, r, tolerate)
         new String(decoded, charsetOf(ctype, decoded))
       } else ""
+    val noindex = xRobots.exists(robotsNoindex) ||
+      (text.nonEmpty && metaRobotsNoindex(text))
+    val canonical = if (text.nonEmpty) canonicalOf(text, r.uri) else ""
     WarcResponse(r.path, r.ix, r.uri, r.date, r.rid, r.clen,
       codeStr.toInt, ctype, cenc.mkString(", "), split + 4L, r.truncated,
-      digestOk, body, text)
+      digestOk, noindex, canonical, body, text)
+  }
+
+  // -------------------------- robots / canonical surfacing (round 19)
+
+  private val MetaTagPat =
+    java.util.regex.Pattern.compile("(?is)<meta\\b[^>]*>")
+  private val LinkTagPat =
+    java.util.regex.Pattern.compile("(?is)<link\\b[^>]*>")
+
+  /** One HTML attribute's value inside a tag string: double-quoted,
+    * single-quoted or unquoted, name matched case-insensitively and
+    * not as a suffix of a longer attribute (`data-href` never
+    * matches `href`). Empty when absent. */
+  private def attrOf(tag: String, name: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)(?<![\\w-])" + name +
+        "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))").matcher(tag)
+    if (!m.find()) ""
+    else if (m.group(2) != null) m.group(2)
+    else if (m.group(3) != null) m.group(3)
+    else m.group(4)
+  }
+
+  /** `noindex` as a DIRECTIVE token of one `X-Robots-Tag` value:
+    * comma-separated directives, each optionally `agent:`-prefixed
+    * (`googlebot: noindex`), compared case-insensitively after
+    * trimming. `nofollow`, `noindexx` or free-text garbage never
+    * match — absence of the signal is the safe default for a
+    * malformed governance header, not an error. */
+  private[graft] def robotsNoindex(value: String): Boolean =
+    value.split(",").exists(_.split(":")
+      .exists(_.trim.equalsIgnoreCase("noindex")))
+
+  /** `<meta name=robots content="… noindex …">` in the decoded HTML —
+    * content is a comma-separated directive list per the robots
+    * meta convention. */
+  private[graft] def metaRobotsNoindex(html: String): Boolean = {
+    val m = MetaTagPat.matcher(html)
+    while (m.find()) {
+      val tag = m.group()
+      if (attrOf(tag, "name").equalsIgnoreCase("robots") &&
+        attrOf(tag, "content").split(",")
+          .exists(_.trim.equalsIgnoreCase("noindex"))) return true
+    }
+    false
+  }
+
+  /** The FIRST `<link rel=canonical href=…>` of the decoded HTML
+    * (the rel value is a space-separated token list — `"alternate
+    * canonical"` counts), resolved against the record URI via
+    * [[resolveRef]]. Empty when absent or hrefless. */
+  private[graft] def canonicalOf(html: String, baseUri: String): String = {
+    val m = LinkTagPat.matcher(html)
+    while (m.find()) {
+      val tag = m.group()
+      val rel = attrOf(tag, "rel")
+      if (rel.split("\\s+").exists(_.equalsIgnoreCase("canonical"))) {
+        val href = attrOf(tag, "href").trim
+        if (href.nonEmpty) return resolveRef(baseUri, href)
+      }
+    }
+    ""
+  }
+
+  /** Minimal RFC 3986 §5 reference resolution — the four shapes a
+    * canonical link actually takes: absolute URI (kept verbatim),
+    * protocol-relative `//host/…` (base scheme attached),
+    * absolute-path `/…` (base authority attached), query-only `?…`
+    * and relative path (merged onto the base path's directory). NO
+    * dot-segment normalization — compose with
+    * [[graft.functions.UrlFns.normalizeUrl]] for the canonical
+    * form, the same split this source keeps everywhere else. An
+    * unparseable base surfaces the reference verbatim rather than
+    * guessing. */
+  private[graft] def resolveRef(base: String, ref: String): String = {
+    if (ref.isEmpty) return ""
+    if (ref.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) return ref
+    val ss = base.indexOf("://")
+    if (ss < 0) return ref
+    val scheme = base.substring(0, ss)
+    val rest = base.substring(ss + 3)
+    val pq = rest.indexWhere(c => c == '/' || c == '?')
+    val auth = if (pq < 0) rest else rest.substring(0, pq)
+    val pathq = if (pq < 0) "" else rest.substring(pq)
+    val path = {
+      val q = pathq.indexOf('?')
+      if (q < 0) pathq else pathq.substring(0, q)
+    }
+    if (ref.startsWith("//")) scheme + ":" + ref
+    else if (ref.startsWith("/")) s"$scheme://$auth$ref"
+    else if (ref.startsWith("?")) s"$scheme://$auth$path$ref"
+    else {
+      val d = path.lastIndexOf('/')
+      val dir = if (d < 0) "/" else path.substring(0, d + 1)
+      s"$scheme://$auth$dir$ref"
+    }
   }
 
   /** Textual media types whose payload decodes into `text` (see
@@ -1357,7 +1461,8 @@ object WetSink {
 
   private def httpHead(status: Int, contentType: String,
                        framing: String,
-                       contentEncoding: String = ""): Array[Byte] = {
+                       contentEncoding: String = "",
+                       extraHttp: Seq[String] = Nil): Array[Byte] = {
     val reason = status match {
       case 200 => "OK"
       case 301 => "Moved Permanently"
@@ -1373,6 +1478,7 @@ object WetSink {
       sb.append("Content-Type: ").append(contentType).append("\r\n")
     if (contentEncoding.nonEmpty)
       sb.append("Content-Encoding: ").append(contentEncoding).append("\r\n")
+    extraHttp.foreach(h => sb.append(h).append("\r\n"))
     sb.append(framing).append("\r\n\r\n")
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
@@ -1384,9 +1490,10 @@ object WetSink {
     * framing only). Deterministic reason phrases per status class
     * keep gate fixtures replayable by position arithmetic. */
   def httpBlock(status: Int, contentType: String, body: Array[Byte],
-                contentEncoding: String = ""): Array[Byte] = {
+                contentEncoding: String = "",
+                extraHttp: Seq[String] = Nil): Array[Byte] = {
     val head = httpHead(status, contentType,
-      s"Content-Length: ${body.length}", contentEncoding)
+      s"Content-Length: ${body.length}", contentEncoding, extraHttp)
     val out = new Array[Byte](head.length + body.length)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(body, 0, out, head.length, body.length)
@@ -1400,10 +1507,11 @@ object WetSink {
     * Deterministic for a fixed `chunkSize`, so gate fixtures replay. */
   def httpChunkedBlock(status: Int, contentType: String,
                        body: Array[Byte], chunkSize: Int,
-                       contentEncoding: String = ""): Array[Byte] = {
+                       contentEncoding: String = "",
+                       extraHttp: Seq[String] = Nil): Array[Byte] = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     val head = httpHead(status, contentType, "Transfer-Encoding: chunked",
-      contentEncoding)
+      contentEncoding, extraHttp)
     val out = new java.io.ByteArrayOutputStream(head.length + body.length + 64)
     out.write(head, 0, head.length)
     var off = 0
@@ -1455,7 +1563,8 @@ object WetSink {
                      date: String = "2026-01-01T00:00:00Z",
                      numFiles: Int = 4,
                      chunkedCol: String = "", chunkSize: Int = 1024,
-                     encodingCol: String = ""): Unit = {
+                     encodingCol: String = "",
+                     robotsCol: String = ""): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val chunkedFlag =
       if (chunkedCol.nonEmpty) col(chunkedCol).cast("boolean")
@@ -1463,14 +1572,21 @@ object WetSink {
     val encoding =
       if (encodingCol.nonEmpty) col(encodingCol).cast("string")
       else lit("")
+    // non-empty robotsCol value -> an `X-Robots-Tag: <v>` response
+    // header on that record (the crawl-governance shape wet9 gates)
+    val robots =
+      if (robotsCol.nonEmpty) col(robotsCol).cast("string") else lit("")
     writeFiles(docs.select(col(uriCol).as("uri"), col(statusCol).cast("int"),
         col(ctypeCol), col(bodyCol).cast("binary"), chunkedFlag.as("__ch"),
-        encoding.as("__ce")),
+        encoding.as("__ce"), robots.as("__xr")),
       dir, ".warc.gz", "WARC File Format 1.1", date, numFiles) { r =>
       val raw = if (r.isNullAt(3)) Array.emptyByteArray
         else r.getAs[Array[Byte]](3)
       val chunked = !r.isNullAt(4) && r.getBoolean(4)
       val ce = if (r.isNullAt(5)) "" else r.getString(5)
+      val xr = if (r.isNullAt(6)) "" else r.getString(6)
+      val extraHttp =
+        if (xr.isEmpty) Nil else Seq("X-Robots-Tag: " + xr)
       require(ce.isEmpty || ce == "gzip",
         s"unsupported fixture content coding '$ce' — '' or 'gzip'")
       val body = if (ce == "gzip") gzipBytes(raw) else raw
@@ -1479,8 +1595,9 @@ object WetSink {
       record("response", r.getString(0), date,
         "application/http; msgtype=response",
         if (chunked)
-          httpChunkedBlock(r.getInt(1), r.getString(2), body, chunkSize, ce)
-        else httpBlock(r.getInt(1), r.getString(2), body, ce),
+          httpChunkedBlock(r.getInt(1), r.getString(2), body, chunkSize,
+            ce, extraHttp)
+        else httpBlock(r.getInt(1), r.getString(2), body, ce, extraHttp),
         extraWarc = Seq(digest))
     }
   }

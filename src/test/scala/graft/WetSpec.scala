@@ -896,6 +896,70 @@ class WetSpec extends SparkSpec {
     assert(Wet.cdxj(fixture, "/crawl/seg/file-00001.warc.gz") == lines)
   }
 
+  test("robots noindex: header and meta forms, agent prefixes, malformed never loud") {
+    def resp(headers: Seq[String], ctype: String, body: String): Array[Byte] =
+      gzMembers(Seq(rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://r.test/p"),
+        httpMsg("HTTP/1.1 200 OK",
+          s"Content-Type: $ctype" +: headers,
+          body.getBytes(StandardCharsets.UTF_8)))))
+    def one(headers: Seq[String], ctype: String, body: String) =
+      Wet.responses(resp(headers, ctype, body), "fixRob").toSeq.head
+    // header forms
+    assert(one(Seq("X-Robots-Tag: noindex"), "text/html", "<html/>").robots_noindex)
+    assert(one(Seq("X-Robots-Tag: noindex, nofollow"), "text/html", "<html/>").robots_noindex)
+    assert(one(Seq("X-Robots-Tag: googlebot: noindex"), "text/html", "<html/>").robots_noindex)
+    assert(!one(Seq("X-Robots-Tag: nofollow"), "text/html", "<html/>").robots_noindex)
+    assert(!one(Seq("X-Robots-Tag: noindexx"), "text/html", "<html/>").robots_noindex) // not a token
+    assert(!one(Seq("X-Robots-Tag: unavailable_after: 25 Jun 2030"), "text/html", "<html/>").robots_noindex)
+    assert(!one(Nil, "text/html", "<html/>").robots_noindex)
+    // meta forms: quoting variants, directive list, wrong-name meta
+    assert(one(Nil, "text/html",
+      "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>").robots_noindex)
+    assert(one(Nil, "text/html",
+      "<html><head><META NAME=ROBOTS CONTENT='noindex, follow'></head></html>").robots_noindex)
+    assert(!one(Nil, "text/html",
+      "<html><head><meta name=\"viewport\" content=\"noindex\"></head></html>").robots_noindex)
+    assert(!one(Nil, "text/html",
+      "<html><head><meta name=\"robots\" content=\"nofollow\"></head></html>").robots_noindex)
+    // a non-textual type never sniffs HTML (header still applies)
+    assert(!one(Nil, "application/octet-stream",
+      "<meta name=robots content=noindex>").robots_noindex)
+    assert(one(Seq("X-Robots-Tag: noindex"), "application/octet-stream",
+      "x").robots_noindex)
+  }
+
+  test("canonical link: quoting/rel variants, first wins, resolution against the record URI") {
+    def page(head: String): Array[Byte] =
+      gzMembers(Seq(rawRecord(Seq("WARC/1.1", "WARC-Type: response",
+        "WARC-Target-URI: http://c.test/a/b/page.html"),
+        httpMsg("HTTP/1.1 200 OK", Seq("Content-Type: text/html"),
+          s"<html><head>$head</head><body>x</body></html>"
+            .getBytes(StandardCharsets.UTF_8)))))
+    def canon(head: String): String =
+      Wet.responses(page(head), "fixCanon").toSeq.head.canonical_url
+    assert(canon("<link rel=\"canonical\" href=\"https://x.test/c\">")
+      == "https://x.test/c")
+    assert(canon("<link rel=canonical href=/root>") == "http://c.test/root")
+    assert(canon("<link rel='canonical' href='sib.html'>")
+      == "http://c.test/a/b/sib.html")
+    assert(canon("<link rel=\"canonical\" href=\"//cdn.test/z\">")
+      == "http://cdn.test/z")
+    assert(canon("<link rel=\"alternate canonical\" href=\"/ac\">")
+      == "http://c.test/ac")
+    // first canonical wins; stylesheet links skipped; hrefless skipped
+    assert(canon("<link rel=\"stylesheet\" href=\"s.css\">" +
+      "<link rel=\"canonical\">" +
+      "<link rel=\"canonical\" href=\"/one\">" +
+      "<link rel=\"canonical\" href=\"/two\">") == "http://c.test/one")
+    assert(canon("") == "")
+    // resolveRef unit shapes (incl. the unparseable-base fallback)
+    assert(Wet.resolveRef("http://h.test/p/q", "?k=1") == "http://h.test/p/q?k=1")
+    assert(Wet.resolveRef("http://h.test", "r") == "http://h.test/r")
+    assert(Wet.resolveRef("garbage", "/x") == "/x")
+    assert(Wet.resolveRef("http://h.test/p/", "") == "")
+  }
+
   test("cdxjCluster: two-level ZipNum artifact — cluster.idx seek to block to responseAt") {
     // 3 WARC files × 4 responses = 12 lines; blockLines=2, shards=2
     // → multi-file, multi-block, multi-shard on a hand-checkable size
