@@ -3,6 +3,7 @@ package graft.queries
 import graft.dedup.{Decontaminate, Dedup}
 import graft.functions.TextFns
 import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Queries.table
 
@@ -5067,32 +5068,65 @@ FROM gi GROUP BY doc_id, grp"""))
     * per-shard collect_list here is the CERTIFICATION query's
     * device, not the export path — the artifact itself never holds
     * a shard in memory on either side. */
-  val t31MegatronShards = QueryDef(
-    "t31_megatron_shards",
-    (s, dir) => {
-      val out = LifecycleQueries.freshDir("t31")
-      val docs = table(s, dir, "documents")
-      val ord = graft.functions.Mixture.epochShuffle(
-        docs, "doc_id", "ep1", shards = 8)
-        .select("doc_id", "shard", "epoch_pos")
-      val ids = graft.functions.ByteBpe.encodeIdStream(
-        docs, "doc_id", "text")
-      graft.sources.MegatronSink.write(ord.join(ids, "doc_id"), out,
-        "shard", "epoch_pos", "ids", numShards = 8)
-      graft.sources.MegatronSink.read(s, out)
-        .withColumn("shard", regexp_extract(col("idx_path"),
-          "shard-(\\d+)\\.idx$", 1).cast("long"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_seqs"),
-          sum(col("n_tokens")).as("n_tokens"),
-          array_sort(collect_list(struct(col("seq_ix"), col("ids"))))
-            .as("__seq"))
-        .select(col("shard"), col("n_seqs"), col("n_tokens"),
-          md5(array_join(transform(flatten(transform(col("__seq"),
-            x => x.getField("ids"))), i => i.cast("string")), " "))
-            .as("stream_md5"))
-    },
-    Some("WITH RECURSIVE" + t21dReplayCtes + """,
+  /** Shared t31/t31b upstream: epoch order × the FILE-PARSED
+    * tokenizer (t21f's discipline — write `merges.txt` +
+    * `encoder.json`, read the bytes back, cross-validate, and feed
+    * the parsed tables to the id-stream encode), joined into
+    * `(doc_id, shard, epoch_pos, ids)` rows ready for the sink. */
+  private def t31Upstream(s: SparkSession, dir: String,
+                          out: String): DataFrame = {
+    import graft.functions.ByteBpe
+    new java.io.File(out).mkdirs()
+    val mp = java.nio.file.Paths.get(out, "merges.txt")
+    val ep = java.nio.file.Paths.get(out, "encoder.json")
+    java.nio.file.Files.write(mp, ByteBpe.mergesFileContent()
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(ep, ByteBpe.encoderJsonContent()
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (rules, idTable) = ByteBpe.loadArtifacts(
+      new String(java.nio.file.Files.readAllBytes(mp),
+        java.nio.charset.StandardCharsets.UTF_8),
+      new String(java.nio.file.Files.readAllBytes(ep),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val docs = table(s, dir, "documents")
+    val ord = graft.functions.Mixture.epochShuffle(
+      docs, "doc_id", "ep1", shards = 8)
+      .select("doc_id", "shard", "epoch_pos")
+    val ids = graft.functions.ByteBpe.encodeIdStream(
+      docs, "doc_id", "text", rules, idTable)
+    ord.join(ids, "doc_id")
+  }
+
+  /** The t31/t31b certification readback: per shard, sequence count,
+    * token total and the md5 of the full decimal id stream in
+    * sequence order — computed from what the `.bin` files physically
+    * contain. */
+  private def t31Readback(s: SparkSession, out: String,
+                          packBudget: Int = 0): DataFrame = {
+    val base = graft.sources.MegatronSink.read(s, out)
+      .withColumn("shard", regexp_extract(col("idx_path"),
+        "shard-(\\d+)\\.idx$", 1).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // packed mode: every sequence is exactly packBudget tokens
+        // except at most one final partial — counted, not assumed
+        sum(when(col("n_tokens") =!= packBudget, 1L).otherwise(0L))
+          .as("__np"),
+        array_sort(collect_list(struct(col("seq_ix"), col("ids"))))
+          .as("__seq"))
+    val cols = Seq(col("shard"), col("n_seqs"), col("n_tokens")) ++
+      (if (packBudget > 0) Seq(col("__np").as("n_partial")) else Nil) :+
+      md5(array_join(transform(flatten(transform(col("__seq"),
+        x => x.getField("ids"))), i => i.cast("string")), " "))
+        .as("stream_md5")
+    base.select(cols: _*)
+  }
+
+  /** The t31/t31b oracle prefix: recursive byte-BPE replay → per-doc
+    * id streams (`docids`) + the epoch-shard assignment (`o`). */
+  private lazy val t31OracleCtes: String =
+    "WITH RECURSIVE" + t21dReplayCtes + """,
       voc(id, sym) AS (SELECT * FROM (VALUES """ +
       graft.functions.ByteBpe.idVocabSqlValues() + """) vv(id, sym)),
       wp AS (SELECT w, i2, ps[i2::INT] AS piece
@@ -5110,11 +5144,50 @@ FROM gi GROUP BY doc_id, grp"""))
             AS ekey FROM documents),
       o AS (SELECT doc_id, ekey % 8 AS shard,
           row_number() OVER (PARTITION BY ekey % 8
-            ORDER BY ekey, doc_id) AS pos FROM k)
+            ORDER BY ekey, doc_id) AS pos FROM k)"""
+
+  val t31MegatronShards = QueryDef(
+    "t31_megatron_shards",
+    (s, dir) => {
+      val out = LifecycleQueries.freshDir("t31")
+      graft.sources.MegatronSink.write(t31Upstream(s, dir, out), out,
+        "shard", "epoch_pos", "ids", numShards = 8)
+      t31Readback(s, out)
+    },
+    Some(t31OracleCtes + """
       SELECT o.shard, CAST(count(*) AS BIGINT) AS n_seqs,
         CAST(sum(d.nt) AS BIGINT) AS n_tokens,
         md5(string_agg(d.ids, ' ' ORDER BY o.pos)) AS stream_md5
       FROM o JOIN docids d USING (doc_id) GROUP BY 1"""))
+
+  /** T31b: the PACKED training-shard export — the same epoch order ×
+    * file-parsed ids composition written with `packBudget = 512`
+    * (t17's concat-and-split semantics made physical: each shard's
+    * token stream splits into fixed 512-token sequences, one final
+    * partial allowed). The shard-level id STREAM is invariant under
+    * packing, so the oracle reuses t31's replay verbatim for the
+    * md5 and derives the packed sequence arithmetic from the token
+    * total: `n_seqs = ceil(nt / 512)` and exactly `nt % 512 != 0`
+    * partial sequences — together with the hash this pins every
+    * boundary. */
+  val t31bMegatronPacked = QueryDef(
+    "t31b_megatron_packed",
+    (s, dir) => {
+      val out = LifecycleQueries.freshDir("t31b")
+      graft.sources.MegatronSink.write(t31Upstream(s, dir, out), out,
+        "shard", "epoch_pos", "ids", numShards = 8, packBudget = 512)
+      t31Readback(s, out, packBudget = 512)
+    },
+    Some(t31OracleCtes + """,
+      sh AS (SELECT o.shard, CAST(sum(d.nt) AS BIGINT) AS n_tokens,
+          md5(string_agg(d.ids, ' ' ORDER BY o.pos)) AS stream_md5
+        FROM o JOIN docids d USING (doc_id) GROUP BY 1)
+      SELECT shard, CAST((n_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+        n_tokens,
+        CAST(CASE WHEN n_tokens % 512 = 0 THEN 0 ELSE 1 END AS BIGINT)
+          AS n_partial,
+        stream_md5
+      FROM sh"""))
 
   val t12Stratified = QueryDef(
     "t12_stratified_sample",
@@ -5322,7 +5395,7 @@ FROM gi GROUP BY doc_id, grp"""))
     t5TermStats,
     t6Decontam, t6bDecontamBloom, t30EvalContamination,
     t7Repetition, t8Pii, t9Mixture,
-    t29EpochShuffle, t31MegatronShards, t10GopherChar,
+    t29EpochShuffle, t31MegatronShards, t31bMegatronPacked, t10GopherChar,
     t11Bm25, t12Stratified, t13TfIdf, t14UnigramLm,
     t15Dsir, t16Chunks, t17Pack, t18BigramLm, t25KnLm, t25bKn5Lm,
     t26Boilerplate, t26bJustext,

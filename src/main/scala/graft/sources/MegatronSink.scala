@@ -91,15 +91,28 @@ object MegatronSink {
     * ids in the dtype's range — a `-1` missing-vocab sentinel or an
     * overflowing id fails LOUDLY naming the shard and sequence,
     * because a silently wrapped id stream is a corrupted training
-    * run, not an error anyone sees. */
+    * run, not an error anyone sees.
+    *
+    * `packBudget = 0` (default) writes ONE SEQUENCE PER ROW — the
+    * Megatron `preprocess_data.py` convention (documents as
+    * sequences; the training loader packs at read). `packBudget > 0`
+    * instead CONCAT-AND-SPLITS each shard's token stream into
+    * fixed-`packBudget`-token sequences (t17's packSequences
+    * semantics made physical — the pre-packed artifact shape, e.g.
+    * GPT-NeoX's pretokenized data): sizes are all `packBudget`
+    * except one final partial per shard; document boundaries are
+    * deliberately not carried (callers wanting them append an EOD
+    * id per document upstream, exactly as the real pipelines do). */
   def write(df: DataFrame, outDir: String, shardCol: String,
             orderCol: String, idsCol: String, numShards: Int,
-            dtypeCode: Int = DtypeUint16): Unit = {
+            dtypeCode: Int = DtypeUint16, packBudget: Int = 0): Unit = {
     require(df.schema(idsCol).dataType == ArrayType(IntegerType, true) ||
       df.schema(idsCol).dataType == ArrayType(IntegerType, false),
       s"$idsCol must be array<int> token ids, got " +
         df.schema(idsCol).dataType.simpleString)
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(packBudget >= 0,
+      s"packBudget must be >= 0 (0 = one sequence per row), got $packBudget")
     val idMax = maxId(dtypeCode)
     val item = itemSize(dtypeCode)
     val spark = df.sparkSession
@@ -121,8 +134,9 @@ object MegatronSink {
         var shard = -1L
         var out: java.io.DataOutputStream = null
         var sizes: scala.collection.mutable.ArrayBuilder.ofInt = null
-        var nSeq = 0L
+        var fill = 0 // open packed-sequence fill (packBudget > 0)
         def finish(): Unit = if (shard >= 0) {
+          if (packBudget > 0 && fill > 0) { sizes += fill; fill = 0 }
           out.close()
           val name = shardName(shard)
           val szs = sizes.result()
@@ -144,7 +158,7 @@ object MegatronSink {
                 fs.create(new Path(outDir, s"${shardName(shard)}.bin.tmp"),
                   true), 1 << 16))
             sizes = new scala.collection.mutable.ArrayBuilder.ofInt
-            nSeq = 0L
+            fill = 0
           }
           require(ids != null,
             s"shard $shard sequence at $orderCol=$ord: null $idsCol")
@@ -156,10 +170,13 @@ object MegatronSink {
                 s"out of range [0, $idMax] for dtype code $dtypeCode " +
                 "(a -1 means a symbol missed the vocab)")
             writeLE(out, id.toLong, item)
+            if (packBudget > 0) {
+              fill += 1
+              if (fill == packBudget) { sizes += packBudget; fill = 0 }
+            }
             i += 1
           }
-          sizes += ids.length
-          nSeq += 1L
+          if (packBudget == 0) sizes += ids.length
         }
         finish()
       }

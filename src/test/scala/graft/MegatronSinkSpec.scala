@@ -112,6 +112,34 @@ class MegatronSinkSpec extends SparkSpec {
     assert(MegatronSink.bestFittingDtype(65500) == MegatronSink.DtypeInt32)
   }
 
+  test("packed mode: concat-and-split at the budget, exact layout, one final partial") {
+    val dir = tmp("packed")
+    // shard 0 stream in pos order: 1,2,3 | 4,5 | 6 -> budget 4 packs
+    // into [1,2,3,4] and the partial [5,6]
+    val df = Seq(
+      (0L, 2L, Array(4, 5)),
+      (0L, 1L, Array(1, 2, 3)),
+      (0L, 3L, Array(6))).toDF("shard", "pos", "ids")
+    MegatronSink.write(df, dir, "shard", "pos", "ids", numShards = 1,
+      packBudget = 4)
+    val idx = Files.readAllBytes(Paths.get(dir, "shard-00000.idx"))
+    assert(idx.toSeq == handIdx(8, Seq(4, 2)).toSeq,
+      "packed .idx differs from the hand-assembled layout")
+    val bin = Files.readAllBytes(Paths.get(dir, "shard-00000.bin"))
+    assert(bin.toSeq == handBinU16(Seq(1, 2, 3, 4, 5, 6)).toSeq)
+    val back = MegatronSink.read(spark, dir)
+      .select("seq_ix", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).sortBy(_._1)
+    assert(back.toList == List(0L -> List(1, 2, 3, 4), 1L -> List(5, 6)))
+    // an exact-multiple stream has NO partial sequence
+    val dir2 = tmp("packed2")
+    MegatronSink.write(Seq((0L, 1L, Array(7, 8, 9, 10)))
+      .toDF("shard", "pos", "ids"), dir2, "shard", "pos", "ids",
+      numShards = 1, packBudget = 2)
+    val idx2 = Files.readAllBytes(Paths.get(dir2, "shard-00000.idx"))
+    assert(idx2.toSeq == handIdx(8, Seq(2, 2)).toSeq)
+  }
+
   test("write is loud on out-of-range and sentinel ids") {
     val dir = tmp("range")
     val over = Seq((0L, 1L, Array(70000))).toDF("shard", "pos", "ids")
