@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench compiles ~1900 codegen'd plans in one JVM; the
+  // JDK-17 default 240 MB code cache fills partway through (the
+  // round-18 BpeDepth finding: full at ~1000 plans) and the JIT then
+  // churns/deoptimizes, degrading every later query (measured r19:
+  // t24f_byte_learned_tokens 60.7 s median late in the suite vs 8.7 s
+  // in a fresh JVM; full-suite 370.5 s -> 330.6 s with the flag).
+  "-XX:ReservedCodeCacheSize=512m",
 )

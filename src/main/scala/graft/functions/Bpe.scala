@@ -161,8 +161,17 @@ object Bpe {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
     var cur: DataFrame = vocab
-    var sCol: org.apache.spark.sql.Column = col("s")
-    var sinceCkpt = 0
+    // merges applied since the last checkpoint, folded into ONE
+    // constant-shape [[ReplaceChain]] (bit-identical algebra to the
+    // nested `replace` chain it replaces; every round now reuses one
+    // compiled census plan instead of compiling a fresh one -- see
+    // the expression's scaladoc for the code-cache arithmetic)
+    val chain = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def sCol: org.apache.spark.sql.Column =
+      if (chain.isEmpty) col("s")
+      else org.apache.spark.sql.GraftSqlShims.column(ReplaceChain(
+        org.apache.spark.sql.GraftSqlShims.expression(col("s")),
+        chain.map(_._1).toSeq, chain.map(_._2).toSeq))
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -174,12 +183,10 @@ object Bpe {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         learned += LearnedMerge(r, a, b, c)
-        sCol = call_function("replace", sCol,
-          lit("\u0001" + a + "\u0001\u0001" + b + "\u0001"),
-          lit("\u0001" + a + b + "\u0001"))
+        chain += (("\u0001" + a + "\u0001\u0001" + b + "\u0001",
+          "\u0001" + a + b + "\u0001"))
         r += 1
-        sinceCkpt += 1
-        if (checkpointEvery > 0 && sinceCkpt >= checkpointEvery && r < rounds) {
+        if (checkpointEvery > 0 && chain.size >= checkpointEvery && r < rounds) {
           // a word with one symbol left frames as \u0001sym\u0001 and
           // yields no pair; size-2 framing minimum for a pair is
           // \u0001a\u0001\u0001b\u0001 -- filter on the framed form
@@ -187,8 +194,7 @@ object Bpe {
             cur.select(col("cnt"), sCol.as("s"))
               .filter(size(split(col("s").substr(lit(2),
                 length(col("s")) - 2), "\u0001\u0001")) >= 2))
-          sCol = col("s")
-          sinceCkpt = 0
+          chain.clear()
         }
       }
     }
@@ -313,8 +319,15 @@ object Bpe {
     val learned = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var cur: DataFrame = vocab
-    var sCol: org.apache.spark.sql.Column = col("s")
-    var sinceCkpt = 0
+    // the framed-replace stack since the last checkpoint as ONE
+    // constant-shape [[ReplaceChain]] (same algebra; one compiled
+    // census plan for the whole run instead of one per batch)
+    val chain = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def sCol: org.apache.spark.sql.Column =
+      if (chain.isEmpty) col("s")
+      else org.apache.spark.sql.GraftSqlShims.column(ReplaceChain(
+        org.apache.spark.sql.GraftSqlShims.expression(col("s")),
+        chain.map(_._1).toSeq, chain.map(_._2).toSeq))
     var done = false
     while (learned.size < rounds && !done) {
       val want = math.min(batchMax, rounds - learned.size)
@@ -437,20 +450,17 @@ object Bpe {
         sizes += accepted.size
         accepted.foreach { case (a, b, c) =>
           learned += LearnedMerge(learned.size, a, b, c)
-          sCol = call_function("replace", sCol,
-            lit("\u0001" + a + "\u0001\u0001" + b + "\u0001"),
-            lit("\u0001" + a + b + "\u0001"))
+          chain += (("\u0001" + a + "\u0001\u0001" + b + "\u0001",
+            "\u0001" + a + b + "\u0001"))
         }
-        sinceCkpt += accepted.size
         progress(learned.size, sizes.size)
-        if (checkpointEvery > 0 && sinceCkpt >= checkpointEvery &&
+        if (checkpointEvery > 0 && chain.size >= checkpointEvery &&
             learned.size < rounds) {
           cur = graft.Materialize.truncate(
             cur.select(col("cnt"), sCol.as("s"))
               .filter(size(split(col("s").substr(lit(2),
                 length(col("s")) - 2), "\u0001\u0001")) >= 2))
-          sCol = col("s")
-          sinceCkpt = 0
+          chain.clear()
         }
       }
     }
@@ -586,6 +596,20 @@ object BpeKernel {
     new GenericArrayData(segment(word, ranks)
       .map(org.apache.spark.unsafe.types.UTF8String.fromString(_))
       .asInstanceOf[Array[Any]])
+
+  /** Left-to-right fold of full-string replaces — each step delegates
+    * to the SAME `UTF8String.replace` Spark's `replace` function
+    * calls, so the fold is bit-identical to a nested
+    * `replace(replace(...))` expression chain over the same pairs. */
+  def replaceChain(s: org.apache.spark.unsafe.types.UTF8String,
+                   finds: Array[org.apache.spark.unsafe.types.UTF8String],
+                   repls: Array[org.apache.spark.unsafe.types.UTF8String])
+  : org.apache.spark.unsafe.types.UTF8String = {
+    var v = s
+    var i = 0
+    while (i < finds.length) { v = v.replace(finds(i), repls(i)); i += 1 }
+    v
+  }
 }
 
 /** `bpe_tokenize(word)` → array<string> of final BPE symbols. */
@@ -609,5 +633,50 @@ case class BpeTokenize(child: Expression, rules: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+}
+
+/** `replace_chain(s)` — the training loop's framed-merge chain as ONE
+  * constant-shape expression: apply `finds(i) → repls(i)` left to
+  * right (identical semantics to folding Spark's `replace` over the
+  * pairs — [[BpeKernel.replaceChain]] calls the same
+  * `UTF8String.replace`). The point is CODEGEN SHAPE: the pairs ride
+  * the references array, so the generated source is byte-identical
+  * for every chain length and every training round of
+  * [[Bpe.trainFromVocab]] / [[Bpe.trainBatchedFromVocabWithSizes]]
+  * hits the whole-stage codegen source cache instead of compiling a
+  * fresh class per round — a 30-round gate run used to compile ~30
+  * distinct census plans per pass (and a 3000-merge depth run ~3000),
+  * which is precisely the code-cache pressure the round-18 BpeDepth
+  * record measured (JVM default 240 MB cache full at ~1000 plans).
+  */
+case class ReplaceChain(child: Expression,
+                        finds: Seq[String], repls: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(finds.length == repls.length,
+    s"finds/repls must align, got ${finds.length}/${repls.length}")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "replace_chain"
+
+  @transient private lazy val findsU =
+    finds.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  @transient private lazy val replsU =
+    repls.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernel.replaceChain(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], findsU, replsU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u8 = "org.apache.spark.unsafe.types.UTF8String"
+    val f = ctx.addReferenceObj("rcFinds", findsU, s"$u8[]")
+    val r = ctx.addReferenceObj("rcRepls", replsU, s"$u8[]")
+    val cls = BpeKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $cls.replaceChain($v, $f, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ReplaceChain =
     copy(child = newChild)
 }

@@ -77,6 +77,16 @@ object QualityClassifier {
         :+ expr("c * 10000 div n").as("x") :+ col("y"): _*)
       .unionByName(docs.select(col(idCol) +: kc :+ lit(dim.toLong).as("j")
         :+ lit(10000L).as("x") :+ label.cast("double").as("y"): _*))
+      // pin the table's partitioning to the doc id ONCE (the union
+      // otherwise leaves it unpartitioned): every training iteration
+      // re-reads this table twice — margins groupBy(id) and the
+      // gradient join on id — and with hash(id) established here both
+      // reuse it (hash(id) satisfies clustering on (id, group…)), so
+      // the iteration loop pays zero exchanges of the feature table
+      // instead of two per iteration (optimization r19; guide §2.4 —
+      // two operations keyed the same way share one exchange). Exact
+      // integer sums make the result order-free, hence bit-identical.
+      .repartition(col(idCol))
   }
 
   /** p = ½ + ½·z̃/(1+|z̃|) with z̃ = sp/10¹⁰ — the rational sigmoid on

@@ -1157,24 +1157,34 @@ object TextFns {
     // top level: context totals + distinct continuations off g5
     val pre5 = g5.groupBy(kc ++ w.take(4).map(col): _*)
       .agg(sum("__c5").as("__ctx5"), count(lit(1)).as("__lam5"))
-    // level-4 continuation counts: g5 types grouped by suffix/middle
-    val suf4 = g5.groupBy(kc ++ w.drop(1).map(col): _*)
-      .agg(count(lit(1)).as("__a4"))
-    val mid4 = g5.groupBy(kc ++ w.slice(1, 4).map(col): _*)
-      .agg(count(lit(1)).as("__ctx4"), countDistinct(col("__w5")).as("__lam4"))
+    // level-4 continuation counts: g5 types grouped by suffix; the
+    // middle-grouped (ctx, λ) pair ROLLS UP from the suffix census —
+    // ctx4 = Σ a4 (total (k+1)-gram types over the middle) and lam4 =
+    // row count (distinct continuations) — the knBigramSums ctx/back
+    // discipline at order 5. Identical exact integers to the direct
+    // `count + countDistinct` over the census, minus the
+    // distinct-aggregate's two-phase expand over the full census
+    // (optimization r19: 3 countDistinct passes over census-sized
+    // tables → 3 one-exchange rollups of already-aggregated slivers).
+    val suf4 = graft.Materialize.reuse(
+      g5.groupBy(kc ++ w.drop(1).map(col): _*)
+        .agg(count(lit(1)).as("__a4")))
+    val mid4 = suf4.groupBy(kc ++ w.slice(1, 4).map(col): _*)
+      .agg(sum("__a4").as("__ctx4"), count(lit(1)).as("__lam4"))
     // level-3 off g4 (positions shift right: g4's (2,3,4) ≡ scored (3,4,5))
-    val suf3 = g4.groupBy(kc :+ col("__w2").as("__w3")
-        :+ col("__w3").as("__w4") :+ col("__w4").as("__w5"): _*)
-      .agg(count(lit(1)).as("__a3"))
-    val mid3 = g4.groupBy(kc :+ col("__w2").as("__w3")
-        :+ col("__w3").as("__w4"): _*)
-      .agg(count(lit(1)).as("__ctx3"), countDistinct(col("__w4")).as("__lam3"))
+    val suf3 = graft.Materialize.reuse(
+      g4.groupBy(kc :+ col("__w2").as("__w3")
+          :+ col("__w3").as("__w4") :+ col("__w4").as("__w5"): _*)
+        .agg(count(lit(1)).as("__a3")))
+    val mid3 = suf3.groupBy(kc :+ col("__w3") :+ col("__w4"): _*)
+      .agg(sum("__a3").as("__ctx3"), count(lit(1)).as("__lam3"))
     // level-2 off g3
-    val suf2 = g3.groupBy(kc :+ col("__w2").as("__w4")
-        :+ col("__w3").as("__w5"): _*)
-      .agg(count(lit(1)).as("__a2"))
-    val mid2 = g3.groupBy(kc :+ col("__w2").as("__w4"): _*)
-      .agg(count(lit(1)).as("__ctx2"), countDistinct(col("__w3")).as("__lam2"))
+    val suf2 = graft.Materialize.reuse(
+      g3.groupBy(kc :+ col("__w2").as("__w4")
+          :+ col("__w3").as("__w5"): _*)
+        .agg(count(lit(1)).as("__a2")))
+    val mid2 = suf2.groupBy(kc :+ col("__w4"): _*)
+      .agg(sum("__a2").as("__ctx2"), count(lit(1)).as("__lam2"))
     // continuation unigram off g2 (t25's n1b / N pair)
     val suf1 = g2.groupBy(kc :+ col("__w2").as("__w5"): _*)
       .agg(count(lit(1)).as("__a1"))

@@ -82,6 +82,29 @@ class BpeSpec extends SparkSpec {
       ("a", "a", 4L), ("aa", "a", 2L)))
   }
 
+  test("ReplaceChain ≡ folding Spark's replace over the same pairs " +
+       "(chained interactions, empty/null inputs)") {
+    // the r19 training-loop optimization folds the per-round nested
+    // `replace` chain into one constant-shape expression; this pins
+    // the fold's semantics against Spark's own replace, including
+    // order sensitivity (later pairs see earlier pairs' output)
+    import spark.implicits._
+    val pairs = Seq("ab" -> "X", "Xc" -> "Y", "Y" -> "ab", "zz" -> "")
+    val df = Seq("abcabc", "ab", "", "zzz", "noop", null.asInstanceOf[String])
+      .toDF("s")
+    val nested = pairs.foldLeft(col("s")) { case (c, (f, r)) =>
+      call_function("replace", c, lit(f), lit(r)) }
+    val chained = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.ReplaceChain(
+        org.apache.spark.sql.GraftSqlShims.expression(col("s")),
+        pairs.map(_._1), pairs.map(_._2)))
+    val rows = df.select(nested.as("a"), chained.as("b")).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1), s"mismatch: $r"))
+    // the chain really chained: abcabc → XcXc → YY → abab
+    assert(rows.exists(_.get(0) == "abab"))
+    assert(rows.last.isNullAt(1))             // null propagates
+  }
+
   test("train: checkpointed segmentation (t24c) is bit-identical to the " +
        "pure-expression form at 260 rounds") {
     import spark.implicits._

@@ -784,6 +784,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("kn5 middle rollups: (ctx, λ) derived from the suffix census " +
+       "equal count/countDistinct over the gram census (asymmetric)") {
+    // the r19 optimization derives mid-level (ctxₖ, λₖ) by rolling up
+    // the suffix census instead of a second count+countDistinct pass
+    // over the gram census; this pins the identity on a fixture where
+    // ctx ≠ λ per group (a swap or mis-key would produce equal values
+    // on symmetric data and slip through the golden test above)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5-gram TYPE table with repeated middles: (w1, w2..w4 middle, w5)
+    val g5types = Seq(
+      ("a", "x", "y", "z", "p"), ("b", "x", "y", "z", "p"),
+      ("c", "x", "y", "z", "q"), ("a", "x", "y", "z", "q"),
+      ("d", "x", "y", "z", "q"), ("a", "m", "n", "o", "r"),
+      ("b", "m", "n", "o", "r"), ("a", "u", "v", "w", "s"))
+      .toDF("w1", "w2", "w3", "w4", "w5")
+    val direct = g5types.groupBy("w2", "w3", "w4")
+      .agg(count(lit(1)).as("ctx"), countDistinct(col("w5")).as("lam"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> ((r.getLong(3), r.getLong(4)))).toMap
+    val suf = g5types.groupBy("w2", "w3", "w4", "w5")
+      .agg(count(lit(1)).as("a4"))
+    val rolled = suf.groupBy("w2", "w3", "w4")
+      .agg(sum("a4").as("ctx"), count(lit(1)).as("lam"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(direct == rolled, s"direct $direct vs rolled $rolled")
+    // and the fixture is genuinely asymmetric: ctx ≠ λ somewhere
+    assert(direct.values.exists { case (c, l) => c != l })
+  }
+
   test("knFiveGramLmScore: word salad ranks strictly below natural text " +
        "at order 5") {
     import graft.functions.TextFns
