@@ -19,10 +19,19 @@ import org.apache.spark.sql.SparkSession
   * saturate it the way (max−min)/median did; the outlier itself stays
   * visible in the per-query `max` map.
   *
-  * Emission: the full per-query detail goes to `bench_full.json` (cwd);
-  * stdout carries ONE compact summary line (≤ ~500 bytes) so a
-  * tail-limited capture always holds a complete, parseable JSON
-  * object with the real total.
+  * Emission: the full per-query detail goes to `bench_full.json` (cwd)
+  * AND to a durable per-configuration copy
+  * `bench_full_c<cpus>_<sf>.json` (a later run at another core count
+  * must not clobber the main record); stdout ends with ONE compact
+  * summary line (≤ 1900 chars) so a tail-limited capture always holds
+  * a complete, parseable JSON object with the real total, preceded —
+  * when the per-query map no longer fits that line — by size-safe
+  * `queries_part` chunk lines carrying the per-query medians.
+  *
+  * Timing outliers self-adjudicate: queries whose steady passes swing
+  * hard are re-measured min-of-K in the same JVM (the BenchN protocol)
+  * and annotated in bench_full as `remeasured_min`; per-query `min`
+  * over the steady passes is recorded for every query.
   *
   * Scaling smoke: the same queries also run against
   * SPARK_GRAFT_SCALING_DIR (default sf0.01) and `scaling` reports the
@@ -90,6 +99,13 @@ object Bench {
     (elapsed, ok)
   }
 
+  /** One query's steady-state record: median/cold/dispersion/max/min
+    * over the SteadyN passes (min is the BenchN statistic — stable
+    * under contention, recorded so cross-round records carry it). */
+  private final case class BenchRow(name: String, med: Double, cold: Double,
+                                    disp: Double, max: Double, min: Double,
+                                    ok: Boolean)
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -114,7 +130,7 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = once(spark, name, fn, sfDir)
-      if (!okCold) (name, -1.0, cold, -1.0, -1.0, false)
+      if (!okCold) BenchRow(name, -1.0, cold, -1.0, -1.0, -1.0, ok = false)
       else {
         val runs = Seq.fill(SteadyN)(once(spark, name, fn, sfDir))
         val ok = runs.forall(_._2)
@@ -122,9 +138,35 @@ object Bench {
         val med = median(ts)
         // MAD/median: robust to one GC spike; the spike shows in `max`
         val disp = if (med > 0) median(ts.map(t => math.abs(t - med))) / med else 0.0
-        (name, med, cold, math.rint(disp * 1000) / 1000, ts.max, ok)
+        BenchRow(name, med, cold, math.rint(disp * 1000) / 1000,
+          ts.max, ts.min, ok)
       }
     }
+
+    // Timing-outlier self-adjudication (the scaling-flag protocol
+    // extended to wall-clock spikes, optimization r20): a query whose
+    // steady passes swing hard (MAD/median > 0.35) or whose max blew
+    // past 2.5x its median was probably hit by box contention — the
+    // exact class (d11/t22b/cp9 in r19) that used to need a manual
+    // BenchN re-run before a cross-round delta could be trusted. The
+    // bench now re-measures the worst offenders itself (min-of-K warm
+    // passes — the BenchN statistic; contention inflates samples but
+    // never deflates them) and records the verdict in bench_full as
+    // `remeasured_min`, so the record self-annotates noise. Bounded:
+    // top 8 by median, non-trivial runtimes only.
+    val outliers = results
+      .filter(r => r.ok && r.med > 0.5 && (r.disp > 0.35 || r.max > 2.5 * r.med))
+      .sortBy(-_.med).take(8)
+    val remeasured: Map[String, Double] = outliers.map { r =>
+      val fn = SparkEntry.queries(r.name)
+      val mins = Seq.fill(AdjudicateN)(once(spark, r.name, fn, sfDir))
+        .collect { case (t, true) => t }
+      val m = if (mins.isEmpty) -1.0 else mins.min
+      System.err.println(
+        f"[bench] timing outlier ${r.name}: median ${r.med}%.2f s " +
+          f"(max ${r.max}%.2f, disp ${r.disp}) -> controlled min $m%.2f s")
+      r.name -> m
+    }.toMap
 
     // scaling smoke vs the small SF (skipped when it IS the main SF)
     val doScaling = scaleDir != sfDir && new java.io.File(scaleDir).exists()
@@ -149,8 +191,9 @@ object Bench {
             if (okTs.isEmpty) None
             else {
               val small = median(okTs)
-              results.find(_._1 == name).collect { case (_, med, _, _, _, true) if small > 0 =>
-                name -> math.rint(med / small * 100) / 100
+              results.find(_.name == name).collect {
+                case r if r.ok && small > 0 =>
+                  name -> math.rint(r.med / small * 100) / 100
               }
             }
           }
@@ -161,7 +204,7 @@ object Bench {
     // protocol before the flag is emitted (see adjudicateFlag)
     val candidates = scaling.collect { case (name, r)
       if r > 2 * dataRatio &&
-        results.find(_._1 == name).exists(x => x._6 && x._2 > 0.3) => name }
+        results.find(_.name == name).exists(x => x.ok && x.med > 0.3) => name }
     val flags = candidates.filter { name =>
       val fn = SparkEntry.queries(name)
       val mainRuns = Seq.fill(AdjudicateN)(once(spark, name, fn, sfDir))
@@ -179,36 +222,73 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // a failed query must not masquerade as a fast success: its slot
     // carries -1 and the name is listed in "failed"
-    val qs = results.map { case (k, v, _, _, _, ok) => "\"" + k + "\":" + (if (ok) r3(v) else -1.0) }
+    val qPairs = results.map(r =>
+      "\"" + r.name + "\":" + (if (r.ok) r3(r.med) else -1.0))
+    val qs = qPairs.mkString("{", ",", "}")
+    val disp = results.collect { case r if r.ok => "\"" + r.name + "\":" + r.disp }
       .mkString("{", ",", "}")
-    val disp = results.collect { case (k, _, _, d, _, true) => "\"" + k + "\":" + d }
+    val maxJson = results.collect { case r if r.ok => "\"" + r.name + "\":" + r3(r.max) }
       .mkString("{", ",", "}")
-    val maxJson = results.collect { case (k, _, _, _, mx, true) => "\"" + k + "\":" + r3(mx) }
+    val minJson = results.collect { case r if r.ok => "\"" + r.name + "\":" + r3(r.min) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, _, false) => "\"" + k + "\"" }
+    val remeasuredJson = remeasured.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val scalingJson = scaling.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val scalingFailedJson =
       scalingFailed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r3(results.collect { case (_, v, _, _, _, true) => v }.sum)
-    val cold = r3(results.collect { case (_, _, c, _, _, true) => c }.sum)
+    val total = r3(results.collect { case r if r.ok => r.med }.sum)
+    val cold = r3(results.collect { case r if r.ok => r.cold }.sum)
     val nQueries = results.size
     val dr = math.rint(dataRatio * 100) / 100
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"queries":$qs,"dispersion":$disp,"max":$maxJson,"min":$minJson,"remeasured_min":$remeasuredJson,"failed":$failed,"cold_value":$cold,"scaling":$scalingJson,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"cpus":"$cpus","sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-    // stdout: ONE compact line (~1.7 KB at 64 queries) — a 2 KB stdout
-    // tail must always hold a complete JSON object (the old 4.5 KB line
-    // with dispersion+scaling+max maps overflowed it; those now live
-    // only in bench_full.json). If the registry ever grows the line
-    // past the tail budget, drop the per-query map from stdout too —
-    // a parseable total beats a truncated map.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"queries":$qs,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}"""
-    println(
-      if (line.length <= 1900) line
-      else s"""{"metric":"total","value":$total,"unit":"sec","n":$SteadyN,"n_queries":$nQueries,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath"}""")
+    // ... and a DURABLE per-configuration copy: each run used to
+    // overwrite the single bench_full.json, so a later low-core
+    // scaling run clobbered the main record (the r19 per-query
+    // blindness, VERDICT r19 #1). The stamped name is deterministic
+    // (cpus + sf basename), never random — same config overwrites
+    // itself, different configs coexist.
+    val sfName = new java.io.File(sfDir).getName
+    val stamped = {
+      val p = java.nio.file.Paths.get(fullPath)
+      val dirP = Option(p.getParent).map(_.toString).getOrElse(".")
+      s"$dirP/bench_full_c${cpus}_$sfName.json"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(stamped), full + "\n")
+    // stdout: the LAST line is ONE compact summary (<= 1900 chars) so a
+    // tail-limited capture always ends with a complete, parseable JSON
+    // object carrying the real total. The per-query medians — which no
+    // longer fit a single tail-safe line at 185 queries (the r19
+    // per-query blindness) — are emitted BEFORE it as size-safe
+    // "queries_part" chunk lines: a whole-stdout consumer reassembles
+    // the full map from the parts; a tail-only consumer still gets the
+    // intact total line, exactly as before.
+    val header = s""""unit":"sec","n":$SteadyN,"failed":$failed,"scaling_flags":$flagsJson,"scaling_failed":$scalingFailedJson,"data_ratio":$dr,"sf":"$sfDir","full":"$fullPath""""
+    val oneLine = s"""{"metric":"total","value":$total,$header,"queries":$qs}"""
+    if (oneLine.length <= 1900) println(oneLine)
+    else {
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var len = 0
+      qPairs.foreach { p =>
+        if (len + p.length > 1600 && cur.nonEmpty) {
+          chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+          len = 0
+        }
+        cur += p; len += p.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+      }
+      println(s"""{"metric":"total","value":$total,$header,"n_queries":$nQueries,"queries_parts":${chunks.size}}""")
+    }
     spark.stop()
   }
 }

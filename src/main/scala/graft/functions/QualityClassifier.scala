@@ -77,17 +77,25 @@ object QualityClassifier {
         :+ expr("c * 10000 div n").as("x") :+ col("y"): _*)
       .unionByName(docs.select(col(idCol) +: kc :+ lit(dim.toLong).as("j")
         :+ lit(10000L).as("x") :+ label.cast("double").as("y"): _*))
-      // pin the table's partitioning to the doc id ONCE (the union
-      // otherwise leaves it unpartitioned): every training iteration
-      // re-reads this table twice — margins groupBy(id) and the
-      // gradient join on id — and with hash(id) established here both
-      // reuse it (hash(id) satisfies clustering on (id, group…)), so
-      // the iteration loop pays zero exchanges of the feature table
-      // instead of two per iteration (optimization r19; guide §2.4 —
-      // two operations keyed the same way share one exchange). Exact
-      // integer sums make the result order-free, hence bit-identical.
-      .repartition(col(idCol))
   }
+
+  /** Pin the feature table's partitioning to the doc id ONCE before
+    * the TRAINING caches (the union inside [[features]] otherwise
+    * leaves it unpartitioned): every training iteration re-reads the
+    * cached table twice — margins groupBy(id) and the gradient join on
+    * id — and with hash(id) established here both reuse it (hash(id)
+    * satisfies clustering on (id, group…)), so the iteration loop pays
+    * zero exchanges of the feature table instead of two per iteration
+    * (optimization r19; guide §2.4 — two operations keyed the same way
+    * share one exchange). Exact integer sums make the result
+    * order-free, hence bit-identical. Training-only on purpose
+    * (advisor r19): [[scoreWith]] consumes the table exactly once and
+    * never caches it, so pre-exchanging the raw (dim+1)-rows-per-doc
+    * long form there would shuffle ~dim× the bytes its single
+    * map-combined margins aggregate moves.
+    */
+  private def pinToId(f: DataFrame, idCol: String): DataFrame =
+    f.repartition(col(idCol))
 
   /** p = ½ + ½·z̃/(1+|z̃|) with z̃ = sp/10¹⁰ — the rational sigmoid on
     * the exact integer margin. */
@@ -137,7 +145,7 @@ object QualityClassifier {
     import spark.implicits._
     require(dim >= 2 && iters >= 1)
     val f = graft.Materialize.reuse(
-      features(docs, idCol, textCol, label, dim, salt))
+      pinToId(features(docs, idCol, textCol, label, dim, salt), idCol))
     val n = docs.count() // one bounded count: the gradient denominator
     val w = Array.fill(dim + 1)(0L)
     for (_ <- 0 until iters) {
@@ -188,7 +196,8 @@ object QualityClassifier {
     // along — no divergent copy of the bias-row or dot-product logic
     // (review r13)
     val f = graft.Materialize.reuse(
-      features(docs, idCol, textCol, label, dim, salt, Seq(groupCol)))
+      pinToId(features(docs, idCol, textCol, label, dim, salt, Seq(groupCol)),
+        idCol))
     // per-group gradient denominators: one bounded |groups|-row agg.
     // NULL group keys fail loudly here (the sp2/t28 discipline): a
     // NULL would never join the (group, j) weight table, so its docs
@@ -297,21 +306,40 @@ object QualityClassifier {
     * aggregates once into the per-distinct-score count table —
     * bounded at ~10⁶ rows by the score codomain REGARDLESS of corpus
     * size — and the ordered cumulative pass runs over that bounded
-    * table (the `sampledSeeds` bounded-window discipline: a
-    * single-partition window over ≤10⁶ tiny rows, not over the
-    * corpus). Returns one row: (n_pos, n_neg, auc); degenerate
+    * table as a TWO-LEVEL cumulative sum (optimization r20, guide §2):
+    * a partitioned window per coarse score bucket (`score_micro div
+    * 10⁴` — ≤ ~101 buckets over the micro codomain) plus a ≤101-row
+    * bucket-offset join, so NO single-partition WindowExec exists in
+    * the plan (the old global-window form moved the whole distinct
+    * table to one task — bounded, but the one warning-generating
+    * all-rows-to-one-partition structure left in a query path).
+    * Truncating division is monotone, so bucket order agrees with
+    * score order and `below` is unchanged — exact integer sums either
+    * way. Returns one row: (n_pos, n_neg, auc); degenerate
     * single-class inputs pin auc to 0.0. The integer intermediates
     * stay inside a signed 64-bit long through ~2·10⁹ rows (2·np·nn ≤
     * 2n²); past that ANSI mode fails loudly rather than wrapping.
     */
   def auc(scored: DataFrame): DataFrame = {
-    val g = scored.groupBy("score_micro").agg(
-      sum(when(col("label") === 1L, 1L).otherwise(0L)).as("pc"),
-      sum(when(col("label") === 0L, 1L).otherwise(0L)).as("nc"))
-    val w = Window.orderBy(col("score_micro"))
+    // the bounded distinct-score table feeds the bucket totals AND the
+    // ranked pass — persist once so the corpus aggregation runs once
+    val g = graft.Materialize.reuse(
+      scored.groupBy("score_micro").agg(
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("pc"),
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("nc"))
+        .withColumn("__b", expr("score_micro div 10000")))
+    val bt = g.groupBy("__b").agg(sum(col("pc") + col("nc")).as("__bt"))
+    // strictly-below-bucket offsets: a bounded (≤101 × ≤101) self-join
+    // — broadcast nested loop over a sliver, never a corpus structure
+    val off = bt.join(
+      bt.select(col("__b").as("__b2"), col("__bt").as("__bt2")),
+      col("__b2") < col("__b"), "left")
+      .groupBy("__b").agg(coalesce(sum("__bt2"), lit(0L)).as("__off"))
+    val wb = Window.partitionBy("__b").orderBy(col("score_micro"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = g.withColumn("below",
-      sum(col("pc") + col("nc")).over(w) - (col("pc") + col("nc")))
+    val ranked = g.join(off, Seq("__b"))
+      .withColumn("below", col("__off") +
+        sum(col("pc") + col("nc")).over(wb) - (col("pc") + col("nc")))
     ranked.agg(
       sum(col("pc")).as("np"),
       sum(col("nc")).as("nn"),

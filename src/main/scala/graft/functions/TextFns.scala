@@ -835,29 +835,16 @@ object TextFns {
     * [[stupidBackoffScore]] share ONE base between censuses and the
     * scored stream (one text scan, review r13). */
   private def sbCountsOfTokens(base: DataFrame): SbCounts = {
-    val n = size(col("__w"))
-    val nullS = lit(null).cast("string")
-    val zip2 = arrays_zip(
-      col("__w").as("a"),
-      concat(slice(col("__w"), lit(2), greatest(n - 1, lit(0))),
-        array(nullS)).as("b"))
-    // ALL THREE censuses cache (a streamed scorer joins them every
-    // micro-batch; an uncached tri would re-aggregate the whole train
-    // base per batch — review r13)
-    val tri = graft.Materialize.reuse(
-      base.select(explode(sbZip3(n)).as("__z"))
-        .select(col("__z.a").as("__w1"), col("__z.b").as("__w2"),
-          col("__z.c").as("__w3"))
-        .filter(col("__w3").isNotNull)
-        .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__c123")))
-    val big = graft.Materialize.reuse(
-      base.select(explode(zip2).as("__z"))
-        .select(col("__z.a").as("__b1"), col("__z.b").as("__b2"))
-        .filter(col("__b2").isNotNull)
-        .groupBy("__b1", "__b2").agg(count(lit(1)).as("__cb")))
-    val uni = graft.Materialize.reuse(
-      base.select(explode(col("__w")).as("__u"))
-        .groupBy("__u").agg(count(lit(1)).as("__cu")))
+    // ALL THREE censuses come off ONE cached grouping-sets pass (was
+    // three explode+aggregate passes over the train base — r20); the
+    // shared cache still serves a streamed scorer's per-micro-batch
+    // joins (review r13: an uncached tri would re-aggregate the whole
+    // train base per batch)
+    val g = gramCensusesKeyed(base, Seq(1, 2, 3), Nil)
+    val tri = g(3).withColumnRenamed("__c3", "__c123")
+    val big = g(2).select(col("__w1").as("__b1"), col("__w2").as("__b2"),
+      col("__c2").as("__cb"))
+    val uni = g(1).select(col("__w1").as("__u"), col("__c1").as("__cu"))
     // an empty train side would make every branch NULL — fail loudly
     // in-plan (the sp2 discipline) instead of emitting silent nulls
     val nTot = uni.agg(sum("__cu").as("__n0"))
@@ -948,7 +935,7 @@ object TextFns {
   /** The k shifted-token arrays zipped positionally — struct fields
     * `g0..g{k-1}`; position i carries (wᵢ, wᵢ₊₁, …, wᵢ₊ₖ₋₁) with
     * nulls past the end (the [[sbZip3]] shape generalized). */
-  private def sbZipN(n: Column, k: Int): Column = {
+  private[graft] def sbZipN(n: Column, k: Int): Column = {
     val nullS = lit(null).cast("string")
     arrays_zip((0 until k).map { j =>
       if (j == 0) col("__w").as("g0")
@@ -975,6 +962,61 @@ object TextFns {
   private def gramCensus(base: DataFrame, k: Int): DataFrame =
     gramCensusKeyed(base, k, Nil)
 
+  /** ALL requested gram-order TYPE censuses of one token base in ONE
+    * corpus pass (optimization r20, guide §2.3/§6): a single explode
+    * of the max-order zip feeds a single GROUPING SETS aggregation —
+    * one grouping set per order, keyed (keyCols…, __w1..__wk) — so the
+    * k separate explode+aggregate passes over the token base
+    * ([[gramCensusKeyed]] per order: k corpus scans, k exchanges)
+    * collapse to one Generate + one Expand + one map-combined
+    * exchange. At 100 TB that is k−1 fewer passes over the corpus; the
+    * shuffle moves the same census partials it always did (Expand
+    * replicates rows BEFORE partial aggregation, so map-side combine
+    * still collapses each set to its type sliver).
+    *
+    * Exactness: each order's census is the identical multiset count —
+    * position i contributes to order k iff `__wk` is non-null (the gram
+    * fits), the same filter the per-order form applied pre-aggregation;
+    * here null-tail groups are dropped post-aggregation, which cannot
+    * perturb other groups (they were separate groups). Counts are
+    * exact integer sums either way. Spec-pinned census-for-census
+    * against the per-order form in TextPipelineSpec.
+    *
+    * The combined frame persists ONCE ([[graft.Materialize.reuse]]);
+    * each order's census filters its grouping id from that cache
+    * (`__gid` = 2^(kMax−k) − 1: the trailing kMax−k gram columns are
+    * the non-grouped ones — keyCols are grouped in EVERY set).
+    */
+  private[graft] def gramCensusesKeyed(base: DataFrame, orders: Seq[Int],
+                                       keyCols: Seq[String]): Map[Int, DataFrame] = {
+    require(orders.nonEmpty && orders.forall(_ >= 1))
+    val kMax = orders.max
+    val kc = keyCols.map(col)
+    val gramCols = (1 to kMax).map(j => s"__w$j")
+    val exploded = base
+      .select(kc :+ explode(sbZipN(size(col("__w")), kMax)).as("__z"): _*)
+      .select(kc ++ (0 until kMax).map(
+        j => col(s"__z.g$j").as(s"__w${j + 1}")): _*)
+    val sets = orders.sorted.map(k => kc ++ gramCols.take(k).map(col))
+    val combined = graft.Materialize.reuse(
+      exploded.groupingSets(sets, kc ++ gramCols.map(col): _*)
+        .agg(count(lit(1)).as("__c"), grouping_id().as("__gid")))
+    orders.map { k =>
+      val gid = (1L << (kMax - k)) - 1L
+      // each order's census re-persists as its own narrow sliver: the
+      // LM ladders scan their censuses up to three times each, and a
+      // filter-view over the (Σ orders)-sized combined cache made
+      // every one of those reads pay a full combined scan (measured:
+      // cp6b 10.1 → 17.2 s before this re-persist, 9.6 s with it).
+      // Populating a sliver costs one combined-cache read; the token
+      // base is still exploded and aggregated exactly ONCE.
+      k -> graft.Materialize.reuse(combined
+        .filter(col("__gid") === lit(gid) && col(s"__w$k").isNotNull)
+        .select(kc ++ gramCols.take(k).map(col)
+          :+ col("__c").as(s"__c$k"): _*))
+    }.toMap
+  }
+
   /** Order-`k` gram TYPE census over a `(keyCols..., __w)` token-array
     * base, map-combined, grouped per key (empty keys = one global
     * census — [[gramCensus]]). The keyed form is what per-language LMs
@@ -993,11 +1035,14 @@ object TextFns {
   }
 
   private def sb5CountsOfTokens(base: DataFrame): Sb5Counts = {
-    val five = gramCensus(base, 5)
-    val four = gramCensus(base, 4)
-    val tri = gramCensus(base, 3)
-    val big = gramCensus(base, 2)
-    val uni = gramCensus(base, 1)
+    // all five censuses in ONE corpus pass (grouping sets; was five
+    // explode+aggregate passes over the token base — optimization r20)
+    val g = gramCensusesKeyed(base, Seq(1, 2, 3, 4, 5), Nil)
+    val five = g(5)
+    val four = g(4)
+    val tri = g(3)
+    val big = g(2)
+    val uni = g(1)
     val nTot = uni.agg(sum("__c1").as("__n0"))
       .select(when(col("__n0").isNull, raise_error(lit(
         "stupidBackoff5Score: trainFilter selects no documents")))
@@ -1149,6 +1194,14 @@ object TextFns {
     val noId = base.select(kc :+ col("__w"): _*)
     // the four raw gram-type censuses (2..5); the 5-gram census IS the
     // scored-type table (self-scoring: types scored = types seen)
+    // DELIBERATELY per-order censuses, not the r20 grouping-sets
+    // fusion: at order 5 a census is near-corpus-sized (most 5-gram
+    // types are unique), and this ladder reads each census 2-3 times —
+    // the fused combined cache + per-order slivers double-materialize
+    // that volume, measured cp6b 10.1 → 14.6 s (BenchN min-of-5, both
+    // heaps) against a 3-explode saving the cached token base makes
+    // cheap anyway. The fusion stays where it measured a real win:
+    // the stupid-backoff counts (one read per census — t28b −26%).
     val g5 = gramCensusKeyed(noId, 5, keyCols)
     val g4 = gramCensusKeyed(noId, 4, keyCols)
     val g3 = gramCensusKeyed(noId, 3, keyCols)

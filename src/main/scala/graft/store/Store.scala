@@ -427,7 +427,14 @@ final class BucketedStore(val spark: SparkSession, val table: String,
   def load(): DataFrame = spark.table(table)
 
   private def write(df: DataFrame, mode: SaveMode): Unit = {
-    val w0 = df.write.mode(mode)
+    // bucket-spec-aligned write (see DedupSnapshot.writeBucketed):
+    // repartition(nBuckets, bucketKeys) uses the same murmur3 pmod as
+    // the bucketing, so each task writes one file per (partition dir,
+    // bucket) instead of every upstream task spraying a file into
+    // every bucket it touches. Content identical; layout only.
+    val aligned = df.repartition(nBuckets,
+      bucketKeys.map(org.apache.spark.sql.functions.col): _*)
+    val w0 = aligned.write.mode(mode)
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)

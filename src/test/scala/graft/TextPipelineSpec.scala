@@ -815,6 +815,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(direct.values.exists { case (c, l) => c != l })
   }
 
+  test("gramCensusesKeyed: one grouping-sets pass equals the per-order " +
+       "explode censuses, keyed and unkeyed, with an order gap") {
+    // the r20 fusion computes every gram-order TYPE census from ONE
+    // explode + ONE grouping-sets aggregation; this pins each order's
+    // census — including the grouping-id arithmetic across an order
+    // GAP (no order 4 requested) and per-key independence — against a
+    // directly-computed per-order census on an asymmetric fixture
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFns
+    val docs = Seq(
+      ("en", "a b c d e a b c d e"), ("en", "a b c"), ("en", "a"),
+      ("de", "x y x y x"), ("de", "")).toDF("lang", "text")
+    val base = docs.select(col("lang"), TextFns.tokens(col("text")).as("__w"))
+    val fused = TextFns.gramCensusesKeyed(base, Seq(1, 2, 3, 5), Seq("lang"))
+    for (k <- Seq(1, 2, 3, 5)) {
+      // direct census: slide a k-window over each token array
+      val direct = docs.collect().flatMap { r =>
+        // mirror TextFns.tokens: split(trim, \s+) — an EMPTY doc yields
+        // one "" token (which the order-1 census counts, old and fused)
+        val toks = r.getString(1).trim.split("\\s+")
+        toks.sliding(k).filter(_.length == k)
+          .map(g => (r.getString(0) +: g).mkString(" "))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = fused(k).collect().map { r =>
+        (0 to k).map(i => r.getString(i)).mkString(" ") -> r.getLong(k + 1)
+      }.toMap
+      assert(got == direct, s"order $k: got $got want $direct")
+    }
+    // unkeyed form agrees too (the t28/t28b/t25b entry)
+    val fusedG = TextFns.gramCensusesKeyed(
+      base.select("__w"), Seq(2), Nil)(2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(fusedG(("a", "b")) == 3L && fusedG(("x", "y")) == 2L &&
+      fusedG(("y", "x")) == 2L && fusedG(("b", "c")) == 3L)
+    graft.Materialize.releaseAll()
+  }
+
   test("knFiveGramLmScore: word salad ranks strictly below natural text " +
        "at order 5") {
     import graft.functions.TextFns
