@@ -350,7 +350,11 @@ object Dedup {
       salt: BucketSalt): DataFrame = {
     val allIdx = storeIndex.unionByName(bandedSketchIndex(dsk))
     val pairs = asymmetricBandedPairs(bandedSketchIndex(dsk), allIdx,
-      bucketCap, salt)
+      bucketCap, salt,
+      // split cap census (r20): store side exchange-free off the
+      // bucketed index table; sides disjoint (caller anti-joins the
+      // delta ids out of the store artifacts / delta ids are new)
+      storeBanded = Some(storeIndex))
     sketchEstimates(pairs, storeSketches.unionByName(dsk), k, threshold)
   }
 
@@ -480,12 +484,33 @@ object Dedup {
   private[graft] def asymmetricBandedPairs(deltaBanded: DataFrame,
                                            unionBanded: DataFrame,
                                            bucketCap: Int,
-                                           salt: BucketSalt = BucketSalt.XxHash): DataFrame = {
+                                           salt: BucketSalt = BucketSalt.XxHash,
+                                           storeBanded: Option[DataFrame] = None): DataFrame = {
     val (l, r, keys) =
       if (bucketCap <= 0) (deltaBanded, unionBanded, Seq("band", "bucket"))
       else {
-        val counts = unionBanded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bn"))
+        // bucket census for the cap: count per (band, bucket) over the
+        // union. When the caller hands the store side separately
+        // (optimization r20, guide §2.4), the census SPLITS — a
+        // store-side census (exchange-FREE: the persisted sigs/index
+        // tables are bucketed on exactly these keys) plus a delta-sized
+        // census, merged by a full-outer sum over census slivers — so a
+        // refresh no longer re-shuffles the whole store index just to
+        // count bucket sizes. Counts are identical exact integers
+        // (|union| = |store| + |delta| per bucket; the sides are
+        // disjoint by the caller's contract).
+        val counts = storeBanded match {
+          case Some(st) =>
+            val sc = st.groupBy("band", "bucket").agg(count(lit(1)).as("__bns"))
+            val dc = deltaBanded.groupBy("band", "bucket")
+              .agg(count(lit(1)).as("__bnd"))
+            sc.join(dc, Seq("band", "bucket"), "full")
+              .select(col("band"), col("bucket"),
+                (coalesce(col("__bns"), lit(0L)) +
+                  coalesce(col("__bnd"), lit(0L))).as("__bn"))
+          case None =>
+            unionBanded.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+        }
         val nb = ceil(col("__bn").cast("double") / bucketCap).cast("long")
         def tag(df: DataFrame) = df.join(counts, Seq("band", "bucket"))
           .withColumn("__sub", when(nb <= 1, lit(0L)).otherwise(

@@ -202,7 +202,11 @@ final class DedupSnapshot(val spark: SparkSession, val prefix: String,
   private def deltaPairs(deltaBanded: DataFrame,
                          storeBanded: DataFrame): DataFrame =
     Dedup.asymmetricBandedPairs(
-      deltaBanded, storeBanded.unionByName(deltaBanded), bucketCap)
+      deltaBanded, storeBanded.unionByName(deltaBanded), bucketCap,
+      // store side handed separately: the cap census then reads the
+      // bucketed sigs table exchange-free instead of re-shuffling the
+      // union every refresh (r20; delta ids are new, sides disjoint)
+      storeBanded = Some(storeBanded))
 
   /** Dedup `delta` against the snapshot (and against itself) and
     * return the surviving delta rows. Reads ONLY the seen/sigs/
